@@ -1,0 +1,49 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI analog of the reference's `pipeline.py` (reference:
+  * pipeline.py:7-99): run the full ET over the reference-layout CSVs,
+  * export the three cleaned tables as parquet, and print the five
+  * query results (the PDF rendering is presentation-only and out of
+  * engine scope — SURVEY.md §2.1 S9).
+  *
+  * Usage: runMain graft.etl.RunSalesPipeline <csvDir> <outDir> [yyyy-MM-dd]
+  */
+object RunSalesPipeline {
+  def main(args: Array[String]): Unit = {
+    val csvDir = if (args.length > 0) args(0) else "/root/reference/bases-de-dados"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sales_out"
+    val refDate = if (args.length > 2) LocalDate.parse(args(2)) else LocalDate.now()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-sales-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val t0 = System.nanoTime()
+    val cleaned = SalesPipeline.run(spark, csvDir, refDate)
+    SalesPipeline.writeParquet(cleaned, outDir)
+    val b = SalesPipeline.loadBoundary(cleaned)
+    println(s"[pipeline] produtos=${b.produtos.count()} vendas=${b.vendas.count()} " +
+      s"empregados=${b.empregados.count()} -> $outDir")
+    Seq(
+      "Q1 vendas por funcionário" -> SalesPipeline.q1SalesByEmployee(b),
+      "Q2 ticket médio por produto" -> SalesPipeline.q2AvgTicketByProduct(b),
+      "Q3 vendas por categoria" -> SalesPipeline.q3SalesByCategory(b),
+      "Q4 top 5 funcionários" -> SalesPipeline.q4Top5Employees(b),
+      "Q5 vendas por período" -> SalesPipeline.q5SalesByPeriod(b),
+    ).foreach { case (title, df) =>
+      println(s"== $title (${df.count()} rows)")
+      df.show(5, truncate = false)
+    }
+    println(f"[pipeline] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Primary correctness gate for the ETL engine (SURVEY.md §5): run the
+  * engine on the reference's own dirty CSVs and require row-for-row
+  * equality with the reference's committed golden parquet outputs
+  * (reference: parquet-files — the cleaned results of the
+  * shipped inputs), plus the logged shapes of the five queries
+  * (reference: logs/relatorio_pdf.log: 99/197/6/5/6 rows).
+  */
+class GoldenParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // Golden outputs were produced on 2025-08-27; the current-date
+  // fallback paths are unexercised on shipped data but pinning keeps
+  // the run deterministic regardless (SURVEY.md §7.5.4).
+  lazy val cleaned: SalesPipeline.Cleaned = SalesPipeline.loadBoundary(
+    SalesPipeline.run(spark, "/root/reference/bases-de-dados", LocalDate.of(2025, 8, 27)))
+
+  /** Canonical row set: integer cols widened to long, dates to ISO
+    * strings, doubles kept exact (imputation arithmetic is replicated
+    * exactly, so no tolerance is needed — any drift is a bug).
+    */
+  private def rows(df: DataFrame): Set[Seq[Any]] = {
+    val casted = df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
+          col(f.name).cast("long")
+        case org.apache.spark.sql.types.DateType => col(f.name).cast("string")
+        case _ => col(f.name)
+      }
+    }
+    df.select(casted: _*).collect().map(_.toSeq).toSet
+  }
+
+  private def golden(name: String): DataFrame =
+    spark.read.parquet(s"/root/reference/parquet-files/$name.parquet")
+
+  test("produtos matches golden parquet (200x4)") {
+    val got = rows(cleaned.produtos)
+    val exp = rows(golden("produtos"))
+    assert(cleaned.produtos.count() === 200L)
+    assert((exp -- got).isEmpty && (got -- exp).isEmpty,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
+  test("empregados matches golden parquet (100x4)") {
+    val got = rows(cleaned.empregados)
+    val exp = rows(golden("empregados"))
+    assert(cleaned.empregados.count() === 100L)
+    assert((exp -- got).isEmpty && (got -- exp).isEmpty,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
+  test("vendas matches golden parquet (1000x7)") {
+    val got = rows(cleaned.vendas)
+    val exp = rows(golden("resumo-vendas"))
+    assert(cleaned.vendas.count() === 1000L)
+    assert((exp -- got).isEmpty && (got -- exp).isEmpty,
+      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
+
+  test("five queries match logged shapes") {
+    assert(SalesPipeline.q1SalesByEmployee(cleaned).count() === 99L)
+    assert(SalesPipeline.q2AvgTicketByProduct(cleaned).count() === 197L)
+    assert(SalesPipeline.q3SalesByCategory(cleaned).count() === 6L)
+    assert(SalesPipeline.q4Top5Employees(cleaned).count() === 5L)
+    assert(SalesPipeline.q5SalesByPeriod(cleaned).count() === 6L)
+  }
+
+  test("q5 periods are 2023-01..2023-06") {
+    val periods = SalesPipeline.q5SalesByPeriod(cleaned)
+      .select("periodo").collect().map(_.getString(0)).toSeq
+    assert(periods === Seq("2023-01", "2023-02", "2023-03", "2023-04", "2023-05", "2023-06"))
+  }
+}
