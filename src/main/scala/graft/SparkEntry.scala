@@ -8,7 +8,10 @@ import graft.operators._
   * Every implemented operator from SURVEY.md §2 (and the scale
   * extensions) is exposed as a named query over a scale-factor
   * directory; `oracleSql` carries the DuckDB-equivalent SQL for the
-  * driver's hash-compare correctness gate.
+  * driver's hash-compare correctness gate. Column names/aliases match
+  * the Spark side exactly (the driver sorts columns by name before
+  * hashing), and float aggregates go through exact decimal sums
+  * (graft.util.Num) so both engines agree bitwise.
   */
 object SparkEntry {
 
@@ -18,16 +21,40 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Reference's five analytic queries (SURVEY.md §2.3-2.5)
     "q1_revenue_by_customer" -> (SalesAnalytics.q1RevenueByCustomer _),
     "q2_avg_ticket_by_part"  -> (SalesAnalytics.q2AvgTicketByPart _),
     "q3_count_by_type"       -> (SalesAnalytics.q3CountByType _),
     "q4_top5_customers"      -> (SalesAnalytics.q4Top5Customers _),
     "q5_sales_by_month"      -> (SalesAnalytics.q5SalesByMonth _),
+    // Operator inventory (SURVEY.md §2.2-2.8)
+    "dedup_exact"            -> (RelationalOps.dedupExact _),
+    "median_by_group"        -> (RelationalOps.medianByGroup _),
+    "impute_group_median"    -> (RelationalOps.imputeGroupMedian _),
+    "scalar_funcs"           -> (RelationalOps.scalarFuncs _),
+    "date_funcs"             -> (RelationalOps.dateFuncs _),
+    "join_left_enrich"       -> (RelationalOps.joinLeftEnrich _),
+    "join_semi"              -> (RelationalOps.joinSemi _),
+    "join_anti"              -> (RelationalOps.joinAnti _),
+    "join_full_outer"        -> (RelationalOps.joinFullOuter _),
+    "topk_orders"            -> (RelationalOps.topKOrders _),
+    "filter_pushdown"        -> (RelationalOps.filterPushdown _),
+    "set_intersect"          -> (RelationalOps.setIntersect _),
+    "set_except"             -> (RelationalOps.setExcept _),
+    "agg_rollup"             -> (RelationalOps.aggRollup _),
+    "window_topk_per_group"  -> (RelationalOps.windowTopKPerGroup _),
+    "window_running_sum"     -> (RelationalOps.windowRunningSum _),
+    "window_lag"             -> (RelationalOps.windowLag _),
+    // Time-series / events (batch twins of graft.streaming)
+    "events_tumbling"        -> (EventOps.tumblingWindow _),
+    "events_sliding"         -> (EventOps.slidingWindow _),
+    "events_sessionize"      -> (EventOps.sessionize _),
+    "events_json"            -> (EventOps.jsonExtract _),
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Column names/aliases match the Spark side
-    * exactly (driver sorts columns by name before hashing).
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get the driver's weaker
+    * rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_revenue_by_customer" ->
@@ -62,5 +89,127 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+    "dedup_exact" ->
+      "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+    "median_by_group" ->
+      """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
+         FROM part GROUP BY 1 ORDER BY 1""",
+    "impute_group_median" ->
+      """WITH masked AS (
+           SELECT p_partkey, p_brand,
+                  CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_retailprice END AS pr
+           FROM part),
+         med AS (
+           SELECT p_brand, median(CAST(pr AS DOUBLE)) AS m
+           FROM masked WHERE pr IS NOT NULL GROUP BY 1)
+         SELECT k.p_partkey, k.p_brand,
+                round(COALESCE(k.pr, d.m), 2) AS price_filled,
+                k.pr IS NULL AS imputed
+         FROM masked k LEFT JOIN med d USING (p_brand)
+         ORDER BY k.p_partkey""",
+    "scalar_funcs" ->
+      """SELECT p_partkey,
+         'Part ' || CAST(p_partkey AS VARCHAR) AS display_name,
+         CASE WHEN p_type = 'widget' THEN 'gadget' ELSE p_type END AS type_fixed,
+         CAST(NULLIF(regexp_extract(p_name, '(\d+)', 1), '') AS INT) AS name_number,
+         least(greatest(p_size, 5), 40) AS size_clamped,
+         (p_size < 5 OR p_size > 40) AS size_adjusted,
+         round(p_retailprice * 1.1, 2) AS price_bumped,
+         COALESCE(NULLIF(p_brand, 'Brand#1'), 'UNBRANDED') AS brand_or_default
+         FROM part ORDER BY p_partkey""",
+    "date_funcs" ->
+      """SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m') AS month_str,
+         CAST(year(o_orderdate) AS BIGINT) AS order_year,
+         CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+         CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+         CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS age_days
+         FROM orders ORDER BY o_orderkey""",
+    "join_left_enrich" ->
+      """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+         l.l_partkey, p.p_type, p.p_brand
+         FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+         ORDER BY l.l_orderkey, l_linenumber""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "join_full_outer" ->
+      """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+         FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+         ORDER BY n.n_nationkey, s.s_suppkey""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "filter_pushdown" ->
+      """SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity > 40 AND l_discount >= 0.05 AND l_returnflag <> 'R'
+         ORDER BY l_orderkey, l_partkey""",
+    "set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1""",
+    "set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""",
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "window_topk_per_group" ->
+      """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+           SELECT p_brand, p_partkey, p_retailprice,
+                  CAST(row_number() OVER (PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
+           FROM part) t
+         WHERE rk <= 3 ORDER BY p_brand, rk""",
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(datediff('day',
+           CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS DATE),
+           CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "events_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+         event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_sliding" ->
+      """WITH b AS (SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b0, value
+                    FROM events)
+         SELECT window_start, COUNT(*) AS n,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM (SELECT b0 AS window_start, value FROM b
+               UNION ALL SELECT b0 - 300, value FROM b) t
+         GROUP BY 1 ORDER BY 1""",
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
+         l AS (SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM e),
+         s AS (SELECT *, SUM(CASE WHEN prev IS NULL OR es - prev > 1800 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+               FROM l)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                MIN(es) AS session_start, MAX(es) AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "events_json" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+         FROM events ORDER BY 1""",
   )
 }

@@ -17,15 +17,7 @@ object RunSalesPipeline {
     val csvDir = if (args.length > 0) args(0) else "/root/reference/bases-de-dados"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_sales_out"
     val refDate = if (args.length > 2) LocalDate.parse(args(2)) else LocalDate.now()
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName("graft-sales-pipeline")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.build("graft-sales-pipeline")
 
     val t0 = System.nanoTime()
     val cleaned = SalesPipeline.run(spark, csvDir, refDate)

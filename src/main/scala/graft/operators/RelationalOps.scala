@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import graft.util.Num._
+
+/** The SURVEY.md §2 operator inventory demonstrated on the driver's
+  * TPC-H-ish tables, one named query per operator family, each with a
+  * DuckDB oracle in SparkEntry. These are the generic building blocks
+  * the ETL engine composes (dedup D1, imputation A5/D4-D6, scalar
+  * functions F1-F13, joins J1-J3, sorts/top-k W1-W4) plus the
+  * completeness extensions (semi/anti/full joins, set ops, rollup,
+  * window functions) a user of the reference would expect from a
+  * full analytics engine.
+  */
+object RelationalOps {
+
+  /** D1: exact key-based dedup — dropDuplicates is a partial-aggregate
+    * (map-side combine), no full-row shuffle.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey")
+      .dropDuplicates()
+
+  /** A5: exact interpolated per-group median (pandas-equivalent, never
+    * percentile_approx — SURVEY.md §2.9.5).
+    */
+  def medianByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(percentile(col("p_retailprice"), lit(0.5)).as("median_price"))
+      .orderBy("p_brand")
+
+  /** D4/D5 pattern: group-median imputation, set-based. A deterministic
+    * mask (p_size divisible by 7) plays the "missing" role since the
+    * synthetic tables have no nulls; the median pool is the unmasked
+    * complement, exactly like the ETL engine's pre-imputation pool
+    * semantics (SURVEY.md §2.9.2).
+    */
+  def imputeGroupMedian(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+    val masked = part.withColumn("_price",
+      when(col("p_size") % 7 === 0, lit(null)).otherwise(col("p_retailprice")))
+    val med = masked.filter(col("_price").isNotNull)
+      .groupBy("p_brand")
+      .agg(percentile(col("_price"), lit(0.5)).as("_med"))
+    masked.join(broadcast(med), Seq("p_brand"), "left")
+      .select(col("p_partkey"), col("p_brand"),
+        round(coalesce(col("_price"), col("_med")), 2).as("price_filled"),
+        col("_price").isNull.as("imputed"))
+      .orderBy("p_partkey")
+  }
+
+  /** F1-F13 scalar surface: concat templates, conditional replace,
+    * regex extract, clamp, coalesce/CASE, arithmetic, rounding.
+    */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      concat(lit("Part "), col("p_partkey").cast("string")).as("display_name"),
+      when(col("p_type") === "widget", lit("gadget")).otherwise(col("p_type")).as("type_fixed"),
+      nullif(regexp_extract(col("p_name"), "(\\d+)", 1), lit("")).cast("int").as("name_number"),
+      least(greatest(col("p_size"), lit(5)), lit(40)).as("size_clamped"),
+      (col("p_size") < 5 || col("p_size") > 40).as("size_adjusted"),
+      round(col("p_retailprice") * lit(1.1), 2).as("price_bumped"),
+      coalesce(nullif(col("p_brand"), lit("Brand#1")), lit("UNBRANDED")).as("brand_or_default"))
+      .orderBy("p_partkey")
+
+  /** F4/F5: date parse/format/truncate/extract on the order dates. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month_str"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow"),
+      datediff(lit("2025-01-01").cast("date"), col("o_orderdate").cast("date"))
+        .cast("long").as("age_days"))
+      .orderBy("o_orderkey")
+
+  /** J1: left enrichment join, small dim broadcast — the fact side
+    * never shuffles.
+    */
+  def joinLeftEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    li.join(broadcast(part.select("p_partkey", "p_type", "p_brand")),
+        li("l_partkey") === part("p_partkey"), "left")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("p_type"), col("p_brand"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Semi join (EXISTS): customers that have at least one order —
+    * broadcast of the distinct keys, no fact shuffle.
+    */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Anti join (NOT EXISTS): customers with no orders — the implicit
+    * semi-filter the reference's INNER JOINs apply (SURVEY.md §2.9.10),
+    * made explicit.
+    */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Full outer join preserving both unmatched sides. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    n.join(s, n("n_nationkey") === s("s_nationkey"), "full_outer")
+      .select(col("n_nationkey"), col("n_name"), col("s_suppkey"), col("s_name"))
+      .orderBy(col("n_nationkey"), col("s_suppkey"))
+  }
+
+  /** W2: global top-K — TakeOrderedAndProject, O(K) memory per
+    * partition at any scale.
+    */
+  def topKOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(10)
+
+  /** P1-P6: projection + compound predicate, pushed into the parquet
+    * scan (PushedFilters + pruned ReadSchema).
+    */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+      .where(col("l_quantity") > 40 && col("l_discount") >= 0.05 &&
+        col("l_returnflag") =!= "R")
+      .orderBy("l_orderkey", "l_partkey")
+
+  /** Set ops: nations that have customers and suppliers / customers
+    * but no suppliers.
+    */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  /** Grouping sets: ROLLUP over returnflag × linestatus with exact
+    * decimal sums (partial aggregation handles all levels in one pass).
+    */
+  def aggRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Window: top-3 parts per brand by price (dense partition top-k —
+    * shuffles once on the partition key).
+    */
+  def windowTopKPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("p_retailprice"), col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "rk", "p_partkey", "p_retailprice")
+      .orderBy("p_brand", "rk")
+  }
+
+  /** Window: per-customer running revenue in order-date order. The
+    * cumulative sum runs over exact decimals so the result is
+    * order-of-evaluation-independent.
+    */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("running_revenue"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Window: lag/lead — days since the customer's previous order. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"),
+          lag(col("o_orderdate"), 1).over(w).cast("date")).cast("long")
+          .as("days_since_prev"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+}

@@ -15,12 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GoldenParitySpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.GraftSession.build("golden-parity", "4")
 
   // Golden outputs were produced on 2025-08-27; the current-date
   // fallback paths are unexercised on shipped data but pinning keeps
