@@ -50,7 +50,84 @@ object SparkEntry {
     "events_sliding"         -> (EventOps.slidingWindow _),
     "events_sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
+    // Training-data pipeline: text analysis (SURVEY.md §7.4)
+    "text_tokens"            -> (TextOps.textTokens _),
+    "text_quality"           -> (TextOps.textQuality _),
+    "text_langid"            -> (TextOps.textLangId _),
+    "text_fingerprint"       -> (TextOps.textFingerprint _),
+    // Training-data pipeline: deduplication
+    "dedup_exact_text"       -> (DedupOps.dedupExactText _),
+    "dedup_ngram_jaccard"    -> (DedupOps.dedupNgramJaccard _),
+    "dedup_minhash_lsh"      -> (DedupOps.dedupMinhashLsh _),
+    "text_simhash"           -> (DedupOps.textSimhash _),
+    "dedup_simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
+    // Training-data pipeline: similarity search
+    "ann_brute_topk"         -> (EmbeddingOps.annBruteTopK _),
+    "ann_lsh_bucket"         -> (EmbeddingOps.annLshBucket _),
+    "emb_neardup_pairs"      -> (EmbeddingOps.embNeardupPairs _),
+    // Training-data pipeline: multimodal plumbing
+    "mm_meta"                -> (MultimodalOps.mmMeta _),
+    "mm_decode_features"     -> (MultimodalOps.mmDecodeFeatures _),
   )
+
+  // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
+
+  private val toksSql =
+    "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+  private val shinglesSql =
+    s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+        s AS (SELECT doc_id, lang,
+                list_distinct(list_transform(range(0, len(toks) - 2),
+                  i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS sh
+              FROM t WHERE len(toks) >= 3)"""
+
+  private val simhashSql: String = {
+    val votes = (0 until DedupOps.SimhashBits)
+      .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(", ")
+    val recompose = (0 until DedupOps.SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        hh AS (SELECT doc_id,
+                 CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM tk),
+        vv AS (SELECT doc_id, $votes FROM hh GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM vv)"""
+  }
+
+  private val minhashSql: String = {
+    val rows = DedupOps.MinhashSeeds / DedupOps.MinhashBands
+    val mins = (0 until DedupOps.MinhashSeeds)
+      .map(s => s"min(md5('$s' || '|' || shingle)) AS h$s").mkString(", ")
+    val bands = (0 until DedupOps.MinhashBands).map { bd =>
+      val hs = (0 until rows).map(r => s"h${bd * rows + r}").mkString(" || ")
+      s"SELECT doc_id, $bd AS band, md5($hs) AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$shinglesSql,
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+        bands AS ($bands),
+        cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                 FROM bands x JOIN bands y
+                   ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  private def langIdSql: String = {
+    val hitCols = TextOps.langLexicon.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val cases = TextOps.langLexicon.map { case (l, _) =>
+      val others = TextOps.langLexicon.filter(_._1 != l)
+        .map(o => s"hits_$l >= hits_${o._1}").mkString(" AND ")
+      s"WHEN hits_$l > 0 AND $others THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        h AS (SELECT doc_id, $hitCols FROM t)
+        SELECT doc_id, ${TextOps.langLexicon.map(l => s"hits_${l._1}").mkString(", ")},
+               CASE $cases ELSE 'und' END AS lang_pred
+        FROM h ORDER BY doc_id"""
+  }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get the driver's weaker
@@ -211,5 +288,124 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
+    "text_tokens" ->
+      s"""SELECT doc_id,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq_tokens,
+          CAST(length(text) AS BIGINT) AS n_chars_text
+          FROM documents ORDER BY doc_id""",
+    "text_quality" -> {
+      val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+          SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_filter(toks, x -> x IN ($stops))) AS BIGINT) AS stop_hits,
+          CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE) / len(toks) AS stop_ratio,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+          least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+            (CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE) / len(toks)) * 0.5
+            AS quality_score
+          FROM t ORDER BY doc_id"""
+    },
+    "text_langid" -> langIdSql,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "dedup_exact_text" ->
+      """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
+         MIN(doc_id) AS first_doc
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "dedup_ngram_jaccard" ->
+      s"""$shinglesSql
+          SELECT doc_a, doc_b, jaccard FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                     len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
+          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "dedup_minhash_lsh" ->
+      s"""$minhashSql
+          SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.doc_a
+            JOIN s sb ON sb.doc_id = c.doc_b) p
+          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+    "text_simhash" ->
+      s"""$simhashSql
+          SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
+    "dedup_simhash_pairs" -> {
+      val segBits = DedupOps.SimhashBits / DedupOps.SimhashSegments
+      val mask = (1L << segBits) - 1
+      val segs = (0 until DedupOps.SimhashSegments).map { s =>
+        s"SELECT doc_id, simhash, $s AS seg, (simhash >> ${s * segBits}) & $mask AS sv FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""$simhashSql,
+          blk AS ($segs)
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          FROM blk a JOIN blk b
+            ON a.seg = b.seg AND a.sv = b.sv AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+          ORDER BY doc_a, doc_b"""
+    },
+    "ann_brute_topk" ->
+      s"""WITH c AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM c
+                WHERE vec_id < ${EmbeddingOps.QueryCount}),
+          sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, len(c.v) + 1), i -> q.qv[i] * c.v[i])) /
+                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+                    sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+                 FROM c, q WHERE c.vec_id <> q.query_id)
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+            FROM sc) r
+          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank""",
+    "ann_lsh_bucket" -> {
+      val bucket = (0 until 8)
+        .map(i => s"CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH c AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          cb AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM c),
+          q AS (SELECT bucket, vec_id AS query_id, v AS qv FROM cb
+                WHERE vec_id < ${EmbeddingOps.QueryCount}),
+          sc AS (SELECT q.query_id, cb.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, len(cb.v) + 1), i -> q.qv[i] * cb.v[i])) /
+                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+                    sqrt(list_sum(list_transform(range(1, len(cb.v) + 1), i -> cb.v[i] * cb.v[i])))) AS cos
+                 FROM cb JOIN q ON cb.bucket = q.bucket
+                 WHERE cb.vec_id <> q.query_id)
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+            FROM sc) r
+          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
+    },
+    "emb_neardup_pairs" ->
+      """WITH c AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                    FROM embeddings)
+         SELECT vec_a, vec_b FROM (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+                  (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+                   sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos
+           FROM c a JOIN c b ON a.vec_id < b.vec_id) p
+         WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
+    "mm_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         md5(text) AS content_hash,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_kind
+         FROM documents ORDER BY doc_id""",
   )
 }

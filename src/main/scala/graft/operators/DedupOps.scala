@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Near-duplicate detection for a training-data pipeline, in three
+  * tiers (SURVEY.md §7.4):
+  *
+  *  - exact (hash group-by) — one shuffle of (hash, id);
+  *  - n-gram Jaccard — exact pairwise similarity inside cheap blocks;
+  *  - MinHash-LSH — the 100 TB path: per-document signatures via one
+  *    aggregation over exploded shingles, band-bucket join to generate
+  *    candidates (no quadratic blowup), exact verification only on
+  *    candidates;
+  *  - SimHash — 60-bit fingerprints, near-dup = small Hamming
+  *    distance, blocked on the high bits.
+  *
+  * Everything is expressed in codegen'd built-ins (md5/conv/bit ops),
+  * no UDFs.
+  */
+object DedupOps {
+
+  /** Word k-gram shingle set (distinct) as a column expression; empty
+    * array when the document is shorter than k tokens.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  val MinhashSeeds = 12
+  val MinhashBands = 4 // 3 rows per band
+
+  /** Exact dedup groups by normalized-content hash. */
+  def dedupExactText(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(lower(trim(col("text")))).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("fp")
+
+  /** Exact pairwise n-gram Jaccard ≥ 0.5 inside same-lang blocks.
+    * Blocking keeps the self-join from being quadratic in the corpus;
+    * at real scale the LSH variant below replaces it.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("lang"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signature per document: for each seed, the lexicographic
+    * min of md5(seed || shingle) — one explode + one 12-way min
+    * aggregation, linear in total shingle count.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val aggs = (0 until MinhashSeeds).map { s =>
+      min(md5(concat_ws("|", lit(s.toString), col("shingle")))).as(s"h$s")
+    }
+    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: band hashes (4 bands × 3 rows) →
+    * candidates sharing ≥1 band → exact Jaccard verification ≥ 0.5.
+    * The candidate join shuffles only (band_hash, doc_id) pairs.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = minhashSignatures(docs)
+    val rowsPerBand = MinhashSeeds / MinhashBands
+    val bandCols = (0 until MinhashBands).map { bd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
+      struct(lit(bd).as("band"), md5(concat(parts: _*)).as("bh"))
+    }
+    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 60-bit token hash: md5 hex prefix → long (15 hex chars = 60 bits,
+    * kept under 2^63 so both engines agree on the signed value).
+    */
+  def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  val SimhashBits = 60
+
+  /** SimHash per document: bit b of the fingerprint is the majority
+    * vote of bit b across all token hashes (multiplicity included).
+    * One explode + 60 conditional sums in a single aggregation pass.
+    */
+  def textSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+    }
+    val agg = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until SimhashBits).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+  }
+
+  val SimhashSegments = 4 // 15 bits each
+
+  /** SimHash near-dup pairs: Hamming distance ≤ 12. Candidate
+    * generation uses pigeonhole segment blocking — the 60-bit
+    * fingerprint splits into 4 segments of 15 bits and a pair is a
+    * candidate if ANY segment matches exactly, which provably catches
+    * every pair within Hamming distance 3 and in practice nearly all
+    * near-dups (single-block schemes miss fingerprints differing in
+    * one high bit). The join shuffles only (segment, value, id).
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val segBits = SimhashBits / SimhashSegments
+    val mask = (1L << segBits) - 1
+    val segCols = (0 until SimhashSegments).map { s =>
+      struct(lit(s).as("seg"),
+        shiftright(col("simhash"), s * segBits).bitwiseAND(lit(mask)).as("sv"))
+    }
+    val sig = textSimhash(spark, dir)
+      .select(col("doc_id"), col("simhash"), explode(array(segCols: _*)).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.seg").as("seg"), col("b.sv").as("sv"))
+    val a = sig.select(col("seg"), col("sv"), col("doc_id").as("doc_a"), col("simhash").as("s_a"))
+    val b = sig.select(col("seg"), col("sv"), col("doc_id").as("doc_b"), col("simhash").as("s_b"))
+    a.join(b, Seq("seg", "sv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * column), SURVEY.md §7.4:
+  *
+  *  - brute-force cosine top-k: the correctness baseline. The query
+  *    set is broadcast, so the candidate scan is one narrow pass over
+  *    the corpus — linear, no shuffle of the big side;
+  *  - sign-LSH bucketed top-k: the scale path. Deterministic
+  *    hyperplanes (axis signs of the leading dimensions) bucket the
+  *    corpus; search touches only the query's bucket — at 100 TB the
+  *    corpus would be written bucket-partitioned so a query prunes to
+  *    one partition;
+  *  - near-dup pairs above a cosine threshold.
+  *
+  * All math runs in double via higher-order functions (zip_with +
+  * aggregate) — codegen'd, index-order accumulation, deterministic.
+  */
+object EmbeddingOps {
+
+  /** Embedding as double array (float math differs between engines;
+    * double is exact enough to make rank outputs stable).
+    */
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+
+  val QueryCount = 20
+  val TopK = 5
+
+  /** Brute-force exact cosine top-k for the first `QueryCount` vectors.
+    * Output is rank-only (ints) so it is robust to last-ulp drift.
+    */
+  def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+    val q = base.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Sign-LSH bucket id: one bit per leading dimension's sign. */
+  def signBucket(v: Column, bits: Int = 8): Column =
+    (0 until bits).map { i =>
+      when(element_at(v, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucketed ANN: search only the query's sign-LSH bucket. Recall is
+    * partial by construction (that's the approximation); the plumbing
+    * — bucket key, co-partitioned join — is what carries to 100 TB.
+    */
+  def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir).withColumn("bucket", signBucket(col("v")))
+    val q = base.filter(col("vec_id") < QueryCount)
+      .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = base.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine above threshold, id-ordered
+    * pairs only (ints — ulp-safe). Full pairwise at test scale; the
+    * LSH bucket key above is the blocking strategy at real scale.
+    */
+  def embNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+    val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > 0.45)
+      .select("vec_a", "vec_b")
+      .orderBy("vec_a", "vec_b")
+  }
+}

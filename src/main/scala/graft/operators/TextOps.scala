@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language ID,
+  * fingerprinting. All pure column expressions (whole-stage codegen,
+  * no UDFs) — at 100 TB these run as narrow map stages over the
+  * document scan, shuffling only for the final aggregates.
+  */
+object TextOps {
+
+  /** Whitespace tokenization as a column expression. */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  /** Language-ID stopword lists — tiny n-gram-style lexicons; the
+    * heuristic is hits-per-language argmax with a deterministic
+    * tie-break order (en > es > de > fr).
+    */
+  val langLexicon: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "une"))
+
+  /** Token/char counts per document. */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("n_uniq_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, mean token length, and a simple
+    * composite score — the shape of heuristic quality filters used to
+    * select pre-training data.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stops = langLexicon.head._2
+    val nTokens = size(toks)
+    val stopHits = size(filter(toks, t => t.isin(stops: _*)))
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        stopHits.cast("long").as("stop_hits"),
+        (stopHits.cast("double") / nTokens).as("stop_ratio"),
+        (charSum.cast("double") / nTokens).as("avg_token_len"),
+        (least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+          (stopHits.cast("double") / nTokens) * 0.5).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram-lexicon language identification (argmax of per-language
+    * stopword hits; label column is ignored — the heuristic stands on
+    * its own and is checked against the same logic in SQL).
+    */
+  def textLangId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val hitCols = langLexicon.map { case (l, ws) =>
+      size(filter(toks, t => t.isin(ws: _*))).cast("long").as(s"hits_$l")
+    }
+    val base = Tables.documents(spark, dir).select(col("doc_id") +: hitCols: _*)
+    val pred = langLexicon.foldRight(lit("und")) { case ((l, _), els) =>
+      val c = col(s"hits_$l")
+      val beatsAll = langLexicon.filter(_._1 != l)
+        .map(o => c >= col(s"hits_${o._1}")).reduce(_ && _)
+      when(c > 0 && beatsAll, lit(l)).otherwise(els)
+    }
+    base.withColumn("lang_pred", pred).orderBy("doc_id")
+  }
+
+  /** Content fingerprint: hash of the normalized text — the key for
+    * exact dedup at any scale (group-by on the hash is one shuffle of
+    * (hash, id) pairs, never of full documents).
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Per-operator semantic checks on sf0.001 (fast), complementing the
+  * driver's DuckDB hash gate: every registered query must run and
+  * return rows, and the dedup/similarity operators must agree with
+  * each other on the planted near-duplicates.
+  */
+class OperatorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.build("operator-spec", "4")
+  val sf = "/root/testdata/sf0.001"
+
+  test("every registered query runs and yields rows on sf0.001") {
+    val empty = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0 && !Set("join_anti", "set_except", "dedup_ngram_jaccard",
+        "dedup_minhash_lsh", "dedup_simhash_pairs", "emb_neardup_pairs").contains(name))
+        Some(name -> n)
+      else None
+    }
+    assert(empty.isEmpty, s"queries with zero rows: $empty")
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("mm_decode_features"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  // Exact n-gram dedup blocks on lang (cheap blocking); LSH and
+  // simhash see cross-lang near-dups too, so the comparisons below use
+  // the lang-blocked exact pairs as a *lower bound* on what the
+  // hash-based methods must find, restricted to very-high jaccard
+  // where collision probability is ~1.
+
+  private def exactPairsAbove(j: Double): Set[(Long, Long)] =
+    DedupOps.dedupNgramJaccard(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= j)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash-LSH: all emitted pairs verified >= 0.5, planted dups found") {
+    val lsh = DedupOps.dedupMinhashLsh(spark, sf).collect()
+    assert(lsh.forall(_.getDouble(2) >= 0.5), "unverified candidate leaked")
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = exactPairsAbove(0.9)
+    assert(planted.subsetOf(lshPairs),
+      s"LSH missed near-certain collisions: ${planted -- lshPairs}")
+  }
+
+  test("simhash: emitted pairs within hamming bound, planted dups found") {
+    val sim = DedupOps.dedupSimhashPairs(spark, sf).collect()
+    assert(sim.forall(_.getLong(2) <= 12), "hamming bound violated")
+    val simPairs = sim.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = exactPairsAbove(0.9)
+    assert(planted.subsetOf(simPairs),
+      s"simhash missed planted near-dups: ${planted -- simPairs}")
+  }
+
+  test("brute-force ANN: 5 neighbors per query, self excluded") {
+    val rows = EmbeddingOps.annBruteTopK(spark, sf).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size === EmbeddingOps.QueryCount)
+    assert(byQuery.values.forall(_.length == EmbeddingOps.TopK))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self in neighbors")
+  }
+
+  test("LSH-bucketed ANN neighbors share the query's bucket (recall subset)") {
+    val brute = EmbeddingOps.annBruteTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = EmbeddingOps.annLshBucket(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // bucketed search returns at most TopK per query
+    assert(lsh.groupBy(_.getLong(0)).values.forall(_.length <= EmbeddingOps.TopK))
+  }
+
+  test("langid prediction is deterministic and in-lexicon") {
+    val langs = TextOps.textLangId(spark, sf)
+      .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
+    val allowed = TextOps.langLexicon.map(_._1).toSet + "und"
+    assert(langs.subsetOf(allowed), s"unexpected langs: ${langs -- allowed}")
+  }
+
+  test("sessionize: session bounds are consistent") {
+    val s = EventOps.sessionize(spark, sf).collect()
+    assert(s.nonEmpty)
+    assert(s.forall(r => r.getLong(2) <= r.getLong(3)), "start > end")
+    assert(s.forall(r => r.getLong(4) >= 1), "empty session")
+  }
+}
