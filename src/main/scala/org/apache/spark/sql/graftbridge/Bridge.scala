@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal access bridge into `private[sql]` Spark internals needed to
+  * expose custom Catalyst expressions as user-facing Columns — the
+  * standard extension-library technique (a sub-package of
+  * org.apache.spark.sql sees `private[sql]` members). Nothing here
+  * does work; it only re-exports two converters and the function
+  * registry hook.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}
