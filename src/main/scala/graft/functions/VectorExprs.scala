@@ -82,18 +82,73 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Single-pass Hamming distance between two 64-bit fingerprints —
-  * trivially `bit_count(xor)`, kept as the Column-level helper for
-  * symmetry with the SQL registration below.
+/** Single-pass codegen'd dot product — same contract and accumulation
+  * order as CosineSimilarity's dot term, for use when norms are
+  * precomputed once per vector instead of once per pair.
   */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $dot = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          $dot += $a.getDouble($i) * $b.getDouble($i);
+        }
+        ${ev.value} = $dot;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
 
   /** Column-level API for the native cosine. */
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
-  /** Register `cosine_sim` for SQL use on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Column-level API for the native dot product. */
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register `cosine_sim` / `dot_product` for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     Bridge.registerFunction(spark, "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
+    Bridge.registerFunction(spark, "dot_product",
+      exprs => DotProduct(exprs(0), exprs(1)))
+  }
 }

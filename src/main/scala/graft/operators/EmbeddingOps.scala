@@ -106,13 +106,22 @@ object EmbeddingOps {
   /** Embedding near-duplicate pairs: cosine above threshold, id-ordered
     * pairs only (ints — ulp-safe). Full pairwise at test scale; the
     * LSH bucket key above is the blocking strategy at real scale.
+    *
+    * Hot-loop engineering: norms are computed ONCE per vector (not per
+    * pair) and the pairwise term is the fused native DotProduct — the
+    * composed zip_with+aggregate form allocates a zipped array per
+    * pair and recomputes both norms, and was 20× slower at sf0.1. The
+    * norm is sqrt(dot(v,v)) with identical accumulation order, so
+    * cos = dot/(na*nb) stays bitwise-equal to the oracle's formula.
     */
   def embNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
     val base = corpus(spark, dir)
-    val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") > 0.45)
       .select("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the 100 TB story depends on scans
+  * staying pruned/pushed, dimensions staying broadcast, and top-k
+  * staying TakeOrderedAndProject. These assert the plan shape so a
+  * refactor that silently de-optimizes fails CI.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.build("plan-spec", "4")
+  val sf = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString()
+  }
+
+  private def formatted(df: DataFrame): String =
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
+      case m => df.queryExecution.explainString(m)
+    }
+
+  test("filter_pushdown pushes predicates into the parquet scan") {
+    val s = formatted(RelationalOps.filterPushdown(spark, sf))
+    assert(s.contains("PushedFilters:"), "no pushdown section")
+    assert(s.contains("GreaterThan(l_quantity,40.0)"), s"missing pushed filter in:\n$s")
+    // pruned read schema: only the 5 referenced columns
+    assert(!s.contains("l_extendedprice"), "column pruning lost")
+  }
+
+  test("q1 joins dimension via broadcast (fact side never shuffles for the join)") {
+    val s = planString(SalesAnalytics.q1RevenueByCustomer(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s"expected BHJ in:\n$s")
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val s = planString(RelationalOps.topKOrders(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject in:\n$s")
+  }
+
+  test("dedup_exact partial-aggregates map-side before the shuffle") {
+    val s = formatted(RelationalOps.dedupExact(spark, sf))
+    val firstAgg = s.indexOf("HashAggregate")
+    val exchange = s.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0, s"plan missing agg/exchange:\n$s")
+  }
+
+  // Under AQE the plan only materializes codegen stages at runtime, so
+  // plan the query with AQE off for a deterministic codegen census.
+  private def codegenExplain(mk: => DataFrame): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mk.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("aggregation queries keep whole-stage codegen in the hot path") {
+    val s = codegenExplain(SalesAnalytics.q5SalesByMonth(spark, sf))
+    assert(s.contains("WholeStageCodegen") && !s.startsWith("Found 0"),
+      s"codegen lost in:\n${s.take(400)}")
+  }
+
+  test("ann native expression participates in codegen") {
+    val s = codegenExplain(EmbeddingOps.annBruteTopKNative(spark, sf))
+    assert(s.contains("WholeStageCodegen") && !s.startsWith("Found 0"),
+      s"codegen lost in:\n${s.take(400)}")
+    // and the custom expression actually shows up inside the plan
+    assert(s.contains("cosine_sim") || s.contains("CosineSimilarity"),
+      "custom expression missing from codegen plan")
+  }
+}
