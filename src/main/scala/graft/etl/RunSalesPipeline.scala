@@ -35,6 +35,12 @@ object RunSalesPipeline {
       println(s"== $title (${df.count()} rows)")
       df.show(5, truncate = false)
     }
+    // audit side-channel (reference logs these per stage — SURVEY.md A6)
+    println("== audit: imputation methods (vendas dates)")
+    EtlStats.imputationSummary(cleaned.vendas, "data_imputada", "metodo_imputacao")
+      .show(truncate = false)
+    println("== audit: empregados profile")
+    EtlStats.profile(b.empregados).show(truncate = false)
     println(f"[pipeline] total ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }

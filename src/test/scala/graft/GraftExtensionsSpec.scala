@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must install the custom functions into a fresh
+  * session so `spark.sql("SELECT cosine_sim(...)")` works with zero
+  * per-session registration calls.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions installs cosine_sim and dot_product for SQL") {
+    // getOrCreate silently reuses an existing session and ignores
+    // withExtensions — stop any session left by earlier suites so the
+    // extension path is genuinely exercised (suites run sequentially,
+    // and later suites' getOrCreate will simply build a fresh session).
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("extensions-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = spark.sql(
+        """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+                  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""").head()
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === 11.0)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
