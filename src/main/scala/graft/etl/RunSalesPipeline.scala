@@ -22,6 +22,7 @@ object RunSalesPipeline {
     val t0 = System.nanoTime()
     val cleaned = SalesPipeline.run(spark, csvDir, refDate)
     SalesPipeline.writeParquet(cleaned, outDir)
+    SalesPipeline.writeReportTables(SalesPipeline.loadBoundary(cleaned), outDir)
     val b = SalesPipeline.loadBoundary(cleaned)
     println(s"[pipeline] produtos=${b.produtos.count()} vendas=${b.vendas.count()} " +
       s"empregados=${b.empregados.count()} -> $outDir")

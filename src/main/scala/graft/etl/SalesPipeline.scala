@@ -72,6 +72,26 @@ object SalesPipeline {
     b.vendas.write.mode("overwrite").parquet(s"$outDir/resumo-vendas.parquet")
   }
 
+  /** S9 made tabular: the five report tables as machine-checkable
+    * parquet + csv artifacts (reference: save_data_pdf_report.py
+    * renders these into a PDF — chart/PDF rendering is presentation,
+    * not a query capability; SURVEY.md §2.1 S9).
+    */
+  def writeReportTables(c: Cleaned, outDir: String): Unit = {
+    val tables = Seq(
+      "vendas_por_funcionario" -> q1SalesByEmployee(c),
+      "ticket_medio_por_produto" -> q2AvgTicketByProduct(c),
+      "vendas_por_categoria" -> q3SalesByCategory(c),
+      "top5_funcionarios" -> q4Top5Employees(c),
+      "vendas_por_periodo" -> q5SalesByPeriod(c))
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/report/$name.parquet")
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("sep", ";")
+        .csv(s"$outDir/report/$name.csv")
+    }
+  }
+
   // ---- The five analytic queries over the cleaned tables -------------
   // (reference: save-data/save_data_pdf_report.py:64-222; SURVEY.md
   // §2.3-2.5.) Dimensions are broadcast: the fact table never shuffles
