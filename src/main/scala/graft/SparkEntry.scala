@@ -50,6 +50,13 @@ object SparkEntry {
     "events_sliding"         -> (EventOps.slidingWindow _),
     "events_sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
+    // Statistical & join-shape extensions
+    "agg_moments"            -> (StatOps.aggMoments _),
+    "quantiles_by_group"     -> (StatOps.quantilesByGroup _),
+    "histogram"              -> (StatOps.histogram _),
+    "salted_agg"             -> (StatOps.saltedAgg _),
+    "join_range"             -> (StatOps.joinRange _),
+    "asof_join"              -> (StatOps.asofJoin _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
     "text_quality"           -> (TextOps.textQuality _),
@@ -289,6 +296,48 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
+    "agg_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n, sx / n AS mean,
+                (sx2 - sx * sx / n) / (n - 1) AS variance,
+                sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev
+         FROM s ORDER BY l_returnflag""",
+    "quantiles_by_group" ->
+      """SELECT p_brand,
+         quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25) AS p25,
+         quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5) AS p50,
+         quantile_cont(CAST(p_retailprice AS DOUBLE), 0.75) AS p75,
+         quantile_cont(CAST(p_retailprice AS DOUBLE), 0.95) AS p95
+         FROM part GROUP BY 1 ORDER BY 1""",
+    "histogram" ->
+      """SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "salted_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "join_range" ->
+      """SELECT t.tier, COUNT(*) AS n
+         FROM orders o JOIN (VALUES
+           ('bronze', 0.0, 1000.0), ('silver', 1000.0, 5000.0),
+           ('gold', 5000.0, 20000.0), ('platinum', 20000.0, 1e12))
+           t(tier, lo, hi)
+           ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+         GROUP BY 1 ORDER BY 1""",
+    "asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id,
+                (SELECT MAX(s.es) FROM e s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.es <= p.es) AS last_signup_es
+         FROM e p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     "text_tokens" ->
       s"""SELECT doc_id,
           CAST(len($toksSql) AS BIGINT) AS n_tokens,

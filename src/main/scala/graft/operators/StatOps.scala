@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Statistical and join-shape extensions: deterministic floating-point
+  * moments, grouped quantiles, histograms, the salting pattern for
+  * skewed keys, a range (band) join, and an as-of join — the
+  * operators an analytics user reaches for right after the basics.
+  */
+object StatOps {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+
+  /** Moments per group with DETERMINISTIC float results: sums of x and
+    * x² are exact decimals (order-independent), and mean/variance/
+    * stddev derive from them in fixed double arithmetic — the same
+    * numbers on any partitioning, any engine. A naive stddev() would
+    * drift with aggregation order and could never hash-match an
+    * oracle.
+    */
+  def aggMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sx"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+          .cast("double").as("sx2"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("variance"),
+        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev"))
+      .orderBy("l_returnflag")
+
+  /** Exact interpolated quantiles per group (p25/p50/p75/p95). */
+  def quantilesByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(
+        percentile(col("p_retailprice"), lit(0.25)).as("p25"),
+        percentile(col("p_retailprice"), lit(0.5)).as("p50"),
+        percentile(col("p_retailprice"), lit(0.75)).as("p75"),
+        percentile(col("p_retailprice"), lit(0.95)).as("p95"))
+      .orderBy("p_brand")
+
+  /** Fixed-width histogram of order totals (bucket = floor(x/1000)). */
+  def histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 1000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** The skew-mitigation pattern: salt the grouping key, partially
+    * aggregate per (key, salt), then merge — two small shuffles
+    * instead of one hot partition. Exact decimal partials make the
+    * result bit-identical to the unsalted GROUP BY, which is exactly
+    * what the oracle checks.
+    */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(16)).as("_salt"))
+      .agg(count(lit(1)).as("pn"), sum(dec(col("l_quantity"))).as("pq"))
+      .groupBy("l_returnflag")
+      .agg(sum("pn").as("n"), sum("pq").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  /** Range (band) join: each order lands in a price tier via a
+    * non-equi join against a broadcast band table — the generic
+    * pattern for dimension bands (the tiny side broadcasts, so the
+    * non-equi predicate is evaluated map-side, no shuffle).
+    */
+  def joinRange(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("bronze", 0.0, 1000.0),
+      ("silver", 1000.0, 5000.0),
+      ("gold", 5000.0, 20000.0),
+      ("platinum", 20000.0, 1e12)).toDF("tier", "lo", "hi")
+    val o = Tables.orders(spark, dir)
+    o.join(broadcast(tiers),
+        o("o_totalprice") >= tiers("lo") && o("o_totalprice") < tiers("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("tier")
+  }
+
+  /** As-of join: for every purchase event, the same user's most recent
+    * signup at-or-before it. Implemented as a RANGE window over the
+    * unioned/tagged stream — one shuffle on user_id, one sort, no
+    * pairwise work; the distributed form of the classic
+    * sort-merge-asof. (RANGE CURRENT ROW keeps same-timestamp signups
+    * visible, matching `s.es <= p.es` exactly.)
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts DIV 1000000000").as("es"))
+    val w = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_signup_es",
+        max(when(col("event_type") === "signup", col("es"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "last_signup_es")
+      .orderBy("event_id")
+  }
+}

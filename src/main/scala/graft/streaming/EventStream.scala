@@ -71,6 +71,23 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("n_events"))
 
+  /** Stream-static join: enrich the event stream with a static
+    * dimension (per-user tier derived from the batch view) — the
+    * static side is re-read per micro-batch and broadcast; the stream
+    * never shuffles for the join.
+    */
+  def enrichedCounts(spark: SparkSession, events: DataFrame, dir: String): DataFrame = {
+    val userTiers = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        when(col("n_events") >= 200, "heavy").otherwise("light").as("tier"))
+    events.join(broadcast(userTiers), Seq("user_id"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"))
+  }
+
   final case class Ev(user_id: Long, es: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Long,

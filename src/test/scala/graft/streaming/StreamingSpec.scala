@@ -53,6 +53,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-static join matches the batch equivalent") {
+    val events = EventStream.readEvents(spark, sf)
+    runToCompletion(EventStream.enrichedCounts(spark, events, sf), "enriched", "complete")
+    val streamed = spark.table("enriched")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+    val batch = EventStream.enrichedCounts(spark, batchEvents, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
+
   test("stateful sessionizer emits consistent closed sessions") {
     val events = EventStream.readEvents(spark, sf)
     val out = EventStream.statefulSessions(spark, events)
