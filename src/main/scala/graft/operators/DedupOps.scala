@@ -21,15 +21,49 @@ import graft.sources.Tables
   */
 object DedupOps {
 
-  /** Word k-gram shingle set (distinct) as a column expression; empty
-    * array when the document is shorter than k tokens.
+  /** Word k-gram shingle set (distinct) from a MATERIALIZED token
+    * array column. Keep tokenization in its own projection: inlining
+    * `tokens(text)` here would re-run the regex split once per lambda
+    * reference (~n_shingles times per document — measured 7s of a 13s
+    * query at sf0.1 before the split was hoisted).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
+  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
+
+  /** Convenience single-expression form (tests, small inputs). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesFromTokens(TextOps.tokens(text), k)
+
+  /** One row per DISTINCT k-gram shingle per document, plus the
+    * document's distinct-shingle count `n` — the shared substrate for
+    * both exact-Jaccard and MinHash dedup.
+    *
+    * Built relationally (posexplode tokens → window `lead` → concat →
+    * distinct) instead of with array higher-order functions: HOF
+    * lambdas are interpreted (no whole-stage codegen, no per-element
+    * CSE — a `transform` over a split-derived array re-ran the regex
+    * split per element and cost 7 of 13 seconds at sf0.1). This
+    * formulation is all codegen'd operators and shuffles only skinny
+    * (doc, shingle) rows.
+    */
+  private[operators] def shingleRows(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until k).map(j => lead(col("tok"), j).over(w))
+    val sh = toks
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", (col("tok") +: leads): _*).as("sh"),
+        leads.last.isNotNull.as("_complete"))
+      .filter(col("_complete"))
+      .select("doc_id", "lang", "sh")
+      .distinct()
+    sh.withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
   }
 
   val MinhashSeeds = 12
@@ -53,17 +87,11 @@ object DedupOps {
     * prune further).
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // join key = 64-bit hash of the shingle, not the string: the
-    // shuffle moves 8-byte keys instead of ~40-byte grams. Common
-    // counts are identical unless two shingles of one lang collide at
-    // 64 bits (never in practice; the verified jaccard output is what
-    // the oracle checks).
-    val ex = docs.select(col("lang"), col("doc_id"),
-      size(col("sh")).as("n"), explode(col("sh")).as("s0"))
-      .select(col("lang"), col("doc_id"), col("n"), xxhash64(col("s0")).as("s"))
+    // The inverted index joins on the 64-bit hash of the shingle, not
+    // the string — the shuffle moves 8-byte keys (collisions: never in
+    // practice; the verified jaccard output is what the oracle checks).
+    val ex = shingleRows(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n"), xxhash64(col("sh")).as("s"))
     val a = ex.select(col("lang"), col("s"),
       col("doc_id").as("doc_a"), col("n").as("na"))
     val b = ex.select(col("lang"), col("s"),
@@ -79,27 +107,28 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signature per document: for each seed, the lexicographic
-    * min of md5(seed || shingle) — one explode + one 12-way min
-    * aggregation, linear in total shingle count.
+  /** MinHash signatures per document from the shingle-row substrate:
+    * for each seed, the lexicographic min of md5(seed || shingle) —
+    * one 12-way min aggregation, linear in total shingle count. Also
+    * carries the hashed shingle set + its size for candidate
+    * verification.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+  def minhashSignatures(rows: DataFrame): DataFrame = {
     val aggs = (0 until MinhashSeeds).map { s =>
-      min(md5(concat_ws("|", lit(s.toString), col("shingle")))).as(s"h$s")
-    }
-    exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      min(md5(concat_ws("|", lit(s.toString), col("sh")))).as(s"h$s")
+    } :+ collect_set(xxhash64(col("sh"))).as("shset") :+
+      first(col("n")).as("n")
+    rows.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup pairs: band hashes (4 bands × 3 rows) →
-    * candidates sharing ≥1 band → exact Jaccard verification ≥ 0.5.
-    * The candidate join shuffles only (band_hash, doc_id) pairs.
+    * candidates sharing ≥1 band → exact Jaccard verification ≥ 0.5
+    * over the hashed shingle sets. The candidate join shuffles only
+    * (band_hash, doc_id) pairs; full shingle sets travel only for the
+    * (few) candidates.
     */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sig = minhashSignatures(docs)
+    val sig = minhashSignatures(shingleRows(spark, dir))
     val rowsPerBand = MinhashSeeds / MinhashBands
     val bandCols = (0 until MinhashBands).map { bd =>
       val parts = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
@@ -111,13 +140,16 @@ object DedupOps {
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    val sets = sig.select(col("doc_id"), col("shset"), col("n"))
     val withSets = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sh_a"),
+        col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sh_b"),
+        col("n").as("nb")), Seq("doc_b"))
     withSets
+      .withColumn("c", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
