@@ -50,8 +50,14 @@ object SparkEntry {
     "events_sliding"         -> (EventOps.slidingWindow _),
     "events_sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
+    "string_funcs"           -> (RelationalOps.stringFuncs _),
+    "cond_agg"               -> (RelationalOps.condAgg _),
     // Statistical & join-shape extensions
     "agg_moments"            -> (StatOps.aggMoments _),
+    "pivot_wide"             -> (StatOps.pivotWide _),
+    "agg_cube"               -> (StatOps.aggCube _),
+    "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
+    "corr_by_group"          -> (StatOps.corrByGroup _),
     "quantiles_by_group"     -> (StatOps.quantilesByGroup _),
     "histogram"              -> (StatOps.histogram _),
     "salted_agg"             -> (StatOps.saltedAgg _),
@@ -296,6 +302,57 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
+    "string_funcs" ->
+      """SELECT p_partkey,
+         upper(p_name) AS up, lower(p_brand) AS lo,
+         substring(p_name, 1, 4) AS sub,
+         CAST(length(p_name) AS BIGINT) AS len,
+         lpad(p_brand, 10, '_') AS pad,
+         reverse(p_name) AS rev,
+         regexp_replace(p_name, '\s+', '-', 'g') AS dashed,
+         CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e,
+         CAST(levenshtein(p_name, 'widget') AS BIGINT) AS dist
+         FROM part ORDER BY p_partkey""",
+    "cond_agg" ->
+      """SELECT l_linestatus, COUNT(*) AS n,
+         COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+         CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
+                            ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS returned_value,
+         bool_or(l_quantity > 45) AS any_bulk,
+         bool_and(l_quantity > 0) AS all_positive
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS F,
+         CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                       AS DECIMAL(18,2))) AS DOUBLE) AS O
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "ntile_quartiles" ->
+      """SELECT p_brand, p_partkey,
+         CAST(ntile(4) OVER (PARTITION BY p_brand
+           ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
+         FROM part ORDER BY p_brand, p_partkey""",
+    "corr_by_group" ->
+      """WITH s AS (
+           SELECT l_returnflag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                (n * sxy - sx * sy) /
+                  (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr
+         FROM s ORDER BY l_returnflag""",
     "agg_moments" ->
       """WITH s AS (
            SELECT l_returnflag, COUNT(*) AS n,

@@ -21,21 +21,18 @@ import graft.sources.Tables
   */
 object DedupOps {
 
-  /** Word k-gram shingle set (distinct) from a MATERIALIZED token
-    * array column. Keep tokenization in its own projection: inlining
-    * `tokens(text)` here would re-run the regex split once per lambda
-    * reference (~n_shingles times per document — measured 7s of a 13s
-    * query at sf0.1 before the split was hoisted).
+  /** Word k-gram shingle set (distinct) as a single column expression
+    * — for unit tests and ad-hoc use on small inputs ONLY. The lambda
+    * runs interpreted (array HOFs skip codegen and per-element CSE),
+    * so production paths use `shingleRows` below instead.
     */
-  def shinglesFromTokens(toks: Column, k: Int = 3): Column =
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
     when(size(toks) >= k,
       array_distinct(transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
       .otherwise(array().cast("array<string>"))
-
-  /** Convenience single-expression form (tests, small inputs). */
-  def shingles(text: Column, k: Int = 3): Column =
-    shinglesFromTokens(TextOps.tokens(text), k)
+  }
 
   /** One row per DISTINCT k-gram shingle per document, plus the
     * document's distinct-shingle count `n` — the shared substrate for

@@ -196,6 +196,38 @@ object RelationalOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** String-function suite: case, substring, pad, replace, reverse,
+    * position, edit distance — all codegen'd built-ins.
+    */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up"),
+      lower(col("p_brand")).as("lo"),
+      substring(col("p_name"), 1, 4).as("sub"),
+      length(col("p_name")).cast("long").as("len"),
+      lpad(col("p_brand"), 10, "_").as("pad"),
+      reverse(col("p_name")).as("rev"),
+      regexp_replace(col("p_name"), "\\s+", "-").as("dashed"),
+      instr(col("p_name"), "e").cast("long").as("pos_e"),
+      levenshtein(col("p_name"), lit("widget")).cast("long").as("dist"))
+      .orderBy("p_partkey")
+
+  /** Conditional aggregation: count_if / filtered sums / boolean aggs
+    * per group.
+    */
+  def condAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        count_if(col("l_discount") > 0.05).as("n_highdisc"),
+        moneySum(when(col("l_returnflag") === "R", col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("returned_value"),
+        bool_or(col("l_quantity") > 45).as("any_bulk"),
+        bool_and(col("l_quantity") > 0).as("all_positive"))
+      .orderBy("l_linestatus")
+
   /** Window: lag/lead — days since the customer's previous order. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

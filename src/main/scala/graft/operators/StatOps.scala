@@ -68,6 +68,55 @@ object StatOps {
       .agg(sum("pn").as("n"), sum("pq").cast("double").as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** Pivot: returnflag × linestatus quantity sums as a wide table —
+    * Catalyst plans this as one aggregation with a CASE per pivot
+    * value (no extra shuffle vs the long form).
+    */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .orderBy("l_returnflag")
+
+  /** CUBE over returnflag × linestatus (all 2^2 grouping sets in one
+    * partial-aggregated pass).
+    */
+  def aggCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** ntile quartiles per brand (deterministic tie-break on partkey). */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** Pearson correlation per group with deterministic float results —
+    * same exact-decimal-sums technique as aggMoments: all five sums
+    * are exact, the final assembly is fixed double arithmetic.
+    */
+  def corrByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sx"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sx2"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("sy2") - col("sy") * col("sy")))).as("corr"))
+      .orderBy("l_returnflag")
+
   /** Range (band) join: each order lands in a price tier via a
     * non-equi join against a broadcast band table — the generic
     * pattern for dimension bands (the tiny side broadcasts, so the
