@@ -9,6 +9,14 @@ object Verify {
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // clear any previous run's output first: a query that now throws
+      // must not leave stale parquet behind for the gate to "pass" on
+      val dest = java.nio.file.Paths.get(s"$outDir/$name")
+      if (java.nio.file.Files.exists(dest)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dest).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -38,13 +38,15 @@ object Cleaning {
     * NULL keys group together, matching pandas `duplicated` NaN
     * semantics. One shuffle on the key; no driver-side state.
     */
-  def dedupKeepFirst(df: DataFrame, keys: Seq[String]): DataFrame = {
+  def dedupKeepFirst(df: DataFrame, keys: Seq[String],
+                     keepIdx: Boolean = false): DataFrame = {
     val idx = "_row_idx"
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(idx))
-    withRowIdx(df, idx)
+    val deduped = withRowIdx(df, idx)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_rn", idx)
+      .drop("_rn")
+    if (keepIdx) deduped else deduped.drop(idx)
   }
 
   /** Exact interpolated per-group median of `value` over its non-null

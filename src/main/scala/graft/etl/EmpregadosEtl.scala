@@ -14,20 +14,21 @@ object EmpregadosEtl {
 
   /** Blank ids continue the id sequence (max+1, max+2, …) in file row
     * order (reference: et_empregados.py:243-292; SURVEY.md §2.5 W5).
-    * Row order comes from the physical row index attached at scan;
-    * the backfill window is global but only over the (tiny) missing-id
-    * subset of a dimension table, so the single-partition sort is
-    * bounded.
+    * Row order comes from the physical row index attached at scan.
+    * The numbering window runs ONLY over the filtered missing-id
+    * subset (tiny by nature), so its single-partition sort is bounded
+    * — a window over the whole frame would globally sort the entire
+    * dimension just to discard the result for non-missing rows.
     */
   def fillMissingIds(df: DataFrame): DataFrame = {
     val missing = col("id_empregado").isNull
     val maxId = df.agg(coalesce(max("id_empregado"), lit(0)).as("_max_id"))
-    val w = Window.partitionBy(missing).orderBy(col("_row_idx"))
-    df.crossJoin(broadcast(maxId))
+    val filled = df.filter(missing)
+      .crossJoin(broadcast(maxId))
       .withColumn("id_empregado",
-        when(missing, col("_max_id") + row_number().over(w))
-          .otherwise(col("id_empregado")))
+        (col("_max_id") + row_number().over(Window.orderBy(col("_row_idx")))).cast("int"))
       .drop("_max_id")
+    df.filter(!missing).unionByName(filled)
   }
 
   /** Only blank/whitespace names are replaced with "Funcionário {id}"
@@ -79,11 +80,8 @@ object EmpregadosEtl {
       .withColumn("idade", clamp(col("idade"), lit(18), lit(70)).cast("int"))
 
   def treat(raw: DataFrame): DataFrame = {
-    val withIdx = withRowIdx(raw)
-    val w = Window.partitionBy(col("id_empregado")).orderBy(col("_row_idx"))
-    val deduped = withIdx
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // keep the row index through dedup — the id backfill needs file order
+    val deduped = dedupKeepFirst(raw, Seq("id_empregado"), keepIdx = true)
     val filled = fillMissingIds(deduped).drop("_row_idx")
     clampAges(fillAges(fillCargos(fixMissingNames(filled))))
       .select("id_empregado", "nome", "cargo", "idade",

@@ -18,25 +18,24 @@ object SalesPipeline {
 
   final case class Cleaned(produtos: DataFrame, vendas: DataFrame, empregados: DataFrame)
 
-  private def readCsv(spark: SparkSession, path: String,
-                      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read
-      .option("sep", ";").option("header", "true").option("encoding", "UTF-8")
-      .schema(schema)
-      .csv(path)
-
   /** Run ET for all three entities. `baseDir` holds the reference-layout
-    * CSVs (produtos.csv, vendas.csv, empregados.csv).
+    * CSVs (produtos.csv, vendas.csv, empregados.csv); all three are
+    * guarded up front like the reference's pipeline pre-check
+    * (reference: pipeline.py:40-48).
     */
   def run(spark: SparkSession, baseDir: String,
           referenceDate: LocalDate = LocalDate.now()): Cleaned = {
+    import graft.sources.SalesIo
+    val paths = Seq("produtos.csv", "vendas.csv", "empregados.csv")
+      .map(f => s"$baseDir/$f")
+    paths.foreach(SalesIo.requireFile)
     val produtos = ProdutosEtl.treat(
-      readCsv(spark, s"$baseDir/produtos.csv", SalesSchemas.produtos))
+      SalesIo.readCsv(spark, paths(0), SalesSchemas.produtos))
     val vendas = VendasEtl.treat(
-      readCsv(spark, s"$baseDir/vendas.csv", SalesSchemas.vendas),
+      SalesIo.readCsv(spark, paths(1), SalesSchemas.vendas),
       produtos, referenceDate)
     val empregados = EmpregadosEtl.treat(
-      readCsv(spark, s"$baseDir/empregados.csv", SalesSchemas.empregados))
+      SalesIo.readCsv(spark, paths(2), SalesSchemas.empregados))
     Cleaned(produtos, vendas, empregados)
   }
 
@@ -51,11 +50,15 @@ object SalesPipeline {
   def loadBoundary(c: Cleaned): Cleaned = {
     def money(name: String) =
       col(name).cast(org.apache.spark.sql.types.DecimalType(10, 2)).cast("double").as(name)
+    // idempotent on `data`: parsing an already-DateType column with a
+    // dd/MM/yyyy pattern would null every value
+    val dataCol =
+      if (c.vendas.schema("data").dataType == org.apache.spark.sql.types.DateType) col("data")
+      else to_date(col("data"), "dd/MM/yyyy").as("data")
     Cleaned(
       produtos = c.produtos.select(col("id_produto"), col("nome"),
         money("preco"), col("categoria")),
-      vendas = c.vendas.select(col("id_venda"),
-        to_date(col("data"), "dd/MM/yyyy").as("data"),
+      vendas = c.vendas.select(col("id_venda"), dataCol,
         col("id_produto"), col("id_empregado"), col("quantidade"),
         money("valor_unitario"), money("valor_total")),
       empregados = c.empregados.select("id_empregado", "nome", "cargo", "idade"))
@@ -77,7 +80,8 @@ object SalesPipeline {
     * renders these into a PDF — chart/PDF rendering is presentation,
     * not a query capability; SURVEY.md §2.1 S9).
     */
-  def writeReportTables(c: Cleaned, outDir: String): Unit = {
+  def writeReportTables(raw: Cleaned, outDir: String): Unit = {
+    val c = loadBoundary(raw) // safe either way — loadBoundary is idempotent
     val tables = Seq(
       "vendas_por_funcionario" -> q1SalesByEmployee(c),
       "ticket_medio_por_produto" -> q2AvgTicketByProduct(c),
@@ -102,7 +106,7 @@ object SalesPipeline {
     c.vendas.join(broadcast(c.empregados), Seq("id_empregado"))
       .groupBy(col("id_empregado"), col("nome"))
       .agg(coalesce(sum("valor_total"), lit(0)).as("valor_total"))
-      .orderBy(desc("valor_total"))
+      .orderBy(desc("valor_total"), col("id_empregado")) // id tie-break: deterministic top-5 cut
 
   /** Q2: average ticket per product, result sorted by the number
     * embedded in the product name, missing numbers last (reference:
@@ -113,7 +117,7 @@ object SalesPipeline {
       .groupBy(col("id_produto"), col("nome"))
       .agg(coalesce(sum("valor_total") / count("id_venda"), lit(0)).as("ticket_medio"))
       .withColumn("_n", regexp_extract(col("nome"), "(\\d+)", 1).cast("int"))
-      .orderBy(asc_nulls_last("_n"))
+      .orderBy(asc_nulls_last("_n"), col("id_produto"))
       .drop("_n")
 
   /** Q3: sales count per category (reference: :153-162). */
@@ -121,7 +125,7 @@ object SalesPipeline {
     c.vendas.join(broadcast(c.produtos), Seq("id_produto"))
       .groupBy("categoria")
       .agg(count("id_venda").as("quantidade_vendas"))
-      .orderBy(desc("quantidade_vendas"))
+      .orderBy(desc("quantidade_vendas"), col("categoria"))
 
   /** Q4: top-5 employees by sales volume (reference: :180-190);
     * Catalyst plans TakeOrderedAndProject — O(K) memory at any scale.

@@ -91,7 +91,7 @@ object EventStream {
   final case class Ev(user_id: Long, es: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Long,
-    session_end: Long, n_events: Long)
+    session_end: Long, n_events: Long, total_value: Double)
 
   /** Custom stateful sessionization: explicit per-user state — the
     * escape hatch when session semantics outgrow `session_window`
@@ -117,7 +117,7 @@ object EventStream {
               case Some(s) if e.es - s.last <= 1800 =>
                 cur = Some(s.copy(last = e.es, n = s.n + 1, total = s.total + e.value))
               case Some(s) =>
-                closed += SessionOut(uid, s.start, s.last, s.n)
+                closed += SessionOut(uid, s.start, s.last, s.n, s.total)
                 cur = Some(SessionState(e.es, e.es, 1, e.value))
               case None =>
                 cur = Some(SessionState(e.es, e.es, 1, e.value))
