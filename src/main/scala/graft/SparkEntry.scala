@@ -350,8 +350,8 @@ object SparkEntry {
                            CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
-                (n * sxy - sx * sy) /
-                  (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)) AS corr
+                round((n * sxy - sx * sy) /
+                  (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 9) AS corr
          FROM s ORDER BY l_returnflag""",
     "agg_moments" ->
       """WITH s AS (
@@ -361,8 +361,8 @@ object SparkEntry {
                            CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2
            FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n, sx / n AS mean,
-                (sx2 - sx * sx / n) / (n - 1) AS variance,
-                sqrt((sx2 - sx * sx / n) / (n - 1)) AS stddev
+                round((sx2 - sx * sx / n) / (n - 1), 0) AS variance,
+                round(sqrt((sx2 - sx * sx / n) / (n - 1)), 4) AS stddev
          FROM s ORDER BY l_returnflag""",
     "quantiles_by_group" ->
       """SELECT p_brand,

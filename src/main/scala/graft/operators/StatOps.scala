@@ -31,9 +31,14 @@ object StatOps {
         sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
           .cast("double").as("sx2"))
       .select(col("l_returnflag"), col("n"),
-        (col("sx") / col("n")).as("mean"),
-        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("variance"),
-        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("stddev"))
+        (col("sx") / col("n")).as("mean"), // no cancellation -> bitwise-stable raw
+        // variance/stddev subtract nearly-equal terms (catastrophic
+        // cancellation), and engines may fuse the multiply-add
+        // differently (FMA) — quantize above the ~1e-15-relative noise
+        round((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 0)
+          .as("variance"),
+        round(sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 4)
+          .as("stddev"))
       .orderBy("l_returnflag")
 
   /** Exact interpolated quantiles per group (p25/p50/p75/p95). */
@@ -112,9 +117,10 @@ object StatOps {
         sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sx2"),
         sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("sy2"))
       .select(col("l_returnflag"), col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        // same cancellation caveat as aggMoments -> quantize to 9dp
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sx2") - col("sx") * col("sx")) *
-            sqrt(col("n") * col("sy2") - col("sy") * col("sy")))).as("corr"))
+            sqrt(col("n") * col("sy2") - col("sy") * col("sy"))), 9).as("corr"))
       .orderBy("l_returnflag")
 
   /** Range (band) join: each order lands in a price tier via a
