@@ -64,6 +64,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    // two micro-batches in a fresh directory: batch 1 advances event
+    // time past the watermark horizon; batch 2 arrives entirely before
+    // it (late) and must be dropped from the append-mode aggregation
+    val dir = java.nio.file.Files.createTempDirectory("graft_late").toString
+    def writeBatch(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "es")
+        .select(col("user_id"), timestamp_seconds(col("es")).as("event_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val t0 = 1700000000L
+    writeBatch("early", Seq((1L, t0), (1L, t0 + 3600))) // horizon -> t0+3600-600
+    val stream = spark.readStream
+      .schema("user_id LONG, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("late_test").start()
+    q.processAllAvailable()
+    // late event in the SAME 5-min window as t0, far behind the horizon
+    writeBatch("late", Seq((1L, t0 + 50)))
+    q.processAllAvailable()
+    q.stop()
+    val firstWindow = t0 - t0 % 300
+    val rows = spark.table("late_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._1 == firstWindow)
+    // the window finalized once with ONLY the on-time event; had the
+    // late event been (wrongly) accepted it would read n=2 or re-emit
+    assert(rows.toSeq === Seq((firstWindow, 1L)),
+      s"late event not dropped: $rows")
+  }
+
   test("stateful sessionizer emits consistent closed sessions") {
     val events = EventStream.readEvents(spark, sf)
     val out = EventStream.statefulSessions(spark, events)
