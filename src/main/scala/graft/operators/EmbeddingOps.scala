@@ -103,6 +103,41 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-style ANN: a deterministic coarse quantizer (every 125th
+    * vector serves as a centroid — a k-means stand-in with no RNG so
+    * the oracle can replicate it), each vector assigned to its nearest
+    * centroid by cosine, queries searched only within their own cell
+    * (nprobe=1). At real scale the corpus is written partitioned by
+    * cell, so a query touches one partition; recall/latency trades via
+    * nprobe exactly as in a production IVF index.
+    */
+  val IvfCentroidStride = 125
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+    val cents = base.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // assign: nearest centroid by cosine, ties -> lowest centroid id
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+    val assigned = base.join(broadcast(cents), lit(true))
+      .withColumn("ccos", cosine(col("cv"), col("v")))
+      .withColumn("arank", row_number().over(wAssign))
+      .filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val q = assigned.filter(col("vec_id") < QueryCount)
+      .select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, id-ordered
     * pairs only (ints — ulp-safe). Full pairwise at test scale; the
     * LSH bucket key above is the blocking strategy at real scale.

@@ -64,16 +64,30 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** ==== STUB ==== deterministic fake decode: derives pseudo
-    * dimensions and a mean-byte "feature" from the payload. A real
-    * implementation would parse the container format here.
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Real container parsing where the bytes allow it: a payload that
+    * starts with the PNG signature has its IHDR width/height read from
+    * the big-endian fields at offsets 16/20 — no codec library needed.
+    * Everything else falls through to the ==== STUB ==== deterministic
+    * fake (the test corpus carries text bytes, not media); a real
+    * deployment would extend `decodeOne` with the next formats, the
+    * surrounding partition-batched plumbing unchanged.
     */
-  private def decodeOne(b: MediaBlob): MediaFeatures = {
+  private[operators] def decodeOne(b: MediaBlob): MediaFeatures = {
     val n = b.payload.length.toLong
+    def beInt(off: Int): Int =
+      ((b.payload(off) & 0xff) << 24) | ((b.payload(off + 1) & 0xff) << 16) |
+        ((b.payload(off + 2) & 0xff) << 8) | (b.payload(off + 3) & 0xff)
+    val isPng = n >= 24 && b.payload.take(8).sameElements(PngMagic)
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n
-    MediaFeatures(b.doc_id, b.media_kind, n,
-      width = (n % 640).toInt + 1, height = ((n * 7) % 480).toInt + 1, mean_byte = mean)
+    if (isPng)
+      MediaFeatures(b.doc_id, "image", n, width = beInt(16), height = beInt(20), mean_byte = mean)
+    else // ==== STUB ==== pseudo-dimensions for non-media payloads
+      MediaFeatures(b.doc_id, b.media_kind, n,
+        width = (n % 640).toInt + 1, height = ((n * 7) % 480).toInt + 1, mean_byte = mean)
   }
 }

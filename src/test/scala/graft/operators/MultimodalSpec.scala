@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal decode path: PNG headers parse for real; anything
+  * else goes through the documented deterministic stub.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  private def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(Array[Byte](0, 0, 0, 13)) // IHDR length
+    out.write("IHDR".getBytes("US-ASCII"))
+    def be(i: Int) = Array((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    out.write(be(width)); out.write(be(height))
+    out.write(Array[Byte](8, 6, 0, 0, 0)) // bit depth etc.
+    out.toByteArray
+  }
+
+  test("PNG payloads parse IHDR width/height") {
+    val blob = MultimodalOps.MediaBlob(1L, pngHeader(640, 480), "image")
+    val f = MultimodalOps.decodeOne(blob)
+    assert(f.width === 640 && f.height === 480)
+    assert(f.media_kind === "image")
+    assert(f.n_bytes === blob.payload.length.toLong)
+  }
+
+  test("non-media payloads fall through to the deterministic stub") {
+    val blob = MultimodalOps.MediaBlob(2L, "hello world".getBytes, "audio")
+    val f = MultimodalOps.decodeOne(blob)
+    assert(f.media_kind === "audio")
+    assert(f.width === (11 % 640) + 1 && f.height === ((11 * 7) % 480) + 1)
+    // stub is deterministic
+    assert(f === MultimodalOps.decodeOne(blob))
+  }
+
+  test("empty payload is safe") {
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(3L, Array.empty, "video"))
+    assert(f.n_bytes === 0L && f.mean_byte === 0.0)
+  }
+}
