@@ -41,6 +41,19 @@ object EmbeddingOps {
   val QueryCount = 20
   val TopK = 5
 
+  /** Shared top-k tail: rank candidates per query by cosine (desc,
+    * neighbor-id tie-break) and keep TopK — the single definition all
+    * ANN variants and their oracles depend on.
+    */
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force exact cosine top-k for the first `QueryCount` vectors.
     * Output is rank-only (ints) so it is robust to last-ulp drift.
     */
@@ -50,12 +63,7 @@ object EmbeddingOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val joined = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy("query_id", "rank")
+    topK(joined)
   }
 
   /** Brute-force top-k via the custom codegen'd CosineSimilarity
@@ -70,12 +78,7 @@ object EmbeddingOps {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val joined = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("qv"), col("v")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy("query_id", "rank")
+    topK(joined)
   }
 
   /** Sign-LSH bucket id: one bit per leading dimension's sign. */
@@ -95,12 +98,7 @@ object EmbeddingOps {
     val joined = base.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy("query_id", "rank")
+    topK(joined)
   }
 
   /** IVF-style ANN: a deterministic coarse quantizer (every 125th
@@ -114,14 +112,19 @@ object EmbeddingOps {
   val IvfCentroidStride = 125
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    // norms hoisted once per vector/centroid (same bitwise cosine as
+    // the per-pair formula — see embNeardupPairs) so the N x C
+    // assignment stage does one fused dot per pair, no re-derived norms
     val base = corpus(spark, dir)
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
     val cents = base.filter(col("vec_id") % IvfCentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     // assign: nearest centroid by cosine, ties -> lowest centroid id
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
     val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("ccos", cosine(col("cv"), col("v")))
+      .withColumn("ccos", dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
       .withColumn("arank", row_number().over(wAssign))
       .filter(col("arank") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
@@ -130,12 +133,7 @@ object EmbeddingOps {
     val joined = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
-      .orderBy("query_id", "rank")
+    topK(joined)
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold, id-ordered

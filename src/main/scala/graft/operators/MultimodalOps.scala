@@ -68,26 +68,36 @@ object MultimodalOps {
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
 
   /** Real container parsing where the bytes allow it: a payload that
-    * starts with the PNG signature has its IHDR width/height read from
-    * the big-endian fields at offsets 16/20 — no codec library needed.
-    * Everything else falls through to the ==== STUB ==== deterministic
-    * fake (the test corpus carries text bytes, not media); a real
-    * deployment would extend `decodeOne` with the next formats, the
-    * surrounding partition-batched plumbing unchanged.
+    * starts with the PNG signature AND a well-formed IHDR chunk has
+    * its width/height read from the big-endian fields at offsets
+    * 16/20 — no codec library needed. Malformed or non-media payloads
+    * fall through to the ==== STUB ==== deterministic fake (the test
+    * corpus carries text bytes, not media); a real deployment would
+    * extend `decodeOne` with the next formats, the surrounding
+    * partition-batched plumbing unchanged. The declared media_kind is
+    * passed through untouched either way so this output always joins
+    * cleanly with mmMeta on (doc_id, media_kind).
     */
   private[operators] def decodeOne(b: MediaBlob): MediaFeatures = {
     val n = b.payload.length.toLong
     def beInt(off: Int): Int =
       ((b.payload(off) & 0xff) << 24) | ((b.payload(off + 1) & 0xff) << 16) |
         ((b.payload(off + 2) & 0xff) << 8) | (b.payload(off + 3) & 0xff)
-    val isPng = n >= 24 && b.payload.take(8).sameElements(PngMagic)
+    val pngDims: Option[(Int, Int)] =
+      if (n >= 24 && b.payload.startsWith(PngMagic) &&
+          new String(b.payload, 12, 4, "US-ASCII") == "IHDR") {
+        val (w, h) = (beInt(16), beInt(20))
+        if (w > 0 && h > 0) Some((w, h)) else None // reject crafted/overflowed fields
+      } else None
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n
-    if (isPng)
-      MediaFeatures(b.doc_id, "image", n, width = beInt(16), height = beInt(20), mean_byte = mean)
-    else // ==== STUB ==== pseudo-dimensions for non-media payloads
-      MediaFeatures(b.doc_id, b.media_kind, n,
-        width = (n % 640).toInt + 1, height = ((n * 7) % 480).toInt + 1, mean_byte = mean)
+    pngDims match {
+      case Some((w, h)) =>
+        MediaFeatures(b.doc_id, b.media_kind, n, width = w, height = h, mean_byte = mean)
+      case None => // ==== STUB ==== pseudo-dimensions for non-media payloads
+        MediaFeatures(b.doc_id, b.media_kind, n,
+          width = (n % 640).toInt + 1, height = ((n * 7) % 480).toInt + 1, mean_byte = mean)
+    }
   }
 }

@@ -18,12 +18,26 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
-  test("PNG payloads parse IHDR width/height") {
-    val blob = MultimodalOps.MediaBlob(1L, pngHeader(640, 480), "image")
+  test("PNG payloads parse IHDR width/height; declared kind passes through") {
+    // declared kind deliberately differs from the bytes: decode must
+    // keep it so (doc_id, media_kind) joins with mmMeta stay consistent
+    val blob = MultimodalOps.MediaBlob(1L, pngHeader(640, 480), "audio")
     val f = MultimodalOps.decodeOne(blob)
     assert(f.width === 640 && f.height === 480)
-    assert(f.media_kind === "image")
+    assert(f.media_kind === "audio")
     assert(f.n_bytes === blob.payload.length.toLong)
+  }
+
+  test("malformed PNG-magic payloads fall back to the stub (no garbage dims)") {
+    // PNG signature but bogus IHDR dims (high bit set -> negative int)
+    val bad = pngHeader(-1, 480)
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(4L, bad, "image"))
+    assert(f.width > 0 && f.height > 0, s"garbage dims leaked: $f")
+    // PNG signature but wrong first chunk type
+    val wrongChunk = pngHeader(10, 10)
+    wrongChunk(12) = 'X'.toByte
+    val g = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(5L, wrongChunk, "image"))
+    assert(g.width === (wrongChunk.length % 640) + 1)
   }
 
   test("non-media payloads fall through to the deterministic stub") {
