@@ -52,6 +52,8 @@ object SparkEntry {
     "events_json"            -> (EventOps.jsonExtract _),
     "string_funcs"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
+    "unpivot_long"           -> (RelationalOps.unpivotLong _),
+    "mode_by_group"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "agg_moments"            -> (StatOps.aggMoments _),
     "pivot_wide"             -> (StatOps.pivotWide _),
@@ -322,6 +324,19 @@ object SparkEntry {
          bool_or(l_quantity > 45) AS any_bulk,
          bool_and(l_quantity > 0) AS all_positive
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "unpivot_long" ->
+      """SELECT p_partkey, metric, value FROM (
+           SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+           UNION ALL
+           SELECT p_partkey, 'retailprice', p_retailprice FROM part) t
+         ORDER BY p_partkey, metric""",
+    "mode_by_group" ->
+      """SELECT p_brand, mode_type, n FROM (
+           SELECT p_brand, p_type AS mode_type, COUNT(*) AS n,
+                  row_number() OVER (PARTITION BY p_brand
+                    ORDER BY COUNT(*) DESC, p_type) AS rk
+           FROM part GROUP BY p_brand, p_type) t
+         WHERE rk = 1 ORDER BY p_brand""",
     "pivot_wide" ->
       """SELECT l_returnflag,
          CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END

@@ -228,6 +228,31 @@ object RelationalOps {
         bool_and(col("l_quantity") > 0).as("all_positive"))
       .orderBy("l_linestatus")
 
+  /** Unpivot (wide → long): part metrics as (metric, value) rows via
+    * `stack` — the inverse of pivot, one narrow projection.
+    */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        expr("stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice)")
+          .as(Seq("metric", "value")))
+      .orderBy("p_partkey", "metric")
+
+  /** Deterministic per-group mode: most frequent p_type per brand,
+    * ties broken by type ascending — expressed as an explicit argmax
+    * (count window) rather than the builtin `mode()`, whose tie choice
+    * is engine-dependent.
+    */
+  def modeByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.part(spark, dir)
+      .groupBy("p_brand", "p_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("p_brand").orderBy(desc("n"), col("p_type"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("p_brand"), col("p_type").as("mode_type"), col("n"))
+      .orderBy("p_brand")
+  }
+
   /** Window: lag/lead — days since the customer's previous order. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
