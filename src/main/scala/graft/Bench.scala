@@ -28,7 +28,10 @@ object Bench {
       .mkString("{", ",", "}")
     val good = results.values.filter(_ >= 0)
     val total = if (good.nonEmpty) good.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "failures" is explicit so a consumer can never read a smaller
+    // total (from an errored-out query) as an improvement.
+    val failures = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -423,10 +423,13 @@ object SparkEntry {
           SELECT doc_id,
           CAST(len(toks) AS BIGINT) AS n_tokens,
           CAST(len(list_filter(toks, x -> x IN ($stops))) AS BIGINT) AS stop_hits,
-          CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE) / len(toks) AS stop_ratio,
-          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+          CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE)
+            / NULLIF(len(toks), 0) AS stop_ratio,
+          CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+            / NULLIF(len(toks), 0) AS avg_token_len,
           least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
-            (CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE) / len(toks)) * 0.5
+            (CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE)
+              / NULLIF(len(toks), 0)) * 0.5
             AS quality_score
           FROM t ORDER BY doc_id"""
     },

@@ -14,8 +14,10 @@ object Verify {
       val dest = java.nio.file.Paths.get(s"$outDir/$name")
       if (java.nio.file.Files.exists(dest)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dest).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(dest)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

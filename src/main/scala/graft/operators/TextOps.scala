@@ -45,13 +45,18 @@ object TextOps {
     val nTokens = size(toks)
     val stopHits = size(filter(toks, t => t.isin(stops: _*)))
     val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // Ratios are explicitly NULL for zero-token documents: Spark (ANSI
+    // off) returns NULL for x/0 but DuckDB IEEE division yields
+    // NaN/Inf, so both the guard here and NULLIF in the oracle pin the
+    // same empty-doc semantics on both engines.
+    def perTok(c: Column): Column = when(nTokens > 0, c)
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         nTokens.cast("long").as("n_tokens"),
         stopHits.cast("long").as("stop_hits"),
-        (stopHits.cast("double") / nTokens).as("stop_ratio"),
-        (charSum.cast("double") / nTokens).as("avg_token_len"),
-        (least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
+        perTok(stopHits.cast("double") / nTokens).as("stop_ratio"),
+        perTok(charSum.cast("double") / nTokens).as("avg_token_len"),
+        perTok(least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
           (stopHits.cast("double") / nTokens) * 0.5).as("quality_score"))
       .orderBy("doc_id")
   }

@@ -23,11 +23,14 @@ class GoldenParitySpec extends AnyFunSuite {
   lazy val cleaned: SalesPipeline.Cleaned = SalesPipeline.loadBoundary(
     SalesPipeline.run(spark, "/root/reference/bases-de-dados", LocalDate.of(2025, 8, 27)))
 
-  /** Canonical row set: integer cols widened to long, dates to ISO
-    * strings, doubles kept exact (imputation arithmetic is replicated
-    * exactly, so no tolerance is needed — any drift is a bug).
+  /** Canonical row MULTISET (row -> multiplicity): integer cols
+    * widened to long, dates to ISO strings, doubles kept exact
+    * (imputation arithmetic is replicated exactly, so no tolerance is
+    * needed — any drift is a bug). Multiplicity matters: a set compare
+    * would falsely pass two frames with the same distinct rows but
+    * different duplicate counts.
     */
-  private def rows(df: DataFrame): Set[Seq[Any]] = {
+  private def rows(df: DataFrame): Map[Seq[Any], Int] = {
     val casted = df.schema.fields.map { f =>
       f.dataType match {
         case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType =>
@@ -36,8 +39,14 @@ class GoldenParitySpec extends AnyFunSuite {
         case _ => col(f.name)
       }
     }
-    df.select(casted: _*).collect().map(_.toSeq).toSet
+    df.select(casted: _*).collect().map(_.toSeq).toSeq
+      .groupBy(identity).map { case (r, g) => r -> g.size }
   }
+
+  private def diff(exp: Map[Seq[Any], Int], got: Map[Seq[Any], Int]): Seq[String] =
+    (exp.keySet ++ got.keySet).toSeq
+      .filter(k => exp.getOrElse(k, 0) != got.getOrElse(k, 0))
+      .map(k => s"$k exp=${exp.getOrElse(k, 0)} got=${got.getOrElse(k, 0)}")
 
   private def golden(name: String): DataFrame =
     spark.read.parquet(s"/root/reference/parquet-files/$name.parquet")
@@ -46,24 +55,21 @@ class GoldenParitySpec extends AnyFunSuite {
     val got = rows(cleaned.produtos)
     val exp = rows(golden("produtos"))
     assert(cleaned.produtos.count() === 200L)
-    assert((exp -- got).isEmpty && (got -- exp).isEmpty,
-      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    assert(diff(exp, got).isEmpty, s"multiset diff: ${diff(exp, got).take(3)}")
   }
 
   test("empregados matches golden parquet (100x4)") {
     val got = rows(cleaned.empregados)
     val exp = rows(golden("empregados"))
     assert(cleaned.empregados.count() === 100L)
-    assert((exp -- got).isEmpty && (got -- exp).isEmpty,
-      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    assert(diff(exp, got).isEmpty, s"multiset diff: ${diff(exp, got).take(3)}")
   }
 
   test("vendas matches golden parquet (1000x7)") {
     val got = rows(cleaned.vendas)
     val exp = rows(golden("resumo-vendas"))
     assert(cleaned.vendas.count() === 1000L)
-    assert((exp -- got).isEmpty && (got -- exp).isEmpty,
-      s"missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+    assert(diff(exp, got).isEmpty, s"multiset diff: ${diff(exp, got).take(3)}")
   }
 
   test("five queries match logged shapes") {

@@ -69,13 +69,28 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self in neighbors")
   }
 
-  test("LSH-bucketed ANN neighbors share the query's bucket (recall subset)") {
-    val brute = EmbeddingOps.annBruteTopK(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+  test("LSH-bucketed ANN: neighbors share the query's bucket; in-bucket true top-k is found") {
+    import org.apache.spark.sql.functions._
+    val bucketOf = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        EmbeddingOps.signBucket(transform(col("embedding"), x => x.cast("double"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lsh = EmbeddingOps.annLshBucket(spark, sf).collect()
     assert(lsh.nonEmpty)
-    // bucketed search returns at most TopK per query
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every returned neighbor really is in the query's bucket
+    assert(lshPairs.forall { case (q, n) => bucketOf(n) == bucketOf(q) },
+      "LSH returned a neighbor outside the query's bucket")
+    // at most TopK per query
     assert(lsh.groupBy(_.getLong(0)).values.forall(_.length <= EmbeddingOps.TopK))
+    // recall property: a global top-k neighbor that lives in the
+    // query's bucket has in-bucket rank <= its global rank, so the
+    // bucketed search MUST return it.
+    val brute = EmbeddingOps.annBruteTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val inBucketTrue = brute.filter { case (q, n) => bucketOf(n) == bucketOf(q) }
+    assert(inBucketTrue.subsetOf(lshPairs),
+      s"LSH missed in-bucket true neighbors: ${inBucketTrue -- lshPairs}")
   }
 
   test("langid prediction is deterministic and in-lexicon") {
