@@ -561,22 +561,57 @@ object SparkEntry {
                      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
             FROM sc) r
           WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank""",
-    "emb_neardup_pairs" ->
-      """WITH c AS (SELECT vec_id,
-                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                    FROM embeddings)
-         SELECT vec_a, vec_b FROM (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                  list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
-                  (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
-                   sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos
-           FROM c a JOIN c b ON a.vec_id < b.vec_id) p
-         WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
+    "emb_neardup_pairs" -> {
+      // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
+      // so the oracle checks the operator's exact candidate semantics
+      val bands = (0 until EmbeddingOps.NeardupBands).map { t =>
+        val bucket = (0 until EmbeddingOps.NeardupBandBits).map { i =>
+          s"CASE WHEN v[${t * EmbeddingOps.NeardupBandBits + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END"
+        }.mkString(" + ")
+        s"SELECT vec_id, $t AS band, CAST($bucket AS BIGINT) AS bh FROM c"
+      }.mkString(" UNION ALL ")
+      s"""WITH c AS (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          bands AS ($bands),
+          cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                   FROM bands x JOIN bands y
+                     ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+          SELECT vec_a, vec_b FROM (
+            SELECT cand.vec_a, cand.vec_b,
+                   list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+                   (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+                    sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS cos
+            FROM cand JOIN c a ON a.vec_id = cand.vec_a
+                      JOIN c b ON b.vec_id = cand.vec_b) p
+          WHERE cos > 0.45 ORDER BY vec_a, vec_b"""
+    },
     "mm_meta" ->
       """SELECT doc_id,
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
          md5(text) AS content_hash,
          (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_kind
          FROM documents ORDER BY doc_id""",
+    // Replicates MultimodalOps.decodeOne's deterministic non-PNG path
+    // byte-for-byte (the corpus carries text payloads, never a PNG
+    // signature — asserted by MultimodalSpec): mean_byte is the exact
+    // integer byte sum (extracted via hex pairs) over length, and the
+    // pseudo-dimensions are the documented stub formulas. The real PNG
+    // IHDR path is gated by golden fixtures in MultimodalSpec.
+    "mm_decode_features" ->
+      """WITH d AS (SELECT doc_id,
+                      octet_length(CAST(text AS BLOB)) AS n,
+                      hex(CAST(text AS BLOB)) AS hx
+                    FROM documents)
+         SELECT doc_id,
+           (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_kind,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(n % 640 + 1 AS BIGINT) AS width,
+           CAST((n * 7) % 480 + 1 AS BIGINT) AS height,
+           round(CASE WHEN n = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(range(0, n), i ->
+                        CAST(('0x' || substring(hx, 2*i + 1, 2)) AS BIGINT))) AS DOUBLE) / n
+                 END, 4) AS mean_byte
+         FROM d ORDER BY doc_id""",
   )
 }

@@ -44,13 +44,24 @@ object EmbeddingOps {
   /** Shared top-k tail: rank candidates per query by cosine (desc,
     * neighbor-id tie-break) and keep TopK — the single definition all
     * ANN variants and their oracles depend on.
+    *
+    * Implemented as a partial-aggregatable bounded-heap aggregate
+    * (graft.functions.TopKByScore), NOT a `row_number` window: the
+    * window form collects every query's full candidate list into one
+    * task for a total sort, which is the scale bottleneck once the
+    * corpus (and so each query's candidate count) grows 100×. The
+    * aggregate keeps at most k entries per group per mapper, combines
+    * map-side, and ships O(k) per group through the shuffle. The heap's
+    * total order (score desc, id asc) is exactly the window's ORDER BY,
+    * so output is identical to the oracles' row_number formulation.
     */
   private def topK(scored: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topKByScore(
+        col("cos").cast("double"), col("vec_id").cast("long"), TopK).as("ids"))
+      .select(col("query_id"), posexplode(col("ids")).as(Seq("pos", "neighbor_id")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("neighbor_id"))
       .orderBy("query_id", "rank")
   }
 
@@ -136,24 +147,57 @@ object EmbeddingOps {
     topK(joined)
   }
 
-  /** Embedding near-duplicate pairs: cosine above threshold, id-ordered
-    * pairs only (ints — ulp-safe). Full pairwise at test scale; the
-    * LSH bucket key above is the blocking strategy at real scale.
+  val NeardupBands = 8
+  val NeardupBandBits = 8
+
+  /** Embedding near-duplicate pairs: banded sign-LSH candidate
+    * generation + exact cosine verification, id-ordered int pairs
+    * (ulp-safe). Replaces round 1's all-pairs nested-loop self-join —
+    * the one O(N²) scale-killer in the repo.
     *
-    * Hot-loop engineering: norms are computed ONCE per vector (not per
-    * pair) and the pairwise term is the fused native DotProduct — the
-    * composed zip_with+aggregate form allocates a zipped array per
-    * pair and recomputes both norms, and was 20× slower at sf0.1. The
-    * norm is sqrt(dot(v,v)) with identical accumulation order, so
-    * cos = dot/(na*nb) stays bitwise-equal to the oracle's formula.
+    * Blocking: the 64 dims split into 8 bands of 8 sign bits; a pair
+    * is a candidate iff it matches some band exactly. For random
+    * vectors each band collides with probability 2⁻⁸, so candidates
+    * are ~3% of all pairs (measured at every test SF) and the work is
+    * Σ bucket² per band — linear in corpus size at fixed density —
+    * instead of N²/2. The equi-join on (band, bucket) is a plain
+    * shuffled hash join: no BroadcastNestedLoopJoin anywhere (PlanSpec
+    * pins this).
+    *
+    * Recall is partial BY CONSTRUCTION, like annLshBucket: a cos-0.9
+    * near-dup pair matches a band with p = 1−(1−(1−θ/π)⁸)⁸ ≈ 0.94;
+    * at the test corpus' 0.45 threshold (≈63° — not a near-dup angle;
+    * chosen so the synthetic data yields rows) recall is lower. The
+    * oracle replicates the banding, so the gate checks these exact
+    * semantics. At 100 TB, band count/width are the recall/cost dial
+    * (more bands = higher recall, linearly more candidate work).
+    *
+    * Verification hot loop: norms computed once per vector, fused
+    * native DotProduct per surviving pair (the composed
+    * zip_with+aggregate form was 20× slower), identical accumulation
+    * order to the oracle's formula.
     */
   def embNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
     val base = corpus(spark, dir)
       .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val bandCols = (0 until NeardupBands).map { t =>
+      val bucket = (0 until NeardupBandBits).map { i =>
+        when(element_at(col("v"), t * NeardupBandBits + i + 1) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("band"), bucket.as("bh"))
+    }
+    val banded = base
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
     val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
       .withColumn("cos", dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") > 0.45)
       .select("vec_a", "vec_b")

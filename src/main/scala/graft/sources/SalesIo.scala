@@ -41,8 +41,9 @@ object SalesIo {
   /** S5/S6: JDBC scan (reference: et_vendas.py:55-78 reads the cleaned
     * produtos back from Postgres; save_data_parquet.py:67-94 reads all
     * three tables). Partitioned reads keep the scan parallel on a
-    * cluster. Untested here (no database in this environment) but the
-    * complete drop-in path for the reference's deployment.
+    * cluster. Exercised end-to-end by JdbcRoundTripSpec against the
+    * embedded Derby engine that ships with Spark's jars — same Spark
+    * JDBC source; production points the URL at Postgres.
     */
   def readJdbc(spark: SparkSession, url: String, table: String,
                user: String, password: String,

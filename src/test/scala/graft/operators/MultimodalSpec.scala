@@ -53,4 +53,18 @@ class MultimodalSpec extends AnyFunSuite {
     val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(3L, Array.empty, "video"))
     assert(f.n_bytes === 0L && f.mean_byte === 0.0)
   }
+
+  test("test corpus has no PNG-signature payloads (oracle covers stub path only)") {
+    // mm_decode_features' DuckDB oracle replicates ONLY the stub
+    // (non-PNG) branch of decodeOne; this pins the precondition. If a
+    // future corpus plants real PNG bytes, this fails loudly instead
+    // of the gate mismatching mysteriously.
+    val spark = graft.GraftSession.build("mm-spec", "4")
+    import org.apache.spark.sql.functions._
+    val pngLike = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(substring(col("text").cast("binary"), 1, 4) ===
+        lit(Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)))
+      .count()
+    assert(pngLike === 0L)
+  }
 }

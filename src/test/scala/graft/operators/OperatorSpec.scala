@@ -25,10 +25,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
 
-  test("every query has an oracle or is explicitly rows-only") {
+  test("every query has an oracle — no rows-only queries left") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("mm_decode_features"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   // Exact n-gram dedup blocks on lang (cheap blocking); LSH and

@@ -72,4 +72,27 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("cosine_sim") || s.contains("CosineSimilarity"),
       "custom expression missing from codegen plan")
   }
+
+  test("emb_neardup_pairs never plans an all-pairs nested-loop join") {
+    // round 1's a.join(b, vec_a < vec_b) planned a
+    // BroadcastNestedLoopJoin over the full corpus — O(N²) at any
+    // scale. The banded sign-LSH rewrite must keep every join an
+    // equi-join (hash/sort-merge on band-bucket or id keys).
+    val s = planString(EmbeddingOps.embNeardupPairs(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"non-equi join reappeared in:\n$s")
+  }
+
+  test("ANN top-k tail partial-aggregates (no per-query window sort)") {
+    // the row_number window collected each query's full candidate set
+    // into one task; the TopKByScore aggregate must replace it with a
+    // map-side-combinable ObjectHashAggregate carrying O(k) per group.
+    for (q <- Seq(EmbeddingOps.annBruteTopK(spark, sf),
+                  EmbeddingOps.annLshBucket(spark, sf))) {
+      val s = planString(q)
+      assert(!s.contains("Window"), s"window sort back in ANN tail:\n$s")
+      assert(s.contains("ObjectHashAggregate") && s.contains("topk_by_score"),
+        s"expected partial topk_by_score aggregate in:\n$s")
+    }
+  }
 }
