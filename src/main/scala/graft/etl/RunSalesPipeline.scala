@@ -29,6 +29,7 @@ object RunSalesPipeline {
     val bc = SalesPipeline.Cleaned(b.produtos.cache(), b.vendas.cache(), b.empregados.cache())
     SalesPipeline.writeParquet(bc, outDir)
     SalesPipeline.writeReportTables(bc, outDir)
+    SalesReportHtml.write(bc, s"$outDir/report")
     println(s"[pipeline] produtos=${bc.produtos.count()} vendas=${bc.vendas.count()} " +
       s"empregados=${bc.empregados.count()} -> $outDir")
     Seq(

@@ -201,6 +201,9 @@ object EmbeddingOps {
       .withColumn("cos", dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") > 0.45)
       .select("vec_a", "vec_b")
+      // materialized before the global sort so orderBy's range
+      // sampling cannot re-run candidate generation + verification
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .orderBy("vec_a", "vec_b")
   }
 }

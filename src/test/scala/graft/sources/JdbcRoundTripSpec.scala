@@ -80,6 +80,26 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(back.count() === 50L, "stale rows survived the overwrite")
   }
 
+  test("S10 bootstrap: idempotent check-then-create provisioning") {
+    // Derby has schemas rather than users/databases, so the steps
+    // target the system catalog it does have; the machinery (exists
+    // guard -> DDL -> skip on rerun) is exactly what the Postgres step
+    // list from the reference runs through. The Derby files persist in
+    // /tmp across JVM runs, so the schema name is unique per run.
+    val schema = s"GRAFT_APP_${System.nanoTime()}"
+    val steps = Seq(Bootstrap.Step(s"schema:$schema",
+      s"SELECT 1 FROM SYS.SYSSCHEMAS WHERE SCHEMANAME = '$schema'",
+      Seq(s"CREATE SCHEMA $schema")))
+    val first = Bootstrap.provision(url, "app", "app", steps)
+    assert(first === Seq(s"schema:$schema"), "first run must create")
+    val second = Bootstrap.provision(url, "app", "app", steps)
+    assert(second.isEmpty, "rerun must be a no-op")
+    // and the reference's Postgres plan is well-formed (two guarded steps)
+    val pg = Bootstrap.postgresSteps("sales_db", "sales_user", "pw")
+    assert(pg.map(_.name) === Seq("user:sales_user", "database:sales_db"))
+    assert(pg.flatMap(_.createSql).exists(_.contains("CREATEDB")))
+  }
+
   test("NUMERIC(10,2) DDL fidelity survives the database boundary") {
     SalesIo.writeJdbc(cleaned.vendas, url, "vendas_t", "app", "app",
       columnTypes = Some(SalesIo.jdbcColumnTypes("vendas")))
