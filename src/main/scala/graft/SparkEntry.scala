@@ -50,6 +50,7 @@ object SparkEntry {
     "events_sliding"         -> (EventOps.slidingWindow _),
     "events_sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
+    "events_attribution"     -> (EventOps.clickAttribution _),
     "string_funcs"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
     "unpivot_long"           -> (RelationalOps.unpivotLong _),
@@ -67,6 +68,7 @@ object SparkEntry {
     "asof_join"              -> (StatOps.asofJoin _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
+    "text_tokens_bpe"        -> (TextOps.textTokensBpe _),
     "text_quality"           -> (TextOps.textQuality _),
     "text_langid"            -> (TextOps.textLangId _),
     "text_fingerprint"       -> (TextOps.textFingerprint _),
@@ -305,6 +307,15 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id, COUNT(*) AS n_clicks
+         FROM e p JOIN e c ON c.user_id = p.user_id
+           AND c.event_type = 'click'
+           AND c.es BETWEEN p.es - 1800 AND p.es
+         WHERE p.event_type = 'purchase'
+         GROUP BY 1, 2 ORDER BY 1""",
     "string_funcs" ->
       """SELECT p_partkey,
          upper(p_name) AS up, lower(p_brand) AS lo,
@@ -417,6 +428,17 @@ object SparkEntry {
           CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq_tokens,
           CAST(length(text) AS BIGINT) AS n_chars_text
           FROM documents ORDER BY doc_id""",
+    "text_tokens_bpe" -> {
+      val pat = TextOps.bpePattern.replace("'", "''")
+      s"""WITH p AS (SELECT doc_id,
+            regexp_extract_all(text, '$pat') AS pt, $toksSql AS toks
+          FROM documents)
+          SELECT doc_id,
+            CAST(len(pt) AS BIGINT) AS n_pretokens,
+            CAST(len(list_distinct(pt)) AS BIGINT) AS n_uniq_pretokens,
+            CAST(len(pt) AS DOUBLE) / NULLIF(len(toks), 0) AS fertility
+          FROM p ORDER BY doc_id"""
+    },
     "text_quality" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)

@@ -69,6 +69,27 @@ object EventOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Click-to-purchase attribution: for each purchase, the number of
+    * clicks by the same user in the preceding 30 minutes — an interval
+    * join (equi-key on user + time-range predicate), the batch twin of
+    * the stream-stream join in graft.streaming.EventStream. Catalyst
+    * plans the user_id equality as a hash join with the range as a
+    * post-join filter, so the big sides shuffle once on user_id; no
+    * nested-loop anywhere.
+    */
+  def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).withColumn("es", epochSec)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("es").as("p_es"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("es").as("c_es"))
+    p.join(c, Seq("user_id"))
+      .filter(col("c_es").between(col("p_es") - 1800, col("p_es")))
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** JSON prop extraction + filtered aggregation per event type:
     * error share and value stats (F11-style semi-structured access).
     */

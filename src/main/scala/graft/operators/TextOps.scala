@@ -80,6 +80,29 @@ object TextOps {
     base.withColumn("lang_pred", pred).orderBy("doc_id")
   }
 
+  /** GPT-2-style pre-tokenization regex (contractions, space-prefixed
+    * letter runs, digit runs, punctuation runs) — the standard BPE
+    * pre-split, minus lookahead so the same pattern runs identically
+    * on Java regex and RE2-family engines.
+    */
+  val bpePattern: String =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+
+  /** BPE-ish token counting: pre-token count, distinct pre-tokens,
+    * and fertility (pre-tokens per whitespace word) — the cost model
+    * used to budget LLM training tokens. Pure column expressions.
+    */
+  def textTokensBpe(spark: SparkSession, dir: String): DataFrame = {
+    val pt = regexp_extract_all(col("text"), lit(bpePattern), lit(0))
+    val nWs = size(tokens(col("text")))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(pt).cast("long").as("n_pretokens"),
+        size(array_distinct(pt)).cast("long").as("n_uniq_pretokens"),
+        when(nWs > 0, size(pt).cast("double") / nWs).as("fertility"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: hash of the normalized text — the key for
     * exact dedup at any scale (group-by on the hash is one shuffle of
     * (hash, id) pairs, never of full documents).

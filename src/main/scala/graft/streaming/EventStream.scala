@@ -88,6 +88,26 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Stream-stream interval join: each purchase joins the same user's
+    * clicks from the preceding 30 minutes. Both sides carry watermarks
+    * so the join state is bounded — clicks older than the interval plus
+    * the watermark delay are evicted; matches emit eagerly (inner
+    * join). Pass two independent readEvents sources. Batch twin:
+    * graft.operators.EventOps.clickAttribution (DuckDB-oracled).
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "30 minutes")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_time").as("c_time"))
+      .withWatermark("c_time", "30 minutes")
+    p.join(c, expr(
+      "c_user = p_user AND c_time BETWEEN p_time - INTERVAL 30 MINUTES AND p_time"))
+      .select(col("purchase_id"), col("p_user").as("user_id"))
+  }
+
   final case class Ev(user_id: Long, es: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Long,

@@ -64,6 +64,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val joined = EventStream.clickAttribution(
+      EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
+    runToCompletion(joined, "attribution", "append")
+    val streamed = spark.table("attribution")
+      .groupBy("purchase_id", "user_id").agg(count(lit(1)).as("n_clicks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = EventOps.clickAttribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     // two micro-batches in a fresh directory: batch 1 advances event
