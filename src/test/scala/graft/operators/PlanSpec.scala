@@ -73,6 +73,12 @@ class PlanSpec extends AnyFunSuite {
       "custom expression missing from codegen plan")
   }
 
+  test("interval join plans a hash/merge join on user_id, not a nested loop") {
+    val s = planString(EventOps.clickAttribution(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range predicate hijacked the join strategy:\n$s")
+  }
+
   test("emb_neardup_pairs never plans an all-pairs nested-loop join") {
     // round 1's a.join(b, vec_a < vec_b) planned a
     // BroadcastNestedLoopJoin over the full corpus — O(N²) at any
