@@ -59,6 +59,9 @@ object SparkEntry {
     "agg_moments"            -> (StatOps.aggMoments _),
     "pivot_wide"             -> (StatOps.pivotWide _),
     "agg_cube"               -> (StatOps.aggCube _),
+    "agg_grouping_sets"      -> (StatOps.aggGroupingSets _),
+    "window_percent_rank"    -> (StatOps.windowPercentRank _),
+    "agg_collect_sorted"     -> (StatOps.aggCollectSorted _),
     "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
     "corr_by_group"          -> (StatOps.corrByGroup _),
     "quantiles_by_group"     -> (StatOps.quantilesByGroup _),
@@ -359,6 +362,24 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "window_percent_rank" ->
+      """SELECT p_brand, p_partkey,
+         percent_rank() OVER (PARTITION BY p_brand
+           ORDER BY p_retailprice, p_partkey) AS pct_rank,
+         cume_dist() OVER (PARTITION BY p_brand
+           ORDER BY p_retailprice, p_partkey) AS cum_dist
+         FROM part ORDER BY p_brand, p_partkey""",
+    "agg_collect_sorted" ->
+      """SELECT p_brand,
+         string_agg(p_type, '|' ORDER BY p_type) AS types_cat,
+         COUNT(*) AS n
+         FROM part GROUP BY 1 ORDER BY 1""",
     "ntile_quartiles" ->
       """SELECT p_brand, p_partkey,
          CAST(ntile(4) OVER (PARTITION BY p_brand

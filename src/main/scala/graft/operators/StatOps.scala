@@ -93,6 +93,44 @@ object StatOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * per-returnflag totals and per-linestatus totals in ONE
+    * partial-aggregated pass (no union of two scans).
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.util.Num.moneySum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** percent_rank / cume_dist per brand (exact rational outputs — the
+    * (rank−1)/(n−1) and rank/n divisions are bitwise identical across
+    * engines; tie-break on partkey keeps ranks deterministic).
+    */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** Order-insensitive string aggregation: sorted concat of each
+    * brand's types — collect_list is unordered in a distributed agg,
+    * so determinism comes from the explicit sort, matching
+    * string_agg(... ORDER BY) semantics.
+    */
+  def aggCollectSorted(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(concat_ws("|", sort_array(collect_list(col("p_type")))).as("types_cat"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
   /** ntile quartiles per brand (deterministic tie-break on partkey). */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))

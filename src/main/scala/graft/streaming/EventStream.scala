@@ -108,6 +108,19 @@ object EventStream {
       .select(col("purchase_id"), col("p_user").as("user_id"))
   }
 
+  /** Streaming exact dedup with BOUNDED state: the streaming twin of
+    * DedupOps.dedupExactText's hash-group dedup.
+    * `dropDuplicatesWithinWatermark` holds a key only until the
+    * watermark passes its event time, so state is O(keys per
+    * watermark window) — a plain dropDuplicates would grow state
+    * forever on an unbounded stream.
+    */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_id"), col("user_id"))
+
   final case class Ev(user_id: Long, es: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Long,

@@ -76,6 +76,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming dedup suppresses replayed events within the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val rows = Seq((1L, 10L, 1700000000L), (2L, 10L, 1700000060L), (3L, 11L, 1700000120L))
+    def writeBatch(): Unit = rows.toDF("event_id", "user_id", "es")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("es")).as("event_time"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    writeBatch() // original events
+    val stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.dedupedEvents(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("deduped").start()
+    q.processAllAvailable()
+    writeBatch() // exact replay — an at-least-once delivery duplicate
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("deduped").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L), s"replay leaked through: ${got.toSeq}")
+  }
+
   test("watermark drops late data in append mode") {
     import spark.implicits._
     // two micro-batches in a fresh directory: batch 1 advances event
