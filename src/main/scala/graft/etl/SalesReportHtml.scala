@@ -3,8 +3,6 @@ package graft.etl
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.DataFrame
-
 /** S9, visual half: the reference renders a PDF sales report —
   * title, five sections (heading + summary paragraph + styled table)
   * and three charts (save-data/save_data_pdf_report.py:480-745:
@@ -24,16 +22,18 @@ object SalesReportHtml {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  // Locale-pinned formatting: the f-interpolator uses the JVM default
+  // locale, which would emit comma decimals on e.g. a pt-BR JVM.
   private def fmt(v: Any): String = v match {
     case null => ""
     case d: java.math.BigDecimal => d.setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
-    case d: Double => f"$d%.2f"
+    case d: Double => String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     case x => x.toString
   }
 
-  private def table(df: DataFrame, headers: Seq[String]): String = {
+  private def table(rows: Array[org.apache.spark.sql.Row], headers: Seq[String]): String = {
     val head = headers.map(h => s"<th>${esc(h)}</th>").mkString
-    val body = df.collect().map { r =>
+    val body = rows.map { r =>
       "<tr>" + r.toSeq.map(v => s"<td>${esc(fmt(v))}</td>").mkString + "</tr>"
     }.mkString("\n")
     s"<table><thead><tr>$head</tr></thead><tbody>\n$body\n</tbody></table>"
@@ -95,20 +95,27 @@ object SalesReportHtml {
        $marks</svg>"""
   }
 
-  private def labeled(df: DataFrame, labelCol: String, valueCol: String): Seq[(String, Double)] =
-    df.select(labelCol, valueCol).collect().toSeq
-      .map(r => (Option(r.get(0)).fold("")(_.toString), fmt(r.get(1)).toDouble))
+  // Chart values come straight off the Row as numbers — parsing the
+  // display string back would lose precision and break on NULLs.
+  private def labeled(rows: Array[org.apache.spark.sql.Row],
+      labelIdx: Int, valueIdx: Int): Seq[(String, Double)] =
+    rows.toSeq.map { r =>
+      val v = r.get(valueIdx) match { case n: Number => n.doubleValue(); case _ => 0.0 }
+      (Option(r.get(labelIdx)).fold("")(_.toString), v)
+    }
 
   /** Renders the full report (the reference's section/chart inventory,
-    * same order) and returns the HTML string.
+    * same order) and returns the HTML string. Each report aggregate is
+    * collected exactly once; table, chart, and summary all derive from
+    * that one Array[Row].
     */
   def render(c: SalesPipeline.Cleaned): String = {
-    val q1 = SalesPipeline.q1SalesByEmployee(c).select("nome", "valor_total")
-    val q2 = SalesPipeline.q2AvgTicketByProduct(c).select("nome", "ticket_medio")
-    val q3 = SalesPipeline.q3SalesByCategory(c)
-    val q4 = SalesPipeline.q4Top5Employees(c).select("nome", "valor_total")
-    val q5 = SalesPipeline.q5SalesByPeriod(c)
-    val nEmp = q1.count(); val nProd = q2.count(); val nCat = q3.count(); val nPer = q5.count()
+    val q1 = SalesPipeline.q1SalesByEmployee(c).select("nome", "valor_total").collect()
+    val q2 = SalesPipeline.q2AvgTicketByProduct(c).select("nome", "ticket_medio").collect()
+    val q3 = SalesPipeline.q3SalesByCategory(c).collect()
+    val q4 = SalesPipeline.q4Top5Employees(c).select("nome", "valor_total").collect()
+    val q5 = SalesPipeline.q5SalesByPeriod(c).collect()
+    val nEmp = q1.length; val nProd = q2.length; val nCat = q3.length; val nPer = q5.length
     val sections = Seq(
       ("Total de vendas por funcionário",
         s"Total de vendas consolidado por funcionário ($nEmp funcionários).",
@@ -116,18 +123,18 @@ object SalesReportHtml {
       ("Ticket médio por produto",
         s"Ticket médio (valor total / número de vendas) por produto ($nProd produtos).",
         table(q2, Seq("Nome do Produto", "Ticket Médio (R$)")),
-        hbarSvg(labeled(q2, "nome", "ticket_medio"), "Ticket médio por produto")),
+        hbarSvg(labeled(q2, 0, 1), "Ticket médio por produto")),
       ("Quantidade de vendas por categoria de produto",
         s"Contagem de vendas por categoria ($nCat categorias).",
         table(q3, Seq("Categoria", "Qtd. Vendas")), ""),
       ("Top 5 funcionários com maior volume de vendas",
         "Os cinco funcionários com maior volume total de vendas.",
         table(q4, Seq("Nome do Funcionário", "Total de Vendas (R$)")),
-        barSvg(labeled(q4, "nome", "valor_total"), "Top 5 funcionários")),
+        barSvg(labeled(q4, 0, 1), "Top 5 funcionários")),
       ("Quantidade de vendas por período",
         s"Evolução mensal da quantidade de vendas ($nPer meses).",
         table(q5, Seq("Período", "Qtd. Vendas", "Valor Total (R$)")),
-        lineSvg(labeled(q5, "periodo", "quantidade_vendas"), "Vendas por período")))
+        lineSvg(labeled(q5, 0, 1), "Vendas por período")))
     val body = sections.map { case (titleTxt, summary, tbl, chart) =>
       s"""<section><h2>${esc(titleTxt)}</h2><p class="summary">${esc(summary)}</p>$tbl$chart</section>"""
     }.mkString("\n")

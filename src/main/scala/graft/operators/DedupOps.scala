@@ -80,14 +80,26 @@ object DedupOps {
     * memoized per (session, dir, k): ngram-jaccard and minhash-LSH in
     * the same session share one materialization — the library analog
     * of a shared materialized staging table in a 100 TB pipeline.
+    * Lifecycle: `clearCaches(spark)` unpersists everything (call after
+    * re-ingesting a dir, or periodically in a long-lived service —
+    * cached frames otherwise live until spark.stop()).
     */
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
   private def shingleRowsCached(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
     shingleCache.getOrElseUpdate((spark, dir, k),
-      shingleRows(spark, dir, k)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      OpCaches.track(shingleRows(spark, dir, k)))
+
+  /** Drops every cached substrate/intermediate this object (and
+    * EmbeddingOps) holds for `spark` — required after rewriting the
+    * source parquet mid-session (the memo would otherwise serve stale
+    * rows) and for bounding cache growth in long-lived sessions.
+    */
+  def clearCaches(spark: SparkSession): Unit = {
+    shingleCache.keys.filter(_._1 eq spark).foreach(shingleCache.remove)
+    OpCaches.clear(spark)
+  }
 
   /** Exact dedup groups by normalized-content hash. */
   def dedupExactText(spark: SparkSession, dir: String): DataFrame =
@@ -113,7 +125,7 @@ object DedupOps {
     // projections + the pair join); without materialization Spark
     // re-runs the whole candidate-generation subtree per consumer,
     // which measured as 3× the query's cost. Candidates are tiny.
-    val cand = cand0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = OpCaches.track(cand0)
     val ex = rows.select(col("doc_id"), xxhash64(col("sh")).as("s"), col("n"))
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b")))
@@ -132,7 +144,7 @@ object DedupOps {
       // materialized before the global sort: orderBy's range
       // partitioner SAMPLES its child first, which would re-run the
       // whole verification subtree a second time
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OpCaches.track)
     verified.orderBy("doc_a", "doc_b")
   }
 
@@ -174,7 +186,7 @@ object DedupOps {
           .orderBy(coalesce(col("df"), lit(1L)), col("s"))))
       .filter(col("rk") <= floor(col("n") / 2) + 1)
       .select("lang", "s", "doc_id", "n", "rk")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OpCaches.track)
     // Candidate pairs share ≥1 prefix shingle, then two more lossless
     // PPJoin prunes cut the verify workload ~4.5× (measured):
     //  - length filter: J ≥ 0.5 needs 2·min(|A|,|B|) ≥ max(|A|,|B|);
@@ -294,7 +306,7 @@ object DedupOps {
       // materialized before the global sort — orderBy's range sampling
       // would otherwise re-run the segment join + distinct (measured
       // 15.5x at 10x data without this; the sort input is tiny)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(OpCaches.track)
       .orderBy("doc_a", "doc_b")
   }
 }

@@ -203,7 +203,7 @@ object EmbeddingOps {
       .select("vec_a", "vec_b")
       // materialized before the global sort so orderBy's range
       // sampling cannot re-run candidate generation + verification
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.operators.OpCaches.track)
       .orderBy("vec_a", "vec_b")
   }
 }

@@ -83,10 +83,13 @@ object TextOps {
   /** GPT-2-style pre-tokenization regex (contractions, space-prefixed
     * letter runs, digit runs, punctuation runs) — the standard BPE
     * pre-split, minus lookahead so the same pattern runs identically
-    * on Java regex and RE2-family engines.
+    * on Java regex and RE2-family engines. Whitespace is spelled as an
+    * explicit class, not \s: Java's \s includes U+000B while RE2's
+    * does not, and that one-char disagreement would silently skew
+    * counts between engine and oracle.
     */
   val bpePattern: String =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"""
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\t\n\x0B\f\r \p{L}\p{N}]+"""
 
   /** BPE-ish token counting: pre-token count, distinct pre-tokens,
     * and fertility (pre-tokens per whitespace word) — the cost model

@@ -25,19 +25,23 @@ object Bootstrap {
 
   /** The reference's Postgres provisioning plan, verbatim semantics
     * (create_user_database.py:68-178): app user with CREATEDB, then
-    * the database owned by it. Statement interpolation is safe only
-    * for validated identifiers — callers must not pass untrusted
-    * names (same caveat as the reference's f-string DDL).
+    * the database owned by it. Identifier interpolation is safe only
+    * for validated names — callers must not pass untrusted
+    * dbname/username (same caveat as the reference's f-string DDL).
+    * The password is a quoted literal and IS escaped.
     */
-  def postgresSteps(dbname: String, username: String, password: String): Seq[Step] = Seq(
+  def postgresSteps(dbname: String, username: String, password: String): Seq[Step] = {
+    val pw = password.replace("'", "''")
+    Seq(
     Step(s"user:$username",
       s"SELECT 1 FROM pg_roles WHERE rolname = '$username'",
-      Seq(s"CREATE USER $username WITH PASSWORD '$password'",
+      Seq(s"CREATE USER $username WITH PASSWORD '$pw'",
         s"ALTER USER $username CREATEDB")),
     Step(s"database:$dbname",
       s"SELECT 1 FROM pg_database WHERE datname = '$dbname'",
       Seq(s"CREATE DATABASE $dbname OWNER $username",
         s"GRANT ALL PRIVILEGES ON DATABASE $dbname TO $username")))
+  }
 
   /** Runs the steps over one admin connection; returns the names of
     * the steps that actually created something (already-provisioned

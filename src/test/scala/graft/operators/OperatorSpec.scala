@@ -25,6 +25,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
 
+  test("corpus precondition: no control characters in document text") {
+    // Java regex \s includes U+000B; RE2 (DuckDB) does not — tokens()
+    // splits on \s+, so a control char in the corpus could make Spark
+    // and the oracle tokenize differently. The corpus carries none;
+    // fail loudly here rather than as an opaque oracle hash mismatch.
+    import org.apache.spark.sql.functions._
+    val n = graft.sources.Tables.documents(spark, sf)
+      .filter(col("text").rlike("[\\x00-\\x1f]")).count()
+    assert(n === 0L)
+  }
+
   test("every query has an oracle — no rows-only queries left") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
