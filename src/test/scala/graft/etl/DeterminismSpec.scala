@@ -47,11 +47,20 @@ class DeterminismSpec extends AnyFunSuite {
   test("operator queries identical at different shuffle parallelism") {
     val sf = "/root/testdata/sf0.001"
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    def run() = Seq(
-      rows(graft.operators.RelationalOps.medianByGroup(spark, sf)),
-      rows(graft.operators.StatOps.aggMoments(spark, sf)),
-      rows(graft.operators.DedupOps.dedupMinhashLsh(spark, sf)),
-      rows(graft.operators.EmbeddingOps.annBruteTopK(spark, sf)))
+    // clearCaches each pass: the dedup substrate is memoized+persisted,
+    // so without it the second pass would silently replay the first
+    // pass's partitioning out of cache instead of re-planning at 13.
+    def run() = {
+      graft.operators.DedupOps.clearCaches(spark)
+      Seq(
+        rows(graft.operators.RelationalOps.medianByGroup(spark, sf)),
+        rows(graft.operators.StatOps.aggMoments(spark, sf)),
+        rows(graft.operators.StatOps.aggCollectSorted(spark, sf)),
+        rows(graft.operators.StatOps.aggGroupingSets(spark, sf)),
+        rows(graft.operators.DedupOps.dedupMinhashLsh(spark, sf)),
+        rows(graft.operators.DedupOps.dedupNgramJaccard(spark, sf)),
+        rows(graft.operators.EmbeddingOps.annBruteTopK(spark, sf)))
+    }
     val at4 = run()
     spark.conf.set("spark.sql.shuffle.partitions", "13")
     try {
