@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
 
 /** SparkSessionExtensions entry point: installs the engine's custom
   * Catalyst expressions as SQL functions at session build time —
@@ -26,5 +26,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    // topk_by_score(score, id, k) — k must be a foldable int literal
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) => {
+        val k = exprs(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score: k must be an int literal, got $other")
+        }
+        TopKByScore(exprs(0), exprs(1), k)
+      }))
   }
 }

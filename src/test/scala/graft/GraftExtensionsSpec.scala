@@ -30,6 +30,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
                   dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""").head()
       assert(r.getDouble(0) === 1.0)
       assert(r.getDouble(1) === 11.0)
+      // the bounded-heap aggregate, straight from SQL: top-2 ids by score
+      val t = spark.sql(
+        """SELECT topk_by_score(s, id, 2) AS ids FROM VALUES
+             (1.0d, 10L), (3.0d, 30L), (2.0d, 20L) AS t(s, id)""").head()
+      assert(t.getSeq[Long](0) === Seq(30L, 20L))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

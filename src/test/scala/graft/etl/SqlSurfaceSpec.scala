@@ -1,0 +1,103 @@
+package graft.etl
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface parity: the reference's users run SQL (the five report
+  * queries execute inside Postgres — save_data_pdf_report.py:64-222).
+  * The same statements must run on this engine via `spark.sql` over
+  * registered views of the cleaned tables and agree with the
+  * DataFrame implementations. Only one dialect adaptation is needed:
+  * Postgres `TO_CHAR(d, 'YYYY-MM')` → `date_format(d, 'yyyy-MM')`.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.build("sql-surface-spec", "4")
+
+  lazy val cleaned: SalesPipeline.Cleaned = {
+    val c = SalesPipeline.loadBoundary(SalesPipeline.run(
+      spark, "/root/reference/bases-de-dados", LocalDate.of(2025, 8, 27)))
+    c.produtos.createOrReplaceTempView("produtos")
+    c.vendas.createOrReplaceTempView("vendas")
+    c.empregados.createOrReplaceTempView("empregados")
+    c
+  }
+
+  /** Unordered multiset compare on doubled numerics. */
+  private def rows(df: DataFrame): Map[Seq[Any], Int] = {
+    import org.apache.spark.sql.functions.col
+    val casted = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(f.name).cast("double")
+        case _ => col(f.name)
+      }
+    }
+    df.select(casted: _*).collect().toSeq.map(_.toSeq)
+      .groupBy(identity).map { case (r, g) => r -> g.size }
+  }
+
+  test("reference Q1 SQL (sales per employee) ≡ DataFrame q1") {
+    val c = cleaned // force view registration before spark.sql
+    val sql = spark.sql(
+      """SELECT e.id_empregado, e.nome,
+           COALESCE(SUM(v.valor_total), 0) AS valor_total
+         FROM vendas v INNER JOIN empregados e
+           ON v.id_empregado = e.id_empregado
+         GROUP BY e.id_empregado, e.nome
+         ORDER BY valor_total DESC""")
+    assert(rows(sql) === rows(SalesPipeline.q1SalesByEmployee(c)))
+  }
+
+  test("reference Q2 SQL (avg ticket per product) ≡ DataFrame q2") {
+    val c = cleaned
+    // the reference's Q2 SQL carries no ORDER BY (the name-number sort
+    // happens client-side) — multiset compare is the right equality
+    val sql = spark.sql(
+      """SELECT p.id_produto, p.nome,
+           COALESCE(SUM(v.valor_total) / COUNT(v.id_venda), 0) AS ticket_medio
+         FROM vendas v INNER JOIN produtos p ON v.id_produto = p.id_produto
+         GROUP BY p.id_produto, p.nome""")
+    assert(rows(sql) === rows(SalesPipeline.q2AvgTicketByProduct(c)))
+  }
+
+  test("reference Q3 SQL (sales per category) ≡ DataFrame q3") {
+    val c = cleaned
+    val sql = spark.sql(
+      """SELECT p.categoria, COUNT(v.id_venda) AS quantidade_vendas
+         FROM vendas v INNER JOIN produtos p ON v.id_produto = p.id_produto
+         GROUP BY p.categoria
+         ORDER BY quantidade_vendas DESC""")
+    assert(rows(sql) === rows(SalesPipeline.q3SalesByCategory(c)))
+  }
+
+  test("reference Q4 SQL (top-5 employees) ≡ DataFrame q4") {
+    val c = cleaned
+    val sql = spark.sql(
+      """SELECT e.id_empregado, e.nome,
+           COALESCE(SUM(v.valor_total), 0) AS valor_total
+         FROM empregados e INNER JOIN vendas v
+           ON v.id_empregado = e.id_empregado
+         GROUP BY e.id_empregado, e.nome
+         ORDER BY valor_total DESC
+         LIMIT 5""")
+    // LIMIT-cut ties: compare the value multiset (the reference's own
+    // cut is tie-unstable in Postgres too)
+    assert(rows(sql.select("valor_total")) ===
+      rows(SalesPipeline.q4Top5Employees(c).select("valor_total")))
+  }
+
+  test("reference Q5 SQL (sales per period, TO_CHAR→date_format) ≡ DataFrame q5") {
+    val c = cleaned
+    val sql = spark.sql(
+      """SELECT date_format(v.data, 'yyyy-MM') AS periodo,
+           COUNT(v.id_venda) AS quantidade_vendas,
+           SUM(v.valor_total) AS valor_total
+         FROM vendas v
+         WHERE v.data IS NOT NULL
+         GROUP BY date_format(v.data, 'yyyy-MM')
+         ORDER BY periodo""")
+    assert(rows(sql) === rows(SalesPipeline.q5SalesByPeriod(c)))
+  }
+}
