@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+
+/** Zero-row robustness: at cluster scale empty inputs are routine
+  * (empty partitions, fresh ingests, filtered-to-nothing branches).
+  * Every registered query must execute over a fully EMPTY dataset —
+  * no divide-by-zero, no .head on nothing, no null-order surprises —
+  * and return zero rows.
+  */
+class EmptyInputSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.build("empty-spec", "4")
+  lazy val emptyDir: String = {
+    val src = "/root/testdata/sf0.001"
+    val dst = "/tmp/graft_empty"
+    graft.sources.Tables.all.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    dst
+  }
+
+  test("every registered query runs on empty tables and yields zero rows") {
+    DedupOps.clearCaches(spark) // don't serve another suite's substrate
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val n = fn(spark, emptyDir).count()
+        if (n != 0) Some(s"$name: $n rows from empty input") else None
+      } catch { case e: Throwable => Some(s"$name: threw ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}") }
+    }
+    DedupOps.clearCaches(spark) // don't leak the empty substrate to other suites
+    assert(bad.isEmpty, s"queries misbehaving on empty input:\n${bad.mkString("\n")}")
+  }
+}
