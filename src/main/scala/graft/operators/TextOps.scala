@@ -35,27 +35,45 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars_text"))
       .orderBy("doc_id")
 
+  /** One row per (doc_id, token) — the relational substrate for the
+    * per-token statistics below. Array HOF lambdas (`filter`,
+    * `aggregate`) run INTERPRETED per element; explode + a single
+    * hash aggregation partitioned by doc_id is codegen'd end-to-end
+    * and partial-aggregates map-side — measurably faster at sf1 and
+    * the right shape at any corpus size.
+    */
+  private def tokenRows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+
   /** Quality scoring: stopword ratio, mean token length, and a simple
     * composite score — the shape of heuristic quality filters used to
-    * select pre-training data.
+    * select pre-training data. All ratios derive from exact integer
+    * counts, so this relational form is bitwise-identical to a
+    * per-row array formulation.
     */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
     val stops = langLexicon.head._2
-    val nTokens = size(toks)
-    val stopHits = size(filter(toks, t => t.isin(stops: _*)))
-    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
-    // Ratios are explicitly NULL for zero-token documents: Spark (ANSI
-    // off) returns NULL for x/0 but DuckDB IEEE division yields
-    // NaN/Inf, so both the guard here and NULLIF in the oracle pin the
-    // same empty-doc semantics on both engines.
+    val agg = tokenRows(spark, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_n"),
+        sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("_stop"),
+        sum(length(col("tok")).cast("long")).as("_chars"))
+    // left join keeps zero-token documents (explode drops them), with
+    // counts coalesced to 0. Ratios are explicitly NULL for zero-token
+    // documents: Spark (ANSI off) returns NULL for x/0 but DuckDB IEEE
+    // division yields NaN/Inf, so both the guard here and NULLIF in
+    // the oracle pin the same empty-doc semantics on both engines.
+    val nTokens = coalesce(col("_n"), lit(0L))
+    val stopHits = coalesce(col("_stop"), lit(0L))
     def perTok(c: Column): Column = when(nTokens > 0, c)
-    Tables.documents(spark, dir)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        nTokens.cast("long").as("n_tokens"),
-        stopHits.cast("long").as("stop_hits"),
+        nTokens.as("n_tokens"),
+        stopHits.as("stop_hits"),
         perTok(stopHits.cast("double") / nTokens).as("stop_ratio"),
-        perTok(charSum.cast("double") / nTokens).as("avg_token_len"),
+        perTok(coalesce(col("_chars"), lit(0L)).cast("double") / nTokens).as("avg_token_len"),
         perTok(least(nTokens.cast("double") / lit(100.0), lit(1.0)) * 0.5 +
           (stopHits.cast("double") / nTokens) * 0.5).as("quality_score"))
       .orderBy("doc_id")
@@ -63,14 +81,21 @@ object TextOps {
 
   /** N-gram-lexicon language identification (argmax of per-language
     * stopword hits; label column is ignored — the heuristic stands on
-    * its own and is checked against the same logic in SQL).
+    * its own and is checked against the same logic in SQL). Same
+    * relational shape as textQuality: one conditional-sum aggregation
+    * per language in a single doc_id-partitioned pass.
     */
   def textLangId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val hitCols = langLexicon.map { case (l, ws) =>
-      size(filter(toks, t => t.isin(ws: _*))).cast("long").as(s"hits_$l")
+    val hitAggs = langLexicon.map { case (l, ws) =>
+      sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"_h_$l")
     }
-    val base = Tables.documents(spark, dir).select(col("doc_id") +: hitCols: _*)
+    val agg = tokenRows(spark, dir).groupBy("doc_id").agg(hitAggs.head, hitAggs.tail: _*)
+    val hitCols = langLexicon.map { case (l, _) =>
+      coalesce(col(s"_h_$l"), lit(0L)).as(s"hits_$l")
+    }
+    val base = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id") +: hitCols: _*)
     val pred = langLexicon.foldRight(lit("und")) { case ((l, _), els) =>
       val c = col(s"hits_$l")
       val beatsAll = langLexicon.filter(_._1 != l)
