@@ -60,6 +60,8 @@ object SparkEntry {
     "pivot_wide"             -> (StatOps.pivotWide _),
     "agg_cube"               -> (StatOps.aggCube _),
     "agg_grouping_sets"      -> (StatOps.aggGroupingSets _),
+    "agg_count_distinct"     -> (StatOps.aggCountDistinct _),
+    "window_rank_dense"      -> (StatOps.windowRankDense _),
     "window_percent_rank"    -> (StatOps.windowPercentRank _),
     "agg_collect_sorted"     -> (StatOps.aggCollectSorted _),
     "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
@@ -368,6 +370,17 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "agg_count_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(*) AS n_rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "window_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+         CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS rnk,
+         CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS drnk
+         FROM part ORDER BY p_brand, p_partkey""",
     "window_percent_rank" ->
       """SELECT p_brand, p_partkey,
          percent_rank() OVER (PARTITION BY p_brand

@@ -131,6 +131,30 @@ object StatOps {
         count(lit(1)).as("n"))
       .orderBy("p_brand")
 
+  /** Exact per-group distinct counts — at scale this is a two-level
+    * aggregation (partial distinct within partitions, merge across),
+    * which Catalyst plans automatically from count(DISTINCT).
+    */
+  def aggCountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** rank / dense_rank with real ties (retailprice has duplicates), so
+    * the two functions genuinely diverge and gaps are exercised.
+    */
+  def windowRankDense(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
   /** ntile quartiles per brand (deterministic tie-break on partkey). */
   def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice"), col("p_partkey"))
