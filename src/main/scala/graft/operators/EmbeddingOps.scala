@@ -149,6 +149,33 @@ object EmbeddingOps {
     topK(joined)
   }
 
+  /** IVF with nprobe=2: the query searches its TWO nearest cells
+    * instead of one — the standard recall/latency dial. Corpus vectors
+    * still live in exactly one cell (their arank=1 assignment), so the
+    * probed candidate sets are disjoint and need no dedup; the cost is
+    * exactly 2× the cells touched, the recall strictly ≥ nprobe=1.
+    */
+  def annIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    val base = corpus(spark, dir)
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val cents = base.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+    val ranked = base.join(broadcast(cents), lit(true))
+      .withColumn("ccos", dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
+      .withColumn("arank", row_number().over(wAssign))
+    val assigned = ranked.filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+    val q = ranked.filter(col("arank") <= 2 && col("vec_id") < QueryCount)
+      .select(col("cent_id").as("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("qv"), col("v")))
+    topK(joined)
+  }
+
   val NeardupBands = 8
   val NeardupBandBits = 8
 

@@ -103,6 +103,31 @@ class OperatorSpec extends AnyFunSuite {
       s"LSH missed in-bucket true neighbors: ${inBucketTrue -- lshPairs}")
   }
 
+  test("IVF nprobe=2 dominates nprobe=1 (top-k over a candidate superset)") {
+    import org.apache.spark.sql.functions._
+    // probe2's candidate set is a superset of probe1's, so its k-th
+    // best cosine is >= probe1's k-th best, elementwise — a theorem,
+    // not a statistical expectation.
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def sortedCos(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Double]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, ns) =>
+          q -> ns.toSeq.map { case (_, n) => cos(vecs(q), vecs(n)) }.sorted.reverse
+        }
+    val p1 = sortedCos(EmbeddingOps.annIvf(spark, sf))
+    val p2 = sortedCos(EmbeddingOps.annIvfProbe2(spark, sf))
+    for ((q, c1) <- p1; c2 = p2(q); (a, b) <- c1.zip(c2))
+      assert(b >= a - 1e-12, s"probe2 worse than probe1 for query $q: $c2 vs $c1")
+  }
+
   test("langid prediction is deterministic and in-lexicon") {
     val langs = TextOps.textLangId(spark, sf)
       .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
