@@ -137,6 +137,38 @@ object SparkEntry {
                    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
   }
 
+  /** Parameterized IVF oracle — single source for every nprobe
+    * variant so the SQL cannot drift from EmbeddingOps.annIvfNprobe.
+    */
+  private def ivfSql(nprobe: Int): String =
+    s"""WITH c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
+                  WHERE vec_id % ${EmbeddingOps.IvfCentroidStride} = 0),
+        rk AS (SELECT c.vec_id, c.v, ct.cent_id,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
+                    (sqrt(list_sum(list_transform(range(1, len(ct.cv) + 1), i -> ct.cv[i] * ct.cv[i]))) *
+                     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i]))))) DESC,
+                   ct.cent_id) AS arank
+               FROM c, cents ct),
+        asg AS (SELECT vec_id, v, cent_id AS cell FROM rk WHERE arank = 1),
+        q AS (SELECT cent_id AS cell, vec_id AS query_id, v AS qv FROM rk
+              WHERE arank <= $nprobe AND vec_id < ${EmbeddingOps.QueryCount}),
+        sc AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(a.v) + 1), i -> q.qv[i] * a.v[i])) /
+                 (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+                  sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))) AS cos
+               FROM asg a JOIN q ON a.cell = q.cell
+               WHERE a.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+          FROM sc) r
+        WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
+
   private def langIdSql: String = {
     val hitCols = TextOps.langLexicon.map { case (l, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -590,62 +622,8 @@ object SparkEntry {
             FROM sc) r
           WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
     },
-    "ann_ivf" ->
-      s"""WITH c AS (SELECT vec_id,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings),
-          cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
-                    WHERE vec_id % ${EmbeddingOps.IvfCentroidStride} = 0),
-          asg AS (SELECT vec_id, v, cell FROM (
-            SELECT c.vec_id, c.v, ct.cent_id AS cell,
-                   row_number() OVER (PARTITION BY c.vec_id ORDER BY
-                     (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
-                      (sqrt(list_sum(list_transform(range(1, len(ct.cv) + 1), i -> ct.cv[i] * ct.cv[i]))) *
-                       sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i]))))) DESC,
-                     ct.cent_id) AS arank
-            FROM c, cents ct) t WHERE arank = 1),
-          q AS (SELECT cell, vec_id AS query_id, v AS qv FROM asg
-                WHERE vec_id < ${EmbeddingOps.QueryCount}),
-          sc AS (SELECT q.query_id, a.vec_id AS neighbor_id,
-                   list_sum(list_transform(range(1, len(a.v) + 1), i -> q.qv[i] * a.v[i])) /
-                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
-                    sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))) AS cos
-                 FROM asg a JOIN q ON a.cell = q.cell
-                 WHERE a.vec_id <> q.query_id)
-          SELECT query_id, rank, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-            FROM sc) r
-          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank""",
-    "ann_ivf_probe2" ->
-      s"""WITH c AS (SELECT vec_id,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings),
-          cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
-                    WHERE vec_id % ${EmbeddingOps.IvfCentroidStride} = 0),
-          rk AS (SELECT c.vec_id, c.v, ct.cent_id,
-                   row_number() OVER (PARTITION BY c.vec_id ORDER BY
-                     (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
-                      (sqrt(list_sum(list_transform(range(1, len(ct.cv) + 1), i -> ct.cv[i] * ct.cv[i]))) *
-                       sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i]))))) DESC,
-                     ct.cent_id) AS arank
-                 FROM c, cents ct),
-          asg AS (SELECT vec_id, v, cent_id AS cell FROM rk WHERE arank = 1),
-          q AS (SELECT cent_id AS cell, vec_id AS query_id, v AS qv FROM rk
-                WHERE arank <= 2 AND vec_id < ${EmbeddingOps.QueryCount}),
-          sc AS (SELECT q.query_id, a.vec_id AS neighbor_id,
-                   list_sum(list_transform(range(1, len(a.v) + 1), i -> q.qv[i] * a.v[i])) /
-                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
-                    sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i])))) AS cos
-                 FROM asg a JOIN q ON a.cell = q.cell
-                 WHERE a.vec_id <> q.query_id)
-          SELECT query_id, rank, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-            FROM sc) r
-          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank""",
+    "ann_ivf" -> ivfSql(nprobe = 1),
+    "ann_ivf_probe2" -> ivfSql(nprobe = 2),
     "emb_neardup_pairs" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics

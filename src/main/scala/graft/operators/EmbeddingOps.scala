@@ -124,38 +124,17 @@ object EmbeddingOps {
     */
   val IvfCentroidStride = 125
 
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExprs.dotProduct
-    // norms hoisted once per vector/centroid (same bitwise cosine as
-    // the per-pair formula — see embNeardupPairs) so the N x C
-    // assignment stage does one fused dot per pair, no re-derived norms
-    val base = corpus(spark, dir)
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val cents = base.filter(col("vec_id") % IvfCentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // assign: nearest centroid by cosine, ties -> lowest centroid id
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
-    val assigned = base.join(broadcast(cents), lit(true))
-      .withColumn("ccos", dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val q = assigned.filter(col("vec_id") < QueryCount)
-      .select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
-    val joined = assigned.join(broadcast(q), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("qv"), col("v")))
-    topK(joined)
-  }
-
-  /** IVF with nprobe=2: the query searches its TWO nearest cells
-    * instead of one — the standard recall/latency dial. Corpus vectors
-    * still live in exactly one cell (their arank=1 assignment), so the
-    * probed candidate sets are disjoint and need no dedup; the cost is
-    * exactly 2× the cells touched, the recall strictly ≥ nprobe=1.
+  /** Shared IVF assignment + probed search, parameterized by nprobe —
+    * one definition so the nprobe variants (and their oracles) cannot
+    * drift. Norms hoisted once per vector/centroid (same bitwise
+    * cosine as the per-pair formula — see embNeardupPairs) so the N×C
+    * assignment stage does one fused dot per pair; the rank-filtered
+    * assignment frame (≤ nprobe·N skinny rows) is materialized because
+    * BOTH the corpus cells and the query probes derive from it —
+    * otherwise the N×C assignment would run once per consumer.
+    * Assignment ties break toward the lowest centroid id.
     */
-  def annIvfProbe2(spark: SparkSession, dir: String): DataFrame = {
+  private def annIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
     val base = corpus(spark, dir)
       .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
@@ -163,18 +142,34 @@ object EmbeddingOps {
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
-    val ranked = base.join(broadcast(cents), lit(true))
-      .withColumn("ccos", dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
-      .withColumn("arank", row_number().over(wAssign))
+    val ranked = OpCaches.track(
+      base.join(broadcast(cents), lit(true))
+        .withColumn("ccos", dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") <= math.max(nprobe, 1))
+        .select(col("vec_id"), col("v"), col("cent_id"), col("arank")))
     val assigned = ranked.filter(col("arank") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
-    val q = ranked.filter(col("arank") <= 2 && col("vec_id") < QueryCount)
+    val q = ranked.filter(col("arank") <= nprobe && col("vec_id") < QueryCount)
       .select(col("cent_id").as("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
     val joined = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("qv"), col("v")))
     topK(joined)
   }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfNprobe(spark, dir, nprobe = 1)
+
+  /** IVF with nprobe=2: the query searches its TWO nearest cells
+    * instead of one — the standard recall/latency dial. Corpus vectors
+    * still live in exactly one cell (their arank=1 assignment), so the
+    * probed candidate sets are disjoint and need no dedup; the cost is
+    * exactly 2× the cells touched, the recall strictly ≥ nprobe=1
+    * (OperatorSpec proves elementwise cosine dominance).
+    */
+  def annIvfProbe2(spark: SparkSession, dir: String): DataFrame =
+    annIvfNprobe(spark, dir, nprobe = 2)
 
   val NeardupBands = 8
   val NeardupBandBits = 8

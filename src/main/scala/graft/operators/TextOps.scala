@@ -60,14 +60,19 @@ object TextOps {
         sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("_stop"),
         sum(length(col("tok")).cast("long")).as("_chars"))
     // left join keeps zero-token documents (explode drops them), with
-    // counts coalesced to 0. Ratios are explicitly NULL for zero-token
-    // documents: Spark (ANSI off) returns NULL for x/0 but DuckDB IEEE
-    // division yields NaN/Inf, so both the guard here and NULLIF in
-    // the oracle pin the same empty-doc semantics on both engines.
-    val nTokens = coalesce(col("_n"), lit(0L))
-    val stopHits = coalesce(col("_stop"), lit(0L))
+    // counts coalesced to 0 — EXCEPT for NULL text, where the array
+    // formulation (and the oracle's len() on a NULL list) yields NULL
+    // counts, preserved here via the isNotNull guard. Ratios are
+    // explicitly NULL for zero-token documents: Spark (ANSI off)
+    // returns NULL for x/0 but DuckDB IEEE division yields NaN/Inf, so
+    // both the guard here and NULLIF in the oracle pin the same
+    // empty-doc semantics on both engines. (doc_id is the corpus PK;
+    // like every keyed aggregate here, uniqueness is assumed.)
+    val hasText = col("text").isNotNull
+    val nTokens = when(hasText, coalesce(col("_n"), lit(0L)))
+    val stopHits = when(hasText, coalesce(col("_stop"), lit(0L)))
     def perTok(c: Column): Column = when(nTokens > 0, c)
-    Tables.documents(spark, dir).select(col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         nTokens.as("n_tokens"),
@@ -90,10 +95,12 @@ object TextOps {
       sum(when(col("tok").isin(ws: _*), 1L).otherwise(0L)).as(s"_h_$l")
     }
     val agg = tokenRows(spark, dir).groupBy("doc_id").agg(hitAggs.head, hitAggs.tail: _*)
+    // NULL text -> NULL hits (the array form's semantics, and the
+    // oracle's len() on a NULL list); tokenless text -> 0
     val hitCols = langLexicon.map { case (l, _) =>
-      coalesce(col(s"_h_$l"), lit(0L)).as(s"hits_$l")
+      when(col("text").isNotNull, coalesce(col(s"_h_$l"), lit(0L))).as(s"hits_$l")
     }
-    val base = Tables.documents(spark, dir).select(col("doc_id"))
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id") +: hitCols: _*)
     val pred = langLexicon.foldRight(lit("und")) { case ((l, _), els) =>

@@ -29,7 +29,8 @@ class EmptyInputSpec extends AnyFunSuite {
       try {
         val n = fn(spark, emptyDir).count()
         if (n != 0) Some(s"$name: $n rows from empty input") else None
-      } catch { case e: Throwable => Some(s"$name: threw ${e.getClass.getSimpleName}: ${e.getMessage.take(80)}") }
+      } catch { case e: Throwable =>
+        Some(s"$name: threw ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}") }
     }
     DedupOps.clearCaches(spark) // don't leak the empty substrate to other suites
     assert(bad.isEmpty, s"queries misbehaving on empty input:\n${bad.mkString("\n")}")

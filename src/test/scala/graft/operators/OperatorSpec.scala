@@ -128,6 +128,29 @@ class OperatorSpec extends AnyFunSuite {
       assert(b >= a - 1e-12, s"probe2 worse than probe1 for query $q: $c2 vs $c1")
   }
 
+  test("NULL-text documents keep NULL counts (array-form and oracle semantics)") {
+    import org.apache.spark.sql.functions._
+    // the corpus has no NULL texts, so pin the semantics on a synthetic
+    // dir: NULL text -> NULL counts / 'und'; empty text -> 0 counts
+    val dir = java.nio.file.Files.createTempDirectory("graft_nulltext").toString
+    val src = graft.sources.Tables.documents(spark, sf)
+    val rest = src.columns.filter(c => c != "doc_id" && c != "text").map(col).toSeq
+    src.limit(1).select(
+        (lit(900001L).as("doc_id") +: lit(null).cast("string").as("text") +: rest): _*)
+      .union(src.limit(1).select(
+        (lit(900002L).as("doc_id") +: lit("").as("text") +: rest): _*))
+      .select(src.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = TextOps.textQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(900001L).isNullAt(1), "NULL text must keep NULL n_tokens")
+    assert(q(900002L).getLong(1) === 0L, "empty text must count 0 tokens")
+    val l = TextOps.textLangId(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(l(900001L).isNullAt(1), "NULL text must keep NULL hits")
+    assert(l(900001L).getString(l(900001L).length - 1) === "und")
+  }
+
   test("langid prediction is deterministic and in-lexicon") {
     val langs = TextOps.textLangId(spark, sf)
       .select("lang_pred").distinct().collect().map(_.getString(0)).toSet
