@@ -121,6 +121,23 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
       .select(col("event_id"), col("user_id"))
 
+  /** Streaming → JDBC sink via foreachBatch: each micro-batch's
+    * windowed aggregate full-replaces the target table (complete-mode
+    * semantics — the reference's DROP+CREATE sink applied per batch).
+    * foreachBatch is the production pattern for sinks Spark has no
+    * native streaming writer for; the batch handle reuses the exact
+    * SalesIo.writeJdbc path the batch pipeline ships with. Returns the
+    * started query; callers own its lifecycle.
+    */
+  def countsToJdbc(counts: DataFrame, url: String, table: String,
+                   user: String, password: String): org.apache.spark.sql.streaming.StreamingQuery =
+    counts.writeStream
+      .outputMode(OutputMode.Complete)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.SalesIo.writeJdbc(batch.toDF(), url, table, user, password)
+      }
+      .start()
+
   final case class Ev(user_id: Long, es: Long, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   final case class SessionOut(user_id: Long, session_start: Long,

@@ -76,6 +76,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("foreachBatch JDBC sink lands the final windowed aggregate in the database") {
+    System.setProperty("derby.system.home", "/tmp/graft_derby")
+    val url = "jdbc:derby:/tmp/graft_derby/streamdb;create=true"
+    val events = EventStream.readEvents(spark, sf)
+    val q = EventStream.countsToJdbc(
+      EventStream.tumblingCounts(events), url, "stream_counts", "app", "app")
+    q.processAllAvailable()
+    q.stop()
+    val landed = graft.sources.SalesIo.readJdbc(spark, url, "stream_counts", "app", "app")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventOps.tumblingWindow(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(landed === batch, "JDBC-landed aggregate differs from the batch twin")
+  }
+
   test("streaming dedup suppresses replayed events within the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
