@@ -2,30 +2,88 @@ package graft.operators
 
 import scala.collection.mutable.ListBuffer
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
-/** Registry for the operators' internal persisted frames (dedup
-  * substrates, candidate sets, pre-sort results). Spark's CacheManager
-  * holds persisted frames until spark.stop(), so a long-lived session
-  * repeatedly calling the dedup/ANN operators would otherwise
-  * accumulate cache entries without bound; `clear` (or
-  * DedupOps.clearCaches, which also drops its memo) releases them.
+/** Registry for the operators' internal persisted frames, in two
+  * tiers:
+  *
+  *  - PINNED: the memoized dedup substrate — shared across queries in
+  *    a session, released only by `clear` (DedupOps.clearCaches);
+  *  - TRANSIENT: per-call intermediates (candidate sets, pre-sort
+  *    results). They must stay cached while the single query that
+  *    created them materializes (they feed several joins inside it),
+  *    but are dead weight afterwards — `clearTransients`
+  *    (DedupOps.releaseTransients) unpersists them without touching
+  *    the substrate, so a long-lived session repeatedly calling the
+  *    dedup/ANN operators does not grow the block-manager cache per
+  *    call.
+  *
+  * Registration is race-safe (putIfAbsent, no lost frames under
+  * concurrent first callers), and the registry drops its strong
+  * references to a session's frames when that session's SparkContext
+  * ends, so stopped sessions are never pinned by this map.
   */
 private[operators] object OpCaches {
 
-  private val caches =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, ListBuffer[DataFrame]]
+  private final case class Entry(df: DataFrame, pinned: Boolean)
 
-  /** Persist `df` (memory+disk) and remember it for `clear`. */
-  def track(df: DataFrame): DataFrame = {
+  private val caches =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, ListBuffer[Entry]]
+
+  /** Persist `df` (memory+disk) as a per-call TRANSIENT frame. */
+  def track(df: DataFrame): DataFrame = add(df, pinned = false)
+
+  /** Persist `df` (memory+disk) as a PINNED frame (survives
+    * `clearTransients`; released by `clear`).
+    */
+  def trackPinned(df: DataFrame): DataFrame = add(df, pinned = true)
+
+  private def add(df: DataFrame, pinned: Boolean): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val buf = caches.getOrElseUpdate(p.sparkSession, ListBuffer.empty)
-    buf.synchronized { buf += p }
+    val buf = caches.get(p.sparkSession) match {
+      case Some(existing) => existing
+      case None =>
+        val fresh = ListBuffer.empty[Entry]
+        caches.putIfAbsent(p.sparkSession, fresh) match {
+          case Some(winner) => winner
+          case None =>
+            // First frame for this session: release the registry's
+            // strong refs when the context ends, even if the caller
+            // never invokes clearCaches.
+            val session = p.sparkSession
+            session.sparkContext.addSparkListener(new SparkListener {
+              override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+                caches.remove(session)
+            })
+            fresh
+        }
+    }
+    buf.synchronized { buf += Entry(p, pinned) }
     p
   }
 
-  /** Unpersist every tracked frame for `spark`. */
+  /** Unpersist every TRANSIENT frame for `spark`, keeping pinned
+    * substrates cached. Call after a query's result has materialized.
+    */
+  def clearTransients(spark: SparkSession): Unit =
+    caches.get(spark).foreach { buf =>
+      buf.synchronized {
+        val (keep, drop) = buf.partition(_.pinned)
+        drop.foreach(_.df.unpersist(blocking = false))
+        buf.clear()
+        buf ++= keep
+      }
+    }
+
+  /** Unpersist every tracked frame for `spark` (pinned included). */
   def clear(spark: SparkSession): Unit =
-    caches.remove(spark).foreach(_.foreach(_.unpersist(blocking = false)))
+    caches.remove(spark).foreach { buf =>
+      buf.synchronized(buf.foreach(_.df.unpersist(blocking = false)))
+    }
+
+  /** Test hook: number of tracked frames for `spark`. */
+  private[operators] def trackedCount(spark: SparkSession): Int =
+    caches.get(spark).map(b => b.synchronized(b.size)).getOrElse(0)
 }
