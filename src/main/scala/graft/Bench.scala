@@ -1,8 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  *
+  * Methodology (the parts that make the numbers trustworthy):
+  *
+  *  - n timed iterations per query (SPARK_GRAFT_BENCH_ITERS, default
+  *    3); the reported per-query number is the MEDIAN, with the min
+  *    alongside in `queries_min`. A single-shot wall time on a shared
+  *    host cannot distinguish a real 2x regression from a co-tenant
+  *    spike (round-2 lesson: sf0.1 single-shot numbers were provably
+  *    inconsistent with the same code's sf1 run).
+  *  - the dedup/ANN substrate (the memoized shingle frame shared by
+  *    the dedup family) is materialized up front and reported as its
+  *    own `_substrate` entry, so its one-time cost is attributable
+  *    instead of landing inside whichever dedup query runs first, and
+  *    every dedup query reports steady-state cost.
+  *  - per-call transient frames are released between iterations:
+  *    Spark's CacheManager keys cache entries by canonicalized plan,
+  *    so without the release, iteration 2+ would silently reuse
+  *    iteration 1's persisted candidate sets and report a fiction.
+  *  - noop sink forces full evaluation of every operator (a count()
+  *    would let Catalyst prune projections, sorts and limits away).
+  *  - a failed query reports -1 and is excluded from the total, and
+  *    `failures` is explicit, so a regression can never make the
+  *    benchmark look faster.
+  */
 object Bench {
+
+  private def timeNoop(fn: => Unit): Double = {
+    val t0 = System.nanoTime()
+    fn
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.build("graft-bench")
     // Untimed warmup: touch every table once so scan/file-index and
     // JIT first-touch costs don't land on whichever query runs first.
@@ -11,27 +53,36 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // noop sink forces full evaluation of every operator (a count()
-    // would let Catalyst prune projections, sorts and limits away).
-    // A failed query reports -1 and is excluded from the total so a
-    // regression can never make the benchmark look faster.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val good = results.values.filter(_ >= 0)
+    // One-time substrate materialization, timed as its own line.
+    val substrate =
+      try timeNoop(graft.operators.DedupOps.materializeSubstrate(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] _substrate failed: ${e.getMessage}"); -1.0
+      }
+    val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val runs = (1 to iters).map { _ =>
+        val t =
+          try timeNoop(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+          }
+        // steady-state honesty: drop this run's persisted intermediates
+        // (candidate sets, pre-sort results) so the next iteration
+        // re-pays them; the pinned substrate stays.
+        graft.operators.DedupOps.releaseTransients(spark)
+        t
+      }
+      name -> (if (runs.contains(-1.0)) (-1.0, -1.0)
+               else (median(runs), runs.min))
+    }
+    val med = ("_substrate" -> substrate) +: timings.map { case (n, (m, _)) => n -> m }
+    val mins = timings.map { case (n, (_, mn)) => n -> mn }
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val good = med.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
-    // "failures" is explicit so a consumer can never read a smaller
-    // total (from an errored-out query) as an improvement.
-    val failures = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfDir"}""")
+    val failures = med.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failures":$failures,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
