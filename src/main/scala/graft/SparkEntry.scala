@@ -145,7 +145,9 @@ object SparkEntry {
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
         cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
-                  WHERE vec_id % ${EmbeddingOps.IvfCentroidStride} = 0),
+                  ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+                           vec_id
+                  LIMIT ${EmbeddingOps.IvfCentroidK}),
         rk AS (SELECT c.vec_id, c.v, ct.cent_id,
                  row_number() OVER (PARTITION BY c.vec_id ORDER BY
                    (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /

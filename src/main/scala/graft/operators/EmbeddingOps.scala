@@ -114,15 +114,39 @@ object EmbeddingOps {
     topK(joined)
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every 125th
-    * vector serves as a centroid — a k-means stand-in with no RNG so
-    * the oracle can replicate it), each vector assigned to its nearest
-    * centroid by cosine, queries searched only within their own cell
-    * (nprobe=1). At real scale the corpus is written partitioned by
-    * cell, so a query touches one partition; recall/latency trades via
-    * nprobe exactly as in a production IVF index.
+  /** IVF-style ANN: a deterministic coarse quantizer (a fixed-size
+    * pseudo-random sample of the corpus serves as the centroid set —
+    * a k-means stand-in with no RNG so the oracle can replicate it),
+    * each vector assigned to its nearest centroid by cosine, queries
+    * searched only within their own cell (nprobe=1). At real scale the
+    * corpus is written partitioned by cell, so a query touches one
+    * partition; recall/latency trades via nprobe exactly as in a
+    * production IVF index.
+    *
+    * The centroid COUNT is a fixed constant, independent of corpus
+    * size: the K corpus vectors with the smallest values of a pure
+    * integer hash of vec_id (an LCG step — chosen over xxhash64
+    * because the oracle engine lacks that function, and over a vec_id
+    * stride because a stride ties centroid count to N, which made the
+    * N×C assignment stage O(N²) at scale). All arithmetic stays within
+    * BIGINT for any vec_id (id is reduced mod 2³¹ first), so both
+    * engines compute bit-identical hashes with no overflow semantics
+    * in play. Ties (same hash) break by vec_id — a total order.
+    * Selection is orderBy(hash).limit(K): a TakeOrderedAndProject,
+    * i.e. one O(N) scan keeping K rows per partition — no full sort.
     */
-  val IvfCentroidStride = 125
+  val IvfCentroidK = 32
+
+  private def centOrder(id: Column): Column =
+    ((id % lit(2147483648L)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
+
+  /** The fixed-K centroid set (exposed for the OperatorSpec assertion
+    * that |centroids| is IvfCentroidK regardless of corpus size).
+    */
+  private[operators] def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .orderBy(centOrder(col("vec_id")), col("vec_id"))
+      .limit(IvfCentroidK)
 
   /** Shared IVF assignment + probed search, parameterized by nprobe —
     * one definition so the nprobe variants (and their oracles) cannot
@@ -138,8 +162,9 @@ object EmbeddingOps {
     import graft.functions.VectorExprs.dotProduct
     val base = corpus(spark, dir)
       .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val cents = base.filter(col("vec_id") % IvfCentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val cents = ivfCentroids(spark, dir)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
+        sqrt(dotProduct(col("v"), col("v"))).as("cnrm"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
     val ranked = OpCaches.track(

@@ -128,6 +128,16 @@ class OperatorSpec extends AnyFunSuite {
       assert(b >= a - 1e-12, s"probe2 worse than probe1 for query $q: $c2 vs $c1")
   }
 
+  test("IVF centroid count is the fixed K, independent of corpus size") {
+    // The quantizer must NOT scale centroids with N (a stride does,
+    // making the N x C assignment stage quadratic): the same constant
+    // K on two corpora that differ 10x in size.
+    val small = EmbeddingOps.ivfCentroids(spark, sf).count()
+    val large = EmbeddingOps.ivfCentroids(spark, "/root/testdata/sf0.01").count()
+    assert(small === EmbeddingOps.IvfCentroidK.toLong)
+    assert(large === EmbeddingOps.IvfCentroidK.toLong)
+  }
+
   test("NULL-text documents keep NULL counts (array-form and oracle semantics)") {
     import org.apache.spark.sql.functions._
     // the corpus has no NULL texts, so pin the semantics on a synthetic
