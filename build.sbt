@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout VERBATIM: sbt's default
+// LoggedOutput strategy prefixes every line with "[info] ", which
+// breaks any harness that json-parses Bench/Verify's one-line JSON
+// from the process output (rounds 1-3 lost their bench numbers to
+// exactly this).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

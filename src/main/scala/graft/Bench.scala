@@ -42,6 +42,16 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** 3-decimal (millisecond) rounding for the final stdout line. The
+    * harness that collects the bench captures only the last ~2000
+    * characters of output and must find the complete JSON line inside
+    * that window; 65 queries at full double precision blow past it
+    * (that is how rounds 1-3 ended up with an unparseable bench).
+    * Millisecond precision is below this benchmark's run-to-run noise
+    * anyway, so nothing real is lost.
+    */
+  private def ms(v: Double): Double = math.rint(v * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
@@ -60,7 +70,9 @@ object Bench {
         System.err.println(s"[bench] _substrate failed: ${e.getMessage}"); -1.0
       }
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to iters).map { _ =>
+      // stop iterating on the first failure: the query reports -1
+      // regardless, so the remaining runs would be pure waste.
+      val runs = Iterator.continually(()).take(iters).map { _ =>
         val t =
           try timeNoop(fn(spark, sfDir).write.format("noop").mode("overwrite").save())
           catch { case e: Throwable =>
@@ -71,18 +83,22 @@ object Bench {
         // re-pays them; the pinned substrate stays.
         graft.operators.DedupOps.releaseTransients(spark)
         t
-      }
-      name -> (if (runs.contains(-1.0)) (-1.0, -1.0)
+      }.takeWhile(_ >= 0.0).toSeq
+      name -> (if (runs.length < iters) (-1.0, -1.0)
                else (median(runs), runs.min))
     }
     val med = ("_substrate" -> substrate) +: timings.map { case (n, (m, _)) => n -> m }
     val mins = timings.map { case (n, (_, mn)) => n -> mn }
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val good = med.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
     val failures = med.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"failures":$failures,"queries":${obj(med)},"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    // Per-query minimum runs go on an EARLIER stdout line (full detail,
+    // human/judge-readable); the machine-parsed compact line must come
+    // LAST so the complete line lands inside the collector's tail window.
+    println(s"""{"detail":"per_query_min","queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"failures":$failures,"queries":${obj(med)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

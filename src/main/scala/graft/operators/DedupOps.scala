@@ -95,7 +95,10 @@ object DedupOps {
     * CacheManager keys cache entries by canonicalized plan, so
     * unpersisting a same-plan twin would drop the winner's cache too).
     * Worst case under a photo-finish race is one redundant plan
-    * construction, never a double materialization.
+    * construction plus, for a reader that fetches the memo in the
+    * window between putIfAbsent and persist(), one uncached (still
+    * correct) materialization. If persist itself throws, the memo
+    * entry is removed so the failure is not cached.
     */
   private[operators] def shingleRowsCached(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val key = (spark, dir, k)
@@ -105,7 +108,11 @@ object DedupOps {
         val fresh = shingleRows(spark, dir, k)
         shingleCache.putIfAbsent(key, fresh) match {
           case Some(winner) => winner
-          case None => OpCaches.trackPinned(fresh)
+          case None =>
+            try OpCaches.trackPinned(fresh)
+            catch {
+              case e: Throwable => shingleCache.remove(key, fresh); throw e
+            }
         }
     }
   }

@@ -32,6 +32,17 @@ private[operators] object OpCaches {
   private val caches =
     scala.collection.concurrent.TrieMap.empty[SparkSession, ListBuffer[Entry]]
 
+  /** Sessions whose context already carries our cleanup listener.
+    * Deliberately NOT cleared by `clear`: `clear` only empties the
+    * frame registry, so a later `add` for the same session must not
+    * register a second listener — repeated clearCaches cycles in a
+    * long-lived session would otherwise accumulate listeners on the
+    * bus, each pinning the session. Entries leave this set only when
+    * the application ends (the listener removes its own session).
+    */
+  private val listenerInstalled =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
+
   /** Persist `df` (memory+disk) as a per-call TRANSIENT frame. */
   def track(df: DataFrame): DataFrame = add(df, pinned = false)
 
@@ -42,21 +53,26 @@ private[operators] object OpCaches {
 
   private def add(df: DataFrame, pinned: Boolean): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    val buf = caches.get(p.sparkSession) match {
+    val session = p.sparkSession
+    val buf = caches.get(session) match {
       case Some(existing) => existing
       case None =>
         val fresh = ListBuffer.empty[Entry]
-        caches.putIfAbsent(p.sparkSession, fresh) match {
+        caches.putIfAbsent(session, fresh) match {
           case Some(winner) => winner
           case None =>
-            // First frame for this session: release the registry's
-            // strong refs when the context ends, even if the caller
-            // never invokes clearCaches.
-            val session = p.sparkSession
-            session.sparkContext.addSparkListener(new SparkListener {
-              override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-                caches.remove(session)
-            })
+            // Release the registry's strong refs when the context ends,
+            // even if the caller never invokes clearCaches. Guarded by
+            // listenerInstalled so a clear()-then-add() cycle reuses the
+            // existing listener instead of stacking a new one per cycle.
+            if (listenerInstalled.putIfAbsent(session, ()).isEmpty) {
+              session.sparkContext.addSparkListener(new SparkListener {
+                override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+                  caches.remove(session)
+                  listenerInstalled.remove(session)
+                }
+              })
+            }
             fresh
         }
     }

@@ -129,13 +129,27 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("IVF centroid count is the fixed K, independent of corpus size") {
+    import org.apache.spark.sql.functions._
     // The quantizer must NOT scale centroids with N (a stride does,
-    // making the N x C assignment stage quadratic): the same constant
-    // K on two corpora that differ 10x in size.
-    val small = EmbeddingOps.ivfCentroids(spark, sf).count()
-    val large = EmbeddingOps.ivfCentroids(spark, "/root/testdata/sf0.01").count()
-    assert(small === EmbeddingOps.IvfCentroidK.toLong)
-    assert(large === EmbeddingOps.IvfCentroidK.toLong)
+    // making the N x C assignment stage quadratic). The test-data
+    // embeddings tables are 500 rows at EVERY sf, so comparing two sf
+    // dirs never varies N — instead build a synthetic corpus 4x the
+    // size (vec_ids remapped to stay unique) and require the same
+    // constant K on both.
+    val src = graft.sources.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfk").toString
+    val rest = src.columns.filter(_ != "vec_id").map(col).toSeq
+    (0 until 4).map { i =>
+      src.select((col("vec_id") + lit(i * 1000000L)).as("vec_id") +: rest: _*)
+    }.reduce(_ union _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val nSmall = src.count()
+    val nLarge = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(nLarge === nSmall * 4, "premise: the corpora must differ in size")
+    assert(EmbeddingOps.ivfCentroids(spark, sf).count() ===
+      EmbeddingOps.IvfCentroidK.toLong)
+    assert(EmbeddingOps.ivfCentroids(spark, dir).count() ===
+      EmbeddingOps.IvfCentroidK.toLong)
   }
 
   test("NULL-text documents keep NULL counts (array-form and oracle semantics)") {
