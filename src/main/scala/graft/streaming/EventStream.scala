@@ -145,36 +145,61 @@ object EventStream {
 
   /** Custom stateful sessionization: explicit per-user state — the
     * escape hatch when session semantics outgrow `session_window`
-    * (e.g. value-dependent gaps). Emits a session whenever a gap
-    * > 30 min is observed; the trailing open session stays in state
-    * (production would add an event-time timeout to flush it; a
-    * processing-time timeout would keep the micro-batch engine
-    * spinning, which is why the demo closes on gaps only).
+    * (e.g. value-dependent gaps). A session closes two ways:
+    *
+    *  - a later event for the same user arrives > 30 min after the
+    *    session's last event (gap close), or
+    *  - the EVENT-TIME watermark passes last + 30 min with no further
+    *    events (timeout flush) — so the trailing session of every user
+    *    eventually emits instead of sitting in state forever. An
+    *    event-time timeout is the right tool here: it fires off the
+    *    watermark (data-driven, replay-deterministic), whereas a
+    *    processing-time timeout would keep the micro-batch engine
+    *    spinning on wall-clock and make results timing-dependent.
+    *
+    * State per user is one SessionState, removed on timeout — bounded
+    * by active users within the watermark horizon.
     */
   def statefulSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
     val evs = events.select(col("user_id"),
-      expr("ts DIV 1000000000").as("es"), col("value")).as[Ev]
+        expr("ts DIV 1000000000").as("es"), col("value"),
+        timestamp_seconds(expr("ts DIV 1000000000")).as("event_ts"))
+      .withWatermark("event_ts", "30 minutes")
+      .as[Ev]
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid, it, state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => e.es)
-          var cur = state.getOption
-          val closed = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            cur match {
-              case Some(s) if e.es - s.last <= 1800 =>
-                cur = Some(s.copy(last = e.es, n = s.n + 1, total = s.total + e.value))
-              case Some(s) =>
-                closed += SessionOut(uid, s.start, s.last, s.n, s.total)
-                cur = Some(SessionState(e.es, e.es, 1, e.value))
-              case None =>
-                cur = Some(SessionState(e.es, e.es, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed last + gap with no new events: flush the
+            // open session and drop the state entry.
+            val flushed = state.getOption
+              .map(s => SessionOut(uid, s.start, s.last, s.n, s.total))
+            state.remove()
+            flushed.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(e => e.es)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.es - s.last <= 1800 =>
+                  cur = Some(s.copy(last = e.es, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(e.es, e.es, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.es, e.es, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when the watermark passes the session's gap bound
+              state.setTimeoutTimestamp((s.last + 1800) * 1000L)
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 }

@@ -169,4 +169,37 @@ class StreamingSpec extends AnyFunSuite {
     val missing = got.filterNot(batch.contains)
     assert(missing.isEmpty, s"sessions not in batch result: ${missing.take(3)}")
   }
+
+  test("trailing open session flushes via event-time timeout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_flush").toString
+    val t0 = 1600000000L
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "es", "value")
+        .select(col("user_id"), (col("es") * 1000000000L).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq((1L, t0, 2.0), (1L, t0 + 60, 3.0)))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.statefulSessions(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_flush").start()
+    q.processAllAvailable()
+    // User 1 never gets a gap-closing event. Events for a DIFFERENT
+    // user advance the watermark past user 1's gap bound (t0+60+30min);
+    // the second batch guarantees a micro-batch runs AFTER the
+    // watermark update so the event-time timeout fires deterministically
+    // (not relying on a no-data batch).
+    write(Seq((2L, t0 + 14400, 1.0)))
+    q.processAllAvailable()
+    write(Seq((2L, t0 + 14460, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_flush").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.contains((1L, t0, t0 + 60, 2L, 5.0)),
+      s"trailing session not flushed: ${got.toSeq}")
+  }
 }
