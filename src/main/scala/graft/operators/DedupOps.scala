@@ -238,12 +238,23 @@ object DedupOps {
       .select("lang", "s", "doc_id", "n", "rk")
       .transform(OpCaches.track)
     // Candidate pairs share ≥1 prefix shingle, then two more lossless
-    // PPJoin prunes cut the verify workload ~4.5× (measured):
+    // PPJoin prunes cut the verify workload (measured at sf1: 1.76M →
+    // see ProfileNgram; verify cost is proportional to candidate
+    // count, so these filters are where the query's time is won):
     //  - length filter: J ≥ 0.5 needs 2·min(|A|,|B|) ≥ max(|A|,|B|);
-    //  - positional filter: with (i, j) the in-doc ranks of the pair's
-    //    globally-first shared prefix shingle, any other common
-    //    shingle sorts after it in BOTH docs (same total order), so
-    //    c ≤ 1 + min(|A|−i, |B|−j) must still reach ⌈(|A|+|B|)/3⌉.
+    //  - positional filter, strengthened with the shared-prefix count:
+    //    let cp = |prefix(A) ∩ prefix(B)| (exactly the join matches
+    //    grouped below) and (i2, j2) the in-doc ranks of the
+    //    globally-LAST shared prefix shingle — max(rka) and max(rkb)
+    //    are both attained there because in-doc rank order follows the
+    //    one global (df, s) order. Any common shingle not counted in
+    //    cp lies in suffix(A) or suffix(B), hence sorts after every
+    //    prefix shingle of that doc, in particular after the last
+    //    shared one — so it ranks > i2 in A AND > j2 in B. Therefore
+    //    c ≤ cp + min(|A|−i2, |B|−j2), which must still reach
+    //    ⌈(|A|+|B|)/3⌉. This dominates the textbook first-match bound
+    //    1 + min(|A|−i, |B|−j): i2 ≥ i + cp − 1 elementwise, so the
+    //    new bound is tighter whenever cp > 1 and equal at cp = 1.
     val pa = prefix.select(col("lang"), col("s"),
       col("doc_id").as("doc_a"), col("n").as("na"), col("rk").as("rka"))
     val pb = prefix.select(col("lang"), col("s"),
@@ -251,9 +262,9 @@ object DedupOps {
     val cand = pa.join(pb, Seq("lang", "s"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(min(col("rka")).as("i"), min(col("rkb")).as("j"))
+      .agg(count(lit(1)).as("cp"), max(col("rka")).as("i2"), max(col("rkb")).as("j2"))
       .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
-      .filter(lit(1) + least(col("na") - col("i"), col("nb") - col("j")) >=
+      .filter(col("cp") + least(col("na") - col("i2"), col("nb") - col("j2")) >=
         floor((col("na") + col("nb") + lit(2)) / lit(3)))
       .select("doc_a", "doc_b")
     cand
