@@ -29,7 +29,16 @@ object RunSalesPipeline {
     val bc = SalesPipeline.Cleaned(b.produtos.cache(), b.vendas.cache(), b.empregados.cache())
     SalesPipeline.writeParquet(bc, outDir)
     SalesPipeline.writeReportTables(bc, outDir)
-    SalesReportHtml.write(bc, s"$outDir/report")
+    // Both visual artifacts render the one ReportModel (built once):
+    // the HTML/SVG report and the reference-named PDF.
+    val model = ReportModel.build(bc)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$outDir/report"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/report/relatorio_vendas.html"),
+      SalesReportHtml.render(model).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/report/relatorio-final.pdf"),
+      SalesReportPdf.render(model))
     println(s"[pipeline] produtos=${bc.produtos.count()} vendas=${bc.vendas.count()} " +
       s"empregados=${bc.empregados.count()} -> $outDir")
     Seq(

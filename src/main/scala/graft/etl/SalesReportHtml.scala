@@ -3,6 +3,8 @@ package graft.etl
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import graft.etl.ReportModel.{Chart, Report}
+
 /** S9, visual half: the reference renders a PDF sales report —
   * title, five sections (heading + summary paragraph + styled table)
   * and three charts (save-data/save_data_pdf_report.py:480-745:
@@ -10,7 +12,8 @@ import java.nio.file.{Files, Paths}
   * for vendas por período) via matplotlib + ReportLab. This engine
   * renders the same inventory as a self-contained HTML document with
   * inline SVG charts — zero native/graphics dependencies, same
-  * information architecture, diffable in CI.
+  * information architecture, diffable in CI. (The byte-format PDF
+  * twin is SalesReportPdf; both render the one ReportModel.)
   *
   * Rendering is driver-side BY DESIGN: the inputs are the five
   * report aggregates (tens of rows — already reduced by distributed
@@ -22,19 +25,12 @@ object SalesReportHtml {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  // Locale-pinned formatting: the f-interpolator uses the JVM default
-  // locale, which would emit comma decimals on e.g. a pt-BR JVM.
-  private def fmt(v: Any): String = v match {
-    case null => ""
-    case d: java.math.BigDecimal => d.setScale(2, java.math.RoundingMode.HALF_UP).toPlainString
-    case d: Double => String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    case x => x.toString
-  }
+  private def fmt(v: Double): String = ReportModel.fmt(v)
 
-  private def table(rows: Array[org.apache.spark.sql.Row], headers: Seq[String]): String = {
+  private def table(headers: Seq[String], rows: Seq[Seq[String]]): String = {
     val head = headers.map(h => s"<th>${esc(h)}</th>").mkString
     val body = rows.map { r =>
-      "<tr>" + r.toSeq.map(v => s"<td>${esc(fmt(v))}</td>").mkString + "</tr>"
+      "<tr>" + r.map(v => s"<td>${esc(v)}</td>").mkString + "</tr>"
     }.mkString("\n")
     s"<table><thead><tr>$head</tr></thead><tbody>\n$body\n</tbody></table>"
   }
@@ -95,51 +91,21 @@ object SalesReportHtml {
        $marks</svg>"""
   }
 
-  // Chart values come straight off the Row as numbers — parsing the
-  // display string back would lose precision and break on NULLs.
-  private def labeled(rows: Array[org.apache.spark.sql.Row],
-      labelIdx: Int, valueIdx: Int): Seq[(String, Double)] =
-    rows.toSeq.map { r =>
-      val v = r.get(valueIdx) match { case n: Number => n.doubleValue(); case _ => 0.0 }
-      (Option(r.get(labelIdx)).fold("")(_.toString), v)
-    }
+  private def chartSvg(c: Chart): String = c.kind match {
+    case "hbar" => hbarSvg(c.data, c.title)
+    case "vbar" => barSvg(c.data, c.title)
+    case "line" => lineSvg(c.data, c.title)
+  }
 
-  /** Renders the full report (the reference's section/chart inventory,
-    * same order) and returns the HTML string. Each report aggregate is
-    * collected exactly once; table, chart, and summary all derive from
-    * that one Array[Row].
-    */
-  def render(c: SalesPipeline.Cleaned): String = {
-    val q1 = SalesPipeline.q1SalesByEmployee(c).select("nome", "valor_total").collect()
-    val q2 = SalesPipeline.q2AvgTicketByProduct(c).select("nome", "ticket_medio").collect()
-    val q3 = SalesPipeline.q3SalesByCategory(c).collect()
-    val q4 = SalesPipeline.q4Top5Employees(c).select("nome", "valor_total").collect()
-    val q5 = SalesPipeline.q5SalesByPeriod(c).collect()
-    val nEmp = q1.length; val nProd = q2.length; val nCat = q3.length; val nPer = q5.length
-    val sections = Seq(
-      ("Total de vendas por funcionário",
-        s"Total de vendas consolidado por funcionário ($nEmp funcionários).",
-        table(q1, Seq("Nome do Funcionário", "Total de Vendas (R$)")), ""),
-      ("Ticket médio por produto",
-        s"Ticket médio (valor total / número de vendas) por produto ($nProd produtos).",
-        table(q2, Seq("Nome do Produto", "Ticket Médio (R$)")),
-        hbarSvg(labeled(q2, 0, 1), "Ticket médio por produto")),
-      ("Quantidade de vendas por categoria de produto",
-        s"Contagem de vendas por categoria ($nCat categorias).",
-        table(q3, Seq("Categoria", "Qtd. Vendas")), ""),
-      ("Top 5 funcionários com maior volume de vendas",
-        "Os cinco funcionários com maior volume total de vendas.",
-        table(q4, Seq("Nome do Funcionário", "Total de Vendas (R$)")),
-        barSvg(labeled(q4, 0, 1), "Top 5 funcionários")),
-      ("Quantidade de vendas por período",
-        s"Evolução mensal da quantidade de vendas ($nPer meses).",
-        table(q5, Seq("Período", "Qtd. Vendas", "Valor Total (R$)")),
-        lineSvg(labeled(q5, 0, 1), "Vendas por período")))
-    val body = sections.map { case (titleTxt, summary, tbl, chart) =>
-      s"""<section><h2>${esc(titleTxt)}</h2><p class="summary">${esc(summary)}</p>$tbl$chart</section>"""
+  /** Renders the report model as a self-contained HTML document. */
+  def render(r: Report): String = {
+    val body = r.sections.map { s =>
+      val tbl = table(s.headers, s.rows)
+      val chart = s.chart.map(chartSvg).getOrElse("")
+      s"""<section><h2>${esc(s.title)}</h2><p class="summary">${esc(s.summary)}</p>$tbl$chart</section>"""
     }.mkString("\n")
     s"""<!DOCTYPE html>
-<html lang="pt-BR"><head><meta charset="utf-8"><title>Relatório de Vendas</title>
+<html lang="pt-BR"><head><meta charset="utf-8"><title>${esc(r.title)}</title>
 <style>
 body{font-family:sans-serif;margin:24px;color:#222}
 h1{background:#2980b9;color:#fff;padding:8px;text-align:center}
@@ -158,10 +124,13 @@ svg .vbar{fill:#87ceeb;stroke:#000080;fill-opacity:.7}
 svg .line{fill:none;stroke:green;stroke-width:2}
 svg .pt{fill:green}
 </style></head><body>
-<h1>Relatório de Vendas</h1>
+<h1>${esc(r.title)}</h1>
 $body
 </body></html>"""
   }
+
+  /** Builds the model and renders (one collect per aggregate). */
+  def render(c: SalesPipeline.Cleaned): String = render(ReportModel.build(c))
 
   /** Renders and writes `relatorio_vendas.html` under outDir. */
   def write(c: SalesPipeline.Cleaned, outDir: String): Unit = {
