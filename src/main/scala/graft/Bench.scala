@@ -52,6 +52,12 @@ object Bench {
     */
   private def ms(v: Double): Double = math.rint(v * 1000) / 1000
 
+  /** Per-query map values get centisecond precision — one char less
+    * than ms at 4-digit seconds, and still well under the run-to-run
+    * noise floor. BenchLineSpec enforces the resulting line budget.
+    */
+  private def cs(v: Double): Double = math.rint(v * 100) / 100
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
@@ -90,7 +96,7 @@ object Bench {
     val med = ("_substrate" -> substrate) +: timings.map { case (n, (m, _)) => n -> m }
     val mins = timings.map { case (n, (_, mn)) => n -> mn }
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+      kv.map { case (k, v) => s"\"" + k + "\":" + cs(v) }.mkString("{", ",", "}")
     val good = med.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
     val failures = med.count(_._2 < 0)

@@ -93,6 +93,12 @@ object SparkEntry {
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
     "mm_decode_features"     -> (MultimodalOps.mmDecodeFeatures _),
+    // Training-data pipeline: ingest-side transforms (PipelineOps)
+    "text_pii_redact"        -> (PipelineOps.piiRedact _),
+    "sample_stratified"      -> (PipelineOps.sampleStratified _),
+    "text_tfidf_topk"        -> (PipelineOps.tfidfTopK _),
+    "events_funnel"          -> (PipelineOps.eventsFunnel _),
+    "merge_upsert"           -> (PipelineOps.mergeUpsert _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -678,5 +684,84 @@ object SparkEntry {
                         CAST(('0x' || substring(hx, 2*i + 1, 2)) AS BIGINT))) AS DOUBLE) / n
                  END, 4) AS mean_byte
          FROM d ORDER BY doc_id""",
+    // PipelineOps.piiRedact: same deterministic contact-line injection,
+    // same three RE2/Java-compatible patterns, same redaction order
+    // (emails, then IPs, then phones). Patterns are derived from the
+    // one Scala constant set so the two engines cannot drift.
+    "text_pii_redact" -> {
+      val email = PipelineOps.EmailRe
+      val ipv4 = PipelineOps.Ipv4Re
+      val phone = PipelineOps.PhoneRe
+      s"""WITH a AS (SELECT doc_id,
+               text || ' contact: user' || doc_id || '@example.com tel +1 555-010'
+                    || (doc_id % 10) || ' host 10.0.0.' || (doc_id % 256) AS aug
+             FROM documents WHERE text IS NOT NULL)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '$email')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '$ipv4')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(aug,
+             '$email', '<EMAIL>', 'g'),
+             '$ipv4', '<IP>', 'g'),
+             '$phone', '<PHONE>', 'g') AS redacted
+         FROM a ORDER BY doc_id"""
+    },
+    // PipelineOps.sampleStratified: the sampling decision is a pure
+    // function of (doc_id, lang) via md5 — both engines agree on md5
+    // hex, so the sampled set is identical by construction.
+    "sample_stratified" ->
+      """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+         FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+               < (CASE WHEN lang = 'en' THEN '1a' ELSE '80' END)
+         ORDER BY doc_id""",
+    // PipelineOps.tfidfTopK: score = tf * (N / df) uses only
+    // correctly-rounded IEEE ops (÷ then ×), so the doubles — and the
+    // rank order they induce — are bitwise identical on both engines.
+    "text_tfidf_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          toks AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                            tf.tf * (n.n_docs / df.df) AS score,
+                            row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf * (n.n_docs / df.df) DESC, tf.term) AS rk
+                     FROM tf JOIN df USING (term), n)
+          SELECT doc_id, term, tf, df, score, rk
+          FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // PipelineOps.eventsFunnel: stage-k users' earliest qualifying
+    // event must be strictly after their stage-(k-1) anchor.
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS prev_ts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(e.ts) AS prev_ts FROM events e
+                JOIN v USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > v.prev_ts GROUP BY 1),
+          p AS (SELECT e.user_id, min(e.ts) AS prev_ts FROM events e
+                JOIN c USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > c.prev_ts GROUP BY 1)
+         SELECT stage, users FROM (
+           SELECT '1_view' AS stage, count(*) AS users FROM v
+           UNION ALL SELECT '2_click', count(*) FROM c
+           UNION ALL SELECT '3_purchase', count(*) FROM p)
+         WHERE users > 0 ORDER BY stage""",
+    // PipelineOps.mergeUpsert: updated-wins upsert with deterministic
+    // update/insert batches derived from the base table itself.
+    "merge_upsert" ->
+      """WITH bumped AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+                  o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 10 = 0),
+          inserts AS (
+           SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+                  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey % 10 = 1),
+          updates AS (SELECT * FROM bumped UNION ALL SELECT * FROM inserts)
+         SELECT * FROM orders
+         WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+         UNION ALL SELECT * FROM updates
+         ORDER BY o_orderkey""",
   )
 }

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-pipeline operators beyond analysis/dedup/ANN: the
+  * ingest-side transforms a 100 TB training-data pipeline runs between
+  * raw crawl and training shards — PII redaction, deterministic
+  * stratified sampling, salient-term extraction, funnel analysis over
+  * event logs, and keyed upsert/merge of re-ingested batches.
+  *
+  * Everything here is a narrow, shuffle-minimal relational plan:
+  * per-row regex work stays in whole-stage codegen; the sampling
+  * filter is a pure function of the row (no RNG state, reproducible
+  * under retries/replays — a hard requirement for auditable corpus
+  * construction); merge is one key-shuffle; only tf-idf carries a
+  * (skinny) token shuffle.
+  */
+object PipelineOps {
+
+  // ---- PII redaction ---------------------------------------------------
+
+  /** Patterns chosen to mean the same thing to Java regex (Spark,
+    * codegen'd) and RE2 (the DuckDB oracle): no backrefs, no
+    * lookaround, ASCII classes only.
+    */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+\\d[\\d\\- ]{7,}\\d"
+
+  /** PII redaction over the documents corpus. The synthetic corpus
+    * carries no PII, so a deterministic per-doc contact line is
+    * appended first (replicated verbatim in the oracle) — the
+    * patterns are then exercised end-to-end on every row instead of
+    * matching nothing. Counts are taken BEFORE redaction; the
+    * redacted text must contain none of the three patterns
+    * afterwards (asserted in PipelineOpsSpec).
+    *
+    * Redaction order matters and is pinned: emails first (an email
+    * local part may contain digits that the phone pattern would
+    * otherwise mangle), then IPs (dotted digits — must not be eaten
+    * as phone digits), then phones.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val augmented = concat(col("text"),
+      lit(" contact: user"), col("doc_id").cast("string"),
+      lit("@example.com tel +1 555-010"), (col("doc_id") % 10).cast("string"),
+      lit(" host 10.0.0."), (col("doc_id") % 256).cast("string"))
+    Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), augmented.as("aug"))
+      .select(col("doc_id"),
+        regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("aug"), lit(Ipv4Re)).cast("long").as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>"),
+          PhoneRe, "<PHONE>").as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  // ---- deterministic stratified sampling -------------------------------
+
+  /** Per-stratum sampling rates as a hex threshold on the first md5
+    * byte of the key: 'en' keeps ≈ 0x1a/0x100 ≈ 10% (the dominant
+    * class, downsampled), every other language ≈ 50%. The decision is
+    * a pure function of (doc_id, lang) — identical on every engine
+    * that agrees on md5, reproducible under task retries, speculative
+    * execution, and re-ingestion, and requires no sampling state. A
+    * seeded `sample()` has none of those properties (Spark's sampler
+    * is partition-placement-dependent).
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val threshold = when(col("lang") === "en", lit("1a")).otherwise(lit("80"))
+    Tables.documents(spark, dir)
+      .filter(bucket < threshold)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  // ---- salient terms (tf-idf-shaped, oracle-exact) ---------------------
+
+  /** Top-3 salient terms per document, scored tf · (N / df). The
+    * score deliberately uses division+multiplication only — both are
+    * single correctly-rounded IEEE ops, so Spark and the oracle agree
+    * bitwise, unlike ln(N/df) (libm-dependent). Rank ties break on the
+    * term itself. Plan: one (doc_id, tok) count, one tok-keyed df
+    * aggregate joined back (AQE broadcasts it at small SF; at corpus
+    * scale it stays a skinny shuffle on tok), one doc_id-partitioned
+    * top-3 window.
+    */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // corpus size as a broadcast one-row frame, not a driver count():
+    // keeps the plan lazy and the constant distributed with the plan
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val toks = docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("score"), col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * (col("n_docs") / col("df")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  // ---- event funnel ----------------------------------------------------
+
+  /** Ordered conversion funnel view → click → purchase per user:
+    * stage k counts users whose earliest stage-k event happens
+    * strictly after their earliest qualifying stage-(k-1) event.
+    * Three skinny per-user min-aggregates chained by inner joins —
+    * one user-keyed shuffle each, no window over the raw event log.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(typ: String, prev: Option[DataFrame]): DataFrame = {
+      val typed = ev.filter(col("event_type") === typ)
+      val scoped = prev match {
+        case Some(p) => typed.join(p, Seq("user_id")).filter(col("ts") > col("prev_ts"))
+        case None => typed
+      }
+      scoped.groupBy("user_id").agg(min("ts").as("prev_ts"))
+    }
+    val v = firstAfter("view", None)
+    val c = firstAfter("click", Some(v))
+    val p = firstAfter("purchase", Some(c))
+    val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+    stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"), col("users"))
+    }.reduce(_ unionAll _)
+      // drop unpopulated stages so an empty event log yields zero rows
+      // (the uniform empty-input contract), not three zero-count rows
+      .filter(col("users") > 0)
+      .orderBy("stage")
+  }
+
+  // ---- keyed upsert / merge --------------------------------------------
+
+  /** SCD1 upsert of a re-ingested batch into the orders table — the
+    * maintenance operation every long-lived corpus needs (refreshed
+    * crawls, re-scored documents). The update batch is derived
+    * deterministically here so the oracle replicates it: every key
+    * ≡ 0 (mod 10) gets a 10% price bump, and a shifted copy of keys
+    * ≡ 1 (mod 10) arrives as brand-new rows.
+    *
+    * Merge form: left-anti (keep base rows not updated) ⊎ updates.
+    * That is ONE key-shuffle over each side and no full-outer join
+    * row-matching; at 100 TB both sides hash-partition on the key and
+    * the anti side streams. Updated-wins, inserts land, untouched
+    * rows pass through byte-identical.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+    val cols = base.columns.map(col).toSeq
+    val bumped = base.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    val inserts = base.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 1000000000L)
+    val updates = bumped.select(cols: _*).unionAll(inserts.select(cols: _*))
+    base.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .select(cols: _*)
+      .unionAll(updates)
+      .orderBy("o_orderkey")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the ingest-side pipeline operators (their
+  * value-level correctness is oracle-gated via SparkEntry; these pin
+  * the properties the oracle can't express).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark = graft.GraftSession.build("pipeline-ops-spec", "4")
+  val sf = "/root/testdata/sf0.001"
+
+  test("piiRedact: redacted text carries no residual PII matches") {
+    val rows = PipelineOps.piiRedact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val email = PipelineOps.EmailRe.r
+    val ip = PipelineOps.Ipv4Re.r
+    val phone = PipelineOps.PhoneRe.r
+    rows.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(r.getAs[Long]("n_emails") >= 1, "injected email must be counted")
+      assert(r.getAs[Long]("n_ips") >= 1, "injected IP must be counted")
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<PHONE>"))
+      assert(email.findFirstIn(red).isEmpty, s"residual email in: $red")
+      assert(ip.findFirstIn(red).isEmpty, s"residual IP in: $red")
+      assert(phone.findFirstIn(red).isEmpty, s"residual phone in: $red")
+    }
+  }
+
+  test("sampleStratified: deterministic, and downsamples the dominant class") {
+    val a = PipelineOps.sampleStratified(spark, sf).collect().map(_.toSeq)
+    val b = PipelineOps.sampleStratified(spark, sf).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq, "sampling must be a pure function of the rows")
+    val total = graft.sources.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_(1)).map { case (l, rs) => l -> rs.size }
+    val enRate = kept.getOrElse("en", 0).toDouble / total("en")
+    val otherRate = (kept.collect { case (l, n) if l != "en" => n }.sum).toDouble /
+      total.collect { case (l, n) if l != "en" => n }.sum
+    // thresholds are 0x1a/0x100 ~ 10% and 0x80/0x100 = 50%
+    assert(enRate < 0.25, s"en rate $enRate should be ~0.10")
+    assert(otherRate > 0.35 && otherRate < 0.65, s"other rate $otherRate should be ~0.50")
+  }
+
+  test("eventsFunnel: stage populations are monotone non-increasing") {
+    val stages = PipelineOps.eventsFunnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1_view") > 0)
+    assert(stages("1_view") >= stages("2_click"))
+    assert(stages("2_click") >= stages("3_purchase"))
+  }
+
+  test("mergeUpsert: updated-wins, inserts land, untouched rows pass through") {
+    val base = graft.sources.Tables.orders(spark, sf)
+    val merged = PipelineOps.mergeUpsert(spark, sf)
+    val nBase = base.count()
+    val nInserts = base.filter(col("o_orderkey") % 10 === 1).count()
+    assert(merged.count() === nBase + nInserts)
+    // a bumped row: price multiplied exactly once
+    val k0 = base.filter(col("o_orderkey") % 10 === 0)
+      .select("o_orderkey", "o_totalprice").limit(1).collect()(0)
+    val got = merged.filter(col("o_orderkey") === k0.getLong(0))
+      .select("o_totalprice").collect()(0).getDouble(0)
+    assert(got === k0.getDouble(1) * 1.1)
+    // an untouched row: byte-identical pass-through
+    val k2 = base.filter(col("o_orderkey") % 10 === 2).limit(1).collect()(0)
+    val same = merged.filter(col("o_orderkey") === k2.getLong(0)).collect()(0)
+    assert(same.toSeq === k2.toSeq)
+  }
+}
