@@ -101,4 +101,41 @@ class PlanSpec extends AnyFunSuite {
         s"expected partial topk_by_score aggregate in:\n$s")
     }
   }
+
+  test("stratified sampling never reads the text column") {
+    // the sampling decision is a function of (doc_id, lang); at corpus
+    // scale the scan must prune the (dominant) text payload or the
+    // "cheap" sample reads the whole 100 TB corpus.
+    val s = formatted(PipelineOps.sampleStratified(spark, sf))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("lang"), s"unexpected schema: $read")
+    assert(!read.contains("text"), s"text column not pruned from sampling scan: $read")
+  }
+
+  test("upsert's anti-join key side prunes to the key column") {
+    // the update-keys branch feeding the left-anti join must scan ONLY
+    // o_orderkey; dragging full rows through the build side defeats
+    // the one-skinny-side merge design.
+    val s = formatted(PipelineOps.mergeUpsert(spark, sf))
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    assert(reads.exists(r => r == "o_orderkey:bigint"),
+      s"no key-only scan for the anti-join side; schemas: $reads")
+  }
+
+  test("tf-idf ranks through a single window over pre-aggregated tf rows") {
+    // one top-3 window over (doc_id, term, tf, df) rows — never a
+    // window over the exploded token stream.
+    val s = planString(PipelineOps.tfidfTopK(spark, sf))
+    assert("\\+- Window ".r.findAllIn(s).length === 1,
+      s"expected exactly one WindowExec in tf-idf plan:\n$s")
+    // the rank<=3 filter must push a map-side partial top-k below the
+    // doc_id exchange (WindowGroupLimit Partial), so the shuffle
+    // carries at most 3 rows per (doc, partition), not every term
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"rank filter not pushed into a partial WindowGroupLimit:\n$s")
+    val gen = s.indexOf("Generate")
+    val win = s.indexOf("+- Window ")
+    assert(gen >= 0 && win >= 0 && win < gen,
+      "window must sit above the aggregates, not over the exploded tokens")
+  }
 }
