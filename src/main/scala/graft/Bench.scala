@@ -103,8 +103,8 @@ object Bench {
     // Per-query minimum runs go on an EARLIER stdout line (full detail,
     // human/judge-readable); the machine-parsed compact line must come
     // LAST so the complete line lands inside the collector's tail window.
-    println(s"""{"detail":"per_query_min","queries_min":${obj(mins)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","iters":$iters,"failures":$failures,"queries":${obj(med)},"sf":"$sfDir"}""")
+    println(s"""{"detail":"per_query_min","iters":$iters,"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"queries":${obj(med)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

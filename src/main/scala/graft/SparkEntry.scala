@@ -99,6 +99,9 @@ object SparkEntry {
     "text_tfidf_topk"        -> (PipelineOps.tfidfTopK _),
     "events_funnel"          -> (PipelineOps.eventsFunnel _),
     "merge_upsert"           -> (PipelineOps.mergeUpsert _),
+    "pack_sequences"         -> (PipelineOps.packSequences _),
+    "winsorize_by_group"     -> (PipelineOps.winsorizeByGroup _),
+    "decontaminate"          -> (PipelineOps.decontaminate _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -763,5 +766,41 @@ object SparkEntry {
          WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
          UNION ALL SELECT * FROM updates
          ORDER BY o_orderkey""",
+    // PipelineOps.packSequences: concat-then-chunk packing — bin =
+    // floor(start_offset / budget), cumsum partitioned per language.
+    // Sums and bins are pure integer math; DuckDB's HUGEINT window sum
+    // is cast back to BIGINT to match Spark's long.
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+                CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+          c AS (SELECT doc_id, lang, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start_off
+                FROM t WHERE n_tokens IS NOT NULL)
+          SELECT doc_id, lang, n_tokens, start_off,
+                 CAST(floor(start_off / ${PipelineOps.PackBudget}) AS BIGINT) AS bin
+          FROM c ORDER BY lang, doc_id""",
+    // PipelineOps.winsorizeByGroup: exact interpolated per-group
+    // [p05, p95] clamp — percentile ≡ quantile_cont (the same pairing
+    // quantiles_by_group pins).
+    "winsorize_by_group" ->
+      """WITH b AS (SELECT p_type,
+                quantile_cont(CAST(p_retailprice AS DOUBLE), 0.05) AS lo,
+                quantile_cont(CAST(p_retailprice AS DOUBLE), 0.95) AS hi
+              FROM part GROUP BY 1)
+         SELECT p_partkey, p_type, p_retailprice,
+                greatest(least(p_retailprice, hi), lo) AS winsorized
+         FROM part JOIN b USING (p_type) ORDER BY p_partkey""",
+    // PipelineOps.decontaminate: NOT EXISTS (not NOT IN) so a NULL
+    // fingerprint behaves like Spark's anti-join (kept), though the
+    // corpus carries none.
+    "decontaminate" ->
+      """WITH d AS (SELECT doc_id, lang, md5(lower(trim(text))) AS fp FROM documents),
+          e AS (SELECT fp FROM d WHERE doc_id % 50 = 0)
+         SELECT doc_id, lang, fp FROM d
+         WHERE doc_id % 50 <> 0
+           AND NOT EXISTS (SELECT 1 FROM e WHERE e.fp = d.fp)
+         ORDER BY doc_id""",
   )
 }

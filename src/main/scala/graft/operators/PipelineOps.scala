@@ -174,4 +174,74 @@ object PipelineOps {
       .unionAll(updates)
       .orderBy("o_orderkey")
   }
+
+  // ---- sequence packing ------------------------------------------------
+
+  /** Context-window budget in tokens for packSequences. */
+  private[graft] val PackBudget = 512
+
+  /** GPT-style sequence packing with concat-then-chunk semantics:
+    * documents are concatenated in a deterministic order and cut into
+    * fixed 512-token windows; a document's bin is the window its FIRST
+    * token lands in (bin = floor(start_offset / budget)).
+    *
+    * Packing is per-language — the window is partitioned by lang, so
+    * the running sum parallelizes across strata instead of forcing the
+    * corpus through one global cumsum partition (the scale killer of
+    * naive packing). At 100 TB the stratum key would be the shard key
+    * (lang × hash-bucket); the plan shape is identical.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
+      .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_off") / PackBudget))
+      .orderBy("lang", "doc_id")
+  }
+
+  // ---- winsorization ---------------------------------------------------
+
+  /** Per-group winsorization: clamp each part's retail price into its
+    * type's exact interpolated [p05, p95] band — the outlier-taming
+    * cleanup run before numeric features feed a model. The per-group
+    * thresholds are a tiny aggregate joined back (AQE broadcasts it);
+    * the fact scan never shuffles.
+    */
+  def winsorizeByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val bounds = Tables.part(spark, dir)
+      .groupBy("p_type")
+      .agg(percentile(col("p_retailprice"), lit(0.05)).as("lo"),
+        percentile(col("p_retailprice"), lit(0.95)).as("hi"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
+      .join(broadcast(bounds), Seq("p_type"))
+      .select(col("p_partkey"), col("p_type"), col("p_retailprice"),
+        greatest(least(col("p_retailprice"), col("hi")), col("lo")).as("winsorized"))
+      .orderBy("p_partkey")
+  }
+
+  // ---- train/eval decontamination --------------------------------------
+
+  /** Benchmark decontamination: drop training documents whose
+    * normalized content exactly matches any held-out eval document
+    * (here: every 50th doc_id stands in for the benchmark set). One
+    * anti-join on a 16-byte content fingerprint — the train side
+    * streams, the eval fingerprints are a skinny build side. The
+    * fingerprint (md5 of lower/trim) matches dedupExactText's, so the
+    * same normalization governs dedup and decontamination.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), md5(lower(trim(col("text")))).as("fp"))
+    val evalFps = docs.filter(col("doc_id") % 50 === 0).select("fp")
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .join(evalFps, Seq("fp"), "left_anti")
+      .select("doc_id", "lang", "fp")
+      .orderBy("doc_id")
+  }
 }

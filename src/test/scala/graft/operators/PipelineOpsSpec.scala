@@ -53,6 +53,56 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(stages("2_click") >= stages("3_purchase"))
   }
 
+  test("decontaminate: removes the exact-match train doc, keeps the rest") {
+    import spark.implicits._
+    // synthetic corpus: the sf corpus has no exact train/eval dupes, so
+    // build one — doc 50 is eval; doc 51 duplicates its text modulo
+    // case/whitespace (the normalization must catch it); doc 52 differs
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon").toString
+    val src = graft.sources.Tables.documents(spark, sf)
+    val rest = src.columns.filter(c => c != "doc_id" && c != "text" && c != "lang")
+    Seq((50L, "The quick brown fox", "en"),
+        (51L, "  the QUICK brown fox ", "en"),
+        (52L, "a different document", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumns(rest.map(c => c -> lit(null).cast(
+        src.schema(c).dataType)).toMap)
+      .select(src.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = PipelineOps.decontaminate(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(52L), s"expected only doc 52 to survive, got $kept")
+  }
+
+  test("packSequences: offsets are per-lang prefix sums and bins chunk them") {
+    val rows = PipelineOps.packSequences(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      sorted.foreach { case (_, _, n, start, bin) =>
+        assert(start === cum, "start_off must be the running token sum")
+        assert(bin === start / PipelineOps.PackBudget)
+        cum += n
+      }
+    }
+  }
+
+  test("winsorizeByGroup: clamps into the band, passes interior values through") {
+    val rows = PipelineOps.winsorizeByGroup(spark, sf).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val bounds = rows.groupBy(_._1)
+    bounds.foreach { case (_, rs) =>
+      val ws = rs.map(_._3)
+      val lo = ws.min; val hi = ws.max
+      rs.foreach { case (_, raw, w) =>
+        assert(w >= lo && w <= hi)
+        if (raw > lo && raw < hi) assert(w === raw, "interior value must pass through")
+      }
+    }
+    assert(rows.exists { case (_, raw, w) => raw != w }, "some value must clamp")
+  }
+
   test("mergeUpsert: updated-wins, inserts land, untouched rows pass through") {
     val base = graft.sources.Tables.orders(spark, sf)
     val merged = PipelineOps.mergeUpsert(spark, sf)
