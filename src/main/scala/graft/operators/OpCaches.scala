@@ -102,4 +102,11 @@ private[operators] object OpCaches {
   /** Test hook: number of tracked frames for `spark`. */
   private[operators] def trackedCount(spark: SparkSession): Int =
     caches.get(spark).map(b => b.synchronized(b.size)).getOrElse(0)
+
+  /** Test hook: whether `spark` has (exactly) its one cleanup
+    * listener installed — the guard clear()/add() cycles must not
+    * defeat.
+    */
+  private[operators] def hasListener(spark: SparkSession): Boolean =
+    listenerInstalled.contains(spark)
 }

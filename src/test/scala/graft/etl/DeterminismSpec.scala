@@ -59,7 +59,9 @@ class DeterminismSpec extends AnyFunSuite {
         rows(graft.operators.StatOps.aggGroupingSets(spark, sf)),
         rows(graft.operators.DedupOps.dedupMinhashLsh(spark, sf)),
         rows(graft.operators.DedupOps.dedupNgramJaccard(spark, sf)),
-        rows(graft.operators.EmbeddingOps.annBruteTopK(spark, sf)))
+        rows(graft.operators.EmbeddingOps.annBruteTopK(spark, sf)),
+        rows(graft.operators.PipelineOps.packSequences(spark, sf)),
+        rows(graft.operators.PipelineOps.tfidfTopK(spark, sf)))
     }
     val at4 = run()
     spark.conf.set("spark.sql.shuffle.partitions", "13")

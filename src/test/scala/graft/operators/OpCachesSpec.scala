@@ -83,4 +83,18 @@ class OpCachesSpec extends AnyFunSuite {
     assert(OpCaches.trackedCount(spark) === 1)
     DedupOps.clearCaches(spark)
   }
+
+  test("clear()/add() cycles reuse the one cleanup listener") {
+    // clear() empties the frame registry but must NOT forget that the
+    // session's listener exists — or every cycle in a long-lived
+    // session stacks another listener holding a session reference.
+    DedupOps.clearCaches(spark)
+    for (_ <- 1 to 3) {
+      DedupOps.shingleRowsCached(spark, sf)
+      assert(OpCaches.hasListener(spark), "listener record lost")
+      DedupOps.clearCaches(spark)
+      assert(OpCaches.hasListener(spark),
+        "clear() must not drop the listener record (re-add would stack a new listener)")
+    }
+  }
 }
