@@ -781,17 +781,36 @@ object SparkEntry {
           SELECT doc_id, lang, n_tokens, start_off,
                  CAST(floor(start_off / ${PipelineOps.PackBudget}) AS BIGINT) AS bin
           FROM c ORDER BY lang, doc_id""",
-    // PipelineOps.winsorizeByGroup: exact interpolated per-group
-    // [p05, p95] clamp — percentile ≡ quantile_cont (the same pairing
-    // quantiles_by_group pins).
+    // PipelineOps.winsorizeByGroup: the interpolation is spelled out
+    // (rank lookup + lo + (hi-lo)*frac) instead of quantile_cont —
+    // Spark percentile and DuckDB quantile_cont round their
+    // algebraically-equal formulas differently (1-ulp divergence
+    // observed at sf0.1), while this explicit form is the same IEEE
+    // ops on both engines.
     "winsorize_by_group" ->
-      """WITH b AS (SELECT p_type,
-                quantile_cont(CAST(p_retailprice AS DOUBLE), 0.05) AS lo,
-                quantile_cont(CAST(p_retailprice AS DOUBLE), 0.95) AS hi
-              FROM part GROUP BY 1)
+      """WITH r AS (SELECT p_type, p_retailprice AS v,
+                CAST(row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice)
+                     AS BIGINT) - 1 AS rn
+              FROM part WHERE p_retailprice IS NOT NULL),
+          c AS (SELECT p_type, count(*) AS n FROM r GROUP BY 1),
+          j AS (SELECT r.p_type, v, rn,
+                CAST(n - 1 AS DOUBLE) * CAST(0.05 AS DOUBLE) AS i05,
+                CAST(n - 1 AS DOUBLE) * CAST(0.95 AS DOUBLE) AS i95
+              FROM r JOIN c USING (p_type)),
+          b AS (SELECT p_type,
+                min(CASE WHEN rn = CAST(floor(i05) AS BIGINT) THEN v END) AS lo05,
+                min(CASE WHEN rn = CAST(ceil(i05) AS BIGINT) THEN v END) AS hi05,
+                min(CASE WHEN rn = CAST(floor(i95) AS BIGINT) THEN v END) AS lo95,
+                min(CASE WHEN rn = CAST(ceil(i95) AS BIGINT) THEN v END) AS hi95,
+                min(i05) AS i05, min(i95) AS i95
+              FROM j GROUP BY 1),
+          t AS (SELECT p_type,
+                lo05 + (hi05 - lo05) * (i05 - floor(i05)) AS lo,
+                lo95 + (hi95 - lo95) * (i95 - floor(i95)) AS hi
+              FROM b)
          SELECT p_partkey, p_type, p_retailprice,
                 greatest(least(p_retailprice, hi), lo) AS winsorized
-         FROM part JOIN b USING (p_type) ORDER BY p_partkey""",
+         FROM part JOIN t USING (p_type) ORDER BY p_partkey""",
     // PipelineOps.decontaminate: NOT EXISTS (not NOT IN) so a NULL
     // fingerprint behaves like Spark's anti-join (kept), though the
     // corpus carries none.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -211,15 +211,41 @@ object PipelineOps {
     * cleanup run before numeric features feed a model. The per-group
     * thresholds are a tiny aggregate joined back (AQE broadcasts it);
     * the fact scan never shuffles.
+    *
+    * The interpolation is computed EXPLICITLY — rank lookup plus
+    * v_lo + (v_hi − v_lo)·frac, every step a correctly-rounded IEEE op
+    * — rather than through the engines' percentile functions: Spark's
+    * `percentile` and DuckDB's `quantile_cont` use algebraically equal
+    * but differently-rounded formulas, and at sf0.1 the p_type=STANDARD
+    * p95 landed 1 ulp apart (994.9 vs 994.8999999999999), failing the
+    * bitwise gate. Same order statistics, same doubles, by
+    * construction, at every corpus size.
     */
   def winsorizeByGroup(spark: SparkSession, dir: String): DataFrame = {
-    val bounds = Tables.part(spark, dir)
-      .groupBy("p_type")
-      .agg(percentile(col("p_retailprice"), lit(0.05)).as("lo"),
-        percentile(col("p_retailprice"), lit(0.95)).as("hi"))
-    Tables.part(spark, dir)
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_type"), col("p_retailprice"))
-      .join(broadcast(bounds), Seq("p_type"))
+    val w = Window.partitionBy("p_type").orderBy("v")
+    val ranked = base.filter(col("p_retailprice").isNotNull)
+      .select(col("p_type"), col("p_retailprice").as("v"))
+      .withColumn("rn", row_number().over(w).cast("long") - 1)
+    val counts = ranked.groupBy("p_type").agg(count(lit(1)).as("n"))
+    def idx(q: Double) = (col("n") - 1).cast("double") * q
+    val j = ranked.join(counts, Seq("p_type"))
+      .select(col("p_type"), col("v"), col("rn"),
+        idx(0.05).as("i05"), idx(0.95).as("i95"))
+    def pick(i: Column, edge: Column => Column) =
+      min(when(col("rn") === edge(i).cast("long"), col("v")))
+    val bounds = j.groupBy("p_type")
+      .agg(pick(col("i05"), floor).as("lo05"), pick(col("i05"), ceil).as("hi05"),
+        pick(col("i95"), floor).as("lo95"), pick(col("i95"), ceil).as("hi95"),
+        min(col("i05")).as("i05"), min(col("i95")).as("i95"))
+      .select(col("p_type"),
+        (col("lo05") + (col("hi05") - col("lo05")) *
+          (col("i05") - floor(col("i05")).cast("double"))).as("lo"),
+        (col("lo95") + (col("hi95") - col("lo95")) *
+          (col("i95") - floor(col("i95")).cast("double"))).as("hi"))
+    base.join(broadcast(bounds), Seq("p_type"))
       .select(col("p_partkey"), col("p_type"), col("p_retailprice"),
         greatest(least(col("p_retailprice"), col("hi")), col("lo")).as("winsorized"))
       .orderBy("p_partkey")
