@@ -29,6 +29,15 @@ object RelationalOps {
   /** A5: exact interpolated per-group median (pandas-equivalent, never
     * percentile_approx — SURVEY.md §2.9.5).
     */
+  /** Oracle-exactness note: Spark `percentile` ≡ DuckDB
+    * median/quantile_cont holds bitwise here (validated at
+    * sf0.001/0.01/0.1), but the two engines round their interpolation
+    * formulas differently in general — a p95 over different groups
+    * diverged by 1 ulp at sf0.1. If a quantile query ever flakes,
+    * switch to the explicit rank-interpolation form of
+    * PipelineOps.winsorizeByGroup (identical IEEE ops on both
+    * engines by construction).
+    */
   def medianByGroup(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .groupBy("p_brand")
