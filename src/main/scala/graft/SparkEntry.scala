@@ -780,7 +780,7 @@ object SparkEntry {
                 FROM t WHERE n_tokens IS NOT NULL)
           SELECT doc_id, lang, n_tokens, start_off,
                  CAST(floor(start_off / ${PipelineOps.PackBudget}) AS BIGINT) AS bin
-          FROM c ORDER BY lang, doc_id""",
+          FROM c ORDER BY lang NULLS LAST, doc_id""",
     // PipelineOps.winsorizeByGroup: the interpolation is spelled out
     // (rank lookup + lo + (hi-lo)*frac) instead of quantile_cont —
     // Spark percentile and DuckDB quantile_cont round their

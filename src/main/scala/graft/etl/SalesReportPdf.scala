@@ -66,6 +66,17 @@ object SalesReportPdf {
     else String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
   }
 
+  /** PDF numeric operands must use '.' decimals regardless of the JVM
+    * default locale — a comma-decimal locale would emit `0,16 rg` and
+    * corrupt every content stream. Always Locale.ROOT, never the bare
+    * f-interpolator (which formats with the default locale).
+    */
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  private def rgbOps(c: (Double, Double, Double), operator: String): String =
+    s"${f2(c._1)} ${f2(c._2)} ${f2(c._3)} $operator "
+
   /** One page's content stream plus the flowing-cursor layout state. */
   private final class Painter {
     val pages = ArrayBuffer[ByteArrayOutputStream]()
@@ -86,7 +97,7 @@ object SalesReportPdf {
 
     def text(x: Double, yPos: Double, size: Double, s: String,
         font: String = "F1", rgb: (Double, Double, Double) = Black): Unit = {
-      op(f"BT /$font ${num(size)} Tf ${rgb._1}%.2f ${rgb._2}%.2f ${rgb._3}%.2f rg ${num(x)} ${num(yPos)} Td (")
+      op(s"BT /$font ${num(size)} Tf ${rgbOps(rgb, "rg")}${num(x)} ${num(yPos)} Td (")
       val enc = encodeText(s)
       cur.write(enc, 0, enc.length)
       op(") Tj ET\n")
@@ -95,8 +106,8 @@ object SalesReportPdf {
     def rect(x: Double, yPos: Double, w: Double, h: Double,
         fill: Option[(Double, Double, Double)],
         stroke: Option[(Double, Double, Double)] = None): Unit = {
-      fill.foreach { c => op(f"${c._1}%.2f ${c._2}%.2f ${c._3}%.2f rg ") }
-      stroke.foreach { c => op(f"${c._1}%.2f ${c._2}%.2f ${c._3}%.2f RG 0.7 w ") }
+      fill.foreach { c => op(rgbOps(c, "rg")) }
+      stroke.foreach { c => op(rgbOps(c, "RG") + "0.7 w ") }
       op(s"${num(x)} ${num(yPos)} ${num(w)} ${num(h)} re ")
       op((fill, stroke) match {
         case (Some(_), Some(_)) => "B\n"
@@ -107,7 +118,7 @@ object SalesReportPdf {
 
     def polyline(pts: Seq[(Double, Double)],
         rgb: (Double, Double, Double), width: Double): Unit = if (pts.nonEmpty) {
-      op(f"${rgb._1}%.2f ${rgb._2}%.2f ${rgb._3}%.2f RG ${num(width)} w ")
+      op(rgbOps(rgb, "RG") + s"${num(width)} w ")
       op(s"${num(pts.head._1)} ${num(pts.head._2)} m ")
       pts.tail.foreach { case (x, yy) => op(s"${num(x)} ${num(yy)} l ") }
       op("S\n")
@@ -293,7 +304,8 @@ object SalesReportPdf {
     val xrefPos = out.size()
     ascii(s"xref\n0 ${offsets.size + 1}\n")
     ascii("0000000000 65535 f \n")
-    offsets.foreach(o => ascii(f"$o%010d 00000 n \n"))
+    offsets.foreach(o =>
+      ascii(String.format(java.util.Locale.ROOT, "%010d 00000 n \n", Integer.valueOf(o))))
     ascii(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
     out.toByteArray
   }

@@ -201,7 +201,10 @@ object PipelineOps {
       .filter(col("n_tokens").isNotNull)
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("start_off") / PackBudget))
-      .orderBy("lang", "doc_id")
+      // NULLS LAST pinned explicitly: Spark's default asc ordering is
+      // NULLS FIRST, DuckDB's is NULLS LAST — a NULL lang would silently
+      // break the hash gate even though today's corpus has none.
+      .orderBy(asc_nulls_last("lang"), col("doc_id"))
   }
 
   // ---- winsorization ---------------------------------------------------

@@ -57,7 +57,11 @@ object ProfileNgram {
     DedupOps.releaseTransients(spark)
     val mc = median(cand)
     val mf = median(full)
-    println(f"""{"dir":"$dir","iters":$iters,"substrate":$tSub%.3f,"candidates":$mc%.3f,"full":$mf%.3f,"verify_derived":${mf - mc}%.3f,"n_candidates":$nCand,"n_verified":$nVerified}""")
+    // Locale.ROOT, never the f-interpolator: a comma-decimal default
+    // locale would print 3,266 and break the JSON consumer.
+    def d3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    println(s"""{"dir":"$dir","iters":$iters,"substrate":${d3(tSub)},"candidates":${d3(mc)},"full":${d3(mf)},"verify_derived":${d3(mf - mc)},"n_candidates":$nCand,"n_verified":$nVerified}""")
     spark.stop()
   }
 }

@@ -15,8 +15,10 @@ class ReportPdfSpec extends AnyFunSuite {
 
   lazy val spark = graft.GraftSession.build("report-pdf-spec", "4")
 
-  lazy val pdf: Array[Byte] = SalesReportPdf.render(SalesPipeline.loadBoundary(
-    SalesPipeline.run(spark, "/root/reference/bases-de-dados", LocalDate.of(2025, 8, 27))))
+  lazy val frames = SalesPipeline.loadBoundary(
+    SalesPipeline.run(spark, "/root/reference/bases-de-dados", LocalDate.of(2025, 8, 27)))
+
+  lazy val pdf: Array[Byte] = SalesReportPdf.render(frames)
 
   // windows-1252 decodes every byte we emit, so containment checks on
   // the decoded string see the text exactly as encoded.
@@ -74,6 +76,22 @@ class ReportPdfSpec extends AnyFunSuite {
     // opening markers sit on their own line; "endstream" lines don't match
     assert("(?m)^stream$".r.findAllIn(txt).length === count,
       "one content stream per page")
+  }
+
+  test("render is locale-independent (comma-decimal locales must not corrupt operands)") {
+    val baseline = pdf // force the render under the default locale first
+    val dflt = java.util.Locale.getDefault
+    try {
+      // pt-BR formats 0.16 as "0,16" — a bare f-interpolator anywhere in
+      // the operand path would emit `0,16 0,50 0,72 rg`, corrupting every
+      // content stream. The render must be byte-identical regardless.
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("pt-BR"))
+      val b = SalesReportPdf.render(frames)
+      assert(java.util.Arrays.equals(b, baseline),
+        "PDF bytes must not depend on the JVM default locale")
+      assert("""\d,\d+ (rg|RG|re|w )""".r.findFirstIn(new String(b, "windows-1252")).isEmpty,
+        "comma-decimal operand leaked into a content stream")
+    } finally java.util.Locale.setDefault(dflt)
   }
 
   test("write() produces the reference-named artifact") {
