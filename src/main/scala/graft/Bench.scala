@@ -69,12 +69,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // One-time substrate materialization, timed as its own line.
-    val substrate =
+    // Substrate materialization, median-of-n like every query: a
+    // single-shot number is exactly the co-tenant-spike exposure the
+    // median machinery exists to reject (round-5 lesson: 18.3 s
+    // single-shot vs a 4.5 s clean floor, pure host noise). Each
+    // iteration drops the memo (clearCaches) so the rebuild is timed
+    // from parquet; the LAST iteration's frame stays pinned and is
+    // what the dedup queries below share, same as before.
+    val substrateRuns = (1 to iters).map { _ =>
+      graft.operators.DedupOps.clearCaches(spark)
       try timeNoop(graft.operators.DedupOps.materializeSubstrate(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] _substrate failed: ${e.getMessage}"); -1.0
       }
+    }
+    val substrate =
+      if (substrateRuns.exists(_ < 0)) -1.0 else median(substrateRuns)
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // stop iterating on the first failure: the query reports -1
       // regardless, so the remaining runs would be pure waste.
@@ -94,7 +104,8 @@ object Bench {
                else (median(runs), runs.min))
     }
     val med = ("_substrate" -> substrate) +: timings.map { case (n, (m, _)) => n -> m }
-    val mins = timings.map { case (n, (_, mn)) => n -> mn }
+    val mins = ("_substrate" -> (if (substrate < 0) -1.0 else substrateRuns.min)) +:
+      timings.map { case (n, (_, mn)) => n -> mn }
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + cs(v) }.mkString("{", ",", "}")
     val good = med.collect { case (_, v) if v >= 0 => v }

@@ -64,6 +64,7 @@ object SparkEntry {
     "window_rank_dense"      -> (StatOps.windowRankDense _),
     "window_percent_rank"    -> (StatOps.windowPercentRank _),
     "agg_collect_sorted"     -> (StatOps.aggCollectSorted _),
+    "agg_collect_capped"     -> (StatOps.aggCollectCapped _),
     "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
     "corr_by_group"          -> (StatOps.corrByGroup _),
     "quantiles_by_group"     -> (StatOps.quantilesByGroup _),
@@ -89,6 +90,7 @@ object SparkEntry {
     "ann_lsh_bucket"         -> (EmbeddingOps.annLshBucket _),
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
     "ann_ivf_probe2"         -> (EmbeddingOps.annIvfProbe2 _),
+    "ann_recall"             -> (EmbeddingOps.annRecall _),
     "emb_neardup_pairs"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
@@ -144,6 +146,54 @@ object SparkEntry {
         cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
+  }
+
+  /** Brute-force ANN oracle body — shared by ann_brute_topk, its
+    * native-expression twin, and ann_recall's exact reference set.
+    */
+  private val bruteAnnSql: String =
+    s"""WITH c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM c
+              WHERE vec_id < ${EmbeddingOps.QueryCount}),
+        sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(c.v) + 1), i -> q.qv[i] * c.v[i])) /
+                 (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+                  sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
+               FROM c, q WHERE c.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+          FROM sc) r
+        WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
+
+  /** Sign-LSH bucketed ANN oracle body — shared by ann_lsh_bucket and
+    * ann_recall.
+    */
+  private val lshAnnSql: String = {
+    val bucket = (0 until 8)
+      .map(i => s"CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cb AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM c),
+        q AS (SELECT bucket, vec_id AS query_id, v AS qv FROM cb
+              WHERE vec_id < ${EmbeddingOps.QueryCount}),
+        sc AS (SELECT q.query_id, cb.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, len(cb.v) + 1), i -> q.qv[i] * cb.v[i])) /
+                 (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
+                  sqrt(list_sum(list_transform(range(1, len(cb.v) + 1), i -> cb.v[i] * cb.v[i])))) AS cos
+               FROM cb JOIN q ON cb.bucket = q.bucket
+               WHERE cb.vec_id <> q.query_id)
+        SELECT query_id, rank, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+          FROM sc) r
+        WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
   }
 
   /** Parameterized IVF oracle — single source for every nprobe
@@ -437,6 +487,15 @@ object SparkEntry {
          string_agg(p_type, '|' ORDER BY p_type) AS types_cat,
          COUNT(*) AS n
          FROM part GROUP BY 1 ORDER BY 1""",
+    // StatOps.aggCollectCapped: the bounded MinKStrings aggregate ≡
+    // first k of the sorted multiset (binary order matches DuckDB's
+    // default collation on this ASCII column).
+    "agg_collect_capped" ->
+      s"""SELECT p_brand,
+          array_to_string(list_slice(list_sort(list(p_type)), 1, ${StatOps.CollectCap}), '|')
+            AS types_cat,
+          COUNT(*) AS n
+          FROM part GROUP BY 1 ORDER BY 1""",
     "ntile_quartiles" ->
       """SELECT p_brand, p_partkey,
          CAST(ntile(4) OVER (PARTITION BY p_brand
@@ -576,65 +635,30 @@ object SparkEntry {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
           ORDER BY doc_a, doc_b"""
     },
-    "ann_brute_topk" ->
-      s"""WITH c AS (SELECT vec_id,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings),
-          q AS (SELECT vec_id AS query_id, v AS qv FROM c
-                WHERE vec_id < ${EmbeddingOps.QueryCount}),
-          sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_sum(list_transform(range(1, len(c.v) + 1), i -> q.qv[i] * c.v[i])) /
-                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
-                    sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
-                 FROM c, q WHERE c.vec_id <> q.query_id)
-          SELECT query_id, rank, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-            FROM sc) r
-          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank""",
-    "ann_brute_topk_native" ->
-      s"""WITH c AS (SELECT vec_id,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings),
-          q AS (SELECT vec_id AS query_id, v AS qv FROM c
-                WHERE vec_id < ${EmbeddingOps.QueryCount}),
-          sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
-                   list_sum(list_transform(range(1, len(c.v) + 1), i -> q.qv[i] * c.v[i])) /
-                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
-                    sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i])))) AS cos
-                 FROM c, q WHERE c.vec_id <> q.query_id)
-          SELECT query_id, rank, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-            FROM sc) r
-          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank""",
-    "ann_lsh_bucket" -> {
-      val bucket = (0 until 8)
-        .map(i => s"CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH c AS (SELECT vec_id,
-                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                     FROM embeddings),
-          cb AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM c),
-          q AS (SELECT bucket, vec_id AS query_id, v AS qv FROM cb
-                WHERE vec_id < ${EmbeddingOps.QueryCount}),
-          sc AS (SELECT q.query_id, cb.vec_id AS neighbor_id,
-                   list_sum(list_transform(range(1, len(cb.v) + 1), i -> q.qv[i] * cb.v[i])) /
-                   (sqrt(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * q.qv[i]))) *
-                    sqrt(list_sum(list_transform(range(1, len(cb.v) + 1), i -> cb.v[i] * cb.v[i])))) AS cos
-                 FROM cb JOIN q ON cb.bucket = q.bucket
-                 WHERE cb.vec_id <> q.query_id)
-          SELECT query_id, rank, neighbor_id FROM (
-            SELECT query_id, neighbor_id,
-                   CAST(row_number() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
-            FROM sc) r
-          WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
-    },
+    "ann_brute_topk" -> bruteAnnSql,
+    "ann_brute_topk_native" -> bruteAnnSql,
+    "ann_lsh_bucket" -> lshAnnSql,
     "ann_ivf" -> ivfSql(nprobe = 1),
     "ann_ivf_probe2" -> ivfSql(nprobe = 2),
+    // EmbeddingOps.annRecall: recall@k of each approximate variant
+    // against the brute-force reference — each variant's full oracle
+    // body is inlined as a subquery (DuckDB allows a WITH inside a
+    // parenthesized FROM), so this row cannot drift from the
+    // per-variant oracles above.
+    "ann_recall" -> {
+      def hits(name: String, sub: String) =
+        s"""SELECT '$name' AS method, CAST(count(*) AS BIGINT) AS n_hits
+            FROM ($sub) a JOIN brute b
+              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
+      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($bruteAnnSql)),
+          h AS (${hits("ivf_p1", ivfSql(1))}
+                UNION ALL ${hits("ivf_p2", ivfSql(2))}
+                UNION ALL ${hits("lsh_bucket", lshAnnSql)}),
+          d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute)
+          SELECT method, n_hits, n_brute,
+                 CAST(n_hits AS DOUBLE) / n_brute AS recall
+          FROM h, d WHERE n_brute > 0 ORDER BY method"""
+    },
     "emb_neardup_pairs" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics
@@ -767,20 +791,23 @@ object SparkEntry {
          UNION ALL SELECT * FROM updates
          ORDER BY o_orderkey""",
     // PipelineOps.packSequences: concat-then-chunk packing — bin =
-    // floor(start_offset / budget), cumsum partitioned per language.
-    // Sums and bins are pure integer math; DuckDB's HUGEINT window sum
-    // is cast back to BIGINT to match Spark's long.
+    // floor(start_offset / budget), cumsum partitioned per
+    // (lang, md5-hex bucket) so a dominant language parallelizes 16
+    // ways instead of funneling through one window partition. Sums and
+    // bins are pure integer math; DuckDB's HUGEINT window sum is cast
+    // back to BIGINT to match Spark's long.
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, lang,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
                 CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
-          c AS (SELECT doc_id, lang, n_tokens,
-                CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          c AS (SELECT doc_id, lang, bucket, n_tokens,
+                CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   - n_tokens AS BIGINT) AS start_off
                 FROM t WHERE n_tokens IS NOT NULL)
-          SELECT doc_id, lang, n_tokens, start_off,
+          SELECT doc_id, lang, bucket, n_tokens, start_off,
                  CAST(floor(start_off / ${PipelineOps.PackBudget}) AS BIGINT) AS bin
-          FROM c ORDER BY lang NULLS LAST, doc_id""",
+          FROM c ORDER BY lang NULLS LAST, bucket, doc_id""",
     // PipelineOps.winsorizeByGroup: the interpolation is spelled out
     // (rank lookup + lo + (hi-lo)*frac) instead of quantile_cont —
     // Spark percentile and DuckDB quantile_cont round their

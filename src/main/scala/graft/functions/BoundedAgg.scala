@@ -1,0 +1,128 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Partial-aggregatable "k smallest strings, ascending": the bounded
+  * companion to `collect_list` + `sort_array`. A plain collect_list
+  * buffers EVERY group member — one hot group (a brand with 10⁸ rows
+  * at corpus scale) inflates a single aggregation buffer without
+  * bound. This aggregate keeps a max-heap of at most k strings per
+  * buffer, merges heaps map-side, and ships O(k) per group per mapper
+  * through the shuffle, so per-group state is bounded by k·maxlen
+  * regardless of group size.
+  *
+  * Ordering is UTF8String's byte-wise (binary UTF-8) comparison — the
+  * same total order `sort_array` and DuckDB's default collation use,
+  * so `min_k_strings(c, k)` ≡ `slice(sort_array(collect_list(c)), 1, k)`
+  * row-for-row (duplicates preserved: this is a multiset min-k).
+  */
+case class MinKStrings(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[UTF8String]] {
+
+  require(k > 0, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType.simpleString}")
+
+  /** Max-heap by binary string order: the queue's head is the LARGEST
+    * retained string — the one to evict once size exceeds k.
+    */
+  private val largestFirst: Ordering[UTF8String] =
+    Ordering.fromLessThan[UTF8String]((a, b) => a.compareTo(b) < 0)
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[UTF8String] =
+    mutable.PriorityQueue.empty[UTF8String](largestFirst)
+
+  override def update(
+      buf: mutable.PriorityQueue[UTF8String],
+      input: InternalRow): mutable.PriorityQueue[UTF8String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      // clone: eval may return a pointer into a reused row buffer
+      buf.enqueue(v.asInstanceOf[UTF8String].clone())
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[UTF8String],
+      other: mutable.PriorityQueue[UTF8String]): mutable.PriorityQueue[UTF8String] = {
+    other.foreach { s =>
+      buf.enqueue(s)
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  // ascending under the same binary order the heap evicts by
+  override def eval(buf: mutable.PriorityQueue[UTF8String]): Any =
+    new GenericArrayData(buf.toArray.sortWith((a, b) => a.compareTo(b) < 0)
+      .asInstanceOf[Array[Any]])
+
+  override def serialize(buf: mutable.PriorityQueue[UTF8String]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach { s =>
+      val b = s.getBytes
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[UTF8String] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    var n = in.readInt()
+    while (n > 0) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.enqueue(UTF8String.fromBytes(b))
+      n -= 1
+    }
+    buf
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "min_k_strings"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKStrings =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKStrings =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinKStrings =
+    copy(child = newChildren(0))
+}
+
+object BoundedAgg {
+
+  /** Column-level API: the k binary-smallest strings per group,
+    * ascending, duplicates preserved.
+    */
+  def minKStrings(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(MinKStrings(Bridge.expression(c), k).toAggregateExpression())
+  }
+}

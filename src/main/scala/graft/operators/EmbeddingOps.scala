@@ -196,6 +196,38 @@ object EmbeddingOps {
   def annIvfProbe2(spark: SparkSession, dir: String): DataFrame =
     annIvfNprobe(spark, dir, nprobe = 2)
 
+  /** Recall@k of every approximate ANN variant against the exact
+    * brute-force top-k: recall = |approx ∩ brute| / |brute| over all
+    * (query, neighbor) pairs. This is the quality gate the
+    * nprobe/band dials answer to — the approximate variants'
+    * SEMANTICS are oracle-checked individually, but without this row
+    * an IVF "working as specified" could still be returning garbage
+    * neighbors. Pure deterministic relational composition of the
+    * existing queries (semi-join + ratio), so the oracle replicates
+    * it exactly; the brute frame is materialized once (OpCaches) and
+    * probed by all three variants.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val brute = OpCaches.track(
+      annBruteTopK(spark, dir).select(col("query_id"), col("neighbor_id")))
+    val denom = brute.agg(count(lit(1)).as("n_brute"))
+    Seq(
+      ("ivf_p1", annIvf(spark, dir)),
+      ("ivf_p2", annIvfProbe2(spark, dir)),
+      ("lsh_bucket", annLshBucket(spark, dir))).map { case (name, df) =>
+        df.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(name).as("method"), col("n_hits"))
+      }.reduce(_ unionAll _)
+      .crossJoin(broadcast(denom))
+      // degenerate empty-corpus case drops out (uniform empty-input
+      // contract: zero rows, not three 0/0=NaN rows)
+      .filter(col("n_brute") > 0)
+      .withColumn("recall", col("n_hits").cast("double") / col("n_brute"))
+      .orderBy("method")
+  }
+
   val NeardupBands = 8
   val NeardupBandBits = 8
 

@@ -71,19 +71,34 @@ object EventOps {
 
   /** Click-to-purchase attribution: for each purchase, the number of
     * clicks by the same user in the preceding 30 minutes — an interval
-    * join (equi-key on user + time-range predicate), the batch twin of
-    * the stream-stream join in graft.streaming.EventStream. Catalyst
-    * plans the user_id equality as a hash join with the range as a
-    * post-join filter, so the big sides shuffle once on user_id; no
-    * nested-loop anywhere.
+    * join, the batch twin of the stream-stream join in
+    * graft.streaming.EventStream.
+    *
+    * The equi-key is (user_id, time-bucket), not user_id alone. A
+    * user_id-only hash join evaluates clicks × purchases pairs per
+    * user before the range filter — one bot user with 10⁶ clicks and
+    * 10⁴ purchases turns one partition into 10¹⁰ pair evaluations.
+    * Bucketing both sides by floor(es / 1800) (the window length) and
+    * replicating each purchase into its own bucket and the one before
+    * caps pair work per (user, bucket) at
+    * clicks_in_bucket × purchases_in_2_buckets — i.e. proportional to
+    * events within any one-hour span, never to a user's full history —
+    * at the cost of doubling the (skinnier) purchase side. Every
+    * matching click lives in bucket k or k−1 of its purchase
+    * (c_es ∈ [p_es−1800, p_es] ⇒ ⌊c_es/1800⌋ ∈ {⌊p_es/1800⌋−1,
+    * ⌊p_es/1800⌋}), and a click has exactly ONE bucket, so each
+    * qualifying pair joins exactly once — identical output, no
+    * dedup needed. Bucket math is integer DIV (ts is epoch-ns derived;
+    * doubles lose above 2^53).
     */
   def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).withColumn("es", epochSec)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("es").as("p_es"))
+      .withColumn("tb", explode(array(expr("p_es DIV 1800"), expr("p_es DIV 1800 - 1"))))
     val c = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("es").as("c_es"))
-    p.join(c, Seq("user_id"))
+      .select(col("user_id"), col("es").as("c_es"), expr("es DIV 1800").as("tb"))
+    p.join(c, Seq("user_id", "tb"))
       .filter(col("c_es").between(col("p_es") - 1800, col("p_es")))
       .groupBy("event_id", "user_id")
       .agg(count(lit(1)).as("n_clicks"))

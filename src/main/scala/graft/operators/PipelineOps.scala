@@ -185,18 +185,25 @@ object PipelineOps {
     * fixed 512-token windows; a document's bin is the window its FIRST
     * token lands in (bin = floor(start_offset / budget)).
     *
-    * Packing is per-language — the window is partitioned by lang, so
-    * the running sum parallelizes across strata instead of forcing the
-    * corpus through one global cumsum partition (the scale killer of
-    * naive packing). At 100 TB the stratum key would be the shard key
-    * (lang × hash-bucket); the plan shape is identical.
+    * The packing stratum is (lang, hash-bucket), not lang alone: a
+    * real corpus is ~90% one language, so a per-lang cumsum would
+    * funnel 90 TB of a 100 TB corpus through ONE window partition.
+    * The bucket is the first hex char of md5(doc_id) — 16 sub-strata,
+    * deterministic, engine-agnostic (same construction as
+    * sampleStratified), so the dominant stratum's cumsum parallelizes
+    * 16 ways and each window partition is bounded by corpus/16 per
+    * lang. Each sub-stratum packs independently (its own offset 0 and
+    * bins — equivalent to 16 independent shard files per language,
+    * which is exactly how a packed corpus ships at scale); widening to
+    * 64/256 buckets is a constant change.
     */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val w = Window.partitionBy("lang", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1).as("bucket"),
         size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens").isNotNull)
       .withColumn("start_off", sum("n_tokens").over(w) - col("n_tokens"))
@@ -204,7 +211,7 @@ object PipelineOps {
       // NULLS LAST pinned explicitly: Spark's default asc ordering is
       // NULLS FIRST, DuckDB's is NULLS LAST — a NULL lang would silently
       // break the hash gate even though today's corpus has none.
-      .orderBy(asc_nulls_last("lang"), col("doc_id"))
+      .orderBy(asc_nulls_last("lang"), col("bucket"), col("doc_id"))
   }
 
   // ---- winsorization ---------------------------------------------------

@@ -123,11 +123,37 @@ object StatOps {
     * brand's types — collect_list is unordered in a distributed agg,
     * so determinism comes from the explicit sort, matching
     * string_agg(... ORDER BY) semantics.
+    *
+    * SCALE BOUND: collect_list buffers the ENTIRE group — per-group
+    * state (and the output cell) is O(group size). That is the
+    * faithful string_agg contract and fine while groups are dimension-
+    * sized (brands, categories); for fact-sized groups use
+    * `aggCollectCapped`, whose per-group state is O(k) at any scale.
     */
   def aggCollectSorted(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
       .groupBy("p_brand")
       .agg(concat_ws("|", sort_array(collect_list(col("p_type")))).as("types_cat"),
+        count(lit(1)).as("n"))
+      .orderBy("p_brand")
+
+  /** Cap for aggCollectCapped: first k sorted members per group. */
+  private[graft] val CollectCap = 8
+
+  /** Bounded variant of aggCollectSorted: the k binary-smallest
+    * members per group, via the MinKStrings bounded-heap aggregate
+    * (graft.functions.BoundedAgg) — NOT
+    * slice(sort_array(collect_list(...)), 1, k), which caps only the
+    * OUTPUT while the aggregation buffer still holds the whole group.
+    * MinKStrings keeps ≤ k strings per buffer, combines map-side, and
+    * ships O(k) per group per mapper, so one hot group (a brand with
+    * 10⁸ rows at corpus scale) costs the same buffer as a cold one.
+    */
+  def aggCollectCapped(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand")
+      .agg(concat_ws("|",
+        graft.functions.BoundedAgg.minKStrings(col("p_type"), CollectCap)).as("types_cat"),
         count(lit(1)).as("n"))
       .orderBy("p_brand")
 

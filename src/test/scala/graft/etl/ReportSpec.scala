@@ -40,6 +40,29 @@ class ReportSpec extends AnyFunSuite {
     assert(top5.split("<tr><td>").length - 1 === 5)
   }
 
+  test("driver-side report materialization is capped at ReportMaxRows") {
+    // >cap products: the per-product section must collect exactly
+    // ReportMaxRows rows and say so; full-fidelity output remains the
+    // parquet/csv report sink, which this cap never touches.
+    import spark.implicits._
+    val n = ReportModel.ReportMaxRows + 500
+    val produtos = (1 to n).map(i => (i, s"Produto $i", 10.0, "cat"))
+      .toDF("id_produto", "nome", "preco", "categoria")
+    val empregados = Seq((1, "Emp 1", "cargo", 30))
+      .toDF("id_empregado", "nome", "cargo", "idade")
+    val vendas = (1 to n).map(i =>
+        (i, java.sql.Date.valueOf("2024-01-15"), i, 1, 1, 10.0, 10.0))
+      .toDF("id_venda", "data", "id_produto", "id_empregado",
+        "quantidade", "valor_unitario", "valor_total")
+    val report = ReportModel.build(SalesPipeline.Cleaned(produtos, vendas, empregados))
+    val perProduct = report.sections(1)
+    assert(perProduct.rows.length === ReportModel.ReportMaxRows)
+    assert(perProduct.summary.contains("Exibindo os primeiros"),
+      s"missing truncation note in: ${perProduct.summary}")
+    // untruncated sections carry no note
+    assert(!report.sections(4).summary.contains("Exibindo"))
+  }
+
   test("write() produces the html artifact") {
     val dir = "/tmp/graft_report_spec"
     SalesReportHtml.write(SalesPipeline.loadBoundary(

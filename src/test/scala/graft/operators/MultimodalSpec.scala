@@ -40,6 +40,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.width === (wrongChunk.length % 640) + 1)
   }
 
+  private def jpegHeader(width: Int, height: Int, sofMarker: Int = 0xc0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    // APP0/JFIF segment first — the parser must walk past it
+    out.write(Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte))
+    out.write("JFIF".getBytes("US-ASCII")); out.write(new Array[Byte](10))
+    // SOF: len 17, precision 8, height, width, 3 components
+    out.write(Array(0xff, sofMarker, 0x00, 0x11, 0x08).map(_.toByte))
+    out.write(Array((height >>> 8).toByte, height.toByte, (width >>> 8).toByte, width.toByte))
+    out.write(new Array[Byte](10))
+    out.toByteArray
+  }
+
+  test("JPEG payloads parse SOF height/width (baseline and progressive)") {
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(6L, jpegHeader(1024, 768), "image"))
+    assert(f.width === 1024 && f.height === 768)
+    val g = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(7L, jpegHeader(320, 200, sofMarker = 0xc2), "image"))
+    assert(g.width === 320 && g.height === 200)
+  }
+
+  test("truncated/malformed JPEG falls back to the stub") {
+    val truncated = jpegHeader(1024, 768).take(6) // segment length runs past the end
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(8L, truncated, "image"))
+    assert(f.width === (truncated.length % 640) + 1, s"garbage dims leaked: $f")
+    val lostSync = jpegHeader(1024, 768)
+    lostSync(2) = 0x00 // APP0's FF overwritten: marker sync lost before any SOF
+    val g = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(9L, lostSync, "image"))
+    assert(g.width === (lostSync.length % 640) + 1, s"garbage dims leaked: $g")
+  }
+
+  private def wavHeader(rate: Int, channels: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(100))
+    out.write("WAVE".getBytes("US-ASCII"))
+    // a junk chunk before fmt — the walker must skip it word-aligned
+    out.write("LIST".getBytes("US-ASCII")); out.write(le32(3)); out.write(new Array[Byte](3 + 1))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(channels)); out.write(le32(rate))
+    out.write(le32(rate * channels * 2)); out.write(le16(channels * 2)); out.write(le16(16))
+    out.toByteArray
+  }
+
+  test("WAV payloads parse fmt sample-rate/channels as (width, height)") {
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(10L, wavHeader(44100, 2), "audio"))
+    assert(f.width === 44100 && f.height === 2)
+  }
+
+  test("RIFF without a sane fmt chunk falls back to the stub") {
+    val zeroChan = wavHeader(44100, 0)
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(11L, zeroChan, "audio"))
+    assert(f.width === (zeroChan.length % 640) + 1, s"garbage dims leaked: $f")
+  }
+
   test("non-media payloads fall through to the deterministic stub") {
     val blob = MultimodalOps.MediaBlob(2L, "hello world".getBytes, "audio")
     val f = MultimodalOps.decodeOne(blob)
@@ -54,17 +110,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.n_bytes === 0L && f.mean_byte === 0.0)
   }
 
-  test("test corpus has no PNG-signature payloads (oracle covers stub path only)") {
+  test("test corpus has no media-signature payloads (oracle covers stub path only)") {
     // mm_decode_features' DuckDB oracle replicates ONLY the stub
-    // (non-PNG) branch of decodeOne; this pins the precondition. If a
-    // future corpus plants real PNG bytes, this fails loudly instead
-    // of the gate mismatching mysteriously.
+    // branch of decodeOne; this pins the precondition for every real
+    // parser (PNG, JPEG, RIFF/WAV). If a future corpus plants real
+    // media bytes, this fails loudly instead of the gate mismatching
+    // mysteriously.
     val spark = graft.GraftSession.build("mm-spec", "4")
     import org.apache.spark.sql.functions._
-    val pngLike = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-      .filter(substring(col("text").cast("binary"), 1, 4) ===
-        lit(Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)))
+    val sigs = Seq(
+      Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte), // PNG
+      Array(0xff, 0xd8).map(_.toByte),             // JPEG SOI
+      "RIFF".getBytes("US-ASCII"))                 // WAV container
+    val mediaLike = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(sigs.map(s =>
+        substring(col("text").cast("binary"), 1, s.length) === lit(s)).reduce(_ || _))
       .count()
-    assert(pngLike === 0L)
+    assert(mediaLike === 0L)
   }
 }

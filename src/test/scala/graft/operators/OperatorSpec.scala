@@ -128,6 +128,43 @@ class OperatorSpec extends AnyFunSuite {
       assert(b >= a - 1e-12, s"probe2 worse than probe1 for query $q: $c2 vs $c1")
   }
 
+  test("ann_recall: valid ratios, probe2 dominates probe1, brute is the denominator") {
+    val rows = EmbeddingOps.annRecall(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(rows.keySet === Set("ivf_p1", "ivf_p2", "lsh_bucket"))
+    val expectedDenom = EmbeddingOps.QueryCount.toLong * EmbeddingOps.TopK
+    rows.foreach { case (m, (hits, denom, recall)) =>
+      assert(denom === expectedDenom, s"$m denominator")
+      assert(hits >= 0 && hits <= denom, s"$m hits out of range")
+      assert(recall === hits.toDouble / denom, s"$m recall ratio")
+    }
+    // probe2 searches a candidate superset of probe1 → recall can only improve
+    assert(rows("ivf_p2")._3 >= rows("ivf_p1")._3,
+      s"probe2 recall below probe1: $rows")
+  }
+
+  test("capped collect: bounded aggregate equals sliced sort on a deliberately hot group") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one hot group (50k members) + one cold group: the MinKStrings
+    // result must equal the unbounded slice(sort_array(collect_list))
+    // formulation row-for-row — same multiset-min-k, bounded buffers.
+    val k = 7
+    val df = spark.range(50000)
+      .select(lit("hot").as("g"), format_string("v%05d", (col("id") * 37) % 50000).as("s"))
+      .unionAll(Seq(("cold", "z2"), ("cold", "z1"), ("cold", "z1")).toDF("g", "s"))
+    val got = df.groupBy("g")
+      .agg(graft.functions.BoundedAgg.minKStrings(col("s"), k).as("mk"),
+        slice(sort_array(collect_list(col("s"))), 1, k).as("ref"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1), r.getSeq[String](2)))
+    assert(got.length === 2)
+    got.foreach { case (g, mk, ref) =>
+      assert(mk === ref, s"group $g: bounded $mk != reference $ref")
+    }
+    // duplicates preserved: the cold group's min-k carries z1 twice
+    assert(got.find(_._1 == "cold").get._2 === Seq("z1", "z1", "z2"))
+  }
+
   test("IVF centroid count is the fixed K, independent of corpus size") {
     import org.apache.spark.sql.functions._
     // The quantizer must NOT scale centroids with N (a stride does,

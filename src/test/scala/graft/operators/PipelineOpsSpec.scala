@@ -73,15 +73,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept === Set(52L), s"expected only doc 52 to survive, got $kept")
   }
 
-  test("packSequences: offsets are per-lang prefix sums and bins chunk them") {
+  test("packSequences: offsets are per-(lang,bucket) prefix sums and bins chunk them") {
     val rows = PipelineOps.packSequences(spark, sf).collect()
-      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .map(r => ((r.getString(1), r.getString(2)), r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
     assert(rows.nonEmpty)
+    // the hash sub-stratification must actually split each language —
+    // otherwise the cumsum still funnels through one partition
+    assert(rows.map(_._1).distinct.length > rows.map(_._1._1).distinct.length,
+      "expected multiple hash buckets per language")
     rows.groupBy(_._1).foreach { case (_, rs) =>
       val sorted = rs.sortBy(_._2)
       var cum = 0L
       sorted.foreach { case (_, _, n, start, bin) =>
-        assert(start === cum, "start_off must be the running token sum")
+        assert(start === cum, "start_off must be the running token sum per sub-stratum")
         assert(bin === start / PipelineOps.PackBudget)
         cum += n
       }

@@ -122,6 +122,15 @@ class PlanSpec extends AnyFunSuite {
       s"no key-only scan for the anti-join side; schemas: $reads")
   }
 
+  test("pack_sequences cumsum window is sub-stratified by (lang, bucket)") {
+    // a per-lang-only cumsum funnels a dominant language (≈90% of a
+    // real corpus) through ONE window partition; the hash bucket must
+    // appear in the window's partition spec so the stratum splits.
+    val s = planString(PipelineOps.packSequences(spark, sf))
+    assert("windowspecdefinition\\(lang#\\d+, bucket#\\d+".r.findFirstIn(s).isDefined,
+      s"cumsum window must partition by (lang, bucket), got:\n$s")
+  }
+
   test("tf-idf ranks through a single window over pre-aggregated tf rows") {
     // one top-3 window over (doc_id, term, tf, df) rows — never a
     // window over the exploded token stream.
