@@ -78,6 +78,7 @@ object SparkEntry {
     "text_quality"           -> (TextOps.textQuality _),
     "text_langid"            -> (TextOps.textLangId _),
     "text_fingerprint"       -> (TextOps.textFingerprint _),
+    "text_rep_signals"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
     "dedup_exact_text"       -> (DedupOps.dedupExactText _),
     "dedup_ngram_jaccard"    -> (DedupOps.dedupNgramJaccard _),
@@ -595,6 +596,26 @@ object SparkEntry {
     "text_langid" -> langIdSql,
     "text_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    // TextOps.textRepSignals: Gopher-family repetition signals over
+    // token bigrams; fractions are a single long→double division so
+    // both engines agree bitwise. Docs with <2 tokens have no bigrams
+    // and drop out on both sides.
+    "text_rep_signals" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+                 FROM t WHERE len(toks) >= 2),
+          c AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+          a AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_n,
+                  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_bigram_n
+                FROM c GROUP BY 1)
+          SELECT doc_id, n_bigrams, top_bigram_n, dup_bigram_n,
+                 CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+                 CAST(dup_bigram_n AS DOUBLE) / n_bigrams AS dup_bigram_frac
+          FROM a ORDER BY doc_id""",
     "dedup_exact_text" ->
       """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
          MIN(doc_id) AS first_doc

@@ -146,4 +146,41 @@ object TextOps {
     Tables.documents(spark, dir)
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
       .orderBy("doc_id")
+
+  /** Repetition quality signals (the Gopher-rules family — Rae et al.
+    * 2021, §A1.1: "fraction of characters in the most common n-gram" /
+    * "fraction of characters in duplicated n-grams", here over token
+    * bigrams): per document, the share of bigram occurrences taken by
+    * the single most frequent bigram (`top_bigram_frac`) and by all
+    * bigrams occurring more than once (`dup_bigram_frac`). Boilerplate
+    * and spam score high on both; the standard pre-training filter
+    * thresholds them.
+    *
+    * Plan shape: posexplode → one `lead` window partitioned by doc_id,
+    * and BOTH downstream aggregations ((doc, bigram) counts, then
+    * per-doc rollup) are satisfied by that same doc_id clustering —
+    * ONE shuffle total, per-group state bounded by a document's
+    * distinct-bigram count, never cross-document. Fractions are one
+    * long→double division each, bitwise-identical on both engines.
+    * Documents with fewer than two tokens have no bigrams and drop
+    * out (explode semantics), matching the oracle's WHERE.
+    */
+  def textRepSignals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        max("c").as("top_bigram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_bigram_n"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"), col("dup_bigram_n"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        (col("dup_bigram_n").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -165,6 +165,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.find(_._1 == "cold").get._2 === Seq("z1", "z1", "z2"))
   }
 
+  test("repetition signals: bigram accounting is consistent with token counts") {
+    import org.apache.spark.sql.functions._
+    val rep = TextOps.textRepSignals(spark, sf)
+    val toks = TextOps.textTokens(spark, sf).select(col("doc_id"), col("n_tokens"))
+    val joined = rep.join(toks, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val nBig = r.getLong(1); val top = r.getLong(2); val dup = r.getLong(3)
+      val nTok = r.getLong(r.fieldIndex("n_tokens"))
+      assert(nBig === nTok - 1, s"doc ${r.getLong(0)}: bigram count")
+      assert(top >= 1 && top <= nBig)
+      assert(dup >= 0 && dup <= nBig)
+      // the top bigram's occurrences are part of the duplicated mass
+      if (top > 1) assert(dup >= top)
+      assert(r.getDouble(4) === top.toDouble / nBig)
+      assert(r.getDouble(5) === dup.toDouble / nBig)
+    }
+  }
+
   test("IVF centroid count is the fixed K, independent of corpus size") {
     import org.apache.spark.sql.functions._
     // The quantizer must NOT scale centroids with N (a stride does,
