@@ -52,11 +52,19 @@ object Bench {
     */
   private def ms(v: Double): Double = math.rint(v * 1000) / 1000
 
-  /** Per-query map values get centisecond precision — one char less
-    * than ms at 4-digit seconds, and still well under the run-to-run
-    * noise floor. BenchLineSpec enforces the resulting line budget.
+  /** Per-query map values are magnitude-scaled to at most 5 chars:
+    * centiseconds under 100 s ("99.99"), deciseconds under 1000 s
+    * ("999.9"), whole seconds above — every tier well under the
+    * run-to-run noise floor at its magnitude. Width is what matters:
+    * the compact line must fit the collector's ~2000-char tail window
+    * at any query count (BenchLineSpec enforces the budget against
+    * the CURRENT registry).
     */
-  private def cs(v: Double): Double = math.rint(v * 100) / 100
+  private def qs(v: Double): String =
+    if (v < 0) "-1"
+    else if (v < 100) (math.rint(v * 100) / 100).toString
+    else if (v < 1000) (math.rint(v * 10) / 10).toString
+    else math.rint(v).toLong.toString
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -107,7 +115,7 @@ object Bench {
     val mins = ("_substrate" -> (if (substrate < 0) -1.0 else substrateRuns.min)) +:
       timings.map { case (n, (_, mn)) => n -> mn }
     def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + cs(v) }.mkString("{", ",", "}")
+      kv.map { case (k, v) => s"\"" + k + "\":" + qs(v) }.mkString("{", ",", "}")
     val good = med.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
     val failures = med.count(_._2 < 0)

@@ -237,6 +237,13 @@ object StatOps {
     * pairwise work; the distributed form of the classic
     * sort-merge-asof. (RANGE CURRENT ROW keeps same-timestamp signups
     * visible, matching `s.es <= p.es` exactly.)
+    *
+    * Skew note: a hot user funnels through one window partition, but
+    * the cost there is the SORT's O(n log n), not the quadratic pair
+    * blowup an interval join has (clickAttribution needed the
+    * (user, time-bucket) re-key; this does not). The lookback is
+    * unbounded by definition, so a time-bucket key cannot apply — the
+    * running max carries the answer across buckets.
     */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)

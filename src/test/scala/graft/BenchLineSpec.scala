@@ -13,10 +13,11 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("bench compact line fits the collector's tail window at worst-case widths") {
     val names = "_substrate" +: SparkEntry.queries.keys.toSeq.sorted
-    // worst-case per-query value at cs rounding: "999.99" (6 chars —
-    // a 16-minute single query would be a regression caught long
-    // before line length matters); worst-case total: "99999.999"
-    val queries = names.map(n => s""""$n":999.99""").mkString("{", ",", "}")
+    // worst-case per-query value under the magnitude-scaled formatter
+    // is 5 chars at every tier ("99.99" / "999.9" / "99999" — the last
+    // is a 28-hour query, a regression caught long before line length
+    // matters); worst-case total: "99999.999"
+    val queries = names.map(n => s""""$n":99.99""").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":0,"queries":$queries,"sf":"/root/testdata/sf0.1"}"""
     // window = 2000-char tail minus the trailing sbt summary line
     // ("[success] Total time: ...", ~70 chars) and two newlines

@@ -60,6 +60,10 @@ class DeterminismSpec extends AnyFunSuite {
         rows(graft.operators.DedupOps.dedupMinhashLsh(spark, sf)),
         rows(graft.operators.DedupOps.dedupNgramJaccard(spark, sf)),
         rows(graft.operators.EmbeddingOps.annBruteTopK(spark, sf)),
+        rows(graft.operators.EmbeddingOps.annRecall(spark, sf)),
+        rows(graft.operators.StatOps.aggCollectCapped(spark, sf)),
+        rows(graft.operators.TextOps.textRepSignals(spark, sf)),
+        rows(graft.operators.EventOps.clickAttribution(spark, sf)),
         rows(graft.operators.PipelineOps.packSequences(spark, sf)),
         rows(graft.operators.PipelineOps.tfidfTopK(spark, sf)))
     }

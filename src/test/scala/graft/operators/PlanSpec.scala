@@ -77,6 +77,11 @@ class PlanSpec extends AnyFunSuite {
     val s = planString(EventOps.clickAttribution(spark, sf))
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"range predicate hijacked the join strategy:\n$s")
+    // skew guard: the equi-key must include the time bucket, so a hot
+    // user's pair work is bounded per one-hour span, never C×P over
+    // their full history
+    assert("\\[user_id#\\d+L?, tb#\\d+L?\\]".r.findFirstIn(s).isDefined,
+      s"interval join lost its (user_id, tb) key:\n$s")
   }
 
   test("emb_neardup_pairs never plans an all-pairs nested-loop join") {
