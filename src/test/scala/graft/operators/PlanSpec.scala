@@ -127,6 +127,16 @@ class PlanSpec extends AnyFunSuite {
       s"no key-only scan for the anti-join side; schemas: $reads")
   }
 
+  test("capped collect plans a partial-aggregatable ObjectHashAggregate") {
+    // the whole point of MinKStrings is bounded map-side buffers; if a
+    // refactor falls back to collect_list+slice the buffers are
+    // unbounded again even though answers stay identical.
+    val s = planString(StatOps.aggCollectCapped(spark, sf))
+    assert(s.contains("ObjectHashAggregate") && s.contains("min_k_strings"),
+      s"expected partial min_k_strings aggregate in:\n$s")
+    assert(!s.contains("collect_list"), "unbounded collect_list crept back in")
+  }
+
   test("pack_sequences cumsum window is sub-stratified by (lang, bucket)") {
     // a per-lang-only cumsum funnels a dominant language (≈90% of a
     // real corpus) through ONE window partition; the hash bucket must
