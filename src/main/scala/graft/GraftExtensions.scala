@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, MinKStrings, TopKByScore}
 
 /** SparkSessionExtensions entry point: installs the engine's custom
   * Catalyst expressions as SQL functions at session build time —
@@ -43,6 +43,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"topk_by_score: k must be a foldable int expression, got $other")
         }
         TopKByScore(exprs(0), exprs(1), k)
+      }))
+    // min_k_strings(s, k) — the bounded companion to
+    // sort_array(collect_list(s)); k must fold to an int at plan time
+    ext.injectFunction((
+      FunctionIdentifier("min_k_strings"),
+      new ExpressionInfo(classOf[MinKStrings].getName, "min_k_strings"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"min_k_strings expects 2 arguments (value, k), got ${exprs.length}")
+        val k = exprs(1) match {
+          case e if e.foldable => e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"min_k_strings: k must be an INT, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"min_k_strings: k must be a foldable int expression, got $other")
+        }
+        MinKStrings(exprs(0), k)
       }))
   }
 }

@@ -105,6 +105,8 @@ object SparkEntry {
     "pack_sequences"         -> (PipelineOps.packSequences _),
     "winsorize_by_group"     -> (PipelineOps.winsorizeByGroup _),
     "decontaminate"          -> (PipelineOps.decontaminate _),
+    "decontaminate_ngram"    -> (PipelineOps.decontaminateNgram _),
+    "sample_source_quota"    -> (PipelineOps.sampleSourceQuota _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -869,5 +871,34 @@ object SparkEntry {
          WHERE doc_id % 50 <> 0
            AND NOT EXISTS (SELECT 1 FROM e WHERE e.fp = d.fp)
          ORDER BY doc_id""",
+    // PipelineOps.decontaminateNgram: drop train docs sharing any word
+    // 8-gram with the eval split. The gram-concat expression is built
+    // from the same DecontamK constant as the operator (anti-drift).
+    "decontaminate_ngram" -> {
+      val k = PipelineOps.DecontamK
+      val parts = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(list_transform(range(0, len(toks) - ${k - 1}),
+                    i -> $parts)) AS gram
+                FROM t WHERE len(toks) >= $k),
+          h AS (SELECT doc_id, md5(gram) AS g FROM g),
+          ev AS (SELECT DISTINCT g FROM h WHERE doc_id % 50 = 0),
+          bad AS (SELECT DISTINCT doc_id FROM h
+                  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM ev))
+          SELECT doc_id, lang FROM documents
+          WHERE doc_id % 50 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM bad)
+          ORDER BY doc_id"""
+    },
+    // PipelineOps.sampleSourceQuota: deterministic per-source cap —
+    // md5-of-id rank inside each source, keep rank <= quota.
+    "sample_source_quota" ->
+      s"""WITH r AS (SELECT doc_id, source,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+               FROM documents)
+          SELECT doc_id, source, rk FROM r
+          WHERE rk <= ${PipelineOps.SourceQuota} ORDER BY doc_id""",
   )
 }

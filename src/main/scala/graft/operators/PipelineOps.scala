@@ -280,4 +280,74 @@ object PipelineOps {
       .select("doc_id", "lang", "fp")
       .orderBy("doc_id")
   }
+
+  /** N-gram size for decontaminateNgram — the GPT-3-family rule uses
+    * 8..13-token overlap; 8 is the strict end.
+    */
+  private[graft] val DecontamK = 8
+
+  /** N-gram-overlap decontamination — the production-strength form of
+    * `decontaminate`: a training document is dropped if it shares ANY
+    * word 8-gram with any eval document (exact match only catches
+    * verbatim copies; eval text quoted inside a larger page needs
+    * this). Same eval split (doc_id % 50 == 0).
+    *
+    * Plan: posexplode → one `lead` window per doc (the shingleRows
+    * shape, k=8) → md5 the gram so joins ship fixed 32-byte keys, not
+    * document text; eval grams are the distinct skinny side of a
+    * semi-join marking contaminated train docs, then one anti-join.
+    * Everything shuffles (hash, id) pairs — gram text never leaves its
+    * map task. A doc shorter than 8 tokens has no grams and can never
+    * be contaminated (or contaminate), matching the oracle's WHERE.
+    */
+  def decontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"),
+      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until DecontamK).map(j => lead(col("tok"), j).over(w))
+    val grams = toks
+      .select(col("doc_id"),
+        md5(concat_ws(" ", (col("tok") +: leads): _*).cast("binary")).as("g"),
+        leads.last.isNotNull.as("_complete"))
+      .filter(col("_complete"))
+      .select("doc_id", "g")
+    val evalG = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
+    val bad = grams.filter(col("doc_id") % 50 =!= 0)
+      .join(evalG, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .join(bad, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  // ---- per-source quota sampling ----------------------------------------
+
+  /** Max documents kept per source in sampleSourceQuota. */
+  private[graft] val SourceQuota = 10
+
+  /** Domain/source balancing: keep at most SourceQuota documents per
+    * source, selected in a deterministic pseudo-random order (md5 of
+    * doc_id, ties by doc_id) so re-runs, retries, and re-ingestions
+    * pick the identical subset — same reproducibility contract as
+    * sampleStratified. The standard guard against one crawler domain
+    * dominating a corpus.
+    *
+    * The rank window partitions by source, but the rank<=Q filter
+    * pushes a partial WindowGroupLimit below the exchange (PlanSpec
+    * pins it), so the shuffle carries at most Q rows per (source,
+    * mapper) — a hot domain costs what a cold one does.
+    */
+  def sampleSourceQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= SourceQuota)
+      .orderBy("doc_id")
+  }
 }

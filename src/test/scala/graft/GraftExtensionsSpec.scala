@@ -35,6 +35,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT topk_by_score(s, id, 2) AS ids FROM VALUES
              (1.0d, 10L), (3.0d, 30L), (2.0d, 20L) AS t(s, id)""").head()
       assert(t.getSeq[Long](0) === Seq(30L, 20L))
+      // bounded min-k string aggregate from SQL: 2 smallest, duplicates kept
+      val m = spark.sql(
+        """SELECT min_k_strings(v, 2) AS vs FROM VALUES
+             ('b'), ('a'), ('c'), ('a') AS t(v)""").head()
+      assert(m.getSeq[String](0) === Seq("a", "a"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

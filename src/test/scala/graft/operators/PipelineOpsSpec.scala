@@ -73,6 +73,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(kept === Set(52L), s"expected only doc 52 to survive, got $kept")
   }
 
+  test("decontaminateNgram: shared 8-gram drops the train doc, disjoint text survives") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_ng").toString
+    val src = graft.sources.Tables.documents(spark, sf)
+    val rest = src.columns.filter(c => c != "doc_id" && c != "text" && c != "lang")
+    val gram = "alpha beta gamma delta epsilon zeta eta theta" // exactly 8 tokens
+    Seq(
+      (50L, s"eval doc quoting $gram here", "en"),        // eval split (id % 50 == 0)
+      (51L, s"train page that embeds $gram verbatim", "en"), // shares the 8-gram -> drop
+      (52L, "completely different words one two three four five six seven", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumns(rest.map(c => c -> lit(null).cast(
+        src.schema(c).dataType)).toMap)
+      .select(src.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = PipelineOps.decontaminateNgram(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept === Set(52L), s"expected only doc 52 to survive, got $kept")
+  }
+
+  test("sampleSourceQuota: per-source counts capped, selection deterministic") {
+    val rows = PipelineOps.sampleSourceQuota(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val bySource = rows.groupBy(_._2)
+    bySource.foreach { case (s, rs) =>
+      assert(rs.length <= PipelineOps.SourceQuota, s"source $s over quota")
+      assert(rs.map(_._3).toSet === (1L to rs.length).toSet, s"ranks not dense for $s")
+    }
+    // the quota must actually bind on this corpus (25 docs/source)
+    assert(bySource.values.exists(_.length == PipelineOps.SourceQuota))
+    assert(rows.toSeq === PipelineOps.sampleSourceQuota(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq)
+  }
+
   test("packSequences: offsets are per-(lang,bucket) prefix sums and bins chunk them") {
     val rows = PipelineOps.packSequences(spark, sf).collect()
       .map(r => ((r.getString(1), r.getString(2)), r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))

@@ -127,6 +127,14 @@ class PlanSpec extends AnyFunSuite {
       s"no key-only scan for the anti-join side; schemas: $reads")
   }
 
+  test("source-quota sampling pushes a partial WindowGroupLimit below the exchange") {
+    // a hot domain must cost what a cold one does: at most Q rows per
+    // (source, mapper) may reach the rank window's shuffle.
+    val s = planString(PipelineOps.sampleSourceQuota(spark, sf))
+    assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
+      s"quota filter not pushed into a partial WindowGroupLimit:\n$s")
+  }
+
   test("capped collect plans a partial-aggregatable ObjectHashAggregate") {
     // the whole point of MinKStrings is bounded map-side buffers; if a
     // refactor falls back to collect_list+slice the buffers are
