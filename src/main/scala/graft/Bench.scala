@@ -52,18 +52,18 @@ object Bench {
     */
   private def ms(v: Double): Double = math.rint(v * 1000) / 1000
 
-  /** Per-query map values are magnitude-scaled to at most 5 chars:
-    * centiseconds under 100 s ("99.99"), deciseconds under 1000 s
-    * ("999.9"), whole seconds above — every tier well under the
-    * run-to-run noise floor at its magnitude. Width is what matters:
-    * the compact line must fit the collector's ~2000-char tail window
-    * at any query count (BenchLineSpec enforces the budget against
-    * the CURRENT registry).
+  /** Per-query map values are magnitude-scaled to at most 4 chars:
+    * centiseconds under 10 s ("9.99"), deciseconds under 100 s
+    * ("99.9"), whole seconds above ("9999") — every tier well under
+    * the run-to-run noise floor at its magnitude. Width is what
+    * matters: the compact line must fit the collector's ~2000-char
+    * tail window at any query count (BenchLineSpec enforces the
+    * budget against the CURRENT registry).
     */
   private def qs(v: Double): String =
     if (v < 0) "-1"
-    else if (v < 100) (math.rint(v * 100) / 100).toString
-    else if (v < 1000) (math.rint(v * 10) / 10).toString
+    else if (v < 10) (math.rint(v * 100) / 100).toString
+    else if (v < 100) (math.rint(v * 10) / 10).toString
     else math.rint(v).toLong.toString
 
   def main(args: Array[String]): Unit = {

@@ -106,6 +106,7 @@ object SparkEntry {
     "winsorize_by_group"     -> (PipelineOps.winsorizeByGroup _),
     "decontaminate"          -> (PipelineOps.decontaminate _),
     "decontaminate_ngram"    -> (PipelineOps.decontaminateNgram _),
+    "dedup_clusters"         -> (DedupOps.dedupClusters _),
     "sample_source_quota"    -> (PipelineOps.sampleSourceQuota _),
   )
 
@@ -150,6 +151,21 @@ object SparkEntry {
                  FROM bands x JOIN bands y
                    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)"""
   }
+
+  /** MinHash candidates + exact-Jaccard verification as a `pairs` CTE
+    * — shared by dedup_minhash_lsh and dedup_clusters so the cluster
+    * oracle's edge set cannot drift from the pair oracle.
+    */
+  private val minhashPairsSql: String =
+    s"""$minhashSql,
+        pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                     len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.doc_a
+            JOIN s sb ON sb.doc_id = c.doc_b) p
+          WHERE jaccard >= 0.5)"""
 
   /** Brute-force ANN oracle body — shared by ann_brute_topk, its
     * native-expression twin, and ann_recall's exact reference set.
@@ -631,15 +647,23 @@ object SparkEntry {
             FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
           WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
     "dedup_minhash_lsh" ->
-      s"""$minhashSql
-          SELECT doc_a, doc_b, jaccard FROM (
-            SELECT c.doc_a, c.doc_b,
-                   CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
-                     len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
-            FROM cand c
-            JOIN s sa ON sa.doc_id = c.doc_a
-            JOIN s sb ON sb.doc_id = c.doc_b) p
-          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
+      s"""$minhashPairsSql
+          SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+    // DedupOps.dedupClusters: connected components over the verified
+    // MinHash-LSH pair graph — every clustered doc labeled with its
+    // component's min doc_id. The oracle computes reachability closure
+    // with a recursive CTE (min reachable id ≡ the min-label fixpoint
+    // the Spark loop converges to).
+    "dedup_clusters" ->
+      s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          r AS (SELECT id, id AS lbl FROM n
+                UNION
+                SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id)
+          SELECT id AS doc_id, min(lbl) AS cluster FROM r
+          GROUP BY 1 ORDER BY 1""",
     "text_simhash" ->
       s"""$simhashSql
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",

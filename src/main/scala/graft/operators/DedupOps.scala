@@ -310,6 +310,58 @@ object DedupOps {
     verifyJaccard(cand, rows, 0.5)
   }
 
+  /** Connected-component canonicalization over the verified MinHash-LSH
+    * near-dup pair graph — the step that turns pairwise dedup output
+    * into an actionable keep-list: every clustered document is labeled
+    * with its component's minimum doc_id (the canonical survivor), so
+    * "drop all non-canonical docs" is one anti-join downstream.
+    * Pairwise output alone under-deletes: A~B and B~C pairs leave both
+    * A and B as apparent keepers unless the transitive cluster is
+    * closed.
+    *
+    * Algorithm: min-label propagation to fixpoint — each round every
+    * node takes the min of its own and its neighbors' labels. The
+    * label lattice is finite and strictly decreases somewhere every
+    * non-converged round, so termination is a theorem (≤ graph
+    * diameter rounds; near-dup clusters are shallow in practice). The
+    * fixpoint (min reachable id per node) is unique regardless of
+    * iteration/partition order — deterministic, and exactly what the
+    * oracle's recursive-CTE reachability closure computes. Each round
+    * is one equi-join + partial-aggregated min — per-round state is
+    * (id, lbl) pairs only, and the driver loop reads a single changed
+    * COUNT per round (a scalar; no data is collected). At 100 TB this
+    * is the standard iterative-relational CC shape (GraphX Pregel has
+    * the same plan underneath); rounds are log-bounded for the
+    * shallow clusters dedup produces.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+    val edges = OpCaches.track(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), labels("lbl"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only ever decrease, so "changed" is a strict-decrease count
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") < col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    // register the converged frame so releaseTransients reclaims it
+    OpCaches.track(labels)
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   /** 60-bit token hash: md5 hex prefix → long (15 hex chars = 60 bits,
     * kept under 2^63 so both engines agree on the signed value).
     */

@@ -18,7 +18,8 @@ class OperatorSpec extends AnyFunSuite {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
       if (n == 0 && !Set("join_anti", "set_except", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash_pairs", "emb_neardup_pairs").contains(name))
+        "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_clusters",
+        "emb_neardup_pairs").contains(name))
         Some(name -> n)
       else None
     }
@@ -52,6 +53,37 @@ class OperatorSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("jaccard") >= j)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("dedup_clusters: pair endpoints co-clustered, label is the component min") {
+    // sf0.01 — the smallest SF where minhash emits pairs. The cluster
+    // map must close the pair graph transitively: both endpoints of
+    // every pair share a label, and each label is its component's
+    // minimum member id (the unique min-label fixpoint).
+    val dir = "/root/testdata/sf0.01"
+    val pairs = DedupOps.dedupMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val cluster = DedupOps.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) === cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    cluster.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl === members.keys.min, s"cluster $lbl label isn't its min member")
+    }
+    // reference fixpoint computed driver-side via union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(cluster === expected)
+  }
 
   test("minhash-LSH: all emitted pairs verified >= 0.5, planted dups found") {
     val lsh = DedupOps.dedupMinhashLsh(spark, sf).collect()
