@@ -52,19 +52,23 @@ object Bench {
     */
   private def ms(v: Double): Double = math.rint(v * 1000) / 1000
 
-  /** Per-query map values are magnitude-scaled to at most 4 chars:
-    * centiseconds under 10 s ("9.99"), deciseconds under 100 s
-    * ("99.9"), whole seconds above ("9999") — every tier well under
-    * the run-to-run noise floor at its magnitude. Width is what
-    * matters: the compact line must fit the collector's ~2000-char
-    * tail window at any query count (BenchLineSpec enforces the
-    * budget against the CURRENT registry).
+  /** Per-query map values are magnitude-scaled to at most 3 chars:
+    * deciseconds under 10 s ("9.9"), whole seconds to "999", saturated
+    * above (a 16-minute query is a catastrophic regression already
+    * visible in `value` and the detail line) — every tier under the
+    * run-to-run noise floor at its magnitude; full-precision per-query
+    * minima go on the detail line. Width is what matters: the compact
+    * line must fit the collector's ~2000-char tail window at any query
+    * count (BenchLineSpec enforces the budget against the CURRENT
+    * registry).
     */
   private def qs(v: Double): String =
     if (v < 0) "-1"
-    else if (v < 10) (math.rint(v * 100) / 100).toString
-    else if (v < 100) (math.rint(v * 10) / 10).toString
-    else math.rint(v).toLong.toString
+    else {
+      val d1 = math.rint(v * 10) / 10
+      if (d1 < 10) d1.toString
+      else math.min(999L, math.rint(v).toLong).toString
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,11 +123,16 @@ object Bench {
     val good = med.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
     val failures = med.count(_._2 < 0)
-    // Per-query minimum runs go on an EARLIER stdout line (full detail,
-    // human/judge-readable); the machine-parsed compact line must come
-    // LAST so the complete line lands inside the collector's tail window.
-    println(s"""{"detail":"per_query_min","iters":$iters,"queries_min":${obj(mins)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"queries":${obj(med)},"sf":"$sfDir"}""")
+    // Per-query minimum runs and the failure count go on an EARLIER
+    // stdout line (full detail, human/judge-readable); the
+    // machine-parsed compact line must come LAST so the complete line
+    // lands inside the collector's tail window. A failed query is the
+    // "-1" entry in `queries` (and excluded from `value`), so the
+    // compact line can't report a regression as a speedup even without
+    // a failures field. `sf` is the directory basename — the full path
+    // costs 15 chars of the same budget.
+    println(s"""{"detail":"per_query_min","iters":$iters,"failures":$failures,"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(med)},"sf":"${sfDir.split('/').last}"}""")
     spark.stop()
   }
 }

@@ -108,6 +108,22 @@ object SparkEntry {
     "decontaminate_ngram"    -> (PipelineOps.decontaminateNgram _),
     "dedup_clusters"         -> (DedupOps.dedupClusters _),
     "sample_source_quota"    -> (PipelineOps.sampleSourceQuota _),
+    "imp_sample"      -> (PipelineOps.sampleImportance _),
+    // Time-series shaping & SCD2 history
+    "cohort"       -> (EventOps.cohortRetention _),
+    "range_frame"     -> (EventOps.windowRangeFrame _),
+    "gapfill"             -> (TimeSeriesOps.tsGapfill _),
+    "scd2"             -> (TimeSeriesOps.scd2Build _),
+    // Entity resolution & regression
+    "fuzzy"        -> (RelationalOps.joinFuzzyEdit _),
+    "regr"          -> (StatOps.regrByGroup _),
+    // Sketch accuracy gates (the 100 TB cardinality/quantile tools)
+    "sk_distinct"   -> (StatOps.sketchDistinctGate _),
+    "sk_quantile"   -> (StatOps.sketchQuantileGate _),
+    // Profiling / data-quality / graph
+    "profile"     -> (QualityOps.profileTable _),
+    "dq"         -> (QualityOps.dqChecks _),
+    "pagerank"          -> (GraphOps.pageRank _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -924,5 +940,183 @@ object SparkEntry {
                FROM documents)
           SELECT doc_id, source, rk FROM r
           WHERE rk <= ${PipelineOps.SourceQuota} ORDER BY doc_id""",
+    // PipelineOps.sampleImportance: keep-probability ∝ min(1,
+    // n_chars/2000), decided by integer compare of a salted-md5 hash
+    // slice against an integer threshold — exact on both engines.
+    "imp_sample" ->
+      """SELECT doc_id, n_chars,
+         LEAST(65536, n_chars * 65536 // 2000) AS thr
+         FROM documents
+         WHERE CAST(('0x' || substring(md5('imp|' || CAST(doc_id AS VARCHAR)), 1, 4))
+                 AS BIGINT) < LEAST(65536, n_chars * 65536 // 2000)
+         ORDER BY doc_id""",
+    // EventOps.cohortRetention: first-seen-day cohorts × day offset.
+    "cohort" ->
+      """WITH e AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+          c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
+         SELECT c.cohort_day, e.day - c.cohort_day AS offset_days,
+                COUNT(DISTINCT e.user_id) AS n_users
+         FROM e JOIN c ON e.user_id = c.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // EventOps.windowRangeFrame: time-RANGE frame (peers-by-value),
+    // exact decimal sum cast back to double.
+    "range_frame" ->
+      """WITH e AS (SELECT event_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
+         SELECT event_id, event_type, es,
+                CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                  PARTITION BY event_type ORDER BY es
+                  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                  AS rolling_value
+         FROM e ORDER BY event_id""",
+    // TimeSeriesOps.tsGapfill: dense calendar spine per priority,
+    // zero-fill counts, forward-fill revenue.
+    "gapfill" ->
+      """WITH d AS (SELECT o_orderpriority,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
+                  COUNT(*) AS n,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+                FROM orders GROUP BY 1, 2),
+          span AS (SELECT o_orderpriority, MIN(day) AS lo, MAX(day) AS hi
+                   FROM d GROUP BY 1),
+          cal AS (SELECT o_orderpriority, unnest(generate_series(lo, hi)) AS day
+                  FROM span)
+         SELECT c.o_orderpriority, c.day,
+                COALESCE(d.n, 0) AS n,
+                COALESCE(d.total_value, 0.0) AS total_value,
+                last_value(d.total_value IGNORE NULLS) OVER (
+                  PARTITION BY c.o_orderpriority ORDER BY c.day
+                  ROWS UNBOUNDED PRECEDING) AS ffill_value
+         FROM cal c LEFT JOIN d
+           ON c.o_orderpriority = d.o_orderpriority AND c.day = d.day
+         ORDER BY 1, 2""",
+    // TimeSeriesOps.scd2Build: change rows (lag filter) → versioned
+    // intervals (lead), open version flagged current.
+    "scd2" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_orderpriority,
+                  CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS od
+                FROM orders),
+          l AS (SELECT *, lag(o_orderpriority) OVER
+                  (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS prev
+                FROM o),
+          ch AS (SELECT * FROM l
+                 WHERE prev IS NULL OR prev <> o_orderpriority),
+          v AS (SELECT o_custkey, o_orderpriority, od AS valid_from,
+                  lead(od) OVER (PARTITION BY o_custkey
+                    ORDER BY od, o_orderkey) AS valid_to
+                FROM ch)
+         SELECT o_custkey, o_orderpriority, valid_from, valid_to,
+                valid_to IS NULL AS is_current
+         FROM v ORDER BY o_custkey, valid_from""",
+    // RelationalOps.joinFuzzyEdit: distinct-name vocabulary, noun
+    // blocking, levenshtein <= 3 verify, canonical a < b pairs.
+    "fuzzy" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+          k AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n)
+         SELECT a.p_name AS name_a, b.p_name AS name_b,
+                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 3
+         ORDER BY name_a, name_b""",
+    // StatOps.regrByGroup: normal equations over exact decimal power
+    // sums — identical IEEE expression tree on both engines, 9dp.
+    "regr" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+                           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+                FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS slope,
+                round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 9)
+                  AS intercept,
+                round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                      ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 9) AS r2
+         FROM s ORDER BY l_returnflag""",
+    // StatOps.sketchDistinctGate: oracle computes the exact distinct
+    // count and expects both sketch gates TRUE — a sketch drifting
+    // past 5% fails the hash, same contract as ann_recall.
+    "sk_distinct" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_orderkey) AS n_exact,
+         TRUE AS acd_within_5pct,
+         TRUE AS hll_within_5pct
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // StatOps.sketchQuantileGate: GK rank error <= n/accuracy under
+    // any merge order, so the 1% gate is deterministic.
+    "sk_quantile" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+         TRUE AS p50_within_1pct
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // QualityOps.profileTable: one-scan long-format column profile.
+    "profile" -> {
+      val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
+      val str = Seq("o_orderstatus", "o_orderpriority")
+      val rows = (num ++ str).map { c =>
+        val minNum = if (num.contains(c)) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (num.contains(c)) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (str.contains(c)) s"MIN($c)" else "CAST(NULL AS VARCHAR)"
+        val maxStr = if (str.contains(c)) s"MAX($c)" else "CAST(NULL AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+            COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct,
+            $minNum AS min_num, $maxNum AS max_num,
+            $minStr AS min_str, $maxStr AS max_str FROM o"""
+      }.mkString(" UNION ALL ")
+      s"""WITH o AS (SELECT *, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_sec
+                     FROM orders)
+          $rows ORDER BY col_name"""
+    },
+    // QualityOps.dqChecks: fixed check suite, one row per constraint.
+    "dq" ->
+      """SELECT 'orders_custkey_null' AS check_name,
+                (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_bad
+         UNION ALL SELECT 'orders_custkey_orphan',
+                (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+         UNION ALL SELECT 'orders_orderkey_dup',
+                (SELECT COUNT(*) FROM
+                  (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+         UNION ALL SELECT 'orders_totalprice_negative',
+                (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)
+         UNION ALL SELECT 'lineitem_orderkey_orphan',
+                (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+         UNION ALL SELECT 'lineitem_quantity_nonpositive',
+                (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+         UNION ALL SELECT 'lineitem_discount_range',
+                (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+         ORDER BY check_name""",
+    // GraphOps.pageRank: unrolled fixed-iteration PageRank; every
+    // float constant CAST to DOUBLE (DuckDB parses bare 0.85 as
+    // DECIMAL, which would silently switch the arithmetic), and
+    // per-step contributions floored to 1e15-scaled longs so the only
+    // order-sensitive reduction is an exact integer sum.
+    "pagerank" -> {
+      val step = (i: Int, j: Int) =>
+        s"""c$j AS (SELECT e.b AS node, CAST(floor(r.rank/d.deg*1e15) AS BIGINT) AS c
+               FROM r$i r JOIN d ON r.node=d.a JOIN e ON r.node=e.a),
+            r$j AS (SELECT node,
+                 (CAST(1 AS DOUBLE)-CAST(${GraphOps.Damping} AS DOUBLE))/(SELECT n FROM nn)
+                 + CAST(${GraphOps.Damping} AS DOUBLE)*(SUM(c)/CAST(1e15 AS DOUBLE)) AS rank
+               FROM c$j GROUP BY node)"""
+      val steps = (1 to GraphOps.PageRankIters)
+        .map(j => step(j - 1, j)).mkString(",\n ")
+      s"""WITH li AS (SELECT DISTINCT 's'||CAST(l_suppkey AS VARCHAR) AS a,
+                             'p'||CAST(l_partkey AS VARCHAR) AS b FROM lineitem),
+          e AS (SELECT a,b FROM li UNION ALL SELECT b AS a, a AS b FROM li),
+          d AS (SELECT a, COUNT(*) AS deg FROM e GROUP BY 1),
+          nn AS (SELECT COUNT(*) AS n FROM d),
+          r0 AS (SELECT a AS node, CAST(1 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM d),
+          $steps
+          SELECT node, CAST(round(rank*1e9) AS BIGINT) AS rank_e9
+          FROM r${GraphOps.PageRankIters} ORDER BY node"""
+    },
   )
 }

@@ -105,6 +105,43 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Cohort retention: users grouped by first-seen day, activity
+    * counted per (cohort_day, day offset) — the standard retention
+    * matrix in long form. Two shuffles total: the per-user min-day
+    * aggregate (partial combine) re-joins on user_id (the aggregate
+    * output is already user_id-partitioned, so the join reuses that
+    * exchange), then a (cohort, offset, user) distinct-count — which
+    * Spark plans as two partial aggregations, never a per-group set.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts DIV 1000000000 DIV 86400").as("day"))
+    val cohorts = e.groupBy("user_id").agg(min("day").as("cohort_day"))
+    e.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "offset_days")
+  }
+
+  /** Time-RANGE window frame: per-event rolling 10-minute value sum
+    * within event_type — `RANGE BETWEEN 600 PRECEDING AND CURRENT ROW`
+    * over epoch seconds, i.e. the frame is defined by time distance,
+    * not row count (rows-frames are windowRunningSum's job). Peers at
+    * the same second share one frame in both engines. The sum is an
+    * exact decimal (order-independent) cast back to double. One window
+    * shuffle on event_type.
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("event_type").orderBy("es").rangeBetween(-600, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), epochSec.as("es"), col("value"))
+      .withColumn("rolling_value",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .drop("value")
+      .orderBy("event_id")
+  }
+
   /** JSON prop extraction + filtered aggregation per event type:
     * error share and value stats (F11-style semi-structured access).
     */

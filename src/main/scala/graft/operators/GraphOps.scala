@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph dataflow on the relational engine: PageRank over
+  * the supplier↔part bipartite graph implied by lineitem. Each
+  * iteration is one join (rank → edges) + one aggregation (sum of
+  * neighbor contributions) — the textbook distributed PageRank shape,
+  * with a FIXED iteration count so the whole computation is a single
+  * declarative plan (no driver-side convergence loop; at 100 TB you'd
+  * checkpoint the rank frame between iterations to truncate lineage,
+  * which is a `.checkpoint()` call away).
+  *
+  * Determinism: float sums are partitioning-order-dependent, so each
+  * contribution is floored to an integer at 1e15 scale before
+  * summing — long sums are exact and order-independent, and `floor`
+  * (unlike decimal casts or `round`) has identical semantics in every
+  * engine. Total rank mass is 1, so the scaled sum stays ≤ ~1e15 —
+  * no overflow at any node count.
+  */
+object GraphOps {
+
+  /** Iterations — fixed so the plan is static and the oracle can
+    * unroll the same number of CTE steps.
+    */
+  private[graft] val PageRankIters = 3
+
+  /** Damping factor. */
+  private[graft] val Damping = 0.85
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    // undirected bipartite edges: s<suppkey> ↔ p<partkey>, deduped
+    val li = Tables.lineitem(spark, dir)
+      .select(concat(lit("s"), col("l_suppkey")).as("a"),
+        concat(lit("p"), col("l_partkey")).as("b"))
+      .distinct()
+    val edges = li.unionAll(li.select(col("b").as("a"), col("a").as("b")))
+    val degrees = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    val n = degrees.count() // node count — one tiny job, result inlined as a literal
+    var ranks = degrees.select(col("a").as("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to PageRankIters) {
+      val contribs = ranks
+        .join(degrees.withColumnRenamed("a", "node"), Seq("node"))
+        .join(edges.withColumnRenamed("a", "node"), Seq("node"))
+        .select(col("b").as("node"),
+          floor(col("rank") / col("deg") * 1e15).cast("long").as("c"))
+      ranks = contribs.groupBy("node")
+        .agg(sum("c").as("cs"))
+        .select(col("node"),
+          (lit((1 - Damping) / n) + lit(Damping) * (col("cs") / 1e15)).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank") * 1e9).cast("long").as("rank_e9"))
+      .orderBy("node")
+  }
+}

@@ -340,6 +340,27 @@ object PipelineOps {
     * pins it), so the shuffle carries at most Q rows per (source,
     * mapper) — a hot domain costs what a cold one does.
     */
+  /** Importance (score-proportional) sampling: each document is kept
+    * with probability ∝ its quality proxy (n_chars, saturating at
+    * 2000), decided purely from a keyed hash — `h(doc_id) mod 2¹⁶ <
+    * ⌊min(1, n_chars/2000)·2¹⁶⌋` — so the decision is integer-exact,
+    * reproducible under retries/speculation/re-ingestion, and needs no
+    * sampler state (same contract as sampleStratified, distinct salt
+    * so the two samples are independent). The standard up-weight-the-
+    * good-docs pass of a training-data pipeline, as one narrow
+    * codegen'd filter over the scan.
+    */
+  def sampleImportance(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit("imp|"), col("doc_id").cast("string")).cast("binary")), 1, 4),
+      16, 10).cast("long")
+    Tables.documents(spark, dir)
+      .withColumn("thr", least(lit(65536L), expr("n_chars * 65536 DIV 2000")))
+      .filter(h < col("thr"))
+      .select(col("doc_id"), col("n_chars"), col("thr"))
+      .orderBy("doc_id")
+  }
+
   def sampleSourceQuota(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source")

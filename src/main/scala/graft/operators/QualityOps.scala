@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-profiling and constraint-validation operators — the "is this
+  * table what I think it is" utilities every warehouse grows: a
+  * one-scan column profiler and a declarative DQ check suite. Both
+  * return small long-format summaries (rows ∝ columns/checks, never
+  * data), so their output is driver-safe at any corpus scale.
+  */
+object QualityOps {
+
+  /** One-scan column profiler for `orders`: per column, row count,
+    * null count, exact distinct count, and min/max (numerics as
+    * double; strings lexicographic — min/max are selections, not
+    * arithmetic, so they're engine-exact). All columns profile in ONE
+    * pass: the multi-distinct aggregate plans one Expand (row
+    * replicated per distinct column) with partial aggregation — a
+    * single scan + one shuffle regardless of column count, vs. the
+    * per-column loop a naive profiler runs. Timestamps profile as
+    * epoch seconds.
+    */
+  def profileTable(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("od_sec", expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)"))
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
+    val str = Seq("o_orderstatus", "o_orderpriority")
+    val aggs = (num ++ str).flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct")) ++
+        (if (num.contains(c))
+           Seq(min(col(c)).cast("double").as(s"${c}__min_num"),
+             max(col(c)).cast("double").as(s"${c}__max_num"))
+         else
+           Seq(min(col(c)).as(s"${c}__min_str"),
+             max(col(c)).as(s"${c}__max_str")))
+    }
+    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val rows = (num ++ str).map { c =>
+      val isNum = num.contains(c)
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        (if (isNum) col(s"${c}__min_num") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"${c}__max_num") else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else col(s"${c}__min_str")).as("min_str"),
+        (if (isNum) lit(null).cast("string") else col(s"${c}__max_str")).as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
+  /** Declarative data-quality checks over the star schema, one row per
+    * check: PK nulls and duplicates, FK orphans (anti-join), domain
+    * violations. Each check is an independent aggregate over a pruned
+    * scan — counts only cross the wire, and the orphan check is the
+    * standard anti-join (broadcast at dim scale). A zero row is a
+    * passing check, so the output shape is fixed and diffable across
+    * runs.
+    */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    def check(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
+    check("orders_custkey_null", o.filter(col("o_custkey").isNull))
+      .unionAll(check("orders_custkey_orphan",
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
+      .unionAll(check("orders_orderkey_dup",
+        o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)))
+      .unionAll(check("orders_totalprice_negative", o.filter(col("o_totalprice") < 0)))
+      .unionAll(check("lineitem_orderkey_orphan",
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
+      .unionAll(check("lineitem_quantity_nonpositive", l.filter(col("l_quantity") <= 0)))
+      .unionAll(check("lineitem_discount_range",
+        l.filter(col("l_discount") < 0 || col("l_discount") > 1)))
+      .orderBy("check_name")
+  }
+}

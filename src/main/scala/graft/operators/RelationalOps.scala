@@ -262,6 +262,30 @@ object RelationalOps {
       .orderBy("p_brand")
   }
 
+  /** Fuzzy (edit-distance) self-join over part names — the
+    * entity-resolution pattern: project to DISTINCT names first (one
+    * partial-combine shuffle collapses N rows to the name vocabulary,
+    * which is what actually pairs), block on a cheap key (the noun —
+    * last token — so only plausible matches meet), then verify
+    * candidates with codegen'd `levenshtein`. Pair work is
+    * per-block-quadratic over the *vocabulary*, never the table; at
+    * 100 TB the vocabulary side still broadcasts. `a < b`
+    * canonicalizes each unordered pair to one row.
+    */
+  def joinFuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_name")).distinct()
+      .withColumn("blk", split(col("p_name"), " ").getItem(1))
+    val a = names.select(col("p_name").as("name_a"), col("blk"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 3)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
   /** Window: lag/lead — days since the customer's previous order. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

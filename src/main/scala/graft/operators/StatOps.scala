@@ -245,6 +245,85 @@ object StatOps {
     * unbounded by definition, so a time-bucket key cannot apply — the
     * running max carries the answer across buckets.
     */
+  /** Sketch-based distinct counting, accuracy-gated: per return flag,
+    * the exact distinct order count alongside booleans asserting that
+    * `approx_count_distinct` (HyperLogLog++, rsd 2%) and the Apache
+    * DataSketches HLL (`hll_sketch_agg`, lgK 14) land within 5% of
+    * exact. At 100 TB the sketches ARE the distinct-count plan — fixed
+    * ~KB state per group through the shuffle, map-side combinable,
+    * vs. exact distinct's (group, value) re-shuffle — and this query
+    * pins their error honestly (the estimate is deterministic: HLL
+    * registers are per-value maxima, merge-order-independent). The
+    * oracle computes the exact count and expects the gates TRUE, so a
+    * sketch drifting out of tolerance fails the hash gate, same
+    * contract as ann_recall.
+    */
+  def sketchDistinctGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_orderkey").as("n_exact"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("_acd"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").as("_hll"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("_acd") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("acd_within_5pct"),
+        (abs(col("_hll") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("hll_within_5pct"))
+      .orderBy("l_returnflag")
+
+  /** Sketch-based quantiles, accuracy-gated: per return flag, row
+    * count plus a boolean asserting `approx_percentile` (Greenwald-
+    * Khanna, accuracy 10000) lands within 1% of the exact interpolated
+    * median. GK rank error is ≤ n/accuracy under ANY merge order, so
+    * the gate is deterministic even though the sketch itself isn't
+    * bit-stable. Exact percentile sorts each group; the sketch carries
+    * O(accuracy) state map-side — the only viable quantile at corpus
+    * scale — and this query keeps its dial honest.
+    */
+  def sketchQuantileGate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("_apx"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("_apx") - col("_exact")) <= col("_exact") * 0.01)
+          .as("p50_within_1pct"))
+      .orderBy("l_returnflag")
+
+  /** Per-group simple linear regression (price ~ quantity):
+    * slope / intercept / r² from the same exact-decimal power sums as
+    * corrByGroup — one partial-aggregation pass, with the closed-form
+    * normal equations evaluated in fixed double arithmetic afterward.
+    * The builtin regr_slope/regr_intercept would drift with partial-
+    * aggregation order (double running sums) and can't hash-match an
+    * oracle; sums-of-decimals are order-independent at any
+    * partitioning. Quantized to 9dp for the same cancellation caveat
+    * as aggMoments.
+    */
+  def regrByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sx2") - col("sx") * col("sx")
+    val vary = col("n") * col("sy2") - col("sy") * col("sy")
+    val slope = cov / varx
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sx"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sy"),
+        sum(dec(col("l_quantity")) * dec(col("l_extendedprice"))).cast("double").as("sxy"),
+        sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sx2"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("sy2"))
+      .select(col("l_returnflag"), col("n"),
+        round(slope, 9).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 9).as("intercept"),
+        round(cov * cov / (varx * vary), 9).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -14,11 +14,13 @@ class BenchLineSpec extends AnyFunSuite {
   test("bench compact line fits the collector's tail window at worst-case widths") {
     val names = "_substrate" +: SparkEntry.queries.keys.toSeq.sorted
     // worst-case per-query value under the magnitude-scaled formatter
-    // is 4 chars at every tier ("9.99" / "99.9" / "9999" — the last is
-    // a 2.7-hour query, a regression caught long before line length
-    // matters); worst-case total: "99999.999"
-    val queries = names.map(n => s""""$n":9.99""").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":0,"queries":$queries,"sf":"/root/testdata/sf0.1"}"""
+    // is 3 chars at every tier ("9.9" / "99" / "999", saturated — a
+    // 16-minute query is a regression caught by `value` and the detail
+    // line long before line length matters); worst-case total:
+    // "99999.999". `failures` lives on the detail line; `sf` is the
+    // directory basename.
+    val queries = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$queries,"sf":"sf0.1"}"""
     // window = 2000-char tail minus the trailing sbt summary line
     // ("[success] Total time: ...", ~70 chars) and two newlines
     val budget = 2000 - 80

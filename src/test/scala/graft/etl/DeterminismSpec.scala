@@ -65,7 +65,13 @@ class DeterminismSpec extends AnyFunSuite {
         rows(graft.operators.TextOps.textRepSignals(spark, sf)),
         rows(graft.operators.EventOps.clickAttribution(spark, sf)),
         rows(graft.operators.PipelineOps.packSequences(spark, sf)),
-        rows(graft.operators.PipelineOps.tfidfTopK(spark, sf)))
+        rows(graft.operators.PipelineOps.tfidfTopK(spark, sf)),
+        rows(graft.operators.TimeSeriesOps.tsGapfill(spark, sf)),
+        rows(graft.operators.TimeSeriesOps.scd2Build(spark, sf)),
+        rows(graft.operators.EventOps.cohortRetention(spark, sf)),
+        rows(graft.operators.EventOps.windowRangeFrame(spark, sf)),
+        rows(graft.operators.StatOps.regrByGroup(spark, sf)),
+        rows(graft.operators.PipelineOps.sampleImportance(spark, sf)))
     }
     val at4 = run()
     spark.conf.set("spark.sql.shuffle.partitions", "13")

@@ -23,16 +23,34 @@ class EmptyInputSpec extends AnyFunSuite {
     dst
   }
 
+  // Global-aggregate reports whose FIXED-SHAPE output on empty input
+  // is the correct behavior: a profiler must report its columns with
+  // n=0, a DQ suite must report every check passing — vanishing would
+  // be the bug. Their row counts are pinned below instead.
+  private val fixedShape = Map("profile" -> 6L, "dq" -> 7L)
+
   test("every registered query runs on empty tables and yields zero rows") {
     DedupOps.clearCaches(spark) // don't serve another suite's substrate
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val n = fn(spark, emptyDir).count()
-        if (n != 0) Some(s"$name: $n rows from empty input") else None
+        if (n != fixedShape.getOrElse(name, 0L))
+          Some(s"$name: $n rows from empty input") else None
       } catch { case e: Throwable =>
         Some(s"$name: threw ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(80)}") }
     }
     DedupOps.clearCaches(spark) // don't leak the empty substrate to other suites
     assert(bad.isEmpty, s"queries misbehaving on empty input:\n${bad.mkString("\n")}")
+  }
+
+  test("profiler and DQ suite report zeros (not nothing) on empty input") {
+    val prof = QualityOps.profileTable(spark, emptyDir).collect()
+    assert(prof.length === 6)
+    prof.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L && r.getLong(3) === 0L)
+    }
+    val dq = QualityOps.dqChecks(spark, emptyDir).collect()
+    assert(dq.length === 7)
+    dq.foreach(r => assert(r.getLong(1) === 0L, s"${r.getString(0)} nonzero on empty"))
   }
 }

@@ -170,4 +170,37 @@ class PlanSpec extends AnyFunSuite {
     assert(gen >= 0 && win >= 0 && win < gen,
       "window must sit above the aggregates, not over the exploded tokens")
   }
+
+  test("fuzzy join stays a blocked equi-join over the name vocabulary") {
+    // the blocking key must keep this a hash/merge join; losing it
+    // would re-plan as an all-pairs nested loop over the vocabulary —
+    // tolerable at 64 names, quadratic death at a real one.
+    val s = planString(RelationalOps.joinFuzzyEdit(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"fuzzy join lost its blocking key:\n$s")
+  }
+
+  test("ts_gapfill joins the daily aggregate via broadcast") {
+    // both join sides are calendar-bounded (days × priorities), so the
+    // spine-to-daily join must broadcast — at 100 TB the orders scan
+    // grows but this join's inputs do not.
+    val s = planString(TimeSeriesOps.tsGapfill(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast spine join in:\n$s")
+  }
+
+  test("scd2_build shuffles once on the dimension key for both windows") {
+    // lag and lead windows share (o_custkey, od, o_orderkey) ordering;
+    // a second hashpartitioning exchange would mean the filter broke
+    // the partitioning reuse.
+    val s = planString(TimeSeriesOps.scd2Build(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(n === 1, s"expected one key shuffle, got $n in:\n$s")
+  }
+
+  test("window_range_frame runs one window over one event_type shuffle") {
+    val s = planString(EventOps.windowRangeFrame(spark, sf))
+    assert("\\+- Window ".r.findAllIn(s).length === 1)
+    val n = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(n === 1, s"expected one hash exchange, got $n in:\n$s")
+  }
 }
