@@ -59,8 +59,12 @@ object Bench {
     * run-to-run noise floor at its magnitude; full-precision per-query
     * minima go on the detail line. Width is what matters: the compact
     * line must fit the collector's ~2000-char tail window at any query
-    * count (BenchLineSpec enforces the budget against the CURRENT
-    * registry).
+    * count, so if the 3-char line would overflow, the whole map falls
+    * back to 2-char integer seconds ("9" / "99", saturated) — coarse,
+    * but only reachable when every query is slow at a huge registry,
+    * and a guaranteed-complete line beats a truncated precise one
+    * (BenchLineSpec enforces the fallback's worst case against the
+    * CURRENT registry).
     */
   private def qs(v: Double): String =
     if (v < 0) "-1"
@@ -69,6 +73,14 @@ object Bench {
       if (d1 < 10) d1.toString
       else math.min(999L, math.rint(v).toLong).toString
     }
+
+  /** Overflow fallback: integer seconds, saturated at 99. */
+  private def qs2(v: Double): String =
+    if (v < 0) "-1"
+    else math.min(99L, math.rint(v).toLong).toString
+
+  /** Collector tail window minus the trailing sbt summary line. */
+  private[graft] val LineBudget = 2000 - 80
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -118,8 +130,8 @@ object Bench {
     val med = ("_substrate" -> substrate) +: timings.map { case (n, (m, _)) => n -> m }
     val mins = ("_substrate" -> (if (substrate < 0) -1.0 else substrateRuns.min)) +:
       timings.map { case (n, (_, mn)) => n -> mn }
-    def obj(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + qs(v) }.mkString("{", ",", "}")
+    def obj(kv: Seq[(String, Double)], f: Double => String = qs): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val good = med.collect { case (_, v) if v >= 0 => v }
     val total = if (good.nonEmpty) good.sum else 0.0
     val failures = med.count(_._2 < 0)
@@ -132,7 +144,10 @@ object Bench {
     // a failures field. `sf` is the directory basename — the full path
     // costs 15 chars of the same budget.
     println(s"""{"detail":"per_query_min","iters":$iters,"failures":$failures,"queries_min":${obj(mins)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(med)},"sf":"${sfDir.split('/').last}"}""")
+    def compact(f: Double => String) =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
+    val line3 = compact(qs)
+    println(if (line3.length <= LineBudget) line3 else compact(qs2))
     spark.stop()
   }
 }

@@ -124,6 +124,9 @@ object SparkEntry {
     "profile"     -> (QualityOps.profileTable _),
     "dq"         -> (QualityOps.dqChecks _),
     "pagerank"          -> (GraphOps.pageRank _),
+    // SQL-surface completeness: value windows, incremental aggregation
+    "win_value"         -> (RelationalOps.windowValueFuncs _),
+    "incr_agg"          -> (RelationalOps.incrAgg _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -1118,5 +1121,25 @@ object SparkEntry {
           SELECT node, CAST(round(rank*1e9) AS BIGINT) AS rank_e9
           FROM r${GraphOps.PageRankIters} ORDER BY node"""
     },
+    // RelationalOps.windowValueFuncs: first/last/nth need the explicit
+    // unbounded-both-ends frame in both engines (the default frame
+    // makes last_value ≡ current row); cume_dist ties are
+    // peer-counting, deterministic without a tiebreaker.
+    "win_value" ->
+      """SELECT o_orderkey, o_custkey,
+         first_value(o_totalprice) OVER w AS first_price,
+         last_value(o_totalprice) OVER w AS last_price,
+         nth_value(o_totalprice, 2) OVER w AS second_price,
+         cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_orderkey""",
+    // RelationalOps.incrAgg: the oracle recomputes from scratch —
+    // merge-of-partials must equal the full recompute exactly.
+    "incr_agg" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders GROUP BY 1 ORDER BY 1""",
   )
 }

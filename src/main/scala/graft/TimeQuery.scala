@@ -1,0 +1,30 @@
+package graft
+
+/** Dev tool: time individual registered queries (noop sink, n runs)
+  * without paying for the whole Bench sweep. Usage:
+  *
+  *   sbt "runMain graft.TimeQuery <sfDir> <query> [query ...]"
+  *
+  * Prints per-run seconds; transient caches are released between runs
+  * (same steady-state accounting as Bench).
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
+    val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val spark = GraftSession.build("graft-time-query")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val runs = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.operators.DedupOps.releaseTransients(spark)
+        t
+      }
+      println(f"[time] $n: ${runs.map(v => f"$v%.2f").mkString(" ")} s")
+    }
+    spark.stop()
+  }
+}

@@ -337,14 +337,26 @@ object DedupOps {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    val edges = OpCaches.track(
+    // localCheckpoint (eager), not persist: the loop below self-joins
+    // edges against frames DERIVED from edges, and Spark's cache
+    // substitution does not reliably match the re-aliased subtrees —
+    // measured as the whole minhash pipeline re-running EVERY round.
+    // Checkpointing physically truncates the lineage, so every round's
+    // plan starts from the materialized edge blocks no matter how the
+    // analyzer rewrites the self-join. On a cluster the same call is
+    // `checkpoint()` against reliable storage — the standard prelude
+    // to iterative dataflow (Pregel does exactly this).
+    val edges =
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      val t0 = System.nanoTime()
       val next = edges.join(labels, edges("src") === labels("id"))
         .select(edges("dst").as("id"), labels("lbl"))
         .unionAll(labels)
@@ -355,6 +367,9 @@ object DedupOps {
         .filter(col("lbl") < col("old")).count()
       labels.unpersist(blocking = false)
       labels = next
+      round += 1
+      System.err.println(f"[dedup_clusters] round $round: $changed relabeled, " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // register the converged frame so releaseTransients reclaims it
     OpCaches.track(labels)

@@ -31,13 +31,23 @@ object GraphOps {
   private[graft] val Damping = 0.85
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
-    // undirected bipartite edges: s<suppkey> ↔ p<partkey>, deduped
+    // undirected bipartite edges: s<suppkey> ↔ p<partkey>, deduped.
+    // edges/degrees feed every iteration and the loop joins them
+    // against frames derived from themselves — the self-join shape
+    // where Spark's cache substitution does not reliably engage
+    // (measured on dedup_clusters: the upstream pipeline re-ran every
+    // round under plain persist). localCheckpoint physically truncates
+    // the lineage so each iteration's plan starts from materialized
+    // edge blocks; on a cluster the same call is `checkpoint()` to
+    // reliable storage — the standard pre-iteration edge build
+    // (GraphX's Pregel does exactly this).
     val li = Tables.lineitem(spark, dir)
       .select(concat(lit("s"), col("l_suppkey")).as("a"),
         concat(lit("p"), col("l_partkey")).as("b"))
       .distinct()
     val edges = li.unionAll(li.select(col("b").as("a"), col("a").as("b")))
-    val degrees = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val degrees = edges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
     val n = degrees.count() // node count — one tiny job, result inlined as a literal
     var ranks = degrees.select(col("a").as("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to PageRankIters) {

@@ -286,6 +286,54 @@ object RelationalOps {
       .orderBy("name_a", "name_b")
   }
 
+  /** Window value functions: per customer, the first/last/second order
+    * price (full-partition frame) and each order's cume_dist by price.
+    * first/last/nth_value need the explicit unbounded-both-ends frame
+    * (the default frame stops at CURRENT ROW, silently making
+    * last_value ≡ current row — a classic SQL trap both engines
+    * share); cume_dist counts peers ≤ current, so price ties are
+    * deterministic without a tiebreaker. One window shuffle on
+    * o_custkey shared by all four functions.
+    */
+  def windowValueFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byPrice = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first("o_totalprice").over(full).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        cume_dist().over(byPrice).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Incremental aggregate maintenance: per-customer order counts and
+    * exact revenue computed as pre-aggregated history (orders before
+    * the split day) COMBINED with a fresh delta aggregate — the
+    * re-aggregation of partial (count, decimal-sum) states, i.e. the
+    * materialized-view update pattern that avoids rescanning history
+    * at 100 TB. Both input aggregates partial-combine map-side and the
+    * final merge touches only (customer, partial) rows; the oracle
+    * recomputes from scratch, proving merge ≡ recompute.
+    */
+  def incrAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val split = 10000L // epoch-day boundary between "history" and "delta"
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"),
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400").as("od"))
+    def partial(df: DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("ps"))
+    partial(o.filter(col("od") < split))
+      .unionAll(partial(o.filter(col("od") >= split)))
+      .groupBy("o_custkey")
+      .agg(sum("pn").as("n_orders"), sum("ps").cast("double").as("revenue"))
+      .orderBy("o_custkey")
+  }
+
   /** Window: lag/lead — days since the customer's previous order. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -149,6 +149,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       part.map(_.getLong(1)).sum / part.length)
   }
 
+  test("win_value: full-frame values consistent within each customer") {
+    val rows = RelationalOps.windowValueFuncs(spark, sf).collect()
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      // first/last/second are frame-constant across the partition
+      assert(rs.map(_.getDouble(2)).distinct.length === 1)
+      assert(rs.map(_.getDouble(3)).distinct.length === 1)
+      if (rs.length == 1) assert(rs.head.isNullAt(4), "nth_value(2) on 1 row")
+      val cds = rs.map(_.getDouble(5))
+      assert(cds.max === 1.0) // the max-price row always has cume_dist 1
+      assert(cds.forall(c => c > 0.0 && c <= 1.0))
+    }
+  }
+
+  test("incr_agg: merge of history+delta partials equals full recompute") {
+    import graft.util.Num._
+    val full = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val incr = RelationalOps.incrAgg(spark, sf).collect()
+    assert(incr.length === full.size)
+    incr.foreach { r =>
+      val (n, rev) = full(r.getLong(0))
+      assert(r.getLong(1) === n && r.getDouble(2) === rev)
+    }
+  }
+
   test("sample_importance: saturated docs always kept, short docs thinned") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val longDocs = docs.filter(col("n_chars") >= 2000).count()
