@@ -143,7 +143,14 @@ object Bench {
     // compact line can't report a regression as a speedup even without
     // a failures field. `sf` is the directory basename — the full path
     // costs 15 chars of the same budget.
-    println(s"""{"detail":"per_query_min","iters":$iters,"failures":$failures,"queries_min":${obj(mins)},"sf":"$sfDir"}""")
+    // Full-precision medians AND minima live here (no width budget on
+    // earlier lines); the committed bench floors derive from this line
+    // (scripts/floor.py), because the compact line's magnitude-scaled
+    // values — and especially its integer-second overflow fallback —
+    // are too coarse to compare runs against.
+    def objFull(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    println(s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)},"sf":"$sfDir"}""")
     def compact(f: Double => String) =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
     val line3 = compact(qs)

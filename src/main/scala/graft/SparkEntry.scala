@@ -22,11 +22,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Reference's five analytic queries (SURVEY.md §2.3-2.5)
-    "q1_revenue_by_customer" -> (SalesAnalytics.q1RevenueByCustomer _),
-    "q2_avg_ticket_by_part"  -> (SalesAnalytics.q2AvgTicketByPart _),
-    "q3_count_by_type"       -> (SalesAnalytics.q3CountByType _),
-    "q4_top5_customers"      -> (SalesAnalytics.q4Top5Customers _),
-    "q5_sales_by_month"      -> (SalesAnalytics.q5SalesByMonth _),
+    "q1" -> (SalesAnalytics.q1RevenueByCustomer _),
+    "q2"  -> (SalesAnalytics.q2AvgTicketByPart _),
+    "q3"       -> (SalesAnalytics.q3CountByType _),
+    "q4"      -> (SalesAnalytics.q4Top5Customers _),
+    "q5"      -> (SalesAnalytics.q5SalesByMonth _),
     // Operator inventory (SURVEY.md §2.2-2.8)
     "dedup_exact"            -> (RelationalOps.dedupExact _),
     "median_by_group"        -> (RelationalOps.medianByGroup _),
@@ -290,32 +290,32 @@ object SparkEntry {
     * rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
-    "q1_revenue_by_customer" ->
+    "q1" ->
       """SELECT c.c_custkey, c.c_name,
          CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
          FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY c.c_custkey, c.c_name
          ORDER BY revenue DESC, c.c_custkey""",
-    "q2_avg_ticket_by_part" ->
+    "q2" ->
       """SELECT p.p_partkey, p.p_name,
          CAST(COALESCE(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
            / COUNT(l.l_orderkey) AS ticket_medio
          FROM lineitem l INNER JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY p.p_partkey, p.p_name
          ORDER BY p.p_partkey""",
-    "q3_count_by_type" ->
+    "q3" ->
       """SELECT p.p_type, COUNT(l.l_orderkey) AS quantidade_vendas
          FROM lineitem l INNER JOIN part p ON l.l_partkey = p.p_partkey
          GROUP BY p.p_type
          ORDER BY quantidade_vendas DESC, p.p_type""",
-    "q4_top5_customers" ->
+    "q4" ->
       """SELECT c.c_custkey, c.c_name,
          CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS revenue
          FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY c.c_custkey, c.c_name
          ORDER BY revenue DESC, c.c_custkey
          LIMIT 5""",
-    "q5_sales_by_month" ->
+    "q5" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS periodo,
          COUNT(o_orderkey) AS total_vendas,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS valor_total
