@@ -346,10 +346,9 @@ object DedupOps {
     // analyzer rewrites the self-join. On a cluster the same call is
     // `checkpoint()` against reliable storage — the standard prelude
     // to iterative dataflow (Pregel does exactly this).
-    val edges =
+    val edges = OpCaches.localCheckpointTracked(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .localCheckpoint()
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -45,9 +45,10 @@ object GraphOps {
       .select(concat(lit("s"), col("l_suppkey")).as("a"),
         concat(lit("p"), col("l_partkey")).as("b"))
       .distinct()
-    val edges = li.unionAll(li.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    val degrees = edges.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val edges = OpCaches.localCheckpointTracked(
+      li.unionAll(li.select(col("b").as("a"), col("a").as("b"))))
+    val degrees = OpCaches.localCheckpointTracked(
+      edges.groupBy("a").agg(count(lit(1)).as("deg")))
     val n = degrees.count() // node count — one tiny job, result inlined as a literal
     var ranks = degrees.select(col("a").as("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to PageRankIters) {
