@@ -127,6 +127,7 @@ object SparkEntry {
     // SQL-surface completeness: value windows, incremental aggregation
     "win_value"         -> (RelationalOps.windowValueFuncs _),
     "incr_agg"          -> (RelationalOps.incrAgg _),
+    "array_funcs"       -> (TextOps.arrayFuncs _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -1141,5 +1142,18 @@ object SparkEntry {
       """SELECT o_custkey, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1 ORDER BY 1""",
+    // TextOps.arrayFuncs: HOF lambda surface vs DuckDB list functions.
+    "array_funcs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE text IS NOT NULL)
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+                 array_to_string(list_slice(list_sort(toks), 1, 3), ' ') AS sorted3,
+                 CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
+                 CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                   AS BIGINT) AS total_chars,
+                 list_contains(toks, 'data') AS has_data
+          FROM t ORDER BY doc_id""",
   )
 }

@@ -183,4 +183,28 @@ object TextOps {
         (col("dup_bigram_n").cast("double") / col("n_bigrams")).as("dup_bigram_frac"))
       .orderBy("doc_id")
   }
+
+  /** Higher-order array-function surface: transform / filter /
+    * aggregate / slice / sort_array / array_contains / array_join over
+    * the token array, oracle-matched against DuckDB's list functions.
+    * The hot-path operators deliberately avoid HOF lambdas (explode +
+    * codegen'd aggregation wins — see textTokens' rationale); this
+    * query exists to pin the SEMANTIC parity of the lambda surface a
+    * user writes ad-hoc queries with. Integer fold + binary-collation
+    * sort keep every value engine-exact; arrays are re-joined to
+    * strings so the hash gate compares scalars.
+    */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        array_join(slice(col("toks"), 1, 3), " ").as("first3"),
+        array_join(slice(sort_array(col("toks")), 1, 3), " ").as("sorted3"),
+        size(filter(col("toks"), t => length(t) > 5)).cast("long").as("n_long"),
+        expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("total_chars"),
+        array_contains(col("toks"), "data").as("has_data"))
+      .orderBy("doc_id")
 }
