@@ -128,6 +128,7 @@ object SparkEntry {
     "win_value"         -> (RelationalOps.windowValueFuncs _),
     "incr_agg"          -> (RelationalOps.incrAgg _),
     "array_funcs"       -> (TextOps.arrayFuncs _),
+    "outliers"          -> (StatOps.outliers _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -1155,5 +1156,20 @@ object SparkEntry {
                    AS BIGINT) AS total_chars,
                  list_contains(toks, 'data') AS has_data
           FROM t ORDER BY doc_id""",
+    // StatOps.outliers: |z| > 3 per event type; mean/σ from exact
+    // decimal sums, z as the identical IEEE op chain on both engines.
+    "outliers" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                  CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+                FROM events GROUP BY 1),
+          m AS (SELECT event_type, sx / n AS mean,
+                  sqrt(sx2 / n - (sx / n) * (sx / n)) AS sd FROM s)
+         SELECT e.event_id, e.event_type, e.value,
+                round((e.value - m.mean) / m.sd, 6) AS z
+         FROM events e JOIN m ON e.event_type = m.event_type
+         WHERE abs((e.value - m.mean) / m.sd) > 3.0
+         ORDER BY e.event_id""",
   )
 }

@@ -245,6 +245,34 @@ object StatOps {
     * unbounded by definition, so a time-bucket key cannot apply — the
     * running max carries the answer across buckets.
     */
+  /** Z-score outlier detection per event type: events whose value sits
+    * more than 3 population standard deviations from their type's
+    * mean. Mean/σ derive from exact decimal sums (order-independent),
+    * then the z computation is a fixed chain of correctly-rounded IEEE
+    * ops — identical bits on any engine, so even boundary rows gate
+    * identically. Plan: one partial-aggregated stats pass, broadcast
+    * of the 4-row stats table back onto the scan — the standard
+    * two-pass outlier sweep (a one-pass window would shuffle every
+    * event by type for a 4-group stat).
+    */
+  def outliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val stats = e.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sx"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("sx2"))
+      .select(col("event_type"),
+        (col("sx") / col("n")).as("mean"),
+        sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("sd"))
+    e.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
   /** Sketch-based distinct counting, accuracy-gated: per return flag,
     * the exact distinct order count alongside booleans asserting that
     * `approx_count_distinct` (HyperLogLog++, rsd 2%) and the Apache

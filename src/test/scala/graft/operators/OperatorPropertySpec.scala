@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized-input checks for the round-6 operator families: the
+  * distributed implementations must match straightforward in-JVM
+  * reference implementations on arbitrary data, not just on the
+  * driver's corpus. Fixed seed → deterministic CI.
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.build("op-prop-spec", "4")
+
+  private val rnd = new scala.util.Random(20260813L)
+
+  /** Write a synthetic orders/lineitem pair under a temp dir so the
+    * dir-based operators run on it unchanged.
+    */
+  private def writeTables(dir: String, nOrders: Int, nLines: Int): Unit = {
+    val priorities = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val orders = (1 to nOrders).map { i =>
+      Row(i.toLong, rnd.nextInt(20).toLong, "O",
+        math.rint(rnd.nextDouble() * 1000 * 100) / 100,
+        java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(1995, 1, 1, 0, 0).plusDays(rnd.nextInt(400))),
+        priorities(rnd.nextInt(priorities.length)))
+    }
+    val oSchema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(orders, 3), oSchema)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val lines = (1 to nLines).map { i =>
+      Row(i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(8).toLong)
+    }
+    val lSchema = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(lines, 3), lSchema)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("scd2_build matches a sequential fold on random order histories") {
+    val dir = "/tmp/graft_prop_scd2"
+    writeTables(dir, nOrders = 400, nLines = 1)
+    // reference: per customer, walk orders in (day, orderkey) order and
+    // emit a version on every priority change
+    val raw = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_custkey", "o_orderkey", "o_orderpriority",
+        "CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400 AS od")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = raw.groupBy(_._1).flatMap { case (cust, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val changes = sorted.foldLeft(Vector.empty[(String, Long)]) { (acc, r) =>
+        if (acc.isEmpty || acc.last._1 != r._3) acc :+ (r._3, r._4) else acc
+      }
+      changes.zipAll(changes.drop(1).map(c => Some(c._2)), null, None).collect {
+        case ((prio, from), to: Option[Long] @unchecked) =>
+          (cust, prio, from, to.getOrElse(-1L), to.isEmpty)
+      }
+    }.toSet
+    val got = TimeSeriesOps.scd2Build(spark, dir).collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))
+    }.toSet
+    assert(got === expected)
+  }
+
+  test("pagerank matches an in-JVM reference on random bipartite graphs") {
+    val dir = "/tmp/graft_prop_pr"
+    writeTables(dir, nOrders = 1, nLines = 600)
+    val edgesRaw = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("'s' || l_suppkey AS a", "'p' || l_partkey AS b")
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = scala.collection.mutable.Map.empty[String, Vector[String]]
+    edgesRaw.foreach { case (a, b) =>
+      adj(a) = adj.getOrElse(a, Vector.empty) :+ b
+      adj(b) = adj.getOrElse(b, Vector.empty) :+ a
+    }
+    val n = adj.size
+    var rank = adj.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to GraphOps.PageRankIters) {
+      val contrib = scala.collection.mutable.Map.empty[String, Long]
+      adj.foreach { case (a, nbrs) =>
+        val c = math.floor(rank(a) / nbrs.length * 1e15).toLong
+        nbrs.foreach(b => contrib(b) = contrib.getOrElse(b, 0L) + c)
+      }
+      rank = contrib.map { case (k, v) =>
+        k -> ((1 - GraphOps.Damping) / n + GraphOps.Damping * (v / 1e15))
+      }.toMap
+    }
+    val expected = rank.map { case (k, v) => k -> math.rint(v * 1e9).toLong }
+    val got = GraphOps.pageRank(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+}
