@@ -203,4 +203,20 @@ class PlanSpec extends AnyFunSuite {
     val n = "Exchange hashpartitioning".r.findAllIn(s).length
     assert(n === 1, s"expected one hash exchange, got $n in:\n$s")
   }
+
+  test("outliers broadcasts the stats table back onto the event scan") {
+    // the per-type stats frame is 4 rows; a shuffled join here would
+    // move every event for nothing.
+    val s = planString(StatOps.outliers(spark, sf))
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast stats join in:\n$s")
+  }
+
+  test("win_value shares one customer-key shuffle across both window specs") {
+    // full-frame (by date) and cume_dist (by price) windows partition
+    // on the same key — the plan must exchange once and re-sort, not
+    // re-shuffle.
+    val s = planString(RelationalOps.windowValueFuncs(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(n === 1, s"expected one key shuffle for both windows, got $n in:\n$s")
+  }
 }
