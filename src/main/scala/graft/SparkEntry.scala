@@ -1018,7 +1018,7 @@ object SparkEntry {
     // blocking, levenshtein <= 3 verify, canonical a < b pairs.
     "fuzzy" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
-          k AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n)
+          k AS (SELECT p_name, (string_split(p_name, ' '))[-1] AS blk FROM n)
          SELECT a.p_name AS name_a, b.p_name AS name_b,
                 CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
          FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
@@ -1038,11 +1038,12 @@ object SparkEntry {
                            CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
                 FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
-                round((n * sxy - sx * sy) / (n * sx2 - sx * sx), 9) AS slope,
-                round((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 9)
-                  AS intercept,
+                round((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0), 9) AS slope,
+                round((sy - (n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0) * sx)
+                      / n, 9) AS intercept,
                 round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-                      ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)), 9) AS r2
+                      (nullif(n * sx2 - sx * sx, 0) * nullif(n * sy2 - sy * sy, 0)),
+                      9) AS r2
          FROM s ORDER BY l_returnflag""",
     // StatOps.sketchDistinctGate: oracle computes the exact distinct
     // count and expects both sketch gates TRUE — a sketch drifting
@@ -1165,11 +1166,12 @@ object SparkEntry {
                            CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
                 FROM events GROUP BY 1),
           m AS (SELECT event_type, sx / n AS mean,
-                  sqrt(sx2 / n - (sx / n) * (sx / n)) AS sd FROM s)
+                  sqrt(greatest(sx2 / n - (sx / n) * (sx / n),
+                                CAST(0 AS DOUBLE))) AS sd FROM s)
          SELECT e.event_id, e.event_type, e.value,
-                round((e.value - m.mean) / m.sd, 6) AS z
+                round((e.value - m.mean) / nullif(m.sd, 0), 6) AS z
          FROM events e JOIN m ON e.event_type = m.event_type
-         WHERE abs((e.value - m.mean) / m.sd) > 3.0
+         WHERE abs((e.value - m.mean) / nullif(m.sd, 0)) > 3.0
          ORDER BY e.event_id""",
   )
 }

@@ -6,7 +6,10 @@ package graft
   *   sbt "runMain graft.TimeQuery <sfDir> <query> [query ...]"
   *
   * Prints per-run seconds; transient caches are released between runs
-  * (same steady-state accounting as Bench).
+  * and the pinned dedup substrate is materialized up front — the same
+  * steady-state accounting as Bench, so numbers here compare against
+  * the committed floors (Bench reports the substrate separately as
+  * `_substrate`).
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
@@ -14,6 +17,10 @@ object TimeQuery {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.build("graft-time-query")
+    try graft.operators.DedupOps.materializeSubstrate(spark, dir)
+    catch { case e: Throwable =>
+      System.err.println(s"[time] substrate skipped: ${e.getMessage}")
+    }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val runs = (1 to iters).map { _ =>

@@ -352,6 +352,9 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // opt-in per-round diagnostics (convergence count + wall time);
+    // a library operator must not spam every caller's stderr.
+    val IterLog = sys.env.contains("GRAFT_ITER_LOG")
     var changed = 1L
     var round = 0
     while (changed > 0) {
@@ -367,8 +370,9 @@ object DedupOps {
       labels.unpersist(blocking = false)
       labels = next
       round += 1
-      System.err.println(f"[dedup_clusters] round $round: $changed relabeled, " +
-        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (IterLog) System.err.println(
+        f"[dedup_clusters] round $round: $changed relabeled, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // register the converged frame so releaseTransients reclaims it
     OpCaches.track(labels)

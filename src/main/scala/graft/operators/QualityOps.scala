@@ -24,7 +24,7 @@ object QualityOps {
     */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-      .withColumn("od_sec", expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)"))
+      .withColumn("od_sec", TimeSeriesOps.epochSecExpr("o_orderdate"))
     val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
     val str = Seq("o_orderstatus", "o_orderpriority")
     val aggs = (num ++ str).flatMap { c =>

@@ -273,9 +273,13 @@ object RelationalOps {
     * canonicalizes each unordered pair to one row.
     */
   def joinFuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
+    // element_at(..., -1): the LAST token, never null for a non-null
+    // name — getItem(1) would be NULL on single-token names (silently
+    // dropping them from the equi-join) while the oracle's list[-1]
+    // still blocks them, an engine divergence waiting for a 1-word name.
     val names = Tables.part(spark, dir)
       .select(col("p_name")).distinct()
-      .withColumn("blk", split(col("p_name"), " ").getItem(1))
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
     val a = names.select(col("p_name").as("name_a"), col("blk"))
     val b = names.select(col("p_name").as("name_b"), col("blk"))
     a.join(b, Seq("blk"))
@@ -323,7 +327,7 @@ object RelationalOps {
     val split = 10000L // epoch-day boundary between "history" and "delta"
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), col("o_totalprice"),
-        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400").as("od"))
+        TimeSeriesOps.epochDayExpr("o_orderdate").as("od"))
     def partial(df: DataFrame) = df.groupBy("o_custkey")
       .agg(count(lit(1)).as("pn"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).as("ps"))

@@ -264,10 +264,19 @@ object StatOps {
         sum(dec(col("value")) * dec(col("value"))).cast("double").as("sx2"))
       .select(col("event_type"),
         (col("sx") / col("n")).as("mean"),
-        sqrt(col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
-          .as("sd"))
+        // greatest(...,0): FP cancellation can push a constant group's
+        // variance to a tiny NEGATIVE double — Spark sqrt would yield
+        // NaN but DuckDB sqrt(neg) raises, killing the whole oracle
+        // query. Clamped identically on both sides.
+        sqrt(greatest(
+          col("sx2") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")),
+          lit(0.0))).as("sd"))
     e.join(broadcast(stats), Seq("event_type"))
-      .withColumn("z", (col("value") - col("mean")) / col("sd"))
+      // sd=0 (degenerate constant group): engines disagree on x/0.0
+      // (Spark Inf/NaN, DuckDB NULL) — nullify the divisor so both
+      // exclude the group the same way.
+      .withColumn("z",
+        (col("value") - col("mean")) / when(col("sd") =!= 0.0, col("sd")))
       .filter(abs(col("z")) > 3.0)
       .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 6).as("z"))
       .orderBy("event_id")
@@ -344,8 +353,12 @@ object StatOps {
     */
   def regrByGroup(spark: SparkSession, dir: String): DataFrame = {
     val cov = col("n") * col("sxy") - col("sx") * col("sy")
-    val varx = col("n") * col("sx2") - col("sx") * col("sx")
-    val vary = col("n") * col("sy2") - col("sy") * col("sy")
+    // zero-variance groups: engines disagree on x/0.0 (Spark NaN/Inf,
+    // DuckDB NULL) — nullify the divisors so both emit NULL stats.
+    val varx = when(col("n") * col("sx2") - col("sx") * col("sx") =!= 0.0,
+      col("n") * col("sx2") - col("sx") * col("sx"))
+    val vary = when(col("n") * col("sy2") - col("sy") * col("sy") =!= 0.0,
+      col("n") * col("sy2") - col("sy") * col("sy"))
     val slope = cov / varx
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")

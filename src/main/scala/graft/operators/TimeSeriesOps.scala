@@ -21,14 +21,21 @@ import graft.util.Num._
   */
 object TimeSeriesOps {
 
-  /** Epoch-day index of a timestamp column: integer DIV on epoch
-    * seconds (a double divide would be exact here, but integer math
-    * keeps the oracle trivially identical). The parquet dates are
+  /** Epoch seconds of a timestamp column. The parquet dates are
     * TIMESTAMP_NTZ, which has no direct long cast — routing through
     * TIMESTAMP uses the session timezone, pinned to UTC by
-    * GraftSession, so this equals DuckDB's epoch() exactly.
+    * GraftSession, so this equals DuckDB's epoch() exactly. Shared by
+    * every operator that day/second-indexes orders (incrAgg,
+    * profileTable) so a timezone-semantics fix lands once.
     */
-  private def epochDayExpr(colName: String) =
+  private[operators] def epochSecExpr(colName: String) =
+    expr(s"CAST(CAST($colName AS TIMESTAMP) AS LONG)")
+
+  /** Epoch-day index: integer DIV on epoch seconds (a double divide
+    * would be exact here, but integer math keeps the oracle trivially
+    * identical).
+    */
+  private[operators] def epochDayExpr(colName: String) =
     expr(s"CAST(CAST($colName AS TIMESTAMP) AS LONG) DIV 86400")
 
   /** Calendar gap-fill: daily order count + exact revenue per

@@ -19,18 +19,20 @@ class BenchLineSpec extends AnyFunSuite {
     // worst case ("99" everywhere, total "99999.999"). `failures`
     // lives on the detail line; `sf` is the directory basename.
     val queries = names.map(n => s""""$n":99""").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$queries,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"queries":$queries,"sf":"sf0.1"}"""
     assert(line.length <= graft.Bench.LineBudget,
       s"compact bench line is ${line.length} chars (> ${graft.Bench.LineBudget}) " +
         "even at 2-char fallback widths: shorten query names or move fields " +
         "to the detail line")
-    // and the PRECISE (3-char) form should still fit today — if this
-    // trips, the next bench run silently drops to integer seconds;
-    // reclaim width before that becomes the steady state.
+    // and the PRECISE (3-char) form must fit too: the integer-second
+    // fallback is defense-in-depth, not an acceptable steady state —
+    // if this trips, reclaim width (shorter names) NOW, because every
+    // bench run after this point silently loses sub-second precision.
     val precise = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
-    val line3 = s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$precise,"sf":"sf0.1"}"""
-    assert(line3.length <= graft.Bench.LineBudget + 40,
-      s"3-char bench line is ${line3.length} chars — within 40 of permanent " +
-        "fallback; shorten names soon")
+    val line3 = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"queries":$precise,"sf":"sf0.1"}"""
+    assert(line3.length <= graft.Bench.LineBudget,
+      s"3-char bench line is ${line3.length} chars (> ${graft.Bench.LineBudget}): " +
+        "the next bench run will emit integer-second fallback values — " +
+        "shorten query names to restore precision")
   }
 }
