@@ -1014,15 +1014,22 @@ object SparkEntry {
          SELECT o_custkey, o_orderpriority, valid_from, valid_to,
                 valid_to IS NULL AS is_current
          FROM v ORDER BY o_custkey, valid_from""",
-    // RelationalOps.joinFuzzyEdit: distinct-name vocabulary, noun
-    // blocking, levenshtein <= 3 verify, canonical a < b pairs.
+    // RelationalOps.joinFuzzyEdit: distinct-name vocabulary, dual
+    // (first ∨ last token) blocking with the lossless length-band
+    // prune, levenshtein <= 3 verify, canonical a < b pairs (DISTINCT:
+    // a pair may collide on both block keys).
     "fuzzy" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
-          k AS (SELECT p_name, (string_split(p_name, ' '))[-1] AS blk FROM n)
-         SELECT a.p_name AS name_a, b.p_name AS name_b,
-                CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-         FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
-         WHERE levenshtein(a.p_name, b.p_name) <= 3
+          k AS (SELECT p_name, unnest(list_distinct(
+                  [(string_split(p_name, ' '))[1], (string_split(p_name, ' '))[-1]]))
+                  AS blk FROM n),
+          cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+                   FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+                   WHERE abs(length(a.p_name) - length(b.p_name)) <= 3)
+         SELECT name_a, name_b,
+                CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+         FROM cand
+         WHERE levenshtein(name_a, name_b) <= 3
          ORDER BY name_a, name_b""",
     // StatOps.regrByGroup: normal equations over exact decimal power
     // sums — identical IEEE expression tree on both engines, 9dp.
@@ -1038,12 +1045,13 @@ object SparkEntry {
                            CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
                 FROM lineitem GROUP BY 1)
          SELECT l_returnflag, n,
-                round((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0), 9) AS slope,
-                round((sy - (n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0) * sx)
-                      / n, 9) AS intercept,
-                round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-                      (nullif(n * sx2 - sx * sx, 0) * nullif(n * sy2 - sy * sy, 0)),
-                      9) AS r2
+                floor((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0)
+                      * CAST(1e9 AS DOUBLE)) / CAST(1e9 AS DOUBLE) AS slope,
+                floor((sy - (n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, 0) * sx)
+                      / n * CAST(1e9 AS DOUBLE)) / CAST(1e9 AS DOUBLE) AS intercept,
+                floor((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+                      (nullif(n * sx2 - sx * sx, 0) * nullif(n * sy2 - sy * sy, 0))
+                      * CAST(1e9 AS DOUBLE)) / CAST(1e9 AS DOUBLE) AS r2
          FROM s ORDER BY l_returnflag""",
     // StatOps.sketchDistinctGate: oracle computes the exact distinct
     // count and expects both sketch gates TRUE — a sketch drifting
@@ -1159,6 +1167,8 @@ object SparkEntry {
           FROM t ORDER BY doc_id""",
     // StatOps.outliers: |z| > 3 per event type; mean/σ from exact
     // decimal sums, z as the identical IEEE op chain on both engines.
+    // floor-scaled to 6dp (fractional round() is engine-divergent
+    // within an ULP of a decimal grid boundary; floor is not).
     "outliers" ->
       """WITH s AS (SELECT event_type, COUNT(*) AS n,
                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -1169,7 +1179,8 @@ object SparkEntry {
                   sqrt(greatest(sx2 / n - (sx / n) * (sx / n),
                                 CAST(0 AS DOUBLE))) AS sd FROM s)
          SELECT e.event_id, e.event_type, e.value,
-                round((e.value - m.mean) / nullif(m.sd, 0), 6) AS z
+                floor((e.value - m.mean) / nullif(m.sd, 0)
+                      * CAST(1e6 AS DOUBLE)) / CAST(1e6 AS DOUBLE) AS z
          FROM events e JOIN m ON e.event_type = m.event_type
          WHERE abs((e.value - m.mean) / nullif(m.sd, 0)) > 3.0
          ORDER BY e.event_id""",

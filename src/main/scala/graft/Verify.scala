@@ -24,6 +24,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release per-call transients (persisted candidate sets, the
+      // iterative operators' localCheckpoint blocks) between queries —
+      // mirroring Bench/TimeQuery: accumulated blocks across a 90+
+      // query dump measurably slow the later queries. The memoized
+      // substrate stays pinned (it is shared, and tracked separately).
+      graft.operators.DedupOps.releaseTransients(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

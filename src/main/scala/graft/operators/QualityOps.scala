@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -59,9 +59,13 @@ object QualityOps {
 
   /** Declarative data-quality checks over the star schema, one row per
     * check: PK nulls and duplicates, FK orphans (anti-join), domain
-    * violations. Each check is an independent aggregate over a pruned
-    * scan — counts only cross the wire, and the orphan check is the
-    * standard anti-join (broadcast at dim scale). A zero row is a
+    * violations. All FILTER-style checks on a table fold into ONE
+    * conditional aggregate (`count(when(...))`) — one scan of orders
+    * and one of lineitem total, vs. one scan per check — unpivoted to
+    * the long check-per-row shape by the same struct-explode the
+    * profiler uses. The orphan checks stay as the standard anti-join
+    * (broadcast at dim scale) and the PK-dup check as its own grouped
+    * aggregate; counts only cross the wire everywhere. A zero row is a
     * passing check, so the output shape is fixed and diffable across
     * runs.
     */
@@ -69,19 +73,31 @@ object QualityOps {
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
     val l = Tables.lineitem(spark, dir)
+    // one pass per table over its filter-style checks; count(when())
+    // (never sum) so an empty table yields 0, not NULL
+    def folded(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+      val wide = df.agg(
+        count(when(checks.head._2, lit(1))).as(checks.head._1),
+        checks.tail.map { case (n, p) => count(when(p, lit(1))).as(n) }: _*)
+      val rows = checks.map { case (n, _) =>
+        struct(lit(n).as("check_name"), col(n).as("n_bad"))
+      }
+      wide.select(explode(array(rows: _*)).as("r")).select("r.*")
+    }
     def check(name: String, df: DataFrame): DataFrame =
       df.agg(count(lit(1)).as("n_bad")).select(lit(name).as("check_name"), col("n_bad"))
-    check("orders_custkey_null", o.filter(col("o_custkey").isNull))
+    folded(o, Seq(
+        "orders_custkey_null" -> col("o_custkey").isNull,
+        "orders_totalprice_negative" -> (col("o_totalprice") < 0)))
+      .unionAll(folded(l, Seq(
+        "lineitem_quantity_nonpositive" -> (col("l_quantity") <= 0),
+        "lineitem_discount_range" -> (col("l_discount") < 0 || col("l_discount") > 1))))
       .unionAll(check("orders_custkey_orphan",
         o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")))
       .unionAll(check("orders_orderkey_dup",
         o.groupBy("o_orderkey").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)))
-      .unionAll(check("orders_totalprice_negative", o.filter(col("o_totalprice") < 0)))
       .unionAll(check("lineitem_orderkey_orphan",
         l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
-      .unionAll(check("lineitem_quantity_nonpositive", l.filter(col("l_quantity") <= 0)))
-      .unionAll(check("lineitem_discount_range",
-        l.filter(col("l_discount") < 0 || col("l_discount") > 1)))
       .orderBy("check_name")
   }
 }

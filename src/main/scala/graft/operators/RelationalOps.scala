@@ -265,25 +265,45 @@ object RelationalOps {
   /** Fuzzy (edit-distance) self-join over part names — the
     * entity-resolution pattern: project to DISTINCT names first (one
     * partial-combine shuffle collapses N rows to the name vocabulary,
-    * which is what actually pairs), block on a cheap key (the noun —
-    * last token — so only plausible matches meet), then verify
-    * candidates with codegen'd `levenshtein`. Pair work is
-    * per-block-quadratic over the *vocabulary*, never the table; at
-    * 100 TB the vocabulary side still broadcasts. `a < b`
-    * canonicalizes each unordered pair to one row.
+    * which is what actually pairs), block on cheap keys so only
+    * plausible matches meet, then verify candidates with codegen'd
+    * `levenshtein`. Pair work is per-block-quadratic over the
+    * *vocabulary*, never the table; at 100 TB the vocabulary side
+    * still broadcasts. `a < b` canonicalizes each unordered pair to
+    * one row.
+    *
+    * Blocking is DUAL-key — a name posts under its FIRST and its LAST
+    * token (deduped, so one-token names post once) and a pair is a
+    * candidate if either key collides. Single-key (last-token)
+    * blocking loses any pair whose edit lands in the final token
+    * ("steel blue" ~ "steel blues"); the first∨last union is the
+    * standard recall refinement and costs one extra posting per name.
+    * A free length-band prune rides the join: levenshtein ≤ 3 implies
+    * |len(a)−len(b)| ≤ 3 (each edit changes length by at most 1), so
+    * the inequality is applied IN the join before the quadratic
+    * verify — provably lossless, and on a hot block (common surname /
+    * noun at entity scale) it discards most of the block's pair work
+    * for the cost of two ints.
     */
   def joinFuzzyEdit(spark: SparkSession, dir: String): DataFrame = {
-    // element_at(..., -1): the LAST token, never null for a non-null
-    // name — getItem(1) would be NULL on single-token names (silently
-    // dropping them from the equi-join) while the oracle's list[-1]
-    // still blocks them, an engine divergence waiting for a 1-word name.
-    val names = Tables.part(spark, dir)
+    // element_at(..., 1/-1): FIRST/LAST token, never null for a
+    // non-null name — getItem would be NULL on single-token names
+    // (silently dropping them from the equi-join) while the oracle's
+    // list[1]/list[-1] still blocks them, an engine divergence waiting
+    // for a 1-word name.
+    val toks = split(col("p_name"), " ")
+    val keyed = Tables.part(spark, dir)
       .select(col("p_name")).distinct()
-      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-    val a = names.select(col("p_name").as("name_a"), col("blk"))
-    val b = names.select(col("p_name").as("name_b"), col("blk"))
+      .select(col("p_name"), explode(array_distinct(
+        array(element_at(toks, 1), element_at(toks, -1)))).as("blk"))
+    val a = keyed.select(col("p_name").as("name_a"), col("blk"))
+    val b = keyed.select(col("p_name").as("name_b"), col("blk"))
     a.join(b, Seq("blk"))
-      .filter(col("name_a") < col("name_b"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+      // a pair can collide on both keys — dedup BEFORE the verify so
+      // levenshtein runs once per candidate pair
+      .select("name_a", "name_b").distinct()
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
       .filter(col("dist") <= 3)
       .select("name_a", "name_b", "dist")

@@ -278,7 +278,13 @@ object StatOps {
       .withColumn("z",
         (col("value") - col("mean")) / when(col("sd") =!= 0.0, col("sd")))
       .filter(abs(col("z")) > 3.0)
-      .select(col("event_id"), col("event_type"), col("value"), round(col("z"), 6).as("z"))
+      // floor-scaling, not round(z, 6): Spark's fractional-digit round
+      // goes through BigDecimal shortest-repr HALF_UP while DuckDB
+      // scales the binary double, so a value within an ULP of a
+      // decimal grid boundary can round differently per engine.
+      // floor(x*1e6)/1e6 is the same fixed IEEE op chain on both.
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor(col("z") * 1e6) / 1e6).as("z"))
       .orderBy("event_id")
   }
 
@@ -348,8 +354,9 @@ object StatOps {
     * The builtin regr_slope/regr_intercept would drift with partial-
     * aggregation order (double running sums) and can't hash-match an
     * oracle; sums-of-decimals are order-independent at any
-    * partitioning. Quantized to 9dp for the same cancellation caveat
-    * as aggMoments.
+    * partitioning. Quantized to 9dp via floor-scaling (floor(x*1e9)/1e9
+    * — the engine-identical scheme; fractional round() diverges near
+    * grid boundaries) for the same cancellation caveat as aggMoments.
     */
   def regrByGroup(spark: SparkSession, dir: String): DataFrame = {
     val cov = col("n") * col("sxy") - col("sx") * col("sy")
@@ -370,9 +377,9 @@ object StatOps {
         sum(dec(col("l_quantity")) * dec(col("l_quantity"))).cast("double").as("sx2"),
         sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("sy2"))
       .select(col("l_returnflag"), col("n"),
-        round(slope, 9).as("slope"),
-        round((col("sy") - slope * col("sx")) / col("n"), 9).as("intercept"),
-        round(cov * cov / (varx * vary), 9).as("r2"))
+        (floor(slope * 1e9) / 1e9).as("slope"),
+        (floor((col("sy") - slope * col("sx")) / col("n") * 1e9) / 1e9).as("intercept"),
+        (floor(cov * cov / (varx * vary) * 1e9) / 1e9).as("r2"))
       .orderBy("l_returnflag")
   }
 

@@ -85,6 +85,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(cluster === expected)
   }
 
+  test("label propagation: O(log n) rounds on an adversarial 64-doc chain") {
+    // a planted path graph 0-1-2-…-63 is the worst case for plain
+    // min-label propagation (diameter rounds: label 0 travels one hop
+    // per round, 63 rounds); the pointer-doubling shortcut must close
+    // it logarithmically. 10 = ceil(log2 64) + slack for the
+    // final no-change round.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val n = 64L
+    val fwd = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val (labels, rounds) = DedupOps.propagateLabels(edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    DedupOps.releaseTransients(spark)
+    assert(got.size === n && got.values.forall(_ == 0L),
+      s"chain must collapse to one cluster labeled 0, got $got")
+    assert(rounds <= 10,
+      s"expected O(log n) convergence on the chain, took $rounds rounds")
+  }
+
   test("minhash-LSH: all emitted pairs verified >= 0.5, planted dups found") {
     val lsh = DedupOps.dedupMinhashLsh(spark, sf).collect()
     assert(lsh.forall(_.getDouble(2) >= 0.5), "unverified candidate leaked")

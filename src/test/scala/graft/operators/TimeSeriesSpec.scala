@@ -89,7 +89,12 @@ class TimeSeriesSpec extends AnyFunSuite {
       val (a, b, d) = (r.getString(0), r.getString(1), r.getLong(2))
       assert(a < b)
       assert(d >= 1L && d <= 3L)
-      assert(a.split(" ").last === b.split(" ").last, "blocking key violated")
+      // dual blocking: the pair met on its first OR its last token
+      val (ta, tb) = (a.split(" "), b.split(" "))
+      assert(ta.last === tb.last || ta.head === tb.head, "blocking key violated")
+      // the length-band prune is implied by d <= 3, so no pair may
+      // violate it (lossless by construction)
+      assert(math.abs(a.length - b.length) <= 3)
     }
   }
 
