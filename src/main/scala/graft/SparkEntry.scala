@@ -42,8 +42,8 @@ object SparkEntry {
     "set_intersect"          -> (RelationalOps.setIntersect _),
     "set_except"             -> (RelationalOps.setExcept _),
     "agg_rollup"             -> (RelationalOps.aggRollup _),
-    "window_topk_per_group"  -> (RelationalOps.windowTopKPerGroup _),
-    "window_running_sum"     -> (RelationalOps.windowRunningSum _),
+    "topk_group"  -> (RelationalOps.windowTopKPerGroup _),
+    "run_sum"     -> (RelationalOps.windowRunningSum _),
     "window_lag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
     "events_tumbling"        -> (EventOps.tumblingWindow _),
@@ -59,12 +59,12 @@ object SparkEntry {
     "agg_moments"            -> (StatOps.aggMoments _),
     "pivot_wide"             -> (StatOps.pivotWide _),
     "agg_cube"               -> (StatOps.aggCube _),
-    "agg_grouping_sets"      -> (StatOps.aggGroupingSets _),
-    "agg_count_distinct"     -> (StatOps.aggCountDistinct _),
+    "gsets"      -> (StatOps.aggGroupingSets _),
+    "agg_cdist"     -> (StatOps.aggCountDistinct _),
     "window_rank_dense"      -> (StatOps.windowRankDense _),
-    "window_percent_rank"    -> (StatOps.windowPercentRank _),
-    "agg_collect_sorted"     -> (StatOps.aggCollectSorted _),
-    "agg_collect_capped"     -> (StatOps.aggCollectCapped _),
+    "pct_rank"    -> (StatOps.windowPercentRank _),
+    "collect_sort"     -> (StatOps.aggCollectSorted _),
+    "collect_cap"     -> (StatOps.aggCollectCapped _),
     "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
     "corr_by_group"          -> (StatOps.corrByGroup _),
     "quantiles_by_group"     -> (StatOps.quantilesByGroup _),
@@ -87,11 +87,12 @@ object SparkEntry {
     "dedup_simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
     // Training-data pipeline: similarity search
     "ann_brute_topk"         -> (EmbeddingOps.annBruteTopK _),
-    "ann_brute_topk_native"  -> (EmbeddingOps.annBruteTopKNative _),
+    "ann_native"  -> (EmbeddingOps.annBruteTopKNative _),
     "ann_lsh_bucket"         -> (EmbeddingOps.annLshBucket _),
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
     "ann_ivf_probe2"         -> (EmbeddingOps.annIvfProbe2 _),
     "ann_recall"             -> (EmbeddingOps.annRecall _),
+    "ann_recall_clustered"   -> (EmbeddingOps.annRecallClustered _),
     "emb_neardup_pairs"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
@@ -188,13 +189,37 @@ object SparkEntry {
             JOIN s sb ON sb.doc_id = c.doc_b) p
           WHERE jaccard >= 0.5)"""
 
-  /** Brute-force ANN oracle body — shared by ann_brute_topk, its
-    * native-expression twin, and ann_recall's exact reference set.
+  /** Corpus CTE chains for the ANN oracles — each must end by
+    * defining `c(vec_id, v)`. RAW: the embeddings table as doubles.
+    * CLUSTERED: the deterministic planted-cluster view
+    * (EmbeddingOps.clusteredCorpus — centroid + integer-hash jitter,
+    * identical BIGINT-then-double arithmetic in both engines).
     */
-  private val bruteAnnSql: String =
-    s"""WITH c AS (SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
+  private val rawCorpusCtes: String =
+    """c AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings)"""
+
+  private val clusteredCorpusCtes: String =
+    s"""emb0 AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+        cent0 AS (SELECT vec_id AS cid, v AS cv FROM emb0
+               WHERE vec_id < ${EmbeddingOps.ClusterPlantedK}),
+        c AS (SELECT b.vec_id,
+                list_transform(range(1, len(ct.cv) + 1), i -> ct.cv[i] +
+                  CAST(${EmbeddingOps.ClusterEps} AS DOUBLE) *
+                  (CAST((b.vec_id * 1103515245 + i * 12345 + 54321) % 1048576 AS DOUBLE)
+                   / CAST(1048576 AS DOUBLE) - CAST(0.5 AS DOUBLE))) AS v
+              FROM emb0 b JOIN cent0 ct
+                ON ct.cid = b.vec_id % ${EmbeddingOps.ClusterPlantedK})"""
+
+  /** Brute-force ANN oracle body — shared by ann_brute_topk, its
+    * native-expression twin, and the recall gates' exact reference
+    * sets.
+    */
+  private def bruteAnnSql(corpusCtes: String = rawCorpusCtes): String =
+    s"""WITH $corpusCtes,
         q AS (SELECT vec_id AS query_id, v AS qv FROM c
               WHERE vec_id < ${EmbeddingOps.QueryCount}),
         sc AS (SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -210,15 +235,13 @@ object SparkEntry {
         WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
 
   /** Sign-LSH bucketed ANN oracle body — shared by ann_lsh_bucket and
-    * ann_recall.
+    * the recall gates.
     */
-  private val lshAnnSql: String = {
+  private def lshAnnSql(corpusCtes: String = rawCorpusCtes): String = {
     val bucket = (0 until 8)
       .map(i => s"CASE WHEN v[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH c AS (SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
+    s"""WITH $corpusCtes,
         cb AS (SELECT vec_id, v, CAST($bucket AS BIGINT) AS bucket FROM c),
         q AS (SELECT bucket, vec_id AS query_id, v AS qv FROM cb
               WHERE vec_id < ${EmbeddingOps.QueryCount}),
@@ -236,13 +259,12 @@ object SparkEntry {
         WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
   }
 
-  /** Parameterized IVF oracle — single source for every nprobe
-    * variant so the SQL cannot drift from EmbeddingOps.annIvfNprobe.
+  /** Parameterized IVF oracle — single source for every nprobe and
+    * corpus variant so the SQL cannot drift from
+    * EmbeddingOps.annIvfNprobeOn.
     */
-  private def ivfSql(nprobe: Int): String =
-    s"""WITH c AS (SELECT vec_id,
-                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                   FROM embeddings),
+  private def ivfSql(nprobe: Int, corpusCtes: String = rawCorpusCtes): String =
+    s"""WITH $corpusCtes,
         cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
                            vec_id
@@ -269,6 +291,27 @@ object SparkEntry {
                    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
           FROM sc) r
         WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
+
+  /** Recall-gate oracle, parameterized by corpus — each variant's full
+    * oracle body is inlined as a subquery (DuckDB allows a WITH inside
+    * a parenthesized FROM), so the gate cannot drift from the
+    * per-variant oracles. `extraCols` appends gate columns (floors +
+    * literal-TRUE booleans) for the clustered variant.
+    */
+  private def annRecallSql(corpusCtes: String, extraCols: String = ""): String = {
+    def hits(name: String, sub: String) =
+      s"""SELECT '$name' AS method, CAST(count(*) AS BIGINT) AS n_hits
+          FROM ($sub) a JOIN brute b
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${bruteAnnSql(corpusCtes)})),
+        h AS (${hits("ivf_p1", ivfSql(1, corpusCtes))}
+              UNION ALL ${hits("ivf_p2", ivfSql(2, corpusCtes))}
+              UNION ALL ${hits("lsh_bucket", lshAnnSql(corpusCtes))}),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute)
+        SELECT method, n_hits, n_brute,
+               CAST(n_hits AS DOUBLE) / n_brute AS recall$extraCols
+        FROM h, d WHERE n_brute > 0 ORDER BY method"""
+  }
 
   private def langIdSql: String = {
     val hitCols = TextOps.langLexicon.map { case (l, ws) =>
@@ -395,14 +438,14 @@ object SparkEntry {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "window_topk_per_group" ->
+    "topk_group" ->
       """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_retailprice,
                   CAST(row_number() OVER (PARTITION BY p_brand
                     ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
            FROM part) t
          WHERE rk <= 3 ORDER BY p_brand, rk""",
-    "window_running_sum" ->
+    "run_sum" ->
       """SELECT o_custkey, o_orderkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -498,13 +541,13 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "agg_grouping_sets" ->
+    "gsets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "agg_count_distinct" ->
+    "agg_cdist" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps,
@@ -515,14 +558,14 @@ object SparkEntry {
          CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS rnk,
          CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS drnk
          FROM part ORDER BY p_brand, p_partkey""",
-    "window_percent_rank" ->
+    "pct_rank" ->
       """SELECT p_brand, p_partkey,
          percent_rank() OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS pct_rank,
          cume_dist() OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS cum_dist
          FROM part ORDER BY p_brand, p_partkey""",
-    "agg_collect_sorted" ->
+    "collect_sort" ->
       """SELECT p_brand,
          string_agg(p_type, '|' ORDER BY p_type) AS types_cat,
          COUNT(*) AS n
@@ -530,7 +573,7 @@ object SparkEntry {
     // StatOps.aggCollectCapped: the bounded MinKStrings aggregate ≡
     // first k of the sorted multiset (binary order matches DuckDB's
     // default collation on this ASCII column).
-    "agg_collect_capped" ->
+    "collect_cap" ->
       s"""SELECT p_brand,
           array_to_string(list_slice(list_sort(list(p_type)), 1, ${StatOps.CollectCap}), '|')
             AS types_cat,
@@ -703,30 +746,27 @@ object SparkEntry {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
           ORDER BY doc_a, doc_b"""
     },
-    "ann_brute_topk" -> bruteAnnSql,
-    "ann_brute_topk_native" -> bruteAnnSql,
-    "ann_lsh_bucket" -> lshAnnSql,
+    "ann_brute_topk" -> bruteAnnSql(),
+    "ann_native" -> bruteAnnSql(),
+    "ann_lsh_bucket" -> lshAnnSql(),
     "ann_ivf" -> ivfSql(nprobe = 1),
     "ann_ivf_probe2" -> ivfSql(nprobe = 2),
-    // EmbeddingOps.annRecall: recall@k of each approximate variant
-    // against the brute-force reference — each variant's full oracle
-    // body is inlined as a subquery (DuckDB allows a WITH inside a
-    // parenthesized FROM), so this row cannot drift from the
-    // per-variant oracles above.
-    "ann_recall" -> {
-      def hits(name: String, sub: String) =
-        s"""SELECT '$name' AS method, CAST(count(*) AS BIGINT) AS n_hits
-            FROM ($sub) a JOIN brute b
-              ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
-      s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($bruteAnnSql)),
-          h AS (${hits("ivf_p1", ivfSql(1))}
-                UNION ALL ${hits("ivf_p2", ivfSql(2))}
-                UNION ALL ${hits("lsh_bucket", lshAnnSql)}),
-          d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute)
-          SELECT method, n_hits, n_brute,
-                 CAST(n_hits AS DOUBLE) / n_brute AS recall
-          FROM h, d WHERE n_brute > 0 ORDER BY method"""
-    },
+    // EmbeddingOps.annRecall: engine-parity recall gate on the RAW
+    // (uniform-random, so near-chance-recall) corpus.
+    "ann_recall" -> annRecallSql(rawCorpusCtes),
+    // EmbeddingOps.annRecallClustered: the DISCRIMINATING quality
+    // gate on the planted-cluster corpus view — the oracle recomputes
+    // recall identically and expects every floor gate TRUE, so a
+    // broken coarse quantizer (recall collapses toward chance) fails
+    // the hash outright.
+    "ann_recall_clustered" -> annRecallSql(clusteredCorpusCtes, {
+      val floorCase = EmbeddingOps.ClusterRecallFloors.toSeq.sortBy(_._1)
+        .map { case (m, f) => s"WHEN method = '$m' THEN CAST($f AS DOUBLE)" }
+        .mkString(" ")
+      s""",
+                 CASE $floorCase END AS recall_floor,
+                 TRUE AS recall_ok"""
+    }),
     "emb_neardup_pairs" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics

@@ -2,13 +2,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Optional extra args name specific queries (dev iteration: dump +
+  * check one operator without the full 95-query sweep); the dumped
+  * oracle_sql.json is restricted to the selection so scripts/check.py
+  * checks exactly what was dumped. The driver's 2-arg call is the
+  * full sweep, unchanged.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val only = args.drop(2).toSet
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => only(n) }
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       // clear any previous run's output first: a query that now throws
       // must not leave stale parquet behind for the gate to "pass" on
       val dest = java.nio.file.Paths.get(s"$outDir/$name")
@@ -44,6 +55,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

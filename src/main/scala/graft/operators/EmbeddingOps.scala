@@ -19,6 +19,12 @@ import graft.sources.Tables
   *
   * All math runs in double via higher-order functions (zip_with +
   * aggregate) — codegen'd, index-order accumulation, deterministic.
+  *
+  * Every ANN variant is written against a corpus FRAME, not the table:
+  * the same machinery runs over the raw embeddings (engine-parity
+  * gate, `ann_recall`) and over the deterministic CLUSTERED fixture
+  * (quality gate, `ann_recall_clustered` — see [[clusteredCorpus]])
+  * without duplication.
   */
 object EmbeddingOps {
 
@@ -65,17 +71,20 @@ object EmbeddingOps {
       .orderBy("query_id", "rank")
   }
 
-  /** Brute-force exact cosine top-k for the first `QueryCount` vectors.
-    * Output is rank-only (ints) so it is robust to last-ulp drift.
-    */
-  def annBruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val base = corpus(spark, dir)
+  /** Brute-force exact cosine top-k over an arbitrary corpus frame. */
+  private def bruteOn(base: DataFrame): DataFrame = {
     val q = base.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val joined = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
     topK(joined)
   }
+
+  /** Brute-force exact cosine top-k for the first `QueryCount` vectors.
+    * Output is rank-only (ints) so it is robust to last-ulp drift.
+    */
+  def annBruteTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteOn(corpus(spark, dir))
 
   /** Brute-force top-k via the custom codegen'd CosineSimilarity
     * expression (graft.functions.VectorExprs) — one fused pass per
@@ -98,12 +107,8 @@ object EmbeddingOps {
       when(element_at(v, i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Bucketed ANN: search only the query's sign-LSH bucket. Recall is
-    * partial by construction (that's the approximation); the plumbing
-    * — bucket key, co-partitioned join — is what carries to 100 TB.
-    */
-  def annLshBucket(spark: SparkSession, dir: String): DataFrame = {
-    val base = corpus(spark, dir).withColumn("bucket", signBucket(col("v")))
+  private def lshOn(base0: DataFrame): DataFrame = {
+    val base = base0.withColumn("bucket", signBucket(col("v")))
     val q = base.filter(col("vec_id") < QueryCount)
       .select(col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
     val joined = base.join(broadcast(q), Seq("bucket"))
@@ -113,6 +118,13 @@ object EmbeddingOps {
       .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("qv"), col("v")))
     topK(joined)
   }
+
+  /** Bucketed ANN: search only the query's sign-LSH bucket. Recall is
+    * partial by construction (that's the approximation); the plumbing
+    * — bucket key, co-partitioned join — is what carries to 100 TB.
+    */
+  def annLshBucket(spark: SparkSession, dir: String): DataFrame =
+    lshOn(corpus(spark, dir))
 
   /** IVF-style ANN: a deterministic coarse quantizer (a fixed-size
     * pseudo-random sample of the corpus serves as the centroid set —
@@ -140,29 +152,30 @@ object EmbeddingOps {
   private def centOrder(id: Column): Column =
     ((id % lit(2147483648L)) * lit(1103515245L) + lit(12345L)) % lit(2147483648L)
 
+  private def centroidsOn(base: DataFrame): DataFrame =
+    base.orderBy(centOrder(col("vec_id")), col("vec_id")).limit(IvfCentroidK)
+
   /** The fixed-K centroid set (exposed for the OperatorSpec assertion
     * that |centroids| is IvfCentroidK regardless of corpus size).
     */
   private[operators] def ivfCentroids(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir)
-      .orderBy(centOrder(col("vec_id")), col("vec_id"))
-      .limit(IvfCentroidK)
+    centroidsOn(corpus(spark, dir))
 
-  /** Shared IVF assignment + probed search, parameterized by nprobe —
-    * one definition so the nprobe variants (and their oracles) cannot
-    * drift. Norms hoisted once per vector/centroid (same bitwise
-    * cosine as the per-pair formula — see embNeardupPairs) so the N×C
-    * assignment stage does one fused dot per pair; the rank-filtered
-    * assignment frame (≤ nprobe·N skinny rows) is materialized because
-    * BOTH the corpus cells and the query probes derive from it —
-    * otherwise the N×C assignment would run once per consumer.
-    * Assignment ties break toward the lowest centroid id.
+  /** Shared IVF assignment + probed search, parameterized by corpus
+    * frame and nprobe — one definition so the nprobe variants, the
+    * clustered-fixture variants, and their oracles cannot drift. Norms
+    * hoisted once per vector/centroid (same bitwise cosine as the
+    * per-pair formula — see embNeardupPairs) so the N×C assignment
+    * stage does one fused dot per pair; the rank-filtered assignment
+    * frame (≤ nprobe·N skinny rows) is materialized because BOTH the
+    * corpus cells and the query probes derive from it — otherwise the
+    * N×C assignment would run once per consumer. Assignment ties break
+    * toward the lowest centroid id.
     */
-  private def annIvfNprobe(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  private def annIvfNprobeOn(base0: DataFrame, nprobe: Int): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
-    val base = corpus(spark, dir)
-      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val cents = ivfCentroids(spark, dir)
+    val base = base0.withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+    val cents = centroidsOn(base0)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"),
         sqrt(dotProduct(col("v"), col("v"))).as("cnrm"))
     val wAssign = org.apache.spark.sql.expressions.Window
@@ -184,7 +197,7 @@ object EmbeddingOps {
   }
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
-    annIvfNprobe(spark, dir, nprobe = 1)
+    annIvfNprobeOn(corpus(spark, dir), nprobe = 1)
 
   /** IVF with nprobe=2: the query searches its TWO nearest cells
     * instead of one — the standard recall/latency dial. Corpus vectors
@@ -194,27 +207,24 @@ object EmbeddingOps {
     * (OperatorSpec proves elementwise cosine dominance).
     */
   def annIvfProbe2(spark: SparkSession, dir: String): DataFrame =
-    annIvfNprobe(spark, dir, nprobe = 2)
+    annIvfNprobeOn(corpus(spark, dir), nprobe = 2)
 
   /** Recall@k of every approximate ANN variant against the exact
-    * brute-force top-k: recall = |approx ∩ brute| / |brute| over all
-    * (query, neighbor) pairs. This is the quality gate the
-    * nprobe/band dials answer to — the approximate variants'
-    * SEMANTICS are oracle-checked individually, but without this row
-    * an IVF "working as specified" could still be returning garbage
-    * neighbors. Pure deterministic relational composition of the
-    * existing queries (semi-join + ratio), so the oracle replicates
-    * it exactly; the brute frame is materialized once (OpCaches) and
-    * probed by all three variants.
+    * brute-force top-k over the same corpus frame: recall =
+    * |approx ∩ brute| / |brute| over all (query, neighbor) pairs.
+    * Pure deterministic relational composition of the existing
+    * queries (semi-join + ratio), so the oracle replicates it exactly;
+    * the brute frame is materialized once (OpCaches) and probed by all
+    * three variants.
     */
-  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+  private def recallOn(base: DataFrame): DataFrame = {
     val brute = OpCaches.track(
-      annBruteTopK(spark, dir).select(col("query_id"), col("neighbor_id")))
+      bruteOn(base).select(col("query_id"), col("neighbor_id")))
     val denom = brute.agg(count(lit(1)).as("n_brute"))
     Seq(
-      ("ivf_p1", annIvf(spark, dir)),
-      ("ivf_p2", annIvfProbe2(spark, dir)),
-      ("lsh_bucket", annLshBucket(spark, dir))).map { case (name, df) =>
+      ("ivf_p1", annIvfNprobeOn(base, 1)),
+      ("ivf_p2", annIvfNprobeOn(base, 2)),
+      ("lsh_bucket", lshOn(base))).map { case (name, df) =>
         df.select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
@@ -225,6 +235,84 @@ object EmbeddingOps {
       // contract: zero rows, not three 0/0=NaN rows)
       .filter(col("n_brute") > 0)
       .withColumn("recall", col("n_hits").cast("double") / col("n_brute"))
+      .orderBy("method")
+  }
+
+  /** Engine-parity recall gate over the RAW embeddings. On the
+    * synthetic uniform-random vectors the recall values are
+    * near-chance BY CONSTRUCTION (no cluster structure for the coarse
+    * quantizer to find) — this row pins the recall MACHINERY against
+    * the oracle; [[annRecallClustered]] is the row that pins recall
+    * QUALITY on a corpus with planted structure.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame =
+    recallOn(corpus(spark, dir))
+
+  // ---- clustered fixture: the discriminating ANN quality gate ------
+
+  /** Number of planted clusters and the jitter amplitude of the
+    * clustered corpus view.
+    */
+  val ClusterPlantedK = 8
+  val ClusterEps = 0.2
+
+  /** Clustered corpus view, derived DETERMINISTICALLY in-engine from
+    * the raw embeddings — no new data files: planted centroids are the
+    * first [[ClusterPlantedK]] vectors; every corpus vector is
+    * re-derived as its cluster's centroid (cluster = vec_id mod K)
+    * plus a small integer-hash jitter:
+    *
+    *   w[i] = centroid[i] + eps · (h(id,i)/2²⁰ − 0.5),
+    *   h(id,i) = (id·1103515245 + i·12345 + 54321) mod 2²⁰
+    *
+    * All jitter arithmetic is BIGINT until one exact cast to double,
+    * then a fixed IEEE op chain — bit-identical in both engines (the
+    * linear-congruential mix is jitter, not randomness; determinism is
+    * the point). With component scale ≈ U(−0.5, 0.5) and eps = 0.2 the
+    * within-cluster cosine is ≈ 0.96+ while cross-cluster cosine is
+    * ≈ 0 — the regime real embedding corpora live in, where a WORKING
+    * coarse quantizer must score high recall and a broken one cannot.
+    * On the uniform-random raw corpus IVF recall is near-chance by
+    * construction, so only this view makes the recall gate
+    * discriminating.
+    */
+  private[operators] def clusteredCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+    val cents = base.filter(col("vec_id") < ClusterPlantedK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    base.join(broadcast(cents), col("vec_id") % ClusterPlantedK === col("cid"))
+      .select(col("vec_id"),
+        transform(col("cv"), (x, i) =>
+          x + lit(ClusterEps) *
+            (((col("vec_id") * lit(1103515245L) + (i + 1) * lit(12345L) + lit(54321L))
+              % lit(1048576L)).cast("double") / lit(1048576.0) - lit(0.5))).as("v"))
+  }
+
+  /** Per-method recall floors on the clustered corpus. Measured
+    * headroom at sf0.01/sf0.1 sits well above each floor (see
+    * OperatorSpec); a broken coarse quantizer (wrong cell assignment,
+    * lost probe, collapsed centroid set) lands near chance ≈ 1/K and
+    * fails its floor.
+    */
+  val ClusterRecallFloors: Map[String, Double] =
+    Map("ivf_p1" -> 0.5, "ivf_p2" -> 0.8, "lsh_bucket" -> 0.5)
+
+  /** The DISCRIMINATING ANN quality gate: recall@k on the clustered
+    * corpus, each method checked against its floor. The oracle
+    * recomputes recall identically AND emits literal TRUE for
+    * `recall_ok` — so recall drifting below a floor fails the hash
+    * gate outright (same contract as sk_distinct), and the
+    * nprobe/band dials are genuinely exercised: moving nprobe 1→2
+    * moves recall, and the spec asserts the ordering.
+    */
+  def annRecallClustered(spark: SparkSession, dir: String): DataFrame = {
+    val clustered = OpCaches.track(clusteredCorpus(spark, dir))
+    val floor = ClusterRecallFloors.foldLeft(lit(null).cast("double")) {
+      case (acc, (m, f)) => when(col("method") === m, lit(f)).otherwise(acc)
+    }
+    recallOn(clustered)
+      .withColumn("recall_floor", floor)
+      .withColumn("recall_ok", col("recall") >= col("recall_floor"))
       .orderBy("method")
   }
 

@@ -195,6 +195,24 @@ class OperatorSpec extends AnyFunSuite {
       s"probe2 recall below probe1: $rows")
   }
 
+  test("ann_recall_clustered: recall is in the discriminating regime, dials move it") {
+    // on the planted-cluster corpus a WORKING coarse quantizer must
+    // score far above chance (≈1/ClusterPlantedK): the whole point of
+    // the fixture is that a broken quantizer CAN fail this gate, which
+    // uniform-random vectors never let it do.
+    val rows = EmbeddingOps.annRecallClustered(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(rows.keySet === Set("ivf_p1", "ivf_p2", "lsh_bucket"))
+    rows.foreach { case (m, (recall, floor, ok)) =>
+      assert(ok, s"$m recall $recall below its floor $floor")
+      assert(recall >= floor && recall <= 1.0, s"$m recall out of range")
+      assert(floor > 1.0 / EmbeddingOps.ClusterPlantedK,
+        s"$m floor must sit above chance or the gate discriminates nothing")
+    }
+    assert(rows("ivf_p2")._1 >= rows("ivf_p1")._1, "nprobe dial must move recall")
+  }
+
   test("capped collect: bounded aggregate equals sliced sort on a deliberately hot group") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
