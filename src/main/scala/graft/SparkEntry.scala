@@ -123,12 +123,14 @@ object SparkEntry {
     "sk_quantile"   -> (StatOps.sketchQuantileGate _),
     // Profiling / data-quality / graph
     "profile"     -> (QualityOps.profileTable _),
+    "profile_approx" -> (QualityOps.profileApprox _),
     "dq"         -> (QualityOps.dqChecks _),
     "pagerank"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
     "win_value"         -> (RelationalOps.windowValueFuncs _),
     "incr_agg"          -> (RelationalOps.incrAgg _),
     "array_funcs"       -> (TextOps.arrayFuncs _),
+    "map_funcs"         -> (TextOps.mapFuncs _),
     "outliers"          -> (StatOps.outliers _),
   )
 
@@ -1127,6 +1129,31 @@ object SparkEntry {
                      FROM orders)
           $rows ORDER BY col_name"""
     },
+    // QualityOps.profileApprox: long-format profile with the HLL++
+    // distinct estimate gated within 5% of exact — the oracle emits
+    // exact counts and literal TRUE, sk_distinct's contract. (The
+    // production plan is the un-expanded one-pass approx aggregation;
+    // the exact pass exists as the gate's reference and the emitted
+    // n_distinct.)
+    "profile_approx" -> {
+      val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
+      val str = Seq("o_orderstatus", "o_orderpriority")
+      val rows = (num ++ str).map { c =>
+        val minNum = if (num.contains(c)) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val maxNum = if (num.contains(c)) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+        val minStr = if (str.contains(c)) s"MIN($c)" else "CAST(NULL AS VARCHAR)"
+        val maxStr = if (str.contains(c)) s"MAX($c)" else "CAST(NULL AS VARCHAR)"
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+            COUNT(*) FILTER (WHERE $c IS NULL) AS n_null,
+            COUNT(DISTINCT $c) AS n_distinct,
+            TRUE AS acd_within_5pct,
+            $minNum AS min_num, $maxNum AS max_num,
+            $minStr AS min_str, $maxStr AS max_str FROM o"""
+      }.mkString(" UNION ALL ")
+      s"""WITH o AS (SELECT *, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS od_sec
+                     FROM orders)
+          $rows ORDER BY col_name"""
+    },
     // QualityOps.dqChecks: fixed check suite, one row per constraint.
     "dq" ->
       """SELECT 'orders_custkey_null' AS check_name,
@@ -1205,6 +1232,30 @@ object SparkEntry {
                    AS BIGINT) AS total_chars,
                  list_contains(toks, 'data') AS has_data
           FROM t ORDER BY doc_id""",
+    // TextOps.mapFuncs: map/struct surface — DuckDB has no map HOFs,
+    // so every value is replicated through list functions over the
+    // same distinct-token set (semantic parity of VALUES; map-order
+    // effects never reach the hash). struct_nk is the struct
+    // field-access path; data_len pins element_at's NULL-on-missing.
+    "map_funcs" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+                     WHERE text IS NOT NULL),
+          k AS (SELECT doc_id, toks, list_distinct(toks) AS ks FROM t)
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_toks,
+                 CAST(len(ks) AS BIGINT) AS n_keys,
+                 CAST(COALESCE(list_sum(list_transform(ks, x -> length(x))), 0)
+                   AS BIGINT) AS len_sum,
+                 CAST(len(list_filter(ks, x -> length(x) > 5)) AS BIGINT) AS n_long_keys,
+                 CASE WHEN list_contains(ks, 'data')
+                      THEN CAST(4 AS BIGINT) ELSE NULL END AS data_len,
+                 list_contains(ks, 'data') AS has_data,
+                 array_to_string(list_slice(list_sort(ks), 1, 3), ' ') AS first3_keys,
+                 CAST(len(ks) + 1 AS BIGINT) AS n_concat,
+                 CAST(COALESCE(list_sum(list_transform(ks, x -> length(x) * 2 + 1)), 0)
+                   AS BIGINT) AS dbl_sum,
+                 CAST(len(ks) AS BIGINT) AS struct_nk
+          FROM k ORDER BY doc_id""",
     // StatOps.outliers: |z| > 3 per event type; mean/σ from exact
     // decimal sums, z as the identical IEEE op chain on both engines.
     // floor-scaled to 6dp (fractional round() is engine-divergent

@@ -57,6 +57,75 @@ object QualityOps {
       .orderBy("col_name")
   }
 
+  /** The APPROX profiler's one-pass aggregation: per column, row
+    * count, null count, HLL++ distinct estimate (rsd 2%), min/max —
+    * in ONE un-expanded scan. `approx_count_distinct` carries fixed-KB
+    * map-side-combinable state per column, so unlike the exact
+    * multi-distinct (which plans one Expand replicating every row per
+    * distinct column — the row stream inflates ×columns) this plan's
+    * cost is independent of how many columns are profiled. At 100 TB
+    * THIS is the profiling plan; [[profileTable]]'s exact Expand plan
+    * is the right default up to dimension scale. PlanSpec pins the
+    * no-Expand shape. Exposed for that pin; [[profileApprox]] adds the
+    * accuracy gate.
+    */
+  private[operators] def profileApproxOnly(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("od_sec", TimeSeriesOps.epochSecExpr("o_orderdate"))
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
+    val str = Seq("o_orderstatus", "o_orderpriority")
+    val aggs = (num ++ str).flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), 0.02).as(s"${c}__acd")) ++
+        (if (num.contains(c))
+           Seq(min(col(c)).cast("double").as(s"${c}__min_num"),
+             max(col(c)).cast("double").as(s"${c}__max_num"))
+         else
+           Seq(min(col(c)).as(s"${c}__min_str"),
+             max(col(c)).as(s"${c}__max_str")))
+    }
+    o.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sketch-based profiler, accuracy-gated: the long-format profile
+    * with the HLL++ distinct estimate checked within 5% of the exact
+    * distinct per column — same contract as sk_distinct (the oracle
+    * computes the exact counts and expects every gate TRUE, so a
+    * sketch drifting out of tolerance fails the hash gate). The exact
+    * multi-distinct pass (the Expand plan) exists here ONLY as the
+    * gate's reference; the production one-pass plan is
+    * [[profileApproxOnly]], and the emitted `n_distinct` is the exact
+    * value so the row hash is engine-comparable.
+    */
+  def profileApprox(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("od_sec", TimeSeriesOps.epochSecExpr("o_orderdate"))
+    val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
+    val str = Seq("o_orderstatus", "o_orderpriority")
+    val exAggs = (num ++ str).map(c => countDistinct(col(c)).as(s"${c}__exact"))
+    val exact = o.agg(exAggs.head, exAggs.tail: _*)
+    val wide = profileApproxOnly(spark, dir).crossJoin(exact)
+    val rows = (num ++ str).map { c =>
+      val isNum = num.contains(c)
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__exact").as("n_distinct"),
+        (abs(col(s"${c}__acd") - col(s"${c}__exact")) <=
+          col(s"${c}__exact") * 0.05).as("acd_within_5pct"),
+        (if (isNum) col(s"${c}__min_num") else lit(null).cast("double")).as("min_num"),
+        (if (isNum) col(s"${c}__max_num") else lit(null).cast("double")).as("max_num"),
+        (if (isNum) lit(null).cast("string") else col(s"${c}__min_str")).as("min_str"),
+        (if (isNum) lit(null).cast("string") else col(s"${c}__max_str")).as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
   /** Declarative data-quality checks over the star schema, one row per
     * check: PK nulls and duplicates, FK orphans (anti-join), domain
     * violations. All FILTER-style checks on a table fold into ONE

@@ -207,4 +207,42 @@ object TextOps {
         expr("aggregate(toks, 0L, (acc, x) -> acc + length(x))").as("total_chars"),
         array_contains(col("toks"), "data").as("has_data"))
       .orderBy("doc_id")
+
+  /** Map/struct built-in-function surface (complement of
+    * [[arrayFuncs]]): a token→length map per document exercised
+    * through `map_from_arrays` / `map_keys` / `map_values` /
+    * `map_filter` / `map_contains_key` / `element_at` / `map_concat` /
+    * `transform_values`, plus struct build + field access — the last
+    * built-in family a user writes ad-hoc queries with. DuckDB has no
+    * map HOFs, so the oracle replicates every VALUE through list
+    * functions over the same distinct-token set; outputs are scalars
+    * only (map column order never reaches the hash). The `''`
+    * sentinel key for map_concat is provably absent (tokens are
+    * non-empty by construction), so the size bump is exactly +1 and
+    * Spark's duplicate-key EXCEPTION policy can never fire. Map
+    * semantics pinned: insertion order preserved (sorted before any
+    * ordered output), map_filter/transform_values touch values not
+    * keys, element_at yields NULL on a missing key.
+    */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(spark, dir)
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("ks", array_distinct(col("toks")))
+      .withColumn("m", map_from_arrays(col("ks"), transform(col("ks"), t => length(t))))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        expr("aggregate(map_values(m), 0L, (acc, x) -> acc + x)").as("len_sum"),
+        size(map_filter(col("m"), (_, v) => v > 5)).cast("long").as("n_long_keys"),
+        element_at(col("m"), "data").cast("long").as("data_len"),
+        map_contains_key(col("m"), "data").as("has_data"),
+        array_join(slice(array_sort(map_keys(col("m"))), 1, 3), " ").as("first3_keys"),
+        size(map_concat(col("m"), map(lit(""), lit(-1)))).cast("long").as("n_concat"),
+        expr("aggregate(map_values(transform_values(m, (k, v) -> v * 2 + 1)), 0L, (acc, x) -> acc + x)")
+          .as("dbl_sum"),
+        struct(col("doc_id").as("id"), size(col("ks")).cast("long").as("nk"))
+          .getField("nk").as("struct_nk"))
+      .orderBy("doc_id")
 }

@@ -27,7 +27,7 @@ class EmptyInputSpec extends AnyFunSuite {
   // is the correct behavior: a profiler must report its columns with
   // n=0, a DQ suite must report every check passing — vanishing would
   // be the bug. Their row counts are pinned below instead.
-  private val fixedShape = Map("profile" -> 6L, "dq" -> 7L)
+  private val fixedShape = Map("profile" -> 6L, "profile_approx" -> 6L, "dq" -> 7L)
 
   test("every registered query runs on empty tables and yields zero rows") {
     DedupOps.clearCaches(spark) // don't serve another suite's substrate
@@ -52,5 +52,13 @@ class EmptyInputSpec extends AnyFunSuite {
     val dq = QualityOps.dqChecks(spark, emptyDir).collect()
     assert(dq.length === 7)
     dq.foreach(r => assert(r.getLong(1) === 0L, s"${r.getString(0)} nonzero on empty"))
+    // approx profiler: zero estimates vs zero exacts — the 5% gate
+    // must hold trivially (0 <= 0), not NaN/flake
+    val pa = QualityOps.profileApprox(spark, emptyDir).collect()
+    assert(pa.length === 6)
+    pa.foreach { r =>
+      assert(r.getLong(1) === 0L && r.getLong(3) === 0L)
+      assert(r.getBoolean(4), s"${r.getString(0)} acd gate false on empty")
+    }
   }
 }

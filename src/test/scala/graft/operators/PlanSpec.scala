@@ -180,6 +180,19 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy join lost its blocking key:\n$s")
   }
 
+  test("approx profiler plans one un-expanded scan; exact profiler pays the Expand") {
+    // the whole point of profile_approx is that approx_count_distinct
+    // needs no Expand: row stream cost independent of column count.
+    // If Expand appears here, someone swapped a true distinct back in.
+    val s = planString(QualityOps.profileApproxOnly(spark, sf))
+    assert(!s.contains("Expand"), s"approx profiler must not Expand:\n$s")
+    // contrast pin: the exact multi-distinct DOES plan the Expand —
+    // if this ever stops holding, the doc comparing the two plans is
+    // stale and the approx variant may have lost its reason to exist.
+    val e = planString(QualityOps.profileTable(spark, sf))
+    assert(e.contains("Expand"), "exact profiler no longer Expands — update docs")
+  }
+
   test("ts_gapfill joins the daily aggregate via broadcast") {
     // both join sides are calendar-bounded (days × priorities), so the
     // spine-to-daily join must broadcast — at 100 TB the orders scan
