@@ -185,7 +185,22 @@ object EventStream {
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.es - s.last <= 1800 =>
-                  cur = Some(s.copy(last = e.es, n = s.n + 1, total = s.total + e.value))
+                  // min/max envelope-extension, NOT last = e.es: an
+                  // out-of-order event that arrives in a later
+                  // micro-batch (but inside the watermark) would
+                  // otherwise REGRESS `last`, shortening the session
+                  // and its timeout bound (found by StreamingSpec's
+                  // within-watermark merge fixture). With watermark
+                  // delay == gap, every above-watermark event provably
+                  // lands inside the open session's envelope
+                  // [start-gap, last+gap]: es ≥ globalMax − delay and
+                  // start ≤ globalMax give es ≥ start − gap — so this
+                  // merge arm plus the gap-close arm are exhaustive
+                  // and no retro-session case exists.
+                  cur = Some(s.copy(
+                    start = math.min(s.start, e.es),
+                    last = math.max(s.last, e.es),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed += SessionOut(uid, s.start, s.last, s.n, s.total)
                   cur = Some(SessionState(e.es, e.es, 1, e.value))

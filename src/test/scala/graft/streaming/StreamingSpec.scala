@@ -151,6 +151,118 @@ class StreamingSpec extends AnyFunSuite {
       s"late event not dropped: $rows")
   }
 
+  test("out-of-order event INSIDE the watermark merges into its window") {
+    import spark.implicits._
+    // the other half of the late-data contract: an event that arrives
+    // out of order but within the watermark delay must be ACCEPTED and
+    // merged into its (still-open) window — a watermark that dropped
+    // everything out-of-order would be vacuously "correct".
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    def writeBatch(rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "es")
+        .select(col("user_id"), timestamp_seconds(col("es")).as("event_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val t0 = 1700000400L // aligned to the 5-min window grid
+    // batch 1: window [t0, t0+300) opens; watermark -> t0+400-600 < t0,
+    // so the window is NOT finalized yet
+    writeBatch(Seq((1L, t0 + 10), (1L, t0 + 400)))
+    val stream = spark.readStream
+      .schema("user_id LONG, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "5 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("merge_test").start()
+    q.processAllAvailable()
+    // batch 2: out-of-order (behind max event time) but ABOVE the
+    // watermark -> must merge into [t0, t0+300)
+    writeBatch(Seq((1L, t0 + 20)))
+    q.processAllAvailable()
+    // batch 3: advance the watermark past t0+300+600 so the first
+    // window finalizes and emits (append mode emits only final rows)
+    writeBatch(Seq((1L, t0 + 1500)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("merge_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).filter(_._1 == t0)
+    assert(rows.toSeq === Seq((t0, 2L)),
+      s"within-watermark event not merged into its window: $rows")
+  }
+
+  test("sessionizer merges a within-watermark out-of-order event into the open session") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_merge").toString
+    val t0 = 1600000000L
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "es", "value")
+        .select(col("user_id"), (col("es") * 1000000000L).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq((1L, t0, 2.0), (1L, t0 + 60, 3.0)))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.statefulSessions(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_merge").start()
+    q.processAllAvailable()
+    // out-of-order event INSIDE the open session's span, watermark
+    // still behind it (t0+60-1800 < t0+30): must merge, n 2 -> 3
+    write(Seq((1L, t0 + 30, 5.0)))
+    q.processAllAvailable()
+    // advance the watermark far past the gap bound via another user,
+    // twice, so the event-time timeout flushes user 1's session
+    write(Seq((2L, t0 + 14400, 1.0)))
+    q.processAllAvailable()
+    write(Seq((2L, t0 + 14460, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_merge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.contains((1L, t0, t0 + 60, 3L, 10.0)),
+      s"within-watermark event not merged into the session: ${got.toSeq}")
+  }
+
+  test("sessionizer drops an event behind the watermark (no ghost session)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess_drop").toString
+    val t0 = 1600000000L
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "es", "value")
+        .select(col("user_id"), (col("es") * 1000000000L).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq((1L, t0, 2.0), (1L, t0 + 60, 3.0)))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.statefulSessions(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_drop").start()
+    q.processAllAvailable()
+    // push the watermark ~3.5 h ahead and let the timeout flush user 1
+    write(Seq((2L, t0 + 14400, 1.0)))
+    q.processAllAvailable()
+    write(Seq((2L, t0 + 14460, 1.0)))
+    q.processAllAvailable()
+    // now an event FAR behind the watermark for user 1: the stateful
+    // operator must never see it — no new/ghost session, no mutation
+    // of the already-flushed one
+    write(Seq((1L, t0 + 120, 9.0)))
+    q.processAllAvailable()
+    write(Seq((2L, t0 + 14520, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val user1 = spark.table("sess_drop").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .filter(_._1 == 1L)
+    assert(user1.toSeq === Seq((1L, t0, t0 + 60, 2L, 5.0)),
+      s"behind-watermark event leaked into session state: ${user1.toSeq}")
+  }
+
   test("stateful sessionizer emits consistent closed sessions") {
     val events = EventStream.readEvents(spark, sf)
     val out = EventStream.statefulSessions(spark, events)
