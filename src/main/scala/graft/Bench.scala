@@ -82,6 +82,30 @@ object Bench {
   /** Collector tail window minus the trailing sbt summary line. */
   private[graft] val LineBudget = 2000 - 80
 
+  /** Committed-floor per-query minima for this SF
+    * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.
+    * The detail line reports each query's run-min / floor-min ratio so
+    * a reader can separate host noise from a real regression without
+    * re-deriving the comparison (min-vs-min: the most noise-robust
+    * pairing both files carry). Parsing is a scoped regex over the
+    * floor file's controlled shape (scripts/floor.py output) — the
+    * bench stays dependency-free.
+    */
+  private def floorMins(sfDir: String): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(s"BENCH_LOCAL_${sfDir.split('/').last}.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val s = java.nio.file.Files.readString(p)
+      val tag = "\"queries_min\":{"
+      val i = s.indexOf(tag)
+      val end = if (i < 0) -1 else s.indexOf('}', i)
+      if (end < 0) Map.empty
+      else "\"([^\"]+)\":(-?[0-9.eE+]+)".r
+        .findAllMatchIn(s.substring(i + tag.length, end))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
@@ -150,7 +174,13 @@ object Bench {
     // are too coarse to compare runs against.
     def objFull(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
-    println(s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)},"sf":"$sfDir"}""")
+    val floors = floorMins(sfDir)
+    val ratios = mins.collect {
+      case (n, v) if v >= 0 && floors.get(n).exists(_ > 0) => n -> v / floors(n)
+    }
+    val ratioField =
+      if (ratios.isEmpty) "" else s""","floor_ratio":${objFull(ratios)}"""
+    println(s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)}$ratioField,"sf":"$sfDir"}""")
     def compact(f: Double => String) =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
     val line3 = compact(qs)
