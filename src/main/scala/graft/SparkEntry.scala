@@ -124,6 +124,7 @@ object SparkEntry {
     // Profiling / data-quality / graph
     "profile"     -> (QualityOps.profileTable _),
     "profile_approx" -> (QualityOps.profileApprox _),
+    "checksum"    -> (QualityOps.tableChecksum _),
     "dq"         -> (QualityOps.dqChecks _),
     "pagerank"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
@@ -1154,6 +1155,20 @@ object SparkEntry {
                      FROM orders)
           $rows ORDER BY col_name"""
     },
+    // QualityOps.tableChecksum: order-independent content fingerprint
+    // (XOR + exact decimal sum of 60-bit row hashes). Both engines sum
+    // as DECIMAL(38,0) — DuckDB's HUGEINT would be value-identical but
+    // degrades to float through the compare harness's pandas bridge.
+    "checksum" ->
+      """WITH h AS (SELECT l_returnflag,
+                      CAST(('0x' || substring(md5(concat_ws('|',
+                        l_orderkey, l_partkey, l_suppkey,
+                        l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS h
+                    FROM lineitem)
+         SELECT l_returnflag, COUNT(*) AS n_rows,
+                bit_xor(h) AS xor_sig,
+                CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS sum_sig
+         FROM h GROUP BY 1 ORDER BY 1""",
     // QualityOps.dqChecks: fixed check suite, one row per constraint.
     "dq" ->
       """SELECT 'orders_custkey_null' AS check_name,

@@ -403,14 +403,23 @@ object DedupOps {
           .select(edges("dst").as("id"), labels("lbl"))
           .unionAll(labels)
           .groupBy("id").agg(min("lbl").as("lbl")))
-      // shortcut: lbl := lbl's lbl. Every label IS a node id (init
-      // lbl=id; min over such values stays in the id set), so the
-      // inner self-join matches every row; the joined label is ≤ the
-      // current one by the decrease invariant.
-      val byId = prop.select(col("id").as("pid"), col("lbl").as("plbl"))
-      val next = OpCaches.localCheckpointTracked(
-        prop.join(byId, prop("lbl") === byId("pid"))
-          .select(prop("id"), col("plbl").as("lbl")))
+      // Shortcut (lbl := lbl's lbl) from round 3 on ONLY: real
+      // near-dup clusters are shallow (diameter ≤ 2 — converged by
+      // round 3), where the shortcut's second materialization per
+      // round is pure overhead; an adversarial chain is still caught,
+      // since from round 3 the reach recurrence d←2d+1 closes any
+      // n-chain in O(log n) total rounds. Every label IS a node id
+      // (init lbl=id; min over such values stays in the id set), so
+      // the inner self-join matches every row; the joined label is ≤
+      // the current one by the decrease invariant.
+      val next =
+        if (round < 2) prop
+        else {
+          val byId = prop.select(col("id").as("pid"), col("lbl").as("plbl"))
+          OpCaches.localCheckpointTracked(
+            prop.join(byId, prop("lbl") === byId("pid"))
+              .select(prop("id"), col("plbl").as("lbl")))
+        }
       // labels only ever decrease, so "changed" is a strict-decrease count
       changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .filter(col("lbl") < col("old")).count()

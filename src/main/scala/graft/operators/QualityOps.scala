@@ -57,6 +57,38 @@ object QualityOps {
       .orderBy("col_name")
   }
 
+  /** Order-independent table content fingerprint, per return flag:
+    * the migration/transfer-validation tool — run it on both sides of
+    * a copy (cluster→cluster, format migration, backfill) and compare
+    * small signatures instead of data. Each row hashes to 60 bits
+    * (md5-prefix, the engine-shared DedupOps.tokenHash scheme over a
+    * '|'-joined tuple of integer/flag columns — no floats, whose
+    * string forms are engine-divergent) and the group signature is the
+    * XOR plus the exact 38-digit decimal SUM of row hashes: both are
+    * commutative/associative, so ANY partitioning, row order, or
+    * merge tree yields identical signatures — and the pair is
+    * stronger than either alone (XOR cancels even multiplicities,
+    * SUM catches them). One partial-aggregated pass; constant bytes
+    * per group cross the wire at any corpus size.
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(spark, dir)
+      .withColumn("h", DedupOps.tokenHash(concat_ws("|",
+        col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_returnflag"), col("l_linestatus"))))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_sig"),
+        // the sum ships as a STRING: it is a signature, not a number,
+        // and 22-digit decimals degrade to float through both engines'
+        // pandas bridges (observed: value-identical sums hash-mismatch
+        // as 1.14e+22). Strings survive every bridge exactly.
+        sum(col("h").cast(DecimalType(38, 0))).cast("string").as("sum_sig"))
+      .orderBy("l_returnflag")
+  }
+
   /** The APPROX profiler's one-pass aggregation: per column, row
     * count, null count, HLL++ distinct estimate (rsd 2%), min/max —
     * in ONE un-expanded scan. `approx_count_distinct` carries fixed-KB
