@@ -172,7 +172,10 @@ object EmbeddingOps {
     * N×C assignment would run once per consumer. Assignment ties break
     * toward the lowest centroid id.
     */
-  private def annIvfNprobeOn(base0: DataFrame, nprobe: Int): DataFrame = {
+  /** The materialized rank-filtered assignment frame (arank ≤
+    * maxProbe): the single N×C stage every IVF consumer derives from.
+    */
+  private def ivfRanked(base0: DataFrame, maxProbe: Int): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
     val base = base0.withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
     val cents = centroidsOn(base0)
@@ -180,12 +183,22 @@ object EmbeddingOps {
         sqrt(dotProduct(col("v"), col("v"))).as("cnrm"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
-    val ranked = OpCaches.track(
+    OpCaches.track(
       base.join(broadcast(cents), lit(true))
         .withColumn("ccos", dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
         .withColumn("arank", row_number().over(wAssign))
-        .filter(col("arank") <= math.max(nprobe, 1))
+        .filter(col("arank") <= math.max(maxProbe, 1))
         .select(col("vec_id"), col("v"), col("cent_id"), col("arank")))
+  }
+
+  /** Probed search over a prebuilt assignment frame. An nprobe-p probe
+    * set is a pure FILTER of any ranked frame built with maxProbe ≥ p
+    * (same rows, arank ≤ p), so consumers that need several nprobe
+    * settings — the recall gates — build ONE ranked frame at the
+    * largest nprobe and derive every variant from it, paying the N×C
+    * assignment once instead of once per variant.
+    */
+  private def ivfTopKFromRanked(ranked: DataFrame, nprobe: Int): DataFrame = {
     val assigned = ranked.filter(col("arank") === 1)
       .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
     val q = ranked.filter(col("arank") <= nprobe && col("vec_id") < QueryCount)
@@ -195,6 +208,9 @@ object EmbeddingOps {
       .withColumn("cos", graft.functions.VectorExprs.cosineSim(col("qv"), col("v")))
     topK(joined)
   }
+
+  private def annIvfNprobeOn(base0: DataFrame, nprobe: Int): DataFrame =
+    ivfTopKFromRanked(ivfRanked(base0, nprobe), nprobe)
 
   def annIvf(spark: SparkSession, dir: String): DataFrame =
     annIvfNprobeOn(corpus(spark, dir), nprobe = 1)
@@ -221,9 +237,12 @@ object EmbeddingOps {
     val brute = OpCaches.track(
       bruteOn(base).select(col("query_id"), col("neighbor_id")))
     val denom = brute.agg(count(lit(1)).as("n_brute"))
+    // one N×C assignment serves both probe settings (see
+    // ivfTopKFromRanked) — the p1 probe set is a filter of the p2 frame
+    val ranked2 = ivfRanked(base, maxProbe = 2)
     Seq(
-      ("ivf_p1", annIvfNprobeOn(base, 1)),
-      ("ivf_p2", annIvfNprobeOn(base, 2)),
+      ("ivf_p1", ivfTopKFromRanked(ranked2, 1)),
+      ("ivf_p2", ivfTopKFromRanked(ranked2, 2)),
       ("lsh_bucket", lshOn(base))).map { case (name, df) =>
         df.select(col("query_id"), col("neighbor_id"))
           .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
