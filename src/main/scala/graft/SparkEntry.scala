@@ -805,8 +805,10 @@ object SparkEntry {
     // byte-for-byte (the corpus carries text payloads, never a PNG
     // signature — asserted by MultimodalSpec): mean_byte is the exact
     // integer byte sum (extracted via hex pairs) over length, and the
-    // pseudo-dimensions are the documented stub formulas. The real PNG
-    // IHDR path is gated by golden fixtures in MultimodalSpec.
+    // pseudo-dimensions are the documented stub formulas; mean_signal
+    // is NULL on the stub path by contract. The real decode paths
+    // (PNG pixel decode, WAV PCM decode) are gated by constructed
+    // fixtures in MultimodalSpec.
     "mm_decode_features" ->
       """WITH d AS (SELECT doc_id,
                       octet_length(CAST(text AS BLOB)) AS n,
@@ -820,7 +822,8 @@ object SparkEntry {
            round(CASE WHEN n = 0 THEN 0.0
                       ELSE CAST(list_sum(list_transform(range(0, n), i ->
                         CAST(('0x' || substring(hx, 2*i + 1, 2)) AS BIGINT))) AS DOUBLE) / n
-                 END, 4) AS mean_byte
+                 END, 4) AS mean_byte,
+           CAST(NULL AS DOUBLE) AS mean_signal
          FROM d ORDER BY doc_id""",
     // PipelineOps.piiRedact: same deterministic contact-line injection,
     // same three RE2/Java-compatible patterns, same redaction order

@@ -18,10 +18,15 @@ import graft.sources.Tables
   */
 object MultimodalOps {
 
-  /** Typed row for the decode stage. */
+  /** Typed row for the decode stage. `mean_signal` is the DECODED-
+    * domain feature (pixel mean for PNG, |sample| mean for PCM WAV) —
+    * present only when a full real decode succeeded; None on the stub
+    * path, so downstream can tell real features from placeholders.
+    */
   final case class MediaBlob(doc_id: Long, payload: Array[Byte], media_kind: String)
   final case class MediaFeatures(doc_id: Long, media_kind: String,
-    n_bytes: Long, width: Int, height: Int, mean_byte: Double)
+    n_bytes: Long, width: Int, height: Int, mean_byte: Double,
+    mean_signal: Option[Double])
 
   /** Binary metadata projection: byte length, content hash, media kind
     * — pure column expressions over the binary payload.
@@ -60,7 +65,8 @@ object MultimodalOps {
       .select(col("doc_id"), col("media_kind"), col("n_bytes"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        round(col("mean_byte"), 4).as("mean_byte"))
+        round(col("mean_byte"), 4).as("mean_byte"),
+        col("mean_signal"))
       .orderBy("doc_id")
   }
 
@@ -143,30 +149,176 @@ object MultimodalOps {
     res
   }
 
-  /** Real container parsing where the bytes allow it — PNG IHDR, JPEG
-    * SOF0/1/2, WAV fmt — all dependency-free header reads, no codec
-    * library. Malformed or non-media payloads fall through to the
-    * ==== STUB ==== deterministic fake (the test corpus carries text
-    * bytes, not media); a real deployment would swap the stub for a
-    * full decoder, the surrounding partition-batched plumbing
-    * unchanged. The declared media_kind is passed through untouched
-    * either way so this output always joins cleanly with mmMeta on
-    * (doc_id, media_kind).
+  /** FULL PNG pixel decode for the common web formats — pure JVM, no
+    * codec library: zlib inflate via `java.util.zip.Inflater`, then
+    * per-scanline unfiltering (all five PNG filter types incl. the
+    * Paeth predictor). Supported: non-interlaced, 8-bit depth, color
+    * types 0 (gray) / 2 (RGB) / 4 (gray+alpha) / 6 (RGBA) — palette
+    * and 16-bit images fall through to header-only parsing. Returns
+    * the mean over ALL decoded channel samples (0–255 domain); any
+    * structural violation (truncated IDAT, short inflate, bad filter
+    * id) yields None — never throws on an executor.
+    */
+  private[operators] def pngPixelMean(p: Array[Byte]): Option[Double] = {
+    if (p.length < 45 || !p.startsWith(PngMagic)) return None
+    def beInt(off: Int): Int =
+      ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+        ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    // chunk walk: collect IHDR fields + concatenated IDAT payloads
+    var (w, h, depth, color, interlace) = (0, 0, -1, -1, -1)
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var ok = true
+    var sawEnd = false
+    while (ok && !sawEnd && i + 8 <= p.length) {
+      val len = beInt(i)
+      val typ = new String(p, i + 4, 4, "US-ASCII")
+      if (len < 0 || i.toLong + 12 + len > p.length) ok = false
+      else {
+        typ match {
+          case "IHDR" if len >= 13 =>
+            w = beInt(i + 8); h = beInt(i + 12)
+            depth = p(i + 16) & 0xff; color = p(i + 17) & 0xff
+            interlace = p(i + 20) & 0xff
+          case "IDAT" => idat.write(p, i + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => ()
+        }
+        i += 12 + len // len + type + data + CRC (CRC not verified: lenient)
+      }
+    }
+    val channels = color match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4; case _ => 0
+    }
+    if (!ok || !sawEnd || depth != 8 || channels == 0 || interlace != 0 ||
+        w <= 0 || h <= 0 || w.toLong * h * channels > (64 << 20)) return None
+    val rowBytes = w * channels
+    val stride = 1 + rowBytes
+    val raw = new Array[Byte](stride * h)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val got = inf.inflate(raw, off, raw.length - off)
+        if (got == 0 && inf.needsInput()) return None // truncated stream
+        off += got
+      }
+      if (off != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter in place (recon bytes replace filtered bytes row by row)
+    val bpp = channels
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val ft = raw(r * stride) & 0xff
+      if (ft > 4) return None
+      val row = r * stride + 1
+      val up = row - stride
+      var x = 0
+      while (x < rowBytes) {
+        val a = if (x >= bpp) raw(row + x - bpp) & 0xff else 0
+        val b = if (r > 0) raw(up + x) & 0xff else 0
+        val c = if (r > 0 && x >= bpp) raw(up + x - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => // Paeth
+            val pp = a + b - c
+            val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        val recon = ((raw(row + x) & 0xff) + pred) & 0xff
+        raw(row + x) = recon.toByte
+        sum += recon
+        x += 1
+      }
+      r += 1
+    }
+    Some(sum.toDouble / (rowBytes.toLong * h))
+  }
+
+  /** FULL PCM WAV sample decode — pure JVM: walks to the `data` chunk
+    * and averages |sample| normalized to [0,1] for 16-bit signed LE
+    * and 8-bit unsigned PCM (audioFormat 1 only; compressed/float
+    * formats fall through). None on any structural violation.
+    */
+  private[operators] def wavSampleMean(p: Array[Byte]): Option[Double] = {
+    def ascii(off: Int) = new String(p, off, 4, "US-ASCII")
+    def leShort(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def leInt(off: Int): Int =
+      (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+        ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+    if (p.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
+    var (fmt, bits) = (-1, -1)
+    var res: Option[Double] = None
+    var i = 12
+    var done = false
+    while (!done && i + 8 <= p.length) {
+      val sz = leInt(i + 4)
+      if (sz < 0 || i.toLong + 8 + sz > p.length) done = true
+      else {
+        ascii(i) match {
+          case "fmt " if sz >= 16 =>
+            fmt = leShort(i + 8); bits = leShort(i + 22)
+          case "data" if fmt == 1 && (bits == 16 || bits == 8) && sz > 0 =>
+            var sum = 0.0
+            var k = 0
+            if (bits == 16) {
+              val ns = sz / 2
+              if (ns == 0) return None
+              while (k < ns) {
+                sum += math.abs(leShort(i + 8 + 2 * k).toShort.toInt) / 32768.0
+                k += 1
+              }
+              res = Some(sum / ns)
+            } else {
+              while (k < sz) { sum += (p(i + 8 + k) & 0xff) / 255.0; k += 1 }
+              res = Some(sum / sz)
+            }
+            done = true
+          case _ => ()
+        }
+        if (!done) i += 8 + sz + (sz & 1)
+      }
+    }
+    res
+  }
+
+  /** Real container parsing where the bytes allow it — PNG IHDR (and,
+    * for the common 8-bit non-interlaced formats, a FULL pixel decode:
+    * zlib inflate + all five filter types), JPEG SOF0/1/2, WAV fmt
+    * (and a FULL PCM sample decode for 8/16-bit audio) — all
+    * dependency-free, no codec library. Malformed or non-media
+    * payloads fall through to the ==== STUB ==== deterministic fake
+    * (the test corpus carries text bytes, not media); JPEG entropy
+    * decode is the one stage that genuinely needs a codec library and
+    * remains header-only. The declared media_kind is passed through
+    * untouched either way so this output always joins cleanly with
+    * mmMeta on (doc_id, media_kind).
     */
   private[operators] def decodeOne(b: MediaBlob): MediaFeatures = {
     val n = b.payload.length.toLong
     val dims = pngDims(b.payload)
       .orElse(jpegDims(b.payload))
       .orElse(wavDims(b.payload))
+    val signal =
+      if (dims.isEmpty) None
+      else pngPixelMean(b.payload).orElse(wavSampleMean(b.payload))
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n
     dims match {
       case Some((w, h)) =>
-        MediaFeatures(b.doc_id, b.media_kind, n, width = w, height = h, mean_byte = mean)
+        MediaFeatures(b.doc_id, b.media_kind, n, width = w, height = h,
+          mean_byte = mean, mean_signal = signal)
       case None => // ==== STUB ==== pseudo-dimensions for non-media payloads
         MediaFeatures(b.doc_id, b.media_kind, n,
-          width = (n % 640).toInt + 1, height = ((n * 7) % 480).toInt + 1, mean_byte = mean)
+          width = (n % 640).toInt + 1, height = ((n * 7) % 480).toInt + 1,
+          mean_byte = mean, mean_signal = None)
     }
   }
 }

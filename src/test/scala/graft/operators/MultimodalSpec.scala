@@ -96,6 +96,119 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.width === (zeroChan.length % 640) + 1, s"garbage dims leaked: $f")
   }
 
+  /** A complete, valid PNG built from raw pixels: zlib-deflated
+    * scanlines with a chosen per-row filter type, correct CRCs. This
+    * is a REAL png (checked decodable by construction), so it
+    * exercises the full inflate + unfilter pixel path.
+    */
+  private def realPng(pixels: Array[Array[Int]], channels: Int,
+                      filters: Array[Int]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length / channels
+    val colorType = channels match { case 1 => 0; case 2 => 4; case 3 => 2; case 4 => 6 }
+    def be(i: Int) = Array((i >>> 24).toByte, (i >>> 16).toByte, (i >>> 8).toByte, i.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = typ.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      be(data.length) ++ tb ++ data ++ be(crc.getValue.toInt)
+    }
+    // filter each row per the requested type (encoder side of the
+    // decoder's unfilter — exercises the exact inverse path)
+    val bpp = channels
+    val raw = new java.io.ByteArrayOutputStream()
+    for (r <- 0 until h) {
+      val ft = filters(r % filters.length)
+      raw.write(ft)
+      for (x <- 0 until w * channels) {
+        val cur = pixels(r)(x)
+        val a = if (x >= bpp) pixels(r)(x - bpp) else 0
+        val b = if (r > 0) pixels(r - 1)(x) else 0
+        val c = if (r > 0 && x >= bpp) pixels(r - 1)(x - bpp) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val pp = a + b - c
+            val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) zout.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val ihdr = be(w) ++ be(h) ++ Array[Byte](8, colorType.toByte, 0, 0, 0)
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zout.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  test("real PNG pixels decode exactly (all five filter types, gray and RGBA)") {
+    // 4x4 grayscale with every filter type across rows
+    val gray = Array(
+      Array(10, 20, 30, 40), Array(50, 60, 70, 80),
+      Array(90, 100, 110, 120), Array(250, 0, 128, 255))
+    val g = realPng(gray, channels = 1, filters = Array(0, 1, 2, 4))
+    val fg = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(20L, g, "image"))
+    assert(fg.width === 4 && fg.height === 4)
+    val expectGray = gray.flatten.map(_.toLong).sum.toDouble / 16
+    assert(fg.mean_signal === Some(expectGray),
+      s"decoded pixel mean ${fg.mean_signal} != $expectGray")
+    // 2x3 RGBA including the Average filter
+    val rgba = Array(
+      Array(255, 0, 0, 255, 0, 255, 0, 255, 0, 0, 255, 255),
+      Array(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+    val r = realPng(rgba, channels = 4, filters = Array(3, 4))
+    val fr = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(21L, r, "image"))
+    assert(fr.width === 3 && fr.height === 2)
+    val expectRgba = rgba.flatten.map(_.toLong).sum.toDouble / 24
+    assert(fr.mean_signal === Some(expectRgba))
+  }
+
+  test("truncated IDAT and unsupported formats yield header dims but no pixel mean") {
+    val gray = Array(Array(10, 20), Array(30, 40))
+    val ok = realPng(gray, channels = 1, filters = Array(0))
+    // chop the stream mid-IDAT: header still parses, pixels must not
+    val cut = ok.take(ok.length - 16)
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(22L, cut, "image"))
+    assert(f.width === 2 && f.height === 2)
+    assert(f.mean_signal === None, s"truncated stream produced pixels: $f")
+    // header-only fixture (no IDAT at all): same contract
+    val h = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(23L, pngHeader(8, 8), "image"))
+    assert(h.mean_signal === None)
+  }
+
+  private def realWav(samples: Array[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    val dataLen = samples.length * 2
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(36 + dataLen))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+    out.write(le16(1)); out.write(le16(1)); out.write(le32(8000))
+    out.write(le32(16000)); out.write(le16(2)); out.write(le16(16))
+    out.write("data".getBytes("US-ASCII")); out.write(le32(dataLen))
+    samples.foreach(s => out.write(le16(s & 0xffff)))
+    out.toByteArray
+  }
+
+  test("real PCM WAV samples decode exactly (16-bit signed)") {
+    val samples = Array(0, 16384, -16384, 32767, -32768, 100)
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(24L, realWav(samples), "audio"))
+    assert(f.width === 8000 && f.height === 1)
+    val expect = samples.map(s => math.abs(s) / 32768.0).sum / samples.length
+    assert(f.mean_signal === Some(expect),
+      s"decoded sample mean ${f.mean_signal} != $expect")
+  }
+
   test("non-media payloads fall through to the deterministic stub") {
     val blob = MultimodalOps.MediaBlob(2L, "hello world".getBytes, "audio")
     val f = MultimodalOps.decodeOne(blob)
