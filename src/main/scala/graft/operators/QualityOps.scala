@@ -12,26 +12,32 @@ import graft.sources.Tables
   */
 object QualityOps {
 
-  /** One-scan column profiler for `orders`: per column, row count,
-    * null count, exact distinct count, and min/max (numerics as
-    * double; strings lexicographic — min/max are selections, not
-    * arithmetic, so they're engine-exact). All columns profile in ONE
-    * pass: the multi-distinct aggregate plans one Expand (row
-    * replicated per distinct column) with partial aggregation — a
-    * single scan + one shuffle regardless of column count, vs. the
-    * per-column loop a naive profiler runs. Timestamps profile as
-    * epoch seconds.
+  /** Exact column profiler for `orders`: per column, row count, null
+    * count, exact distinct count, and min/max (numerics as double;
+    * strings lexicographic — min/max are selections, not arithmetic,
+    * so they're engine-exact). TWO hash-based aggregation passes
+    * joined on their 1-row results, NOT one combined aggregate: the
+    * multi-distinct rewrite (one Expand + partial aggregation,
+    * regardless of column count) runs alone so its counts-only
+    * buffers stay HashAggregate-able, and the min/max/null pass runs
+    * alone as an ObjectHashAggregate. MIXING them forces the planner
+    * to SortAggregate — string min/max buffers are immutable, so the
+    * whole ×columns-expanded stream gets globally SORTED twice
+    * (measured 3.1 s → 0.5 s at sf0.1, 17 s at 10×; the same
+    * split-the-aggregate lesson as sk_distinct). Timestamps profile
+    * as epoch seconds.
     */
   def profileTable(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .withColumn("od_sec", TimeSeriesOps.epochSecExpr("o_orderdate"))
     val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
     val str = Seq("o_orderstatus", "o_orderpriority")
-    val aggs = (num ++ str).flatMap { c =>
+    val dAggs = (num ++ str).map(c => countDistinct(col(c)).as(s"${c}__distinct"))
+    val distincts = o.agg(dAggs.head, dAggs.tail: _*)
+    val oAggs = (num ++ str).flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
-        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct")) ++
+        count(when(col(c).isNull, lit(1))).as(s"${c}__nulls")) ++
         (if (num.contains(c))
            Seq(min(col(c)).cast("double").as(s"${c}__min_num"),
              max(col(c)).cast("double").as(s"${c}__max_num"))
@@ -39,7 +45,7 @@ object QualityOps {
            Seq(min(col(c)).as(s"${c}__min_str"),
              max(col(c)).as(s"${c}__max_str")))
     }
-    val wide = o.agg(aggs.head, aggs.tail: _*)
+    val wide = o.agg(oAggs.head, oAggs.tail: _*).crossJoin(distincts)
     val rows = (num ++ str).map { c =>
       val isNum = num.contains(c)
       struct(
