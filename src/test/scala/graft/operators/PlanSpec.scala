@@ -180,6 +180,18 @@ class PlanSpec extends AnyFunSuite {
       s"fuzzy join lost its blocking key:\n$s")
   }
 
+  test("exact profiler never sorts the expanded multi-distinct stream") {
+    // mixing countDistinct with min/max(string) in ONE aggregate forces
+    // SortAggregate for the whole plan — the ×columns Expand stream
+    // gets globally sorted by its (columns..., gid) key (measured 3×
+    // at sf0.1, ~6× at 10×). The split keeps the distinct branch
+    // hash-aggregated; a Sort keyed on the Expand's gid is the exact
+    // signature of the regression.
+    val s = planString(QualityOps.profileTable(spark, sf))
+    assert("Sort \\[[^\\]]*gid#".r.findFirstIn(s).isEmpty,
+      s"expanded multi-distinct stream is being sorted again:\n$s")
+  }
+
   test("approx profiler plans one un-expanded scan; exact profiler pays the Expand") {
     // the whole point of profile_approx is that approx_count_distinct
     // needs no Expand: row stream cost independent of column count.
