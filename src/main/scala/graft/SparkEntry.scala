@@ -30,7 +30,7 @@ object SparkEntry {
     // Operator inventory (SURVEY.md §2.2-2.8)
     "dedup_exact"            -> (RelationalOps.dedupExact _),
     "median_by_group"        -> (RelationalOps.medianByGroup _),
-    "impute_group_median"    -> (RelationalOps.imputeGroupMedian _),
+    "impute_median"    -> (RelationalOps.imputeGroupMedian _),
     "scalar_funcs"           -> (RelationalOps.scalarFuncs _),
     "date_funcs"             -> (RelationalOps.dateFuncs _),
     "join_left_enrich"       -> (RelationalOps.joinLeftEnrich _),
@@ -50,7 +50,7 @@ object SparkEntry {
     "events_sliding"         -> (EventOps.slidingWindow _),
     "events_sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
-    "events_attribution"     -> (EventOps.clickAttribution _),
+    "attribution"     -> (EventOps.clickAttribution _),
     "string_funcs"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
     "unpivot_long"           -> (RelationalOps.unpivotLong _),
@@ -81,7 +81,7 @@ object SparkEntry {
     "text_rep_signals"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
     "dedup_exact_text"       -> (DedupOps.dedupExactText _),
-    "dedup_ngram_jaccard"    -> (DedupOps.dedupNgramJaccard _),
+    "dedup_jaccard"    -> (DedupOps.dedupNgramJaccard _),
     "dedup_minhash_lsh"      -> (DedupOps.dedupMinhashLsh _),
     "text_simhash"           -> (DedupOps.textSimhash _),
     "dedup_simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
@@ -92,7 +92,7 @@ object SparkEntry {
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
     "ann_ivf_probe2"         -> (EmbeddingOps.annIvfProbe2 _),
     "ann_recall"             -> (EmbeddingOps.annRecall _),
-    "ann_recall_clustered"   -> (EmbeddingOps.annRecallClustered _),
+    "ann_recall_cl"   -> (EmbeddingOps.annRecallClustered _),
     "emb_neardup_pairs"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
@@ -106,7 +106,7 @@ object SparkEntry {
     "pack_sequences"         -> (PipelineOps.packSequences _),
     "winsorize_by_group"     -> (PipelineOps.winsorizeByGroup _),
     "decontaminate"          -> (PipelineOps.decontaminate _),
-    "decontaminate_ngram"    -> (PipelineOps.decontaminateNgram _),
+    "decon_ngram"    -> (PipelineOps.decontaminateNgram _),
     "dedup_clusters"         -> (DedupOps.dedupClusters _),
     "sample_source_quota"    -> (PipelineOps.sampleSourceQuota _),
     "imp_sample"      -> (PipelineOps.sampleImportance _),
@@ -133,6 +133,9 @@ object SparkEntry {
     "array_funcs"       -> (TextOps.arrayFuncs _),
     "map_funcs"         -> (TextOps.mapFuncs _),
     "outliers"          -> (StatOps.outliers _),
+    // Training-data shaping: windowed chunking + lexical retrieval
+    "chunks"            -> (TextOps.docChunks _),
+    "bm25"              -> (TextOps.bm25Search _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -375,7 +378,7 @@ object SparkEntry {
     "median_by_group" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
          FROM part GROUP BY 1 ORDER BY 1""",
-    "impute_group_median" ->
+    "impute_median" ->
       """WITH masked AS (
            SELECT p_partkey, p_brand,
                   CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_retailprice END AS pr
@@ -492,7 +495,7 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
-    "events_attribution" ->
+    "attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id, COUNT(*) AS n_clicks
@@ -705,7 +708,7 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
          MIN(doc_id) AS first_doc
          FROM documents GROUP BY 1 ORDER BY 1""",
-    "dedup_ngram_jaccard" ->
+    "dedup_jaccard" ->
       s"""$shinglesSql
           SELECT doc_a, doc_b, jaccard FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -762,7 +765,7 @@ object SparkEntry {
     // recall identically and expects every floor gate TRUE, so a
     // broken coarse quantizer (recall collapses toward chance) fails
     // the hash outright.
-    "ann_recall_clustered" -> annRecallSql(clusteredCorpusCtes, {
+    "ann_recall_cl" -> annRecallSql(clusteredCorpusCtes, {
       val floorCase = EmbeddingOps.ClusterRecallFloors.toSeq.sortBy(_._1)
         .map { case (m, f) => s"WHEN method = '$m' THEN CAST($f AS DOUBLE)" }
         .mkString(" ")
@@ -965,7 +968,7 @@ object SparkEntry {
     // PipelineOps.decontaminateNgram: drop train docs sharing any word
     // 8-gram with the eval split. The gram-concat expression is built
     // from the same DecontamK constant as the operator (anti-drift).
-    "decontaminate_ngram" -> {
+    "decon_ngram" -> {
       val k = PipelineOps.DecontamK
       val parts = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -1293,5 +1296,53 @@ object SparkEntry {
          FROM events e JOIN m ON e.event_type = m.event_type
          WHERE abs((e.value - m.mean) / nullif(m.sd, 0)) > 3.0
          ORDER BY e.event_id""",
+    // TextOps.docChunks: sliding token windows, geometry from the
+    // shared ChunkSize/ChunkStride constants. DuckDB list slicing is
+    // 1-based inclusive and clamps past the end — same contract as
+    // Spark's slice(start, length), so end = start + Size − 1.
+    "chunks" -> {
+      val (cs, st) = (TextOps.ChunkSize, TextOps.ChunkStride)
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
+          c AS (SELECT doc_id, toks,
+                  unnest(range(0, (nt - 1) // $st + 1)) AS chunk_id FROM n),
+          s AS (SELECT doc_id, chunk_id,
+                  toks[chunk_id * $st + 1 : chunk_id * $st + $cs] AS ctoks FROM c)
+          SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS n_tok,
+                 md5(array_to_string(ctoks, ' ')) AS chunk_md5
+          FROM s ORDER BY doc_id, chunk_id""".stripMargin
+    },
+    // TextOps.bm25Search: ratio-form idf (no ln — libm-divergent),
+    // identical IEEE op chains, contributions floored to 1e9-scaled
+    // BIGINTs before the exact order-independent sum. Constants and
+    // the term list interpolate from the same Scala vals as the
+    // operator (anti-drift).
+    "bm25" -> {
+      val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val (k1, b, k1p1) = (TextOps.Bm25K1, TextOps.Bm25B, TextOps.Bm25K1 + 1.0)
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+          st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                        CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tk
+                 WHERE term IN ($terms) GROUP BY doc_id, term),
+          dfr AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          sc AS (SELECT tf.doc_id,
+                   CAST(floor(
+                     (st.n_docs - dfr.df + CAST(0.5 AS DOUBLE))
+                       / (dfr.df + CAST(0.5 AS DOUBLE))
+                     * (tf.tf * CAST($k1p1 AS DOUBLE))
+                     / (tf.tf + CAST($k1 AS DOUBLE)
+                         * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+                            + CAST($b AS DOUBLE) * (dl.dl / st.avgdl)))
+                     * CAST(1e9 AS DOUBLE)) AS BIGINT) AS contrib
+                 FROM tf, dfr, dl, st
+                 WHERE tf.term = dfr.term AND tf.doc_id = dl.doc_id)
+          SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score_s,
+                 COUNT(*) AS n_terms
+          FROM sc GROUP BY doc_id
+          ORDER BY score_s DESC, doc_id LIMIT ${TextOps.Bm25TopK}""".stripMargin
+    },
   )
 }

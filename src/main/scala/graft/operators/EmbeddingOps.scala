@@ -23,7 +23,7 @@ import graft.sources.Tables
   * Every ANN variant is written against a corpus FRAME, not the table:
   * the same machinery runs over the raw embeddings (engine-parity
   * gate, `ann_recall`) and over the deterministic CLUSTERED fixture
-  * (quality gate, `ann_recall_clustered` — see [[clusteredCorpus]])
+  * (quality gate, `ann_recall_cl` — see [[clusteredCorpus]])
   * without duplication.
   */
 object EmbeddingOps {

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-/** One-off profiler for `dedup_ngram_jaccard` — the repo's heaviest
+/** One-off profiler for `dedup_jaccard` — the repo's heaviest
   * query at sf1. Splits its cost into the three separable stages so
   * optimization effort lands where the time actually goes:
   *

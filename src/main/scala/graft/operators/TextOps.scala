@@ -245,4 +245,103 @@ object TextOps {
         struct(col("doc_id").as("id"), size(col("ks")).cast("long").as("nk"))
           .getField("nk").as("struct_nk"))
       .orderBy("doc_id")
+
+  /** Chunking geometry, shared with the oracle SQL (anti-drift). A
+    * chunk k covers token positions [k·Stride, k·Stride + Size); the
+    * last chunk may be short. Stride < Size ⇒ consecutive chunks
+    * overlap by Size − Stride tokens (the standard training-window
+    * overlap so no span is split across a boundary unseen).
+    */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Sliding-window document chunking — the tokenize-and-window step
+    * that turns a document corpus into fixed-size training sequences
+    * with overlap. One narrow explode per document (×⌈T/Stride⌉ row
+    * inflation, no join, no shuffle until the output sort): chunk ids
+    * come from an in-row `sequence`, the chunk text from an in-row
+    * `slice` of the token array — embarrassingly parallel at any
+    * corpus size, exactly what a 100 TB chunker must be. Chunks are
+    * emitted as (count, md5) rather than text so the gate compares
+    * compact scalars.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // k*Stride < T  ⟺  k ≤ (T−1) div Stride  (T ≥ 1 here)
+    d.select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          ((size(col("toks")) - 1) / lit(ChunkStride)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("chunk_id") * ChunkStride + 1, lit(ChunkSize)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** BM25 constants, shared with the oracle SQL (anti-drift). The idf
+    * factor is the RATIO form (N − df + ½)/(df + ½) — classic BM25
+    * takes its ln, but ln is libm-dependent (engine-divergent in the
+    * last ulp) while the ratio is pure IEEE subtract/divide, bitwise
+    * identical in both engines. Per-term contributions are floored to
+    * integers at 1e9 scale before summing (the [[graft.operators.GraphOps]]
+    * scheme): long sums are exact and order-independent, so the score
+    * is stable under any partitioning.
+    */
+  val Bm25Terms: Seq[String] = Seq("join", "stream", "filter", "spark")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** BM25 lexical ranked retrieval over `documents` for a fixed term
+    * set — the keyword-search complement of the ANN embedding path.
+    * Plan: a pre-filter (`arrays_overlap`) skips documents containing
+    * no query term before the explode; tf is one (doc, term) count on
+    * the surviving skinny rows; df (≤ |terms| rows) and the corpus
+    * stats (1 row) broadcast; the only real shuffle is the doc-keyed
+    * tf⋈dl join, and the final top-k plans as TakeOrderedAndProject
+    * (no global sort). At 100 TB the full text never shuffles — only
+    * (doc_id, term, count) survivors do.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // dl feeds both the per-doc join and the corpus stats — checkpoint
+    // the skinny (doc_id, dl) rows so the text column is tokenized
+    // once for it, not once per consumer
+    val dl = OpCaches.localCheckpointTracked(
+      docs.select(col("doc_id"), size(col("toks")).cast("long").as("dl")))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // df re-aggregates tf, and a derived frame re-executes its whole
+    // subtree (scan + explode + agg — twice the tokenization pass at
+    // corpus scale) unless the lineage is cut: checkpoint the skinny
+    // (doc, term, tf) rows once (≤ |terms| rows per doc; released by
+    // releaseTransients).
+    val tf = OpCaches.localCheckpointTracked(docs
+      .filter(arrays_overlap(col("toks"),
+        array(Bm25Terms.map(lit(_)): _*)))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("denom",
+        col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
+          lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
+      .withColumn("contrib",
+        floor(col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) / col("denom") * lit(1e9))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score_s"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score_s"), col("doc_id"))
+      .limit(Bm25TopK)
+  }
 }

@@ -17,7 +17,7 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and yields rows on sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
-      if (n == 0 && !Set("join_anti", "set_except", "dedup_ngram_jaccard",
+      if (n == 0 && !Set("join_anti", "set_except", "dedup_jaccard",
         "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_clusters",
         "emb_neardup_pairs").contains(name))
         Some(name -> n)
@@ -195,7 +195,7 @@ class OperatorSpec extends AnyFunSuite {
       s"probe2 recall below probe1: $rows")
   }
 
-  test("ann_recall_clustered: recall is in the discriminating regime, dials move it") {
+  test("ann_recall_cl: recall is in the discriminating regime, dials move it") {
     // on the planted-cluster corpus a WORKING coarse quantizer must
     // score far above chance (≈1/ClusterPlantedK): the whole point of
     // the fixture is that a broken quantizer CAN fail this gate, which
@@ -313,5 +313,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(s.nonEmpty)
     assert(s.forall(r => r.getLong(2) <= r.getLong(3)), "start > end")
     assert(s.forall(r => r.getLong(4) >= 1), "empty session")
+  }
+
+  test("chunks: geometry invariants — coverage, count, and width") {
+    import org.apache.spark.sql.functions._
+    val ch = TextOps.docChunks(spark, sf).collect()
+    val nTok = TextOps.textTokens(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byDoc = ch.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rows) =>
+      val t = nTok(doc)
+      // chunk ids are exactly 0..(T−1) div Stride — every token
+      // position k·Stride < T starts a chunk, nothing past the end
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids === (0L to (t - 1) / TextOps.ChunkStride).toArray.map(_.toLong),
+        s"doc $doc: chunk ids $ids for $t tokens")
+      // each chunk holds min(Size, T − k·Stride) tokens
+      rows.foreach { r =>
+        val expect = math.min(TextOps.ChunkSize,
+          t - r.getLong(1) * TextOps.ChunkStride)
+        assert(r.getLong(2) === expect, s"doc $doc chunk ${r.getLong(1)}")
+      }
+    }
+    // overlap: stride < size ⇒ consecutive full chunks share tokens
+    assert(TextOps.ChunkStride < TextOps.ChunkSize)
+  }
+
+  test("bm25: top-k is ordered, scored docs contain a query term") {
+    import org.apache.spark.sql.functions._
+    val top = TextOps.bm25Search(spark, sf).collect()
+    assert(top.nonEmpty && top.length <= TextOps.Bm25TopK)
+    val scores = top.map(_.getLong(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "scores not descending")
+    assert(top.forall(_.getLong(2) <= TextOps.Bm25Terms.length), "n_terms bound")
+    val hits = graft.sources.Tables.documents(spark, sf)
+      .filter(arrays_overlap(TextOps.tokens(col("text")),
+        array(TextOps.Bm25Terms.map(lit(_)): _*)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.forall(r => hits(r.getLong(0))), "scored doc without any term")
   }
 }
