@@ -288,17 +288,53 @@ object MultimodalOps {
     res
   }
 
+  /** FULL JPEG pixel decode via the JDK's bundled ImageIO plugin
+    * (java.desktop's JPEGImageReader) — still standard library, no
+    * external dependency, and headless-safe (no display needed for
+    * ImageIO/BufferedImage). Handles baseline and progressive
+    * JFIF/EXIF streams; returns the mean over all decoded RGB channel
+    * samples (0–255 domain). Decode is deterministic within a JVM —
+    * the unit gate constructs its fixtures and checks round-trip
+    * means, while the DuckDB oracle only ever sees the stub path (the
+    * corpus carries no media bytes). Any failure yields None — never
+    * throws on an executor.
+    */
+  private[operators] def jpegPixelMean(p: Array[Byte]): Option[Double] = {
+    if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
+      return None
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||
+          img.getWidth.toLong * img.getHeight > (64 << 20)) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val px = img.getRGB(x, y)
+            sum += ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some(sum.toDouble / (w.toLong * h * 3))
+      }
+    } catch { case _: Throwable => None }
+  }
+
   /** Real container parsing where the bytes allow it — PNG IHDR (and,
     * for the common 8-bit non-interlaced formats, a FULL pixel decode:
-    * zlib inflate + all five filter types), JPEG SOF0/1/2, WAV fmt
-    * (and a FULL PCM sample decode for 8/16-bit audio) — all
-    * dependency-free, no codec library. Malformed or non-media
-    * payloads fall through to the ==== STUB ==== deterministic fake
-    * (the test corpus carries text bytes, not media); JPEG entropy
-    * decode is the one stage that genuinely needs a codec library and
-    * remains header-only. The declared media_kind is passed through
-    * untouched either way so this output always joins cleanly with
-    * mmMeta on (doc_id, media_kind).
+    * zlib inflate + all five filter types), JPEG SOF0/1/2 headers plus
+    * a FULL entropy decode through the JDK's bundled ImageIO codec,
+    * WAV fmt (and a FULL PCM sample decode for 8/16-bit audio) — all
+    * standard-library, no external codec dependency. Malformed or
+    * non-media payloads fall through to the ==== STUB ====
+    * deterministic fake (the test corpus carries text bytes, not
+    * media). The declared media_kind is passed through untouched
+    * either way so this output always joins cleanly with mmMeta on
+    * (doc_id, media_kind).
     */
   private[operators] def decodeOne(b: MediaBlob): MediaFeatures = {
     val n = b.payload.length.toLong
@@ -307,7 +343,8 @@ object MultimodalOps {
       .orElse(wavDims(b.payload))
     val signal =
       if (dims.isEmpty) None
-      else pngPixelMean(b.payload).orElse(wavSampleMean(b.payload))
+      else pngPixelMean(b.payload).orElse(jpegPixelMean(b.payload))
+        .orElse(wavSampleMean(b.payload))
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n

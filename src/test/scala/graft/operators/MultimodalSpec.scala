@@ -71,6 +71,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.width === (lostSync.length % 640) + 1, s"garbage dims leaked: $g")
   }
 
+  test("real JPEG pixels decode via the JDK ImageIO codec") {
+    import java.awt.image.BufferedImage
+    def jpegOf(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK jpg writer missing")
+      bos.toByteArray
+    }
+    // uniform mid-gray: JPEG is lossy but a flat field survives almost
+    // exactly (no high-frequency content to quantize away)
+    val gray = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(40L, jpegOf(16, 12, 0x808080), "image"))
+    assert(gray.width === 16 && gray.height === 12)
+    assert(gray.mean_signal.isDefined, "JPEG pixel decode did not run")
+    assert(math.abs(gray.mean_signal.get - 128.0) <= 2.0, s"mean: $gray")
+    // the signal tracks the actual pixels — a dark field decodes dark
+    val dark = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(41L, jpegOf(8, 8, 0x101010), "image"))
+    assert(dark.mean_signal.isDefined && dark.mean_signal.get < 32.0, s"$dark")
+  }
+
   private def wavHeader(rate: Int, channels: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
