@@ -136,6 +136,7 @@ object SparkEntry {
     // Training-data shaping: windowed chunking + lexical retrieval
     "chunks"            -> (TextOps.docChunks _),
     "bm25"              -> (TextOps.bm25Search _),
+    "hh"                -> (StatOps.sketchHeavyHitters _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -1344,5 +1345,14 @@ object SparkEntry {
           FROM sc GROUP BY doc_id
           ORDER BY score_s DESC, doc_id LIMIT ${TextOps.Bm25TopK}""".stripMargin
     },
+    // StatOps.sketchHeavyHitters: the oracle recomputes the exact
+    // top-10 (same user_id tie-break) and expects the CMS guarantee
+    // gates TRUE — an estimate below exact or past the eps·N bound
+    // fails the hash, the sk_distinct contract.
+    "hh" ->
+      """SELECT user_id, COUNT(*) AS n_exact,
+         TRUE AS est_ge_exact, TRUE AS est_within_eps
+         FROM events GROUP BY user_id
+         ORDER BY n_exact DESC, user_id LIMIT 10""",
   )
 }

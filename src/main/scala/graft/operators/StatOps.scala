@@ -347,6 +347,38 @@ object StatOps {
           .as("p50_within_1pct"))
       .orderBy("l_returnflag")
 
+  /** Count-min-sketch heavy hitters, accuracy-gated — the third
+    * fixed-memory sketch family (HLL distincts, GK quantiles, CMS
+    * frequencies): the exact top-10 users by event count alongside
+    * booleans asserting the CMS guarantees held. At 100 TB CMS IS the
+    * frequency/skew diagnostic — eps=0.001, δ=0.01 is a fixed
+    * ~2719×5-counter grid (~100 KB) through one map-side-combinable
+    * pass, vs. the exact count's full (user, count) shuffle — and its
+    * one-sided error (est ≥ exact always; est ≤ exact + eps·N w.p.
+    * ≥ 1−δ) is deterministic here: the seed is fixed and cell counts
+    * are exact sums, so estimates are identical under any
+    * partitioning or merge order. The exact top-10 plans as
+    * TakeOrderedAndProject (ties broken by user_id); only those 10
+    * rows and the fixed-KB sketch reach the driver — the same
+    * LIMIT-bounded policy as the report sink. The oracle recomputes
+    * the exact side and expects both gates TRUE.
+    */
+  def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val eps = 0.001
+    val cms = ev.stat.countMinSketch(col("user_id"), eps, 0.99, seed = 42)
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), col("user_id")).limit(10).collect()
+    val slack = (eps * cms.totalCount).toLong
+    top.toSeq.map { r =>
+      val (u, exact) = (r.getLong(0), r.getLong(1))
+      val est = cms.estimateCount(u)
+      (u, exact, est >= exact, est <= exact + slack)
+    }.toDF("user_id", "n_exact", "est_ge_exact", "est_within_eps")
+      .orderBy(desc("n_exact"), col("user_id"))
+  }
+
   /** Per-group simple linear regression (price ~ quantity):
     * slope / intercept / r² from the same exact-decimal power sums as
     * corrByGroup — one partial-aggregation pass, with the closed-form
