@@ -104,11 +104,11 @@ object SparkEntry {
     "events_funnel"          -> (PipelineOps.eventsFunnel _),
     "merge_upsert"           -> (PipelineOps.mergeUpsert _),
     "pack_sequences"         -> (PipelineOps.packSequences _),
-    "winsorize_by_group"     -> (PipelineOps.winsorizeByGroup _),
+    "winsorize"     -> (PipelineOps.winsorizeByGroup _),
     "decontaminate"          -> (PipelineOps.decontaminate _),
     "decon_ngram"    -> (PipelineOps.decontaminateNgram _),
     "dedup_clusters"         -> (DedupOps.dedupClusters _),
-    "sample_source_quota"    -> (PipelineOps.sampleSourceQuota _),
+    "quota_sample"    -> (PipelineOps.sampleSourceQuota _),
     "imp_sample"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
     "cohort"       -> (EventOps.cohortRetention _),
@@ -137,6 +137,7 @@ object SparkEntry {
     "chunks"            -> (TextOps.docChunks _),
     "bm25"              -> (TextOps.bm25Search _),
     "hh"                -> (StatOps.sketchHeavyHitters _),
+    "zorder"            -> (LayoutOps.zorderKeys _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -932,7 +933,7 @@ object SparkEntry {
     // algebraically-equal formulas differently (1-ulp divergence
     // observed at sf0.1), while this explicit form is the same IEEE
     // ops on both engines.
-    "winsorize_by_group" ->
+    "winsorize" ->
       """WITH r AS (SELECT p_type, p_retailprice AS v,
                 CAST(row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice)
                      AS BIGINT) - 1 AS rn
@@ -988,7 +989,7 @@ object SparkEntry {
     },
     // PipelineOps.sampleSourceQuota: deterministic per-source cap —
     // md5-of-id rank inside each source, keep rank <= quota.
-    "sample_source_quota" ->
+    "quota_sample" ->
       s"""WITH r AS (SELECT doc_id, source,
                  CAST(row_number() OVER (PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
@@ -1354,5 +1355,24 @@ object SparkEntry {
          TRUE AS est_ge_exact, TRUE AS est_within_eps
          FROM events GROUP BY user_id
          ORDER BY n_exact DESC, user_id LIMIT 10""",
+    // LayoutOps.zorderKeys: Morton interleave as pure integer
+    // shift/mask arithmetic — the SQL spread is generated from the
+    // same step table as the Column chain (anti-drift). DuckDB's
+    // & | << on BIGINT are two's-complement like the JVM's, and
+    // ((v−min)·65535) // range is the same exact normalization as
+    // Spark's floor(double-div) (gap ≥ 1/range ≫ rounding error).
+    "zorder" ->
+      s"""WITH o AS (SELECT o_orderkey, o_custkey AS cx,
+            (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS cy
+          FROM orders),
+          st AS (SELECT MIN(cx) AS cxmin, MAX(cx) AS cxmax,
+                        MIN(cy) AS cymin, MAX(cy) AS cymax FROM o),
+          z AS (SELECT o_orderkey,
+                  ((cx - cxmin) * 65535) // greatest(cxmax - cxmin, 1) AS zx,
+                  ((cy - cymin) * 65535) // greatest(cymax - cymin, 1) AS zy
+                FROM o, st)
+          SELECT o_orderkey, zx, zy,
+                 ${LayoutOps.zValueSql("zx", "zy")} AS zval
+          FROM z ORDER BY o_orderkey""".stripMargin,
   )
 }

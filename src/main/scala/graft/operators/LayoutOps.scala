@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-layout optimization: Z-order (Morton) interleaving of two
+  * sort dimensions, the multi-column file-skipping technique behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`. A single-column range layout
+  * gives perfect min/max pruning on that column and none on any
+  * other; sorting by the interleaved bits gives every file a tight
+  * bounding BOX over both columns, so a two-predicate scan prunes at
+  * file-listing time on either or both. At 100 TB this is the
+  * difference between touching one z-tile and scanning the corpus
+  * for a (customer × date-range) query. The interleave is pure
+  * integer shift/mask arithmetic — bitwise identical in any engine —
+  * and composes with `repartitionByRange(zval)` + per-file sort for
+  * the write path (LayoutSpec measures the bounding-box tightening
+  * on real files).
+  */
+object LayoutOps {
+
+  /** Classic 16→32-bit spread steps: after masking to 16 bits, each
+    * (shift, mask) pass doubles the gap between occupied bit
+    * positions. Shared by the Column chain and the oracle-SQL
+    * generator below (anti-drift by construction).
+    */
+  private val SpreadSteps =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+
+  /** Spread the low 16 bits of `c` to even bit positions 0,2,…,30. */
+  def zSpread(c: Column): Column =
+    SpreadSteps.foldLeft(c.bitwiseAND(lit(65535L))) { case (x, (s, m)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** 32-bit Morton code: x in even bits, y in odd bits. Monotone in
+    * the interleaved ordering, so range-partitioning on it tiles the
+    * (x, y) plane into locality-preserving squares.
+    */
+  def zValue(x: Column, y: Column): Column =
+    zSpread(x).bitwiseOR(shiftleft(zSpread(y), 1))
+
+  /** The same spread as SQL text, generated from the same steps. The
+    * operand duplicates per step (SQL has no let-binding) — 16 copies
+    * of the base expression at the end, fine for an oracle.
+    */
+  def zSpreadSql(e: String): String =
+    SpreadSteps.foldLeft(s"($e & 65535)") { case (x, (s, m)) =>
+      s"(($x | ($x << $s)) & $m)"
+    }
+
+  def zValueSql(x: String, y: String): String =
+    s"(${zSpreadSql(x)} | (${zSpreadSql(y)} << 1))"
+
+  /** Z-order key for `orders` over (customer, order-day): the query
+    * gate for the layout math. Each dimension is min/max-normalized
+    * to the full 16-bit domain BEFORE interleaving — unaligned bit
+    * widths make the Morton code's top bits all come from the wider
+    * column, which degrades tiling to a one-dimensional sort (Delta's
+    * OPTIMIZE ZORDER normalizes via range-partition ranks for the
+    * same reason; measured here: unnormalized tiling left the narrow
+    * column's span untightened). The normalization constants come
+    * from one broadcast stats row; the rest is a narrow projection —
+    * no shuffle before the output sort. The write-path composition
+    * (`repartitionByRange` on z + in-file sort) is exercised and
+    * measured by LayoutSpec on real parquet files.
+    */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val day = floor(TimeSeriesOps.epochSecExpr("o_orderdate") / 86400)
+      .cast("long")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("cx"), day.as("cy"))
+    val stats = o.agg(
+      min("cx").as("cxmin"), max("cx").as("cxmax"),
+      min("cy").as("cymin"), max("cy").as("cymax"))
+    // ((v − min) · 65535) div (max − min): exact in both engines —
+    // the numerator stays ≤ 65535², well inside double's 2^53, and
+    // the fractional gap to the next integer (≥ 1/range) dwarfs the
+    // division's rounding error, so floor(double-div) ≡ integer div
+    def norm(v: Column, lo: Column, hi: Column): Column =
+      floor((v - lo) * 65535L / greatest(hi - lo, lit(1L))).cast("long")
+    o.crossJoin(broadcast(stats))
+      .select(col("o_orderkey"),
+        norm(col("cx"), col("cxmin"), col("cxmax")).as("zx"),
+        norm(col("cy"), col("cymin"), col("cymax")).as("zy"))
+      .withColumn("zval", zValue(col("zx"), col("zy")))
+      .orderBy("o_orderkey")
+  }
+}

@@ -61,7 +61,7 @@ private[operators] object OpCaches {
     * without this registration they linger until the context cleaner
     * GCs them, and a bench sweep's accumulated blocks measurably
     * slowed every query that ran after the iterative ones
-    * (winsorize_by_group 0.35 s → 1.3 s at sf0.1). The frame is dead
+    * (winsorize 0.35 s → 1.3 s at sf0.1). The frame is dead
     * after its query materializes — clearTransients frees the blocks.
     */
   def localCheckpointTracked(df: DataFrame): DataFrame = {

@@ -66,4 +66,40 @@ class LayoutSpec extends AnyFunSuite {
     val full = spark.read.parquet(out)
     assert(pruned.count() > 0 && pruned.count() < full.count())
   }
+
+  test("z-order layout gives every file a tight two-column bounding box") {
+    import graft.operators.LayoutOps
+    // sf0.01 so each of the 8 range partitions holds enough orders
+    // for per-partition spans to be meaningful
+    val o = graft.operators.LayoutOps.zorderKeys(spark, "/root/testdata/sf0.01")
+    val parts = 8
+    // per-file (x-span + y-span) under a layout = what min/max
+    // skipping sees: a file is pruned for a box query when the box
+    // misses its bounds, so tighter boxes = more pruned files
+    def meanSpan(laidOut: org.apache.spark.sql.DataFrame): Double =
+      laidOut.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(((max("zx") - min("zx")) + (max("zy") - min("zy"))).as("span"))
+        .agg(avg("span")).head().getDouble(0)
+    val zLayout = meanSpan(
+      o.repartitionByRange(parts, col("zval")).sortWithinPartitions("zval"))
+    val keyLayout = meanSpan(
+      o.repartitionByRange(parts, col("o_orderkey")))
+    // single-key layout: zx/zy are independent of o_orderkey, so every
+    // file spans ~the full plane; z-order must tile it substantially
+    assert(zLayout < keyLayout * 0.5,
+      s"z-order did not tighten bounds: z=$zLayout vs key=$keyLayout")
+    // and a one-dimension range layout on zx alone must NOT bound zy:
+    // z-order trades a little x-tightness for bounds on BOTH columns
+    val xOnly = o.repartitionByRange(parts, col("zx"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg((max("zy") - min("zy")).as("yspan"))
+      .agg(avg("yspan")).head().getDouble(0)
+    val zY = o.repartitionByRange(parts, col("zval"))
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg((max("zy") - min("zy")).as("yspan"))
+      .agg(avg("yspan")).head().getDouble(0)
+    assert(zY < xOnly,
+      s"z-order should bound the second column too: z=$zY vs xOnly=$xOnly")
+  }
 }
