@@ -67,10 +67,9 @@ object LayoutOps {
     * measured by LayoutSpec on real parquet files.
     */
   def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
-    val day = floor(TimeSeriesOps.epochSecExpr("o_orderdate") / 86400)
-      .cast("long")
     val o = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_custkey").as("cx"), day.as("cy"))
+      .select(col("o_orderkey"), col("o_custkey").as("cx"),
+        TimeSeriesOps.epochDayExpr("o_orderdate").as("cy"))
     val stats = o.agg(
       min("cx").as("cxmin"), max("cx").as("cxmax"),
       min("cy").as("cymin"), max("cy").as("cymax"))

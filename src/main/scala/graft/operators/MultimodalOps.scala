@@ -302,6 +302,15 @@ object MultimodalOps {
   private[operators] def jpegPixelMean(p: Array[Byte]): Option[Double] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
       return None
+    // size-bound from the SOF header BEFORE ImageIO.read: a few-KB
+    // stream can declare a multi-gigapixel frame, and the full
+    // BufferedImage would be allocated before any post-decode check
+    // could run (the PNG path bounds before inflating for the same
+    // reason)
+    val declared = jpegDims(p)
+    if (declared.isEmpty ||
+        declared.exists { case (w, h) => w.toLong * h > (64 << 20) })
+      return None
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0 ||

@@ -352,7 +352,8 @@ object StatOps {
     * frequencies): the exact top-10 users by event count alongside
     * booleans asserting the CMS guarantees held. At 100 TB CMS IS the
     * frequency/skew diagnostic — eps=0.001, δ=0.01 is a fixed
-    * ~2719×5-counter grid (~100 KB) through one map-side-combinable
+    * 2000×7-counter grid (Spark sizes width = ⌈2/eps⌉ and depth =
+    * ⌈−log₂ δ⌉; ~110 KB of longs) through one map-side-combinable
     * pass, vs. the exact count's full (user, count) shuffle — and its
     * one-sided error (est ≥ exact always; est ≤ exact + eps·N w.p.
     * ≥ 1−δ) is deterministic here: the seed is fixed and cell counts

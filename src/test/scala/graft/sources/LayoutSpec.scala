@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -67,39 +67,43 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() > 0 && pruned.count() < full.count())
   }
 
-  test("z-order layout gives every file a tight two-column bounding box") {
-    import graft.operators.LayoutOps
+  test("z-order layout gives every written file a tight two-column bounding box") {
+    import org.apache.spark.sql.DataFrame
     // sf0.01 so each of the 8 range partitions holds enough orders
-    // for per-partition spans to be meaningful
+    // for per-file spans to be meaningful
     val o = graft.operators.LayoutOps.zorderKeys(spark, "/root/testdata/sf0.01")
     val parts = 8
-    // per-file (x-span + y-span) under a layout = what min/max
+    // write the layout to REAL parquet files, read back, and measure
+    // per-file (x-span + y-span) — exactly what min/max footer
     // skipping sees: a file is pruned for a box query when the box
     // misses its bounds, so tighter boxes = more pruned files
-    def meanSpan(laidOut: org.apache.spark.sql.DataFrame): Double =
-      laidOut.withColumn("pid", spark_partition_id())
-        .groupBy("pid")
-        .agg(((max("zx") - min("zx")) + (max("zy") - min("zy"))).as("span"))
-        .agg(avg("span")).head().getDouble(0)
-    val zLayout = meanSpan(
-      o.repartitionByRange(parts, col("zval")).sortWithinPartitions("zval"))
-    val keyLayout = meanSpan(
-      o.repartitionByRange(parts, col("o_orderkey")))
+    def fileSpans(laidOut: DataFrame, out: String): DataFrame = {
+      laidOut.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("zx") - min("zx")).as("xspan"),
+          (max("zy") - min("zy")).as("yspan"))
+    }
+    def mean(spans: DataFrame, e: Column): Double =
+      spans.agg(avg(e)).head().getDouble(0)
+    val zFiles = fileSpans(
+      o.repartitionByRange(parts, col("zval")).sortWithinPartitions("zval"),
+      "/tmp/graft_layout/orders_z")
+    val keyFiles = fileSpans(
+      o.repartitionByRange(parts, col("o_orderkey")),
+      "/tmp/graft_layout/orders_key")
+    assert(zFiles.count() >= parts - 1, "range write produced too few files")
     // single-key layout: zx/zy are independent of o_orderkey, so every
     // file spans ~the full plane; z-order must tile it substantially
-    assert(zLayout < keyLayout * 0.5,
-      s"z-order did not tighten bounds: z=$zLayout vs key=$keyLayout")
+    val (zBox, keyBox) = (mean(zFiles, col("xspan") + col("yspan")),
+      mean(keyFiles, col("xspan") + col("yspan")))
+    assert(zBox < keyBox * 0.5,
+      s"z-order did not tighten file bounds: z=$zBox vs key=$keyBox")
     // and a one-dimension range layout on zx alone must NOT bound zy:
     // z-order trades a little x-tightness for bounds on BOTH columns
-    val xOnly = o.repartitionByRange(parts, col("zx"))
-      .withColumn("pid", spark_partition_id())
-      .groupBy("pid").agg((max("zy") - min("zy")).as("yspan"))
-      .agg(avg("yspan")).head().getDouble(0)
-    val zY = o.repartitionByRange(parts, col("zval"))
-      .withColumn("pid", spark_partition_id())
-      .groupBy("pid").agg((max("zy") - min("zy")).as("yspan"))
-      .agg(avg("yspan")).head().getDouble(0)
-    assert(zY < xOnly,
-      s"z-order should bound the second column too: z=$zY vs xOnly=$xOnly")
+    val xFiles = fileSpans(o.repartitionByRange(parts, col("zx")),
+      "/tmp/graft_layout/orders_x")
+    assert(mean(zFiles, col("yspan")) < mean(xFiles, col("yspan")),
+      "z-order should bound the second column where an x-only sort cannot")
   }
 }
