@@ -50,18 +50,17 @@ object GraphOps {
     val degrees = OpCaches.localCheckpointTracked(
       edges.groupBy("a").agg(count(lit(1)).as("deg")))
     val n = degrees.count() // node count — one tiny job, result inlined as a literal
-    // degree pre-joined onto each edge ONCE: every iteration then does
-    // a single rank ⋈ edge join instead of rank ⋈ degree ⋈ edge —
-    // one materialization up front buys PageRankIters joins back, and
-    // per-edge (rank/deg) values are unchanged so the unrolled oracle
-    // is identical.
-    val eDeg = OpCaches.localCheckpointTracked(
-      edges.join(degrees, Seq("a"))
-        .select(col("a").as("node"), col("b"), col("deg")))
+    // NOTE: pre-joining degree onto the edge list ("eDeg") was tried
+    // and reverted after a direct A/B at sf1 showed steady-state
+    // parity (±5%): the per-iteration join it removes — ranks ⋈
+    // degrees, both skinny and node-keyed, co-partitioned with the
+    // big edge join that follows — is nearly free, so the up-front
+    // |E|-row materialization buys nothing. Simpler shape kept.
     var ranks = degrees.select(col("a").as("node"), lit(1.0 / n).as("rank"))
     for (_ <- 1 to PageRankIters) {
       val contribs = ranks
-        .join(eDeg, Seq("node"))
+        .join(degrees.withColumnRenamed("a", "node"), Seq("node"))
+        .join(edges.withColumnRenamed("a", "node"), Seq("node"))
         .select(col("b").as("node"),
           floor(col("rank") / col("deg") * 1e15).cast("long").as("c"))
       ranks = contribs.groupBy("node")
