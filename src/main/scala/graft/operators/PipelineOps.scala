@@ -102,7 +102,12 @@ object PipelineOps {
     val toks = docs.select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df re-aggregates tf, and a derived frame re-executes its whole
+    // subtree — without cutting the lineage the corpus tokenizes TWICE
+    // (once per consumer). Checkpoint the skinny (doc, term, tf) rows;
+    // released by releaseTransients (same fix as bm25Search).
+    val tf = graft.operators.OpCaches.localCheckpointTracked(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(desc("score"), col("term"))
