@@ -149,6 +149,65 @@ object MultimodalOps {
     res
   }
 
+  /** MP4/ISO-BMFF: top-level boxes are 32-bit big-endian size + 4CC
+    * (size 1 = 64-bit extended size follows the type); the stream
+    * must open with `ftyp`. Walk to `moov`, then its children to
+    * `mvhd`, and read (timescale, whole-second duration) as the
+    * (width, height) stand-ins — the honest video analog of WAV's
+    * (rate, channels). mvhd version 0 carries 32-bit times, version 1
+    * 64-bit. Any structural violation → None, never throws.
+    */
+  private def mp4Dims(p: Array[Byte]): Option[(Int, Int)] = {
+    def ascii(off: Int) = new String(p, off, 4, "US-ASCII")
+    def beInt(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def beLong(off: Int): Long = (beInt(off) << 32) | beInt(off + 4)
+    if (p.length < 16 || ascii(4) != "ftyp") return None
+    var res: Option[(Int, Int)] = None
+    var i = 0L
+    var done = false
+    while (!done && res.isEmpty && i + 8 <= p.length) {
+      var sz = beInt(i.toInt)
+      var hdr = 8L
+      if (sz == 1 && i + 16 <= p.length) { sz = beLong(i.toInt + 8); hdr = 16 }
+      if (sz < hdr || i + sz > p.length) done = true
+      else {
+        if (ascii(i.toInt + 4) == "moov") {
+          var j = i + hdr
+          val end = i + sz
+          while (res.isEmpty && j + 8 <= end) {
+            val csz = beInt(j.toInt)
+            if (csz < 8 || j + csz > end) { j = end }
+            else {
+              if (ascii(j.toInt + 4) == "mvhd" && csz >= 12) {
+                val v = p(j.toInt + 8) & 0xff
+                // payload after the 8-byte box header: version(1) +
+                // flags(3) + ctime + mtime + timescale + duration
+                val (tsOff, durOff, dur64) =
+                  if (v == 1) (j + 8 + 4 + 16, j + 8 + 4 + 20, true)
+                  else (j + 8 + 4 + 8, j + 8 + 4 + 12, false)
+                if (durOff + (if (dur64) 8 else 4) <= j + csz) {
+                  val ts = beInt(tsOff.toInt)
+                  val dur = if (dur64) beLong(durOff.toInt) else beInt(durOff.toInt)
+                  if (ts > 0 && ts <= Int.MaxValue && dur >= 0) {
+                    val secs = dur / ts
+                    if (secs <= Int.MaxValue)
+                      res = Some((ts.toInt, secs.toInt))
+                  }
+                }
+              }
+              j += csz
+            }
+          }
+          done = true // one moov per file; nothing else carries mvhd
+        }
+        i += sz
+      }
+    }
+    res
+  }
+
   /** FULL PNG pixel decode for the common web formats — pure JVM, no
     * codec library: zlib inflate via `java.util.zip.Inflater`, then
     * per-scanline unfiltering (all five PNG filter types incl. the
@@ -337,19 +396,21 @@ object MultimodalOps {
     * for the common 8-bit non-interlaced formats, a FULL pixel decode:
     * zlib inflate + all five filter types), JPEG SOF0/1/2 headers plus
     * a FULL entropy decode through the JDK's bundled ImageIO codec,
-    * WAV fmt (and a FULL PCM sample decode for 8/16-bit audio) — all
-    * standard-library, no external codec dependency. Malformed or
-    * non-media payloads fall through to the ==== STUB ====
-    * deterministic fake (the test corpus carries text bytes, not
-    * media). The declared media_kind is passed through untouched
-    * either way so this output always joins cleanly with mmMeta on
-    * (doc_id, media_kind).
+    * WAV fmt (and a FULL PCM sample decode for 8/16-bit audio), and
+    * MP4/ISO-BMFF moov/mvhd (timescale + duration — the video family's
+    * header parse) — all standard-library, no external codec
+    * dependency. Malformed or non-media payloads fall through to the
+    * ==== STUB ==== deterministic fake (the test corpus carries text
+    * bytes, not media). The declared media_kind is passed through
+    * untouched either way so this output always joins cleanly with
+    * mmMeta on (doc_id, media_kind).
     */
   private[operators] def decodeOne(b: MediaBlob): MediaFeatures = {
     val n = b.payload.length.toLong
     val dims = pngDims(b.payload)
       .orElse(jpegDims(b.payload))
       .orElse(wavDims(b.payload))
+      .orElse(mp4Dims(b.payload))
     val signal =
       if (dims.isEmpty) None
       else pngPixelMean(b.payload).orElse(jpegPixelMean(b.payload))

@@ -93,6 +93,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dark.mean_signal.isDefined && dark.mean_signal.get < 32.0, s"$dark")
   }
 
+  private def mp4Header(timescale: Int, duration: Long, version: Int = 0): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v & 0xffffffffL)
+    val a = "US-ASCII"
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(Array[Byte](version.toByte, 0, 0, 0)) // version + flags
+    if (version == 1) {
+      body.write(be64(0)); body.write(be64(0))            // ctime, mtime
+      body.write(be32(timescale)); body.write(be64(duration))
+    } else {
+      body.write(be32(0)); body.write(be32(0))
+      body.write(be32(timescale)); body.write(be32(duration))
+    }
+    val mvhd = be32(8L + body.size()) ++ "mvhd".getBytes(a) ++ body.toByteArray
+    // a junk child before mvhd — the box walk must skip it by size
+    val junk = be32(12) ++ "udta".getBytes(a) ++ Array[Byte](0, 0, 0, 0)
+    val kids = junk ++ mvhd
+    be32(16) ++ "ftyp".getBytes(a) ++ "isom".getBytes(a) ++ be32(0) ++
+      be32(8L + kids.length) ++ "moov".getBytes(a) ++ kids
+  }
+
+  test("MP4 payloads parse mvhd timescale/duration as (width, height)") {
+    val v0 = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(50L, mp4Header(600, 3000), "video"))
+    assert(v0.width === 600 && v0.height === 5, s"$v0")
+    val v1 = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(51L, mp4Header(1000, 90061000L, version = 1), "video"))
+    assert(v1.width === 1000 && v1.height === 90061, s"$v1")
+  }
+
+  test("truncated/boxless MP4 falls back to the stub") {
+    val cut = mp4Header(600, 3000).dropRight(6) // mvhd duration truncated
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(52L, cut, "video"))
+    assert(f.width === (cut.length % 640) + 1, s"garbage dims leaked: $f")
+  }
+
   private def wavHeader(rate: Int, channels: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
