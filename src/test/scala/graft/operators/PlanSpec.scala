@@ -165,10 +165,14 @@ class PlanSpec extends AnyFunSuite {
     // carries at most 3 rows per (doc, partition), not every term
     assert(s.contains("WindowGroupLimit") && s.contains("Partial"),
       s"rank filter not pushed into a partial WindowGroupLimit:\n$s")
-    val gen = s.indexOf("Generate")
-    val win = s.indexOf("+- Window ")
-    assert(gen >= 0 && win >= 0 && win < gen,
-      "window must sit above the aggregates, not over the exploded tokens")
+    // since the tf checkpoint (corpus tokenizes once), the exploded
+    // token stream lives BEHIND the checkpoint scan: the window's
+    // visible subtree must contain no Generate at all — a Generate
+    // here would mean the window ranks raw tokens again
+    assert(!s.contains("Generate"),
+      s"window subtree re-explodes tokens past the tf checkpoint:\n$s")
+    assert(s.contains("Scan ExistingRDD"),
+      s"tf rows not served from the checkpoint:\n$s")
   }
 
   test("fuzzy join stays a blocked equi-join over the name vocabulary") {
@@ -243,5 +247,35 @@ class PlanSpec extends AnyFunSuite {
     val s = planString(RelationalOps.windowValueFuncs(spark, sf))
     val n = "Exchange hashpartitioning".r.findAllIn(s).length
     assert(n === 1, s"expected one key shuffle for both windows, got $n in:\n$s")
+  }
+
+  test("chunks never shuffles before the output sort") {
+    // the chunker must stay embarrassingly parallel: scan → in-row
+    // sequence/slice → explode; the only exchange is the final
+    // presentation sort's range partitioning
+    val s = planString(TextOps.docChunks(spark, sf))
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"chunking acquired a key shuffle:\n$s")
+    assert(s.contains("Generate explode"), s"expected the in-row explode in:\n$s")
+  }
+
+  test("bm25 keeps top-k as TakeOrderedAndProject with no nested-loop term join") {
+    val s = planString(TextOps.bm25Search(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s"top-k became a global sort:\n$s")
+    // df (≤|terms| rows) and the 1-row stats must broadcast; the term
+    // match is an equi-join, never a cartesian/BNLJ over terms
+    assert(!s.contains("CartesianProduct"), s"cartesian in:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"df/stats join not broadcast:\n$s")
+  }
+
+  test("zorder is one narrow projection over one broadcast stats row") {
+    // the Morton math must not introduce a per-row shuffle: the only
+    // exchanges are the broadcast of the 1-row min/max stats and the
+    // final presentation sort
+    val s = planString(LayoutOps.zorderKeys(spark, sf))
+    assert(!s.contains("Exchange hashpartitioning"),
+      s"zorder acquired a key shuffle:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"stats row not broadcast in:\n$s")
   }
 }
