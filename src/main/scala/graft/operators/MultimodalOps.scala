@@ -171,7 +171,9 @@ object MultimodalOps {
       var sz = beInt(i.toInt)
       var hdr = 8L
       if (sz == 1 && i + 16 <= p.length) { sz = beLong(i.toInt + 8); hdr = 16 }
-      if (sz < hdr || i + sz > p.length) done = true
+      // subtraction form: a 64-bit extended size near Long.MaxValue
+      // would wrap `i + sz` negative and walk the cursor off the array
+      if (sz < hdr || sz > p.length - i) done = true
       else {
         if (ascii(i.toInt + 4) == "moov") {
           var j = i + hdr
@@ -190,7 +192,10 @@ object MultimodalOps {
                 if (durOff + (if (dur64) 8 else 4) <= j + csz) {
                   val ts = beInt(tsOff.toInt)
                   val dur = if (dur64) beLong(durOff.toInt) else beInt(durOff.toInt)
-                  if (ts > 0 && ts <= Int.MaxValue && dur >= 0) {
+                  // all-ones duration is ISO-14496-12's "unknown"
+                  // sentinel (fragmented/live files) — not a value
+                  val unknown = if (dur64) dur == -1L else dur == 0xffffffffL
+                  if (ts > 0 && ts <= Int.MaxValue && dur >= 0 && !unknown) {
                     val secs = dur / ts
                     if (secs <= Int.MaxValue)
                       res = Some((ts.toInt, secs.toInt))

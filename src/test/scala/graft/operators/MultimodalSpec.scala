@@ -130,6 +130,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.width === (cut.length % 640) + 1, s"garbage dims leaked: $f")
   }
 
+  test("hostile MP4 box sizes and unknown durations never throw or leak") {
+    def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val a = "US-ASCII"
+    // 64-bit extended size near Long.MaxValue: a naive `i + sz` bound
+    // wraps negative and walks the cursor off the array
+    val bomb = be32(16) ++ "ftyp".getBytes(a) ++ "isom".getBytes(a) ++ be32(0) ++
+      be32(1) ++ "free".getBytes(a) ++
+      Array[Byte](0x7f, -1, -1, -1, -1, -1, -1, -1)
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(53L, bomb, "video"))
+    assert(f.width === (bomb.length % 640) + 1, s"hostile size leaked: $f")
+    // all-ones duration = ISO-14496-12 "unknown": must not be reported
+    // as a real multi-million-second duration
+    val unk = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(54L, mp4Header(600, 0xffffffffL), "video"))
+    assert(unk.width === (unk.n_bytes % 640) + 1,
+      s"unknown-duration sentinel decoded as a real value: $unk")
+  }
+
   private def wavHeader(rate: Int, channels: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def le16(v: Int) = Array(v.toByte, (v >>> 8).toByte)
