@@ -36,6 +36,7 @@ object SparkEntry {
     "join_left_enrich"       -> (RelationalOps.joinLeftEnrich _),
     "join_semi"              -> (RelationalOps.joinSemi _),
     "join_anti"              -> (RelationalOps.joinAnti _),
+    "bloom"                  -> (RelationalOps.bloomPruneJoin _),
     "join_full_outer"        -> (RelationalOps.joinFullOuter _),
     "topk_orders"            -> (RelationalOps.topKOrders _),
     "filter_pushdown"        -> (RelationalOps.filterPushdown _),
@@ -48,7 +49,7 @@ object SparkEntry {
     // Time-series / events (batch twins of graft.streaming)
     "events_tumbling"        -> (EventOps.tumblingWindow _),
     "events_sliding"         -> (EventOps.slidingWindow _),
-    "events_sessionize"      -> (EventOps.sessionize _),
+    "sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
     "attribution"     -> (EventOps.clickAttribution _),
     "string_funcs"           -> (RelationalOps.stringFuncs _),
@@ -82,9 +83,9 @@ object SparkEntry {
     // Training-data pipeline: deduplication
     "dedup_exact_text"       -> (DedupOps.dedupExactText _),
     "dedup_jaccard"    -> (DedupOps.dedupNgramJaccard _),
-    "dedup_minhash_lsh"      -> (DedupOps.dedupMinhashLsh _),
+    "minhash"      -> (DedupOps.dedupMinhashLsh _),
     "text_simhash"           -> (DedupOps.textSimhash _),
-    "dedup_simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
+    "simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
     // Training-data pipeline: similarity search
     "ann_brute_topk"         -> (EmbeddingOps.annBruteTopK _),
     "ann_native"  -> (EmbeddingOps.annBruteTopKNative _),
@@ -96,7 +97,7 @@ object SparkEntry {
     "emb_neardup_pairs"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
-    "mm_decode_features"     -> (MultimodalOps.mmDecodeFeatures _),
+    "mm_decode"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "text_pii_redact"        -> (PipelineOps.piiRedact _),
     "sample_stratified"      -> (PipelineOps.sampleStratified _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "winsorize"     -> (PipelineOps.winsorizeByGroup _),
     "decontaminate"          -> (PipelineOps.decontaminate _),
     "decon_ngram"    -> (PipelineOps.decontaminateNgram _),
+    "dup_spans"      -> (PipelineOps.dupSpans _),
     "dedup_clusters"         -> (DedupOps.dedupClusters _),
     "quota_sample"    -> (PipelineOps.sampleSourceQuota _),
     "imp_sample"      -> (PipelineOps.sampleImportance _),
@@ -424,6 +426,17 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY c_custkey""",
+    // RelationalOps.bloomPruneJoin: the bloom filter has no false
+    // negatives, so the pruned-then-exact semi-join result is provably
+    // the plain semi-join DuckDB computes; the candidate-set bounds
+    // are Spark-side machine checks the oracle asserts as TRUE.
+    "bloom" ->
+      """SELECT COUNT(*) AS n_match,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         TRUE AS cand_ge_match, TRUE AS fp_bounded
+         FROM lineitem
+         WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')""",
     "join_full_outer" ->
       """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
          FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
@@ -479,7 +492,7 @@ object SparkEntry {
          FROM (SELECT b0 AS window_start, value FROM b
                UNION ALL SELECT b0 - 300, value FROM b) t
          GROUP BY 1 ORDER BY 1""",
-    "events_sessionize" ->
+    "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
          l AS (SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -718,7 +731,7 @@ object SparkEntry {
                      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
             FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
           WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
-    "dedup_minhash_lsh" ->
+    "minhash" ->
       s"""$minhashPairsSql
           SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
     // DedupOps.dedupClusters: connected components over the verified
@@ -739,7 +752,7 @@ object SparkEntry {
     "text_simhash" ->
       s"""$simhashSql
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
-    "dedup_simhash_pairs" -> {
+    "simhash_pairs" -> {
       val segBits = DedupOps.SimhashBits / DedupOps.SimhashSegments
       val mask = (1L << segBits) - 1
       val segs = (0 until DedupOps.SimhashSegments).map { s =>
@@ -814,7 +827,7 @@ object SparkEntry {
     // is NULL on the stub path by contract. The real decode paths
     // (PNG pixel decode, WAV PCM decode) are gated by constructed
     // fixtures in MultimodalSpec.
-    "mm_decode_features" ->
+    "mm_decode" ->
       """WITH d AS (SELECT doc_id,
                       octet_length(CAST(text AS BLOB)) AS n,
                       hex(CAST(text AS BLOB)) AS hx
@@ -986,6 +999,28 @@ object SparkEntry {
           WHERE doc_id % 50 <> 0
             AND doc_id NOT IN (SELECT doc_id FROM bad)
           ORDER BY doc_id"""
+    },
+    // PipelineOps.dupSpans: same gram CTE as decon_ngram (same
+    // DecontamK constant), distinct per doc, gram doc-frequency,
+    // per-doc dup counts. Integer counts — exact on both engines.
+    "dup_spans" -> {
+      val k = PipelineOps.DecontamK
+      val parts = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          gr AS (SELECT doc_id,
+                  unnest(list_transform(range(0, len(toks) - ${k - 1}),
+                    i -> $parts)) AS gram
+                FROM t WHERE len(toks) >= $k),
+          h AS (SELECT DISTINCT doc_id, md5(gram) AS g FROM gr),
+          s AS (SELECT g, COUNT(*) AS gdf FROM h GROUP BY g),
+          p AS (SELECT doc_id, COUNT(*) AS n_grams,
+                       COUNT(CASE WHEN gdf >= 2 THEN 1 END) AS n_dup
+                FROM h JOIN s USING (g) GROUP BY doc_id)
+          SELECT d.doc_id, d.lang,
+                 COALESCE(p.n_grams, 0) AS n_grams,
+                 COALESCE(p.n_dup, 0) AS n_dup
+          FROM documents d LEFT JOIN p USING (doc_id)
+          ORDER BY d.doc_id"""
     },
     // PipelineOps.sampleSourceQuota: deterministic per-source cap —
     // md5-of-id rank inside each source, keep rank <= quota.

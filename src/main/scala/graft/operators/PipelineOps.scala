@@ -305,19 +305,30 @@ object PipelineOps {
     * map task. A doc shorter than 8 tokens has no grams and can never
     * be contaminated (or contaminate), matching the oracle's WHERE.
     */
-  def decontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, g) rows — the md5 of every complete word k-gram of every
+    * document, built with one posexplode and one per-doc lead window
+    * (the shingleRows shape). Joins downstream ship fixed 32-byte
+    * hashes, never gram text. Shared by decontaminateNgram and
+    * dupSpans so one tokenization governs both.
+    */
+  private def wordGramHashes(spark: SparkSession, dir: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"),
       posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val leads = (1 until DecontamK).map(j => lead(col("tok"), j).over(w))
-    val grams = toks
+    val leads = (1 until k).map(j => lead(col("tok"), j).over(w))
+    toks
       .select(col("doc_id"),
         md5(concat_ws(" ", (col("tok") +: leads): _*).cast("binary")).as("g"),
         leads.last.isNotNull.as("_complete"))
       .filter(col("_complete"))
       .select("doc_id", "g")
+  }
+
+  def decontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = wordGramHashes(spark, dir, DecontamK)
     val evalG = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
     val bad = grams.filter(col("doc_id") % 50 =!= 0)
       .join(evalG, Seq("g"), "left_semi")
@@ -325,6 +336,39 @@ object PipelineOps {
     docs.filter(col("doc_id") % 50 =!= 0)
       .join(bad, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level duplicated-span signal (the Gopher/MassiveText
+    * "duplicate n-gram fraction" family, at span granularity): for
+    * each document, how many of its distinct word 8-grams also occur
+    * in at least one OTHER document. Exact dedup misses templated
+    * boilerplate stitched into otherwise-unique pages; this measures
+    * it directly, and n_dup/n_grams is the usual filter threshold.
+    * Plan: distinct (doc_id, gram-hash) pairs → gram doc-frequency by
+    * one hash-partitioned count → join back on `g` (co-partitioned
+    * with the count's exchange, so the join reuses it) → one per-doc
+    * aggregate. Counts are integers — exact on any engine, no float
+    * quantization needed. Docs shorter than 8 tokens surface with
+    * zero counts via the left join rather than vanishing.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+    // distinct piggybacks on the lead-window's doc_id partitioning
+    // (no extra exchange); the checkpoint stops the tokenize+window
+    // pipeline re-running for the doc-frequency branch — without it
+    // both join inputs re-derive the grams from the raw text.
+    val grams = OpCaches.localCheckpointTracked(
+      wordGramHashes(spark, dir, DecontamK).distinct())
+    val df = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
+    val perDoc = grams.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("gdf") >= 2, 1)).as("n_dup"))
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       .orderBy("doc_id")
   }
 

@@ -358,6 +358,60 @@ object RelationalOps {
       .orderBy("o_custkey")
   }
 
+  /** Bloom-filter join pruning — the runtime-filter shape Spark's own
+    * `InjectRuntimeFilter` rule produces for shuffle joins, made
+    * explicit as an operator. The dim-side join keys are folded into a
+    * fixed-size bloom filter by a distributed aggregate
+    * (`BloomFilterAggregate` over `xxhash64(key)` — one binary row,
+    * merged map-side, never collected to the driver), and that row is
+    * injected into the fact-side scan as a scalar subquery feeding
+    * `might_contain`, so fact rows that cannot join are dropped AT THE
+    * SCAN, before any shuffle. At 100 TB this is the difference
+    * between shuffling the whole fact table into a semi-join and
+    * shuffling only `match + fpp·miss` of it; the filter itself stays
+    * ~1 MiB regardless of scale (size `estimatedNumItems` from table
+    * stats on a real deployment). The bloom has no false negatives, so
+    * the exact semi-join on the surviving candidates is provably equal
+    * to the unpruned join — the gate emits that exact result (DuckDB
+    * computes it independently) plus two machine-checked bounds:
+    * candidates ⊇ matches, and false positives within 5% of the
+    * non-matching population (default 8M-bit filter ⇒ fpp ≪ 1% at
+    * every test SF).
+    */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bfPlan = urgent.agg(Bridge.column(
+      new BloomFilterAggregate(Bridge.expression(xxhash64(col("o_orderkey"))))
+        .toAggregateExpression()).as("bf"))
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      ScalarSubquery(bfPlan.queryExecution.analyzed),
+      Bridge.expression(xxhash64(col("l_orderkey")))))
+
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
+    val dimK = urgent.distinct().withColumn("_m", lit(1))
+    val counts = li.filter(mightContain)
+      .join(broadcast(dimK), col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(when(col("_m").isNotNull, 1)).as("n_match"),
+        sum(when(col("_m").isNotNull, col("l_extendedprice"))
+          .cast(DecimalType(18, 2))).as("rev"),
+        count(lit(1)).as("n_cand"))
+    val total = li.agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(total).select(
+      col("n_match"),
+      col("rev").cast("double").as("revenue"),
+      (col("n_cand") >= col("n_match")).as("cand_ge_match"),
+      ((col("n_cand") - col("n_match")).cast("double") <=
+        (col("n_total") - col("n_match")).cast("double") * 0.05 + 1.0)
+        .as("fp_bounded"))
+  }
+
   /** Window: lag/lead — days since the customer's previous order. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))

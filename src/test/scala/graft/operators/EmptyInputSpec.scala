@@ -27,7 +27,10 @@ class EmptyInputSpec extends AnyFunSuite {
   // is the correct behavior: a profiler must report its columns with
   // n=0, a DQ suite must report every check passing — vanishing would
   // be the bug. Their row counts are pinned below instead.
-  private val fixedShape = Map("profile" -> 6L, "profile_approx" -> 6L, "dq" -> 7L)
+  private val fixedShape = Map("profile" -> 6L, "profile_approx" -> 6L, "dq" -> 7L,
+    // one-row global gate: n_match=0 / NULL revenue / TRUE bounds on
+    // empty input (both engines agree a grand aggregate emits one row)
+    "bloom" -> 1L)
 
   test("every registered query runs on empty tables and yields zero rows") {
     DedupOps.clearCaches(spark) // don't serve another suite's substrate

@@ -18,7 +18,7 @@ class OperatorSpec extends AnyFunSuite {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
       if (n == 0 && !Set("join_anti", "set_except", "dedup_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_clusters",
+        "minhash", "simhash_pairs", "dedup_clusters",
         "emb_neardup_pairs").contains(name))
         Some(name -> n)
       else None

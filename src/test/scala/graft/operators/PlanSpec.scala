@@ -268,6 +268,33 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s"df/stats join not broadcast:\n$s")
   }
 
+  test("bloom prunes the fact scan via a scalar-subquery runtime filter") {
+    val s = formatted(RelationalOps.bloomPruneJoin(spark, sf))
+    // the filter must be the InjectRuntimeFilter shape: might_contain
+    // over a scalar subquery, sitting on the lineitem scan BEFORE any
+    // join/shuffle — a literal bloom here would mean a driver collect,
+    // and its absence would mean the fact table flows unpruned
+    assert(s.contains("might_contain(Subquery"),
+      s"bloom filter not a scalar subquery on the scan:\n$s")
+    assert(s.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"dim predicate not pushed to the orders scan:\n$s")
+    // exact check joins the small dim side by broadcast
+    assert(s.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$s")
+  }
+
+  test("dup_spans tokenizes once behind the gram checkpoint") {
+    val s = planString(PipelineOps.dupSpans(spark, sf))
+    // both consumers (doc-frequency agg and the per-doc join) must
+    // read the checkpointed distinct-gram rows — a Generate or Window
+    // in the visible plan means the corpus re-tokenized per branch
+    assert(!s.contains("Generate"),
+      s"gram branch re-explodes tokens past the checkpoint:\n$s")
+    assert(!s.contains("Window"),
+      s"gram branch re-runs the lead window past the checkpoint:\n$s")
+    assert(s.contains("Scan ExistingRDD"),
+      s"grams not served from the checkpoint:\n$s")
+  }
+
   test("zorder is one narrow projection over one broadcast stats row") {
     // the Morton math must not introduce a per-row shuffle: the only
     // exchanges are the broadcast of the 1-row min/max stats and the
