@@ -62,13 +62,13 @@ object SparkEntry {
     "agg_cube"               -> (StatOps.aggCube _),
     "gsets"      -> (StatOps.aggGroupingSets _),
     "agg_cdist"     -> (StatOps.aggCountDistinct _),
-    "window_rank_dense"      -> (StatOps.windowRankDense _),
+    "rank_dense"      -> (StatOps.windowRankDense _),
     "pct_rank"    -> (StatOps.windowPercentRank _),
     "collect_sort"     -> (StatOps.aggCollectSorted _),
     "collect_cap"     -> (StatOps.aggCollectCapped _),
     "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
     "corr_by_group"          -> (StatOps.corrByGroup _),
-    "quantiles_by_group"     -> (StatOps.quantilesByGroup _),
+    "quantiles"     -> (StatOps.quantilesByGroup _),
     "histogram"              -> (StatOps.histogram _),
     "salted_agg"             -> (StatOps.saltedAgg _),
     "join_range"             -> (StatOps.joinRange _),
@@ -81,7 +81,7 @@ object SparkEntry {
     "text_fingerprint"       -> (TextOps.textFingerprint _),
     "text_rep_signals"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
-    "dedup_exact_text"       -> (DedupOps.dedupExactText _),
+    "dedup_text"       -> (DedupOps.dedupExactText _),
     "dedup_jaccard"    -> (DedupOps.dedupNgramJaccard _),
     "minhash"      -> (DedupOps.dedupMinhashLsh _),
     "text_simhash"           -> (DedupOps.textSimhash _),
@@ -94,7 +94,7 @@ object SparkEntry {
     "ann_ivf_probe2"         -> (EmbeddingOps.annIvfProbe2 _),
     "ann_recall"             -> (EmbeddingOps.annRecall _),
     "ann_recall_cl"   -> (EmbeddingOps.annRecallClustered _),
-    "emb_neardup_pairs"      -> (EmbeddingOps.embNeardupPairs _),
+    "emb_neardup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
     "mm_decode"     -> (MultimodalOps.mmDecodeFeatures _),
@@ -109,6 +109,8 @@ object SparkEntry {
     "decontaminate"          -> (PipelineOps.decontaminate _),
     "decon_ngram"    -> (PipelineOps.decontaminateNgram _),
     "dup_spans"      -> (PipelineOps.dupSpans _),
+    "lm_score"       -> (TextOps.lmScore _),
+    "corpus"         -> (PipelineOps.corpusPipeline _),
     "dedup_clusters"         -> (DedupOps.dedupClusters _),
     "quota_sample"    -> (PipelineOps.sampleSourceQuota _),
     "imp_sample"      -> (PipelineOps.sampleImportance _),
@@ -574,7 +576,7 @@ object SparkEntry {
          COUNT(DISTINCT l_suppkey) AS n_supps,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "window_rank_dense" ->
+    "rank_dense" ->
       """SELECT p_brand, p_partkey, p_retailprice,
          CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS rnk,
          CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS drnk
@@ -632,7 +634,7 @@ object SparkEntry {
                 round((sx2 - sx * sx / n) / (n - 1), 0) AS variance,
                 round(sqrt((sx2 - sx * sx / n) / (n - 1)), 4) AS stddev
          FROM s ORDER BY l_returnflag""",
-    "quantiles_by_group" ->
+    "quantiles" ->
       """SELECT p_brand,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25) AS p25,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5) AS p50,
@@ -719,7 +721,7 @@ object SparkEntry {
                  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
                  CAST(dup_bigram_n AS DOUBLE) / n_bigrams AS dup_bigram_frac
           FROM a ORDER BY doc_id""",
-    "dedup_exact_text" ->
+    "dedup_text" ->
       """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
          MIN(doc_id) AS first_doc
          FROM documents GROUP BY 1 ORDER BY 1""",
@@ -788,7 +790,7 @@ object SparkEntry {
                  CASE $floorCase END AS recall_floor,
                  TRUE AS recall_ok"""
     }),
-    "emb_neardup_pairs" -> {
+    "emb_neardup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics
       val bands = (0 until EmbeddingOps.NeardupBands).map { t =>
@@ -1022,6 +1024,51 @@ object SparkEntry {
           FROM documents d LEFT JOIN p USING (doc_id)
           ORDER BY d.doc_id"""
     },
+    // PipelineOps.corpusPipeline: the composed pipeline — each CTE is
+    // the standalone operator's oracle logic (same fingerprint, same
+    // md5 rank, same constants), chained.
+    "corpus" ->
+      s"""WITH b AS (SELECT doc_id, source, lang,
+                  len($toksSql) AS n_tokens,
+                  md5(lower(trim(text))) AS fp
+                FROM documents),
+          q AS (SELECT * FROM b WHERE n_tokens >= ${PipelineOps.CorpusMinTokens}),
+          d AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM q),
+          ev AS (SELECT DISTINCT fp FROM q WHERE doc_id % 50 = 0),
+          tr AS (SELECT * FROM d WHERE rn = 1 AND doc_id % 50 <> 0
+                   AND fp NOT IN (SELECT fp FROM ev)),
+          r AS (SELECT doc_id, source, lang, n_tokens,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                FROM tr)
+          SELECT doc_id, source, lang, n_tokens FROM r
+          WHERE rk <= ${PipelineOps.SourceQuota} ORDER BY doc_id""",
+    // TextOps.lmScore: bigram-LM self-scoring. Same tokenization CTE;
+    // P floored to 1e12-scaled BIGINTs before summing (order-
+    // independent; ln would drift across libms). DuckDB SUM(BIGINT)
+    // widens to HUGEINT — cast back before the integer division.
+    "lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          bg AS (SELECT doc_id,
+                   unnest(list_transform(range(0, len(toks) - 1),
+                     i -> md5(toks[i+1] || ' ' || toks[i+2]))) AS b,
+                   unnest(list_transform(range(0, len(toks) - 1),
+                     i -> md5(toks[i+1]))) AS w1
+                 FROM t WHERE len(toks) >= 2),
+          bc AS (SELECT b, max(w1) AS w1, COUNT(*) AS c2 FROM bg GROUP BY b),
+          uc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+          bs AS (SELECT b, CAST(floor(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                   * 1e12) AS BIGINT) AS ps
+                 FROM bc JOIN uc USING (w1)),
+          pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                        CAST(SUM(ps) AS BIGINT) AS s
+                 FROM bg JOIN bs USING (b) GROUP BY doc_id)
+          SELECT d.doc_id, d.lang,
+                 COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+                 COALESCE(pd.s // pd.n_bigrams, 0) AS lm_avg_scaled
+          FROM documents d LEFT JOIN pd USING (doc_id)
+          ORDER BY d.doc_id""",
     // PipelineOps.sampleSourceQuota: deterministic per-source cap —
     // md5-of-id rank inside each source, keep rank <= quota.
     "quota_sample" ->

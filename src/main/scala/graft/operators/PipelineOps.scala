@@ -420,4 +420,48 @@ object PipelineOps {
       .filter(col("rk") <= SourceQuota)
       .orderBy("doc_id")
   }
+
+  /** Minimum token count for a document to survive corpusPipeline's
+    * quality gate.
+    */
+  private[graft] val CorpusMinTokens = 10
+
+  /** The training-data pipeline composed end-to-end as ONE declarative
+    * plan: quality gate (token count) → exact keep-first dedup on the
+    * content fingerprint → eval-split decontamination on the same
+    * fingerprint → per-source quota balancing. Each stage exists as a
+    * standalone oracle-gated operator; this query pins that they
+    * compose — Catalyst sees the whole pipeline at once, so the
+    * document scan happens ONCE and column pruning/filter ordering
+    * work across stage boundaries, which is precisely the argument for
+    * running corpus preprocessing inside the engine instead of as
+    * glued-together jobs. Stage semantics and constants are shared
+    * with the standalone operators (same fingerprint as dedup +
+    * decontaminate, same md5 rank as quota_sample).
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // checkpointed: the dedup spine AND the eval-fingerprint branch
+    // both read these skinny (id, meta, fp) rows — without it each
+    // branch re-reads and re-fingerprints the raw document scan
+    val base = OpCaches.localCheckpointTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+          md5(lower(trim(col("text")))).as("fp"))
+        .filter(col("n_tokens") >= CorpusMinTokens))
+    val keepFirst = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = base
+      .withColumn("rn", row_number().over(keepFirst))
+      .filter(col("rn") === 1)
+    val evalFps = base.filter(col("doc_id") % 50 === 0).select("fp").distinct()
+    val train = deduped.filter(col("doc_id") % 50 =!= 0)
+      .join(evalFps, Seq("fp"), "left_anti")
+    val quota = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    train.withColumn("rk", row_number().over(quota))
+      .filter(col("rk") <= SourceQuota)
+      .select("doc_id", "source", "lang", "n_tokens")
+      .orderBy("doc_id")
+  }
 }

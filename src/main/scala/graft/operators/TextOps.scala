@@ -184,6 +184,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Scale of the lmScore probability quantization: P ≤ 1 scales to
+    * ≤ 1e12 per position, so a million-bigram document sums to ≤ 1e18
+    * — inside Long.
+    */
+  private[graft] val LmScale = 1e12
+
+  /** Corpus-trained bigram-LM quality score — the perplexity-filter
+    * family (CCNet/Gopher use external KenLM models; with zero
+    * external artifacts the corpus itself is the training set, which
+    * is exactly the self-scoring used for within-corpus outlier
+    * detection). Per doc: the average MLE conditional probability
+    * P(w_i | w_{i-1}) = c(w_{i-1} w_i) / c(w_{i-1} ·) of its bigram
+    * positions under corpus counts — fluent/templated text scores
+    * high, gibberish scores near zero. Engine-exact without libm:
+    * instead of summing log-probs (ln differs across libms in the
+    * last ulp), each position's P is floored to a 1e12-scaled long —
+    * c2/c1 is one IEEE double division both engines perform
+    * identically — and the per-doc mean is an integer sum + integer
+    * division. Plan: one tokenize+lead pass (checkpointed — both the
+    * count branch and the position branch read it), bigram counts by
+    * one (b) shuffle, first-token totals from the count table (not the
+    * corpus — vocabulary-sized), stats joined back to positions on the
+    * fixed 32-byte gram hash. At 100 TB the stats table is vocabulary²
+    * -bounded and the big frames shuffle once each.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val occ = OpCaches.localCheckpointTracked(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("tok"), lead(col("tok"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", col("tok"), col("nxt")).cast("binary")).as("b"),
+          md5(col("tok").cast("binary")).as("w1")))
+    // b determines w1, so grouping by both keys counts bigrams in one
+    // codegen'd HashAggregate (a max(w1) carrier agg planned as a
+    // SortAggregate over the full gram stream — measured and avoided);
+    // c1 then comes from a window over the vocabulary-sized count
+    // table, keeping this one linear chain instead of re-deriving the
+    // counts for a second grouping.
+    val bc = occ.groupBy("b", "w1").agg(count(lit(1)).as("c2"))
+    val bs = bc
+      .withColumn("c1", sum("c2").over(Window.partitionBy("w1")))
+      .select(col("b"),
+        floor(col("c2").cast("double") / col("c1").cast("double") * LmScale)
+          .cast("long").as("ps"))
+    val perDoc = occ.join(bs, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ps").as("s"))
+    Tables.documents(spark, dir).select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_avg_scaled"))
+      .orderBy("doc_id")
+  }
+
   /** Higher-order array-function surface: transform / filter /
     * aggregate / slice / sort_array / array_contains / array_join over
     * the token array, oracle-matched against DuckDB's list functions.

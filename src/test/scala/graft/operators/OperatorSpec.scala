@@ -19,7 +19,7 @@ class OperatorSpec extends AnyFunSuite {
       val n = fn(spark, sf).count()
       if (n == 0 && !Set("join_anti", "set_except", "dedup_jaccard",
         "minhash", "simhash_pairs", "dedup_clusters",
-        "emb_neardup_pairs").contains(name))
+        "emb_neardup").contains(name))
         Some(name -> n)
       else None
     }

@@ -295,6 +295,30 @@ class PlanSpec extends AnyFunSuite {
       s"grams not served from the checkpoint:\n$s")
   }
 
+  test("lm_score counts bigrams in hash aggregates off the checkpointed positions") {
+    val s = planString(TextOps.lmScore(spark, sf))
+    // grouping by (b, w1) instead of carrying w1 through max() keeps
+    // the full-gram-stream aggregate hash-based; a SortAggregate here
+    // means the carrier agg regressed and the gram stream gets sorted
+    assert(!s.contains("SortAggregate"),
+      s"bigram count fell back to a sort aggregate:\n$s")
+    assert(s.contains("Scan ExistingRDD"),
+      s"bigram positions not served from the checkpoint:\n$s")
+  }
+
+  test("corpus composite reads the checkpoint once and pushes partial window limits") {
+    val s = planString(PipelineOps.corpusPipeline(spark, sf))
+    // both the dedup spine and the eval-fp branch must read the
+    // checkpointed fingerprint rows — a parquet scan in the final plan
+    // means a branch re-read and re-fingerprinted the corpus
+    assert(!s.contains("Scan parquet"),
+      s"a branch re-scans the raw documents:\n$s")
+    // keep-first (rn=1) and quota (rk<=10) must each push a partial
+    // WindowGroupLimit below their exchange
+    assert("WindowGroupLimit".r.findAllIn(s).length >= 4,
+      s"window limits not pushed below the exchanges:\n$s")
+  }
+
   test("zorder is one narrow projection over one broadcast stats row") {
     // the Morton math must not introduce a per-row shuffle: the only
     // exchanges are the broadcast of the 1-row min/max stats and the
