@@ -395,8 +395,11 @@ object RelationalOps {
 
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_extendedprice")
     val dimK = urgent.distinct().withColumn("_m", lit(1))
+    // no broadcast hint: AQE broadcasts while the key set fits and
+    // falls back to a shuffle join of the PRUNED candidates beyond
+    // that — which is exactly the traffic the bloom bought down
     val counts = li.filter(mightContain)
-      .join(broadcast(dimK), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(dimK, col("l_orderkey") === col("o_orderkey"), "left")
       .agg(
         count(when(col("_m").isNotNull, 1)).as("n_match"),
         sum(when(col("_m").isNotNull, col("l_extendedprice"))
