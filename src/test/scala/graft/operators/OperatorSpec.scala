@@ -26,6 +26,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
 
+  test("lm_score: bigram count tracks token count; score within [0, scale]") {
+    import org.apache.spark.sql.functions.col
+    val lm = TextOps.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    DedupOps.releaseTransients(spark)
+    val toks = TextOps.textTokens(spark, sf).collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    toks.foreach { case (id, n) =>
+      val (nb, score) = lm(id)
+      assert(nb === math.max(n - 1, 0L),
+        s"doc $id: $n tokens must yield ${n - 1} bigram positions, got $nb")
+      // average of P in (0, 1]: every observed bigram has c2 >= 1, so
+      // the floored scaled mean is positive whenever bigrams exist
+      assert(score >= 0L && score <= 1000000000000L, s"doc $id score $score")
+      if (nb > 0) assert(score > 0L, s"doc $id: positive P floored to zero")
+    }
+  }
+
   test("corpus precondition: no control characters in document text") {
     // Java regex \s includes U+000B; RE2 (DuckDB) does not — tokens()
     // splits on \s+, so a control char in the corpus could make Spark

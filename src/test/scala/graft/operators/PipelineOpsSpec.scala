@@ -158,4 +158,50 @@ class PipelineOpsSpec extends AnyFunSuite {
     val same = merged.filter(col("o_orderkey") === k2.getLong(0)).collect()(0)
     assert(same.toSeq === k2.toSeq)
   }
+
+  test("dupSpans: duplicated docs share ALL grams, unique docs none; counts bounded") {
+    import spark.implicits._
+    // identical text ⇒ identical gram sets ⇒ every gram has doc-freq
+    // >= 2 ⇒ n_dup == n_grams; a doc sharing no 8-gram scores zero.
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    val src = graft.sources.Tables.documents(spark, sf)
+    val rest = src.columns.filter(c => c != "doc_id" && c != "text" && c != "lang")
+    val boiler = "one two three four five six seven eight nine ten"
+    Seq((1L, boiler, "en"), (2L, boiler, "en"),
+        (3L, "totally different words with no shared span at all here", "en"))
+      .toDF("doc_id", "text", "lang")
+      .withColumns(rest.map(c => c -> lit(null).cast(
+        src.schema(c).dataType)).toMap)
+      .select(src.columns.map(col).toSeq: _*)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = PipelineOps.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    DedupOps.releaseTransients(spark)
+    spans.values.foreach { case (n, d) =>
+      assert(d >= 0 && d <= n, "n_dup must be within [0, n_grams]")
+    }
+    assert(spans(1L)._1 === 3L, "10 tokens carry 3 complete 8-grams")
+    assert(spans(1L) === spans(2L))
+    assert(spans(1L)._2 === spans(1L)._1, "exact duplicates share every gram")
+    assert(spans(3L)._2 === 0L, "a unique doc shares no span")
+    // on the real corpus: bounds only (its duplicates are near, not exact)
+    val real = PipelineOps.dupSpans(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    assert(real.forall(r => r.getLong(3) <= r.getLong(2)))
+  }
+
+  test("corpusPipeline: every survivor passes every stage's contract") {
+    val out = PipelineOps.corpusPipeline(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "duplicate doc_ids in output")
+    out.foreach { r =>
+      assert(r.getLong(0) % 50 != 0L, "an eval-split doc leaked into training")
+      assert(r.getLong(3) >= PipelineOps.CorpusMinTokens, "quality gate violated")
+    }
+    val bySource = out.groupBy(_.getString(1)).view.mapValues(_.length)
+    assert(bySource.values.forall(_ <= PipelineOps.SourceQuota),
+      "per-source quota exceeded")
+  }
 }
