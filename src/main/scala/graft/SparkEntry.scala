@@ -843,7 +843,9 @@ object SparkEntry {
                       ELSE CAST(list_sum(list_transform(range(0, n), i ->
                         CAST(('0x' || substring(hx, 2*i + 1, 2)) AS BIGINT))) AS DOUBLE) / n
                  END, 4) AS mean_byte,
-           CAST(NULL AS DOUBLE) AS mean_signal
+           CAST(NULL AS DOUBLE) AS mean_signal,
+           CAST(NULL AS DOUBLE) AS thumb_mean,
+           CAST(NULL AS VARCHAR) AS frame_ts
          FROM d ORDER BY doc_id""",
     // PipelineOps.piiRedact: same deterministic contact-line injection,
     // same three RE2/Java-compatible patterns, same redaction order

@@ -26,7 +26,17 @@ object MultimodalOps {
   final case class MediaBlob(doc_id: Long, payload: Array[Byte], media_kind: String)
   final case class MediaFeatures(doc_id: Long, media_kind: String,
     n_bytes: Long, width: Int, height: Int, mean_byte: Double,
-    mean_signal: Option[Double])
+    mean_signal: Option[Double], thumb_mean: Option[Double],
+    frame_ts: Option[String])
+
+  /** Thumbnail edge for the resize stage (images resize to
+    * ThumbEdge×ThumbEdge by nearest neighbor; audio downsamples to
+    * ThumbEdge² uniform sample points).
+    */
+  private[operators] val ThumbEdge = 8
+
+  /** Uniform frame-sample count for the video stage. */
+  private[operators] val FrameSamples = 4
 
   /** Binary metadata projection: byte length, content hash, media kind
     * — pure column expressions over the binary payload.
@@ -66,7 +76,7 @@ object MultimodalOps {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         round(col("mean_byte"), 4).as("mean_byte"),
-        col("mean_signal"))
+        col("mean_signal"), col("thumb_mean"), col("frame_ts"))
       .orderBy("doc_id")
   }
 
@@ -157,14 +167,36 @@ object MultimodalOps {
     * (rate, channels). mvhd version 0 carries 32-bit times, version 1
     * 64-bit. Any structural violation → None, never throws.
     */
-  private def mp4Dims(p: Array[Byte]): Option[(Int, Int)] = {
+  private def mp4Dims(p: Array[Byte]): Option[(Int, Int)] =
+    mp4Mvhd(p).map { case (ts, dur) => (ts.toInt, (dur / ts).toInt) }
+
+  /** Uniform frame-sample plan for the video stage: FrameSamples
+    * presentation timestamps (movie-timescale units) spaced evenly
+    * across the mvhd duration, rendered as a CSV string. The i-th
+    * stamp is floor(dur·i / K), computed as
+    * (dur/K)·i + ((dur mod K)·i)/K — the same floor without the
+    * dur·i overflow on 64-bit durations. This is the deterministic
+    * "which frames to decode" plan a real frame extractor executes;
+    * actual frame decode needs a codec, which the honest stub
+    * boundary excludes.
+    */
+  private[operators] def mp4FrameTs(p: Array[Byte]): Option[String] =
+    mp4Mvhd(p).map { case (_, dur) =>
+      val k = FrameSamples.toLong
+      (0L until k).map(i => (dur / k) * i + (dur % k) * i / k).mkString(",")
+    }
+
+  /** mvhd (timescale, raw duration in timescale units), with all the
+    * structural guards; dims/frame-sample both derive from this.
+    */
+  private def mp4Mvhd(p: Array[Byte]): Option[(Long, Long)] = {
     def ascii(off: Int) = new String(p, off, 4, "US-ASCII")
     def beInt(off: Int): Long =
       ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
         ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
     def beLong(off: Int): Long = (beInt(off) << 32) | beInt(off + 4)
     if (p.length < 16 || ascii(4) != "ftyp") return None
-    var res: Option[(Int, Int)] = None
+    var res: Option[(Long, Long)] = None
     var i = 0L
     var done = false
     while (!done && res.isEmpty && i + 8 <= p.length) {
@@ -198,7 +230,7 @@ object MultimodalOps {
                   if (ts > 0 && ts <= Int.MaxValue && dur >= 0 && !unknown) {
                     val secs = dur / ts
                     if (secs <= Int.MaxValue)
-                      res = Some((ts.toInt, secs.toInt))
+                      res = Some((ts, dur))
                   }
                 }
               }
@@ -223,7 +255,13 @@ object MultimodalOps {
     * structural violation (truncated IDAT, short inflate, bad filter
     * id) yields None — never throws on an executor.
     */
-  private[operators] def pngPixelMean(p: Array[Byte]): Option[Double] = {
+  /** Decode a PNG to its unfiltered raster: (w, h, channels, recon,
+    * stride). Pixel (row r, col x, channel c) lives at
+    * recon(r*stride + 1 + x*channels + c) — each row keeps its leading
+    * filter-id byte (already applied). Both the mean and the resize
+    * stage derive from this single decode.
+    */
+  private[operators] def pngRaster(p: Array[Byte]): Option[(Int, Int, Int, Array[Byte], Int)] = {
     if (p.length < 45 || !p.startsWith(PngMagic)) return None
     def beInt(off: Int): Int =
       ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
@@ -273,7 +311,6 @@ object MultimodalOps {
     finally inf.end()
     // unfilter in place (recon bytes replace filtered bytes row by row)
     val bpp = channels
-    var sum = 0L
     var r = 0
     while (r < h) {
       val ft = raw(r * stride) & 0xff
@@ -295,14 +332,57 @@ object MultimodalOps {
             val (pa, pb, pc) = (math.abs(pp - a), math.abs(pp - b), math.abs(pp - c))
             if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
         }
-        val recon = ((raw(row + x) & 0xff) + pred) & 0xff
-        raw(row + x) = recon.toByte
-        sum += recon
+        raw(row + x) = (((raw(row + x) & 0xff) + pred) & 0xff).toByte
         x += 1
       }
       r += 1
     }
-    Some(sum.toDouble / (rowBytes.toLong * h))
+    Some((w, h, channels, raw, stride))
+  }
+
+  private[operators] def pngPixelMean(p: Array[Byte]): Option[Double] =
+    pngFeatures(p).map(_._1)
+
+  /** (mean over all channel samples, ThumbEdge² nearest-neighbor
+    * thumbnail mean) from one PNG decode. Both are integer channel
+    * sums with a single final division — exact and order-free.
+    */
+  private[operators] def pngFeatures(p: Array[Byte]): Option[(Double, Double)] =
+    pngRaster(p).map { case (w, h, ch, raw, stride) =>
+      val rowBytes = w * ch
+      var sum = 0L
+      var r = 0
+      while (r < h) {
+        val row = r * stride + 1
+        var x = 0
+        while (x < rowBytes) { sum += raw(row + x) & 0xff; x += 1 }
+        r += 1
+      }
+      val chanSum = (sy: Int, sx: Int) => {
+        val base = sy * stride + 1 + sx * ch
+        var s = 0; var c = 0
+        while (c < ch) { s += raw(base + c) & 0xff; c += 1 }
+        s
+      }
+      (sum.toDouble / (rowBytes.toLong * h), thumbMeanNN(w, h, ch, chanSum))
+    }
+
+  /** Nearest-neighbor ThumbEdge×ThumbEdge resize, reduced to its mean:
+    * thumb pixel (ty, tx) samples source (ty*h div T, tx*w div T) —
+    * the standard NN index map — and the 64 sampled pixels' channel
+    * sums divide ONCE at the end, so the value is exact.
+    */
+  private def thumbMeanNN(w: Int, h: Int, channels: Int,
+                          chanSum: (Int, Int) => Int): Double = {
+    var sum = 0L
+    var ty = 0
+    while (ty < ThumbEdge) {
+      val sy = ty * h / ThumbEdge
+      var tx = 0
+      while (tx < ThumbEdge) { sum += chanSum(sy, tx * w / ThumbEdge); tx += 1 }
+      ty += 1
+    }
+    sum.toDouble / (ThumbEdge.toLong * ThumbEdge * channels)
   }
 
   /** FULL PCM WAV sample decode — pure JVM: walks to the `data` chunk
@@ -310,7 +390,15 @@ object MultimodalOps {
     * and 8-bit unsigned PCM (audioFormat 1 only; compressed/float
     * formats fall through). None on any structural violation.
     */
-  private[operators] def wavSampleMean(p: Array[Byte]): Option[Double] = {
+  private[operators] def wavSampleMean(p: Array[Byte]): Option[Double] =
+    wavFeatures(p).map(_._1)
+
+  /** (mean |sample|, ThumbEdge²-point uniform downsample mean) from
+    * one pass over the PCM data chunk — the audio analog of the image
+    * resize stage (nearest-neighbor index map k·ns div T², same as the
+    * thumbnail's).
+    */
+  private[operators] def wavFeatures(p: Array[Byte]): Option[(Double, Double)] = {
     def ascii(off: Int) = new String(p, off, 4, "US-ASCII")
     def leShort(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
     def leInt(off: Int): Int =
@@ -318,7 +406,7 @@ object MultimodalOps {
         ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
     if (p.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE") return None
     var (fmt, bits) = (-1, -1)
-    var res: Option[Double] = None
+    var res: Option[(Double, Double)] = None
     var i = 12
     var done = false
     while (!done && i + 8 <= p.length) {
@@ -329,20 +417,19 @@ object MultimodalOps {
           case "fmt " if sz >= 16 =>
             fmt = leShort(i + 8); bits = leShort(i + 22)
           case "data" if fmt == 1 && (bits == 16 || bits == 8) && sz > 0 =>
+            val points = ThumbEdge * ThumbEdge
+            def sampleAbs(k: Int): Double =
+              if (bits == 16) math.abs(leShort(i + 8 + 2 * k).toShort.toInt) / 32768.0
+              else (p(i + 8 + k) & 0xff) / 255.0
+            val ns = if (bits == 16) sz / 2 else sz
+            if (ns == 0) return None
             var sum = 0.0
             var k = 0
-            if (bits == 16) {
-              val ns = sz / 2
-              if (ns == 0) return None
-              while (k < ns) {
-                sum += math.abs(leShort(i + 8 + 2 * k).toShort.toInt) / 32768.0
-                k += 1
-              }
-              res = Some(sum / ns)
-            } else {
-              while (k < sz) { sum += (p(i + 8 + k) & 0xff) / 255.0; k += 1 }
-              res = Some(sum / sz)
-            }
+            while (k < ns) { sum += sampleAbs(k); k += 1 }
+            var down = 0.0
+            var j = 0
+            while (j < points) { down += sampleAbs(j * ns / points); j += 1 }
+            res = Some((sum / ns, down / points))
             done = true
           case _ => ()
         }
@@ -363,7 +450,11 @@ object MultimodalOps {
     * corpus carries no media bytes). Any failure yields None — never
     * throws on an executor.
     */
-  private[operators] def jpegPixelMean(p: Array[Byte]): Option[Double] = {
+  private[operators] def jpegPixelMean(p: Array[Byte]): Option[Double] =
+    jpegFeatures(p).map(_._1)
+
+  /** (RGB channel mean, thumbnail mean) from one JPEG entropy decode. */
+  private[operators] def jpegFeatures(p: Array[Byte]): Option[(Double, Double)] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
       return None
     // size-bound from the SOF header BEFORE ImageIO.read: a few-KB
@@ -392,7 +483,11 @@ object MultimodalOps {
           }
           y += 1
         }
-        Some(sum.toDouble / (w.toLong * h * 3))
+        val chanSum = (sy: Int, sx: Int) => {
+          val px = img.getRGB(sx, sy)
+          ((px >> 16) & 0xff) + ((px >> 8) & 0xff) + (px & 0xff)
+        }
+        Some((sum.toDouble / (w.toLong * h * 3), thumbMeanNN(w, h, 3, chanSum)))
       }
     } catch { case _: Throwable => None }
   }
@@ -416,21 +511,27 @@ object MultimodalOps {
       .orElse(jpegDims(b.payload))
       .orElse(wavDims(b.payload))
       .orElse(mp4Dims(b.payload))
-    val signal =
+    // decode + feature-extract + resize from ONE decode per codec
+    // family: (full-raster mean, nearest-neighbor thumbnail / uniform
+    // downsample mean); video gets the uniform frame-sample plan
+    val feats =
       if (dims.isEmpty) None
-      else pngPixelMean(b.payload).orElse(jpegPixelMean(b.payload))
-        .orElse(wavSampleMean(b.payload))
+      else pngFeatures(b.payload).orElse(jpegFeatures(b.payload))
+        .orElse(wavFeatures(b.payload))
+    val frames = if (dims.isEmpty) None else mp4FrameTs(b.payload)
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n
     dims match {
       case Some((w, h)) =>
         MediaFeatures(b.doc_id, b.media_kind, n, width = w, height = h,
-          mean_byte = mean, mean_signal = signal)
+          mean_byte = mean, mean_signal = feats.map(_._1),
+          thumb_mean = feats.map(_._2), frame_ts = frames)
       case None => // ==== STUB ==== pseudo-dimensions for non-media payloads
         MediaFeatures(b.doc_id, b.media_kind, n,
           width = (n % 640).toInt + 1, height = ((n * 7) % 480).toInt + 1,
-          mean_byte = mean, mean_signal = None)
+          mean_byte = mean, mean_signal = None, thumb_mean = None,
+          frame_ts = None)
     }
   }
 }

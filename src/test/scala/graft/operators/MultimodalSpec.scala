@@ -287,6 +287,55 @@ class MultimodalSpec extends AnyFunSuite {
       s"decoded sample mean ${f.mean_signal} != $expect")
   }
 
+  test("resize: PNG nearest-neighbor thumbnail mean is exact") {
+    // 3x3 gray: NN index map ty*3/8 gives row/col weights (3,3,2) over
+    // the 8x8 thumb; sum = 3*150*... hand-derived mean = 2880/64 = 45
+    val g3 = Array(Array(10, 20, 30), Array(40, 50, 60), Array(70, 80, 90))
+    val f3 = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(60L, realPng(g3, 1, Array(0)), "image"))
+    assert(f3.thumb_mean === Some(45.0), s"$f3")
+    // 2x2: every source pixel replicates 4x4 with equal weight, so the
+    // thumbnail mean equals the full-raster mean exactly
+    val g2 = Array(Array(0, 100), Array(200, 50))
+    val f2 = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(61L, realPng(g2, 1, Array(0)), "image"))
+    assert(f2.thumb_mean === f2.mean_signal && f2.thumb_mean === Some(87.5))
+  }
+
+  test("resize: JPEG thumbnail agrees with the flat-field mean; WAV downsamples") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val j = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(62L, bos.toByteArray, "image"))
+    assert(j.thumb_mean.isDefined, "JPEG resize did not run")
+    assert(math.abs(j.thumb_mean.get - 128.0) <= 2.0, s"$j")
+    // 64 samples: the 64-point uniform downsample visits each exactly once
+    val sam = (0 until 64).map(_ * 512).toArray
+    val w = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(63L, realWav(sam), "audio"))
+    assert(w.thumb_mean === w.mean_signal, s"$w")
+    // 128 samples alternating 0 / max: stride-2 sampling sees only the
+    // zeros — downsample is positional, not an average
+    val alt = (0 until 128).map(i => if (i % 2 == 0) 0 else 32767).toArray
+    val wa = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(64L, realWav(alt), "audio"))
+    assert(wa.thumb_mean === Some(0.0), s"$wa")
+    assert(wa.mean_signal.exists(_ > 0.4), s"$wa")
+  }
+
+  test("frame-sample: uniform timestamps from the mvhd duration") {
+    val v0 = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(65L, mp4Header(600, 3000), "video"))
+    assert(v0.frame_ts === Some("0,750,1500,2250"), s"$v0")
+    val v1 = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(66L, mp4Header(1000, 90061000L, version = 1), "video"))
+    assert(v1.frame_ts === Some("0,22515250,45030500,67545750"), s"$v1")
+    // images/audio carry no frame plan; truncated mp4 falls to stub
+    val p = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(67L,
+      realPng(Array(Array(1, 2), Array(3, 4)), 1, Array(0)), "image"))
+    assert(p.frame_ts === None)
+  }
+
   test("non-media payloads fall through to the deterministic stub") {
     val blob = MultimodalOps.MediaBlob(2L, "hello world".getBytes, "audio")
     val f = MultimodalOps.decodeOne(blob)
