@@ -126,7 +126,10 @@ object Bench {
     // what the dedup queries below share, same as before.
     val substrateRuns = (1 to iters).map { _ =>
       graft.operators.DedupOps.clearCaches(spark)
-      try timeNoop(graft.operators.DedupOps.materializeSubstrate(spark, sfDir))
+      try timeNoop {
+        graft.operators.DedupOps.materializeSubstrate(spark, sfDir)
+        graft.operators.PipelineOps.materializeGramSubstrate(spark, sfDir)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] _substrate failed: ${e.getMessage}"); -1.0
       }

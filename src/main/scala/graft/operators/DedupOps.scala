@@ -141,6 +141,7 @@ object DedupOps {
     */
   def clearCaches(spark: SparkSession): Unit = {
     shingleCache.keys.filter(_._1 eq spark).foreach(shingleCache.remove)
+    PipelineOps.clearGramCache(spark)
     OpCaches.clear(spark)
   }
 

@@ -326,9 +326,49 @@ object PipelineOps {
       .select("doc_id", "g")
   }
 
+  /** Distinct (doc_id, gram-hash) rows for DecontamK-grams, memoized
+    * per (session, dir) and persisted PINNED — decontamination and the
+    * duplicated-span signal share one tokenization, the same
+    * shared-staging-table policy as the dedup shingle substrate (and
+    * the same race-safe putIfAbsent-then-persist protocol; see
+    * DedupOps.shingleRowsCached for the rationale). Distinct input is
+    * semantics-preserving for decontaminateNgram (its joins are
+    * semi/anti on gram membership) and is exactly what dupSpans
+    * counts. Lifecycle: DedupOps.clearCaches drops this too.
+    */
+  private val gramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def gramRowsCached(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark, dir)
+    gramCache.get(key) match {
+      case Some(df) => df
+      case None =>
+        val fresh = wordGramHashes(spark, dir, DecontamK).distinct()
+        gramCache.putIfAbsent(key, fresh) match {
+          case Some(winner) => winner
+          case None =>
+            try OpCaches.trackPinned(fresh)
+            catch {
+              case e: Throwable => gramCache.remove(key, fresh); throw e
+            }
+        }
+    }
+  }
+
+  private[operators] def clearGramCache(spark: SparkSession): Unit =
+    gramCache.keys.filter(_._1 eq spark).foreach(gramCache.remove)
+
+  /** Warm-up hook so Bench can attribute the one-time gram
+    * materialization to the `_substrate` line (same policy as the
+    * shingle substrate).
+    */
+  def materializeGramSubstrate(spark: SparkSession, dir: String): Unit =
+    gramRowsCached(spark, dir).write.format("noop").mode("overwrite").save()
+
   def decontaminateNgram(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val grams = wordGramHashes(spark, dir, DecontamK)
+    val grams = gramRowsCached(spark, dir)
     val evalG = grams.filter(col("doc_id") % 50 === 0).select("g").distinct()
     val bad = grams.filter(col("doc_id") % 50 =!= 0)
       .join(evalG, Seq("g"), "left_semi")
@@ -353,12 +393,11 @@ object PipelineOps {
     * zero counts via the left join rather than vanishing.
     */
   def dupSpans(spark: SparkSession, dir: String): DataFrame = {
-    // distinct piggybacks on the lead-window's doc_id partitioning
-    // (no extra exchange); the checkpoint stops the tokenize+window
-    // pipeline re-running for the doc-frequency branch — without it
-    // both join inputs re-derive the grams from the raw text.
-    val grams = OpCaches.localCheckpointTracked(
-      wordGramHashes(spark, dir, DecontamK).distinct())
+    // the memoized substrate serves BOTH consumers here (the
+    // doc-frequency branch and the per-doc join) and the
+    // decontamination query — the distinct itself piggybacks on the
+    // lead-window's doc_id partitioning (no extra exchange)
+    val grams = gramRowsCached(spark, dir)
     val df = grams.groupBy("g").agg(count(lit(1)).as("gdf"))
     val perDoc = grams.join(df, Seq("g"))
       .groupBy("doc_id")

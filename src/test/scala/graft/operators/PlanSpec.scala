@@ -282,17 +282,23 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastHashJoin"), s"dim join not broadcast:\n$s")
   }
 
-  test("dup_spans tokenizes once behind the gram checkpoint") {
+  test("dup_spans and decon_ngram share one pinned gram substrate") {
+    graft.operators.DedupOps.clearCaches(spark)
+    // memoization: repeated fetches return the SAME frame (so its
+    // InMemoryRelation is built and materialized exactly once)
+    assert(PipelineOps.gramRowsCached(spark, sf) eq
+      PipelineOps.gramRowsCached(spark, sf),
+      "gram substrate is rebuilt per call")
+    // both consumers read the pinned cache, not the raw text pipeline
+    // (the printed plan still shows the relation's build plan inside
+    // the InMemoryTableScan node — that subtree runs once at
+    // materialization, not per consumer)
     val s = planString(PipelineOps.dupSpans(spark, sf))
-    // both consumers (doc-frequency agg and the per-doc join) must
-    // read the checkpointed distinct-gram rows — a Generate or Window
-    // in the visible plan means the corpus re-tokenized per branch
-    assert(!s.contains("Generate"),
-      s"gram branch re-explodes tokens past the checkpoint:\n$s")
-    assert(!s.contains("Window"),
-      s"gram branch re-runs the lead window past the checkpoint:\n$s")
-    assert(s.contains("Scan ExistingRDD"),
-      s"grams not served from the checkpoint:\n$s")
+    assert(s.contains("InMemoryTableScan"),
+      s"dup_spans not served from the pinned substrate:\n$s")
+    val d = planString(PipelineOps.decontaminateNgram(spark, sf))
+    assert(d.contains("InMemoryTableScan"),
+      s"decon_ngram does not share the gram substrate:\n$d")
   }
 
   test("lm_score counts bigrams in hash aggregates off the checkpointed positions") {
