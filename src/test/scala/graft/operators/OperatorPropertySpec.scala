@@ -98,4 +98,78 @@ class OperatorPropertySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  /** Random documents table: short token-salad docs over a tiny vocab
+    * (so gram/bigram collisions are common), plus planted edge shapes
+    * — an exact-duplicate pair, an empty doc, a single-token doc, and
+    * a one-note doc repeating a single token.
+    */
+  private def writeDocs(dir: String, nDocs: Int): Seq[(Long, String)] = {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "la", "mu")
+    def salad(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val base = (1 to nDocs).map(i => (i.toLong, salad(rnd.nextInt(28))))
+    val docs = base ++ Seq(
+      (nDocs + 1L, base.head._2),                        // exact duplicate of doc 1
+      (nDocs + 2L, ""),                                  // empty
+      (nDocs + 3L, "alpha"),                             // single token
+      (nDocs + 4L, Array.fill(20)("beta").mkString(" "))) // one-note
+    val rows = docs.map { case (id, t) =>
+      Row(id, t, "en", s"src${id % 3}", t.length.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    docs
+  }
+
+  private def toks(t: String): Array[String] =
+    t.trim.split("\\s+").filter(_.nonEmpty)
+
+  test("dup_spans matches an in-JVM reference on random corpora") {
+    val dir = "/tmp/graft_prop_spans"
+    val docs = writeDocs(dir, nDocs = 60)
+    val gramSets = docs.map { case (id, t) =>
+      id -> toks(t).sliding(PipelineOps.DecontamK)
+        .filter(_.length == PipelineOps.DecontamK).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = gramSets.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size)
+    val expected = gramSets.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(g => df(g) >= 2).toLong)
+    }
+    val got = PipelineOps.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    DedupOps.clearCaches(spark)
+    assert(got === expected)
+    // the planted exact-duplicate pair must fully overlap
+    val (n1, d1) = got(61L)
+    assert(n1 === d1 && (n1 > 0L || gramSets(1L).isEmpty))
+  }
+
+  test("lm_score matches an in-JVM reference on random corpora") {
+    val dir = "/tmp/graft_prop_lm"
+    val docs = writeDocs(dir, nDocs = 60)
+    val positions = docs.map { case (id, t) =>
+      id -> toks(t).sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toVector
+    }.toMap
+    val c2 = positions.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+    val c1 = c2.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum)
+    val expected = positions.map { case (id, ps) =>
+      val scaled = ps.map { bg =>
+        math.floor(c2(bg).toDouble / c1(bg._1).toDouble * 1e12).toLong
+      }
+      id -> (ps.length.toLong,
+        if (ps.isEmpty) 0L else scaled.sum / ps.length)
+    }
+    val got = TextOps.lmScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    DedupOps.releaseTransients(spark)
+    assert(got === expected)
+    // the one-note doc's every bigram is (beta, beta) with P = its own
+    // count / beta-start count — its positions all score identically
+    assert(got(64L)._1 === 19L)
+  }
 }
