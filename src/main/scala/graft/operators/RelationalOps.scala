@@ -386,8 +386,14 @@ object RelationalOps {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
+    // size the filter from the actual key count (one cheap pruned scan
+    // at build time — the stand-in for catalog stats on a real
+    // deployment; Spark derives the bit geometry from the estimate,
+    // with the runtime-filter conf caps as guardrails). A hardcoded
+    // default would under-size at scale and silently raise fpp.
+    val nKeys = math.max(urgent.count(), 1L)
     val bfPlan = urgent.agg(Bridge.column(
-      new BloomFilterAggregate(Bridge.expression(xxhash64(col("o_orderkey"))))
+      new BloomFilterAggregate(Bridge.expression(xxhash64(col("o_orderkey"))), nKeys)
         .toAggregateExpression()).as("bf"))
     val mightContain = Bridge.column(new BloomFilterMightContain(
       ScalarSubquery(bfPlan.queryExecution.analyzed),
