@@ -87,35 +87,11 @@ object DedupOps {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-  /** Race-safe memoization: the frame is registered via putIfAbsent
-    * BEFORE it is persisted, so two concurrent first callers agree on
-    * one winner and the loser's frame is simply discarded un-persisted
-    * (it never had a cache entry, so there is nothing to release —
-    * note that unpersisting it would be WRONG anyway: Spark's
-    * CacheManager keys cache entries by canonicalized plan, so
-    * unpersisting a same-plan twin would drop the winner's cache too).
-    * Worst case under a photo-finish race is one redundant plan
-    * construction plus, for a reader that fetches the memo in the
-    * window between putIfAbsent and persist(), one uncached (still
-    * correct) materialization. If persist itself throws, the memo
-    * entry is removed so the failure is not cached.
+  /** Memoized shingle substrate — race-safety rationale lives on
+    * OpCaches.memoPinned (shared with the gram substrate).
     */
-  private[operators] def shingleRowsCached(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val key = (spark, dir, k)
-    shingleCache.get(key) match {
-      case Some(df) => df
-      case None =>
-        val fresh = shingleRows(spark, dir, k)
-        shingleCache.putIfAbsent(key, fresh) match {
-          case Some(winner) => winner
-          case None =>
-            try OpCaches.trackPinned(fresh)
-            catch {
-              case e: Throwable => shingleCache.remove(key, fresh); throw e
-            }
-        }
-    }
-  }
+  private[operators] def shingleRowsCached(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    OpCaches.memoPinned(shingleCache, (spark, dir, k))(shingleRows(spark, dir, k))
 
   /** Force the shared shingle substrate for `dir` into the cache (an
     * explicit warm-up so its one-time materialization cost is

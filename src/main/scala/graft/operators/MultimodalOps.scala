@@ -180,11 +180,13 @@ object MultimodalOps {
     * actual frame decode needs a codec, which the honest stub
     * boundary excludes.
     */
+  private def frameTsOf(dur: Long): String = {
+    val k = FrameSamples.toLong
+    (0L until k).map(i => (dur / k) * i + (dur % k) * i / k).mkString(",")
+  }
+
   private[operators] def mp4FrameTs(p: Array[Byte]): Option[String] =
-    mp4Mvhd(p).map { case (_, dur) =>
-      val k = FrameSamples.toLong
-      (0L until k).map(i => (dur / k) * i + (dur % k) * i / k).mkString(",")
-    }
+    mp4Mvhd(p).map { case (_, dur) => frameTsOf(dur) }
 
   /** mvhd (timescale, raw duration in timescale units), with all the
     * structural guards; dims/frame-sample both derive from this.
@@ -428,7 +430,9 @@ object MultimodalOps {
             while (k < ns) { sum += sampleAbs(k); k += 1 }
             var down = 0.0
             var j = 0
-            while (j < points) { down += sampleAbs(j * ns / points); j += 1 }
+            // j*ns in Long: a >=34M-sample chunk overflows the Int
+            // product and would index negative (throw) or mis-sample
+            while (j < points) { down += sampleAbs((j.toLong * ns / points).toInt); j += 1 }
             res = Some((sum / ns, down / points))
             done = true
           case _ => ()
@@ -507,10 +511,13 @@ object MultimodalOps {
     */
   private[operators] def decodeOne(b: MediaBlob): MediaFeatures = {
     val n = b.payload.length.toLong
-    val dims = pngDims(b.payload)
+    val headerDims = pngDims(b.payload)
       .orElse(jpegDims(b.payload))
       .orElse(wavDims(b.payload))
-      .orElse(mp4Dims(b.payload))
+    // one box walk serves both the dims stand-in and the frame plan
+    val mvhd = if (headerDims.isEmpty) mp4Mvhd(b.payload) else None
+    val dims = headerDims.orElse(
+      mvhd.map { case (ts, dur) => (ts.toInt, (dur / ts).toInt) })
     // decode + feature-extract + resize from ONE decode per codec
     // family: (full-raster mean, nearest-neighbor thumbnail / uniform
     // downsample mean); video gets the uniform frame-sample plan
@@ -518,7 +525,7 @@ object MultimodalOps {
       if (dims.isEmpty) None
       else pngFeatures(b.payload).orElse(jpegFeatures(b.payload))
         .orElse(wavFeatures(b.payload))
-    val frames = if (dims.isEmpty) None else mp4FrameTs(b.payload)
+    val frames = mvhd.map { case (_, dur) => frameTsOf(dur) }
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n

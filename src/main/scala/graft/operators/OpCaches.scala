@@ -79,6 +79,31 @@ private[operators] object OpCaches {
     */
   def trackPinned(df: DataFrame): DataFrame = add(df, pinned = true)
 
+  /** Race-safe memoize-then-pin: the frame is registered via
+    * putIfAbsent BEFORE it is persisted, so two concurrent first
+    * callers agree on one winner and the loser's frame is discarded
+    * un-persisted (unpersisting it would be WRONG: Spark's
+    * CacheManager keys entries by canonicalized plan, so unpersisting
+    * a same-plan twin would drop the winner's cache too). If persist
+    * itself throws, the memo entry is removed so the failure is not
+    * cached. Shared by every pinned substrate (shingles, grams).
+    */
+  def memoPinned[K](cache: scala.collection.concurrent.TrieMap[K, DataFrame],
+                    key: K)(build: => DataFrame): DataFrame =
+    cache.get(key) match {
+      case Some(df) => df
+      case None =>
+        val fresh = build
+        cache.putIfAbsent(key, fresh) match {
+          case Some(winner) => winner
+          case None =>
+            try trackPinned(fresh)
+            catch {
+              case e: Throwable => cache.remove(key, fresh); throw e
+            }
+        }
+    }
+
   private def add(df: DataFrame, pinned: Boolean): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     val buf = bufferFor(p.sparkSession)

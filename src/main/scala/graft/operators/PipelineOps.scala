@@ -331,7 +331,7 @@ object PipelineOps {
     * duplicated-span signal share one tokenization, the same
     * shared-staging-table policy as the dedup shingle substrate (and
     * the same race-safe putIfAbsent-then-persist protocol; see
-    * DedupOps.shingleRowsCached for the rationale). Distinct input is
+    * OpCaches.memoPinned for the rationale). Distinct input is
     * semantics-preserving for decontaminateNgram (its joins are
     * semi/anti on gram membership) and is exactly what dupSpans
     * counts. Lifecycle: DedupOps.clearCaches drops this too.
@@ -339,22 +339,9 @@ object PipelineOps {
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private[operators] def gramRowsCached(spark: SparkSession, dir: String): DataFrame = {
-    val key = (spark, dir)
-    gramCache.get(key) match {
-      case Some(df) => df
-      case None =>
-        val fresh = wordGramHashes(spark, dir, DecontamK).distinct()
-        gramCache.putIfAbsent(key, fresh) match {
-          case Some(winner) => winner
-          case None =>
-            try OpCaches.trackPinned(fresh)
-            catch {
-              case e: Throwable => gramCache.remove(key, fresh); throw e
-            }
-        }
-    }
-  }
+  private[operators] def gramRowsCached(spark: SparkSession, dir: String): DataFrame =
+    OpCaches.memoPinned(gramCache, (spark, dir))(
+      wordGramHashes(spark, dir, DecontamK).distinct())
 
   private[operators] def clearGramCache(spark: SparkSession): Unit =
     gramCache.keys.filter(_._1 eq spark).foreach(gramCache.remove)

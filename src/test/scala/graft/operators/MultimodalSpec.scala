@@ -359,12 +359,14 @@ class MultimodalSpec extends AnyFunSuite {
     val spark = graft.GraftSession.build("mm-spec", "4")
     import org.apache.spark.sql.functions._
     val sigs = Seq(
-      Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte), // PNG
-      Array(0xff, 0xd8).map(_.toByte),             // JPEG SOI
-      "RIFF".getBytes("US-ASCII"))                 // WAV container
+      (1, Array(0x89, 0x50, 0x4e, 0x47).map(_.toByte)), // PNG
+      (1, Array(0xff, 0xd8).map(_.toByte)),             // JPEG SOI
+      (1, "RIFF".getBytes("US-ASCII")),                 // WAV container
+      (5, "ftyp".getBytes("US-ASCII")))                 // MP4 (bytes 4-7)
     val mediaLike = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
-      .filter(sigs.map(s =>
-        substring(col("text").cast("binary"), 1, s.length) === lit(s)).reduce(_ || _))
+      .filter(sigs.map { case (off, s) =>
+        substring(col("text").cast("binary"), off, s.length) === lit(s)
+      }.reduce(_ || _))
       .count()
     assert(mediaLike === 0L)
   }

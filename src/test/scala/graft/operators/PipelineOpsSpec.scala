@@ -176,7 +176,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val spans = PipelineOps.dupSpans(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
-    DedupOps.releaseTransients(spark)
+    // clearCaches (not releaseTransients): the temp-dir gram substrate
+    // is PINNED and its memo key is this throwaway path — drop both
+    DedupOps.clearCaches(spark)
     spans.values.foreach { case (n, d) =>
       assert(d >= 0 && d <= n, "n_dup must be within [0, n_grams]")
     }
