@@ -37,7 +37,7 @@ object SparkEntry {
     "join_semi"              -> (RelationalOps.joinSemi _),
     "join_anti"              -> (RelationalOps.joinAnti _),
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
-    "join_full_outer"        -> (RelationalOps.joinFullOuter _),
+    "join_full"        -> (RelationalOps.joinFullOuter _),
     "topk_orders"            -> (RelationalOps.topKOrders _),
     "filter_pushdown"        -> (RelationalOps.filterPushdown _),
     "set_intersect"          -> (RelationalOps.setIntersect _),
@@ -67,7 +67,7 @@ object SparkEntry {
     "collect_sort"     -> (StatOps.aggCollectSorted _),
     "collect_cap"     -> (StatOps.aggCollectCapped _),
     "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
-    "corr_by_group"          -> (StatOps.corrByGroup _),
+    "corr_grp"          -> (StatOps.corrByGroup _),
     "quantiles"     -> (StatOps.quantilesByGroup _),
     "histogram"              -> (StatOps.histogram _),
     "salted_agg"             -> (StatOps.saltedAgg _),
@@ -94,13 +94,14 @@ object SparkEntry {
     "ann_ivf_probe2"         -> (EmbeddingOps.annIvfProbe2 _),
     "ann_recall"             -> (EmbeddingOps.annRecall _),
     "ann_recall_cl"   -> (EmbeddingOps.annRecallClustered _),
+    "ivf_train"       -> (EmbeddingOps.annRecallTrained _),
     "emb_neardup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
     "mm_decode"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "text_pii_redact"        -> (PipelineOps.piiRedact _),
-    "sample_stratified"      -> (PipelineOps.sampleStratified _),
+    "strat_sample"      -> (PipelineOps.sampleStratified _),
     "text_tfidf_topk"        -> (PipelineOps.tfidfTopK _),
     "events_funnel"          -> (PipelineOps.eventsFunnel _),
     "merge_upsert"           -> (PipelineOps.mergeUpsert _),
@@ -271,16 +272,65 @@ object SparkEntry {
         WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
   }
 
-  /** Parameterized IVF oracle — single source for every nprobe and
-    * corpus variant so the SQL cannot drift from
-    * EmbeddingOps.annIvfNprobeOn.
-    */
-  private def ivfSql(nprobe: Int, corpusCtes: String = rawCorpusCtes): String =
-    s"""WITH $corpusCtes,
-        cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
+  /** The deterministic seed-sample centroid CTE (must bind `cents`). */
+  private def seedCentCtes: String =
+    s"""cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
                            vec_id
-                  LIMIT ${EmbeddingOps.IvfCentroidK}),
+                  LIMIT ${EmbeddingOps.IvfCentroidK})"""
+
+  /** Lloyd-trained centroid CTE chain (must bind `cents`): the seed
+    * sample, then LloydIters unrolled spherical-k-means steps — each
+    * is the cosine argmin assignment plus the exact-integer update
+    * (per-dim 2²⁴-scaled unit-vector component sums, two IEEE
+    * divisions at the end) that EmbeddingOps.lloydStep computes; the
+    * double unnest zips positions with scaled components (the
+    * lm_score oracle's established pattern).
+    */
+  private def trainedCentCtes: String = {
+    val scale = s"${EmbeddingOps.LloydScale.toLong}.0"
+    def assignCte(prev: String, out: String) =
+      s"""$out AS (SELECT cell, v FROM (
+             SELECT c.vec_id, c.v, ct.cent_id AS cell,
+               row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                 (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
+                  (sqrt(list_sum(list_transform(range(1, len(ct.cv) + 1), i -> ct.cv[i] * ct.cv[i]))) *
+                   sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i]))))) DESC,
+                 ct.cent_id) AS arank
+             FROM c, $prev ct) WHERE arank = 1)"""
+    def updateCtes(asg: String, out: String, n: Int) =
+      s"""tx$n AS (SELECT cell,
+                unnest(range(1, len(v) + 1)) AS i,
+                unnest(list_transform(range(1, len(v) + 1), j ->
+                  CAST(floor(v[j] / nrm * $scale) AS BIGINT))) AS xs
+              FROM (SELECT cell, v,
+                      sqrt(list_sum(list_transform(range(1, len(v) + 1), j -> v[j] * v[j]))) AS nrm
+                    FROM $asg)),
+          $out AS (SELECT cell AS cent_id,
+                     list(CAST(s AS DOUBLE) / n / $scale ORDER BY i) AS cv
+                   FROM (SELECT cell, i, CAST(SUM(xs) AS BIGINT) AS s,
+                           COUNT(*) AS n
+                         FROM tx$n GROUP BY cell, i)
+                   GROUP BY cell)"""
+    val steps = (1 to EmbeddingOps.LloydIters).map { n =>
+      assignCte(s"tc${n - 1}", s"ta$n") + ",\n" + updateCtes(s"ta$n", s"tc$n", n)
+    }.mkString(",\n")
+    s"""tc0 AS (SELECT vec_id AS cent_id, v AS cv FROM c
+               ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+                        vec_id
+               LIMIT ${EmbeddingOps.IvfCentroidK}),
+        $steps,
+        cents AS (SELECT cent_id, cv FROM tc${EmbeddingOps.LloydIters})"""
+  }
+
+  /** Parameterized IVF oracle — single source for every nprobe,
+    * corpus, and centroid variant so the SQL cannot drift from
+    * EmbeddingOps.annIvfNprobeOn / annRecallTrained.
+    */
+  private def ivfSql(nprobe: Int, corpusCtes: String = rawCorpusCtes,
+                     centCtes: String = seedCentCtes): String =
+    s"""WITH $corpusCtes,
+        $centCtes,
         rk AS (SELECT c.vec_id, c.v, ct.cent_id,
                  row_number() OVER (PARTITION BY c.vec_id ORDER BY
                    (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
@@ -322,6 +372,29 @@ object SparkEntry {
         d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute)
         SELECT method, n_hits, n_brute,
                CAST(n_hits AS DOUBLE) / n_brute AS recall$extraCols
+        FROM h, d WHERE n_brute > 0 ORDER BY method"""
+  }
+
+  /** Trained-quantizer recall oracle: brute reference + the two
+    * trained-IVF probe settings, floors from the same constants as the
+    * operator, literal-TRUE gate booleans.
+    */
+  private def annRecallTrainedSql(corpusCtes: String): String = {
+    val floorCase = EmbeddingOps.TrainedRecallFloors.toSeq.sortBy(_._1)
+      .map { case (m, f) => s"WHEN method = '$m' THEN CAST($f AS DOUBLE)" }
+      .mkString(" ")
+    def hits(name: String, sub: String) =
+      s"""SELECT '$name' AS method, CAST(count(*) AS BIGINT) AS n_hits
+          FROM ($sub) a JOIN brute b
+            ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id"""
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM (${bruteAnnSql(corpusCtes)})),
+        h AS (${hits("ivf_t1", ivfSql(1, corpusCtes, trainedCentCtes))}
+              UNION ALL ${hits("ivf_t2", ivfSql(2, corpusCtes, trainedCentCtes))}),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute)
+        SELECT method, n_hits, n_brute,
+               CAST(n_hits AS DOUBLE) / n_brute AS recall,
+               CASE $floorCase END AS recall_floor,
+               TRUE AS recall_ok
         FROM h, d WHERE n_brute > 0 ORDER BY method"""
   }
 
@@ -439,7 +512,7 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_orderpriority = '1-URGENT')""",
-    "join_full_outer" ->
+    "join_full" ->
       """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
          FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
          ORDER BY n.n_nationkey, s.s_suppkey""",
@@ -607,7 +680,7 @@ object SparkEntry {
          CAST(ntile(4) OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
          FROM part ORDER BY p_brand, p_partkey""",
-    "corr_by_group" ->
+    "corr_grp" ->
       """WITH s AS (
            SELECT l_returnflag, COUNT(*) AS n,
                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -790,6 +863,7 @@ object SparkEntry {
                  CASE $floorCase END AS recall_floor,
                  TRUE AS recall_ok"""
     }),
+    "ivf_train" -> annRecallTrainedSql(clusteredCorpusCtes),
     "emb_neardup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics
@@ -871,7 +945,7 @@ object SparkEntry {
     // PipelineOps.sampleStratified: the sampling decision is a pure
     // function of (doc_id, lang) via md5 — both engines agree on md5
     // hex, so the sampled set is identical by construction.
-    "sample_stratified" ->
+    "strat_sample" ->
       """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)

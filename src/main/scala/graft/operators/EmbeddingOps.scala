@@ -175,12 +175,21 @@ object EmbeddingOps {
   /** The materialized rank-filtered assignment frame (arank ≤
     * maxProbe): the single N×C stage every IVF consumer derives from.
     */
-  private def ivfRanked(base0: DataFrame, maxProbe: Int): DataFrame = {
+  private def ivfRanked(base0: DataFrame, maxProbe: Int): DataFrame =
+    ivfRankedWith(base0,
+      centroidsOn(base0).select(col("vec_id").as("cent_id"), col("v").as("cv")),
+      maxProbe)
+
+  /** Assignment against an EXPLICIT centroid set (cent_id, cv) — the
+    * seed-sample path and the Lloyd-trained path share this one
+    * definition.
+    */
+  private def ivfRankedWith(base0: DataFrame, cents0: DataFrame, maxProbe: Int): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
     val base = base0.withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val cents = centroidsOn(base0)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"),
-        sqrt(dotProduct(col("v"), col("v"))).as("cnrm"))
+    val cents = cents0
+      .select(col("cent_id"), col("cv"),
+        sqrt(dotProduct(col("cv"), col("cv"))).as("cnrm"))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
     OpCaches.track(
@@ -307,6 +316,63 @@ object EmbeddingOps {
               % lit(1048576L)).cast("double") / lit(1048576.0) - lit(0.5))).as("v"))
   }
 
+  // ---- trained coarse quantizer (spherical k-means) ----------------
+
+  /** Lloyd iterations for the trained quantizer — two steps move the
+    * seed sample decisively toward cluster mass; more buys little on
+    * any corpus and the oracle unrolls one CTE block per step.
+    */
+  val LloydIters = 2
+
+  /** Quantization scale for the centroid-update sums (2²⁴: normalized
+    * components are in [−1, 1], so a scaled component fits 25 bits and
+    * a corpus-sized sum stays far inside BIGINT on both engines).
+    */
+  val LloydScale = 16777216.0
+
+  /** One spherical-k-means step: assign every vector to its nearest
+    * centroid by cosine (the same fused assignment as search), then
+    * re-estimate each cell's centroid as the elementwise mean of its
+    * members' UNIT vectors — the mean direction, the spherical-k-means
+    * update that maximizes the summed cosine. Each normalized
+    * component is floored to a 2²⁴-scaled long before the sum, so the
+    * update is a sum of integers — order-independent and bit-identical
+    * across engines — with exactly two IEEE divisions at the end.
+    * Cells that end a step empty simply drop out (standard k-means
+    * behavior; both engines derive the same survivor set).
+    */
+  private def lloydStep(base0: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    val assigned = ivfRankedWith(base0, cents, 1)
+      .select(col("cent_id").as("cell"), col("v"))
+    assigned
+      .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      .select(col("cell"), col("nrm"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i")
+      .agg(sum(floor(col("x") / col("nrm") * lit(LloydScale)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("comp", col("s").cast("double") / col("n") / lit(LloydScale))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("comp")))),
+        e => e.getField("comp")).as("cv"))
+      .select(col("cell").as("cent_id"), col("cv"))
+  }
+
+  /** The trained centroid set: LloydIters spherical-k-means steps from
+    * the deterministic seed sample. Each round's (tiny) centroid frame
+    * is locally checkpointed — the iterative self-derived-frame rule
+    * (see GraphOps.pageRank): without truncation every round's plan
+    * embeds the previous rounds' full assignment subtrees.
+    */
+  private[operators] def centroidsTrainedOn(base: DataFrame): DataFrame = {
+    var cents = centroidsOn(base)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    (1 to LloydIters).foreach { _ =>
+      cents = OpCaches.localCheckpointTracked(lloydStep(base, cents))
+    }
+    cents
+  }
+
   /** Per-method recall floors on the clustered corpus. Measured
     * headroom at sf0.01/sf0.1 sits well above each floor (see
     * OperatorSpec); a broken coarse quantizer (wrong cell assignment,
@@ -330,6 +396,45 @@ object EmbeddingOps {
       case (acc, (m, f)) => when(col("method") === m, lit(f)).otherwise(acc)
     }
     recallOn(clustered)
+      .withColumn("recall_floor", floor)
+      .withColumn("recall_ok", col("recall") >= col("recall_floor"))
+      .orderBy("method")
+  }
+
+  /** Recall floors for the TRAINED quantizer on the clustered corpus —
+    * strictly ABOVE the untrained floors (0.5 / 0.8): training must
+    * buy recall, not merely preserve it. Measured 0.90–0.98 (t1) and
+    * 0.99–1.0 (t2) across sf0.001/0.01/0.1.
+    */
+  val TrainedRecallFloors: Map[String, Double] =
+    Map("ivf_t1" -> 0.7, "ivf_t2" -> 0.9)
+
+  /** Trained-quantizer recall gate on the clustered corpus: the same
+    * contract as [[annRecallClustered]] but with Lloyd-trained
+    * centroids — this is the row that pins the TRAINING machinery
+    * (assignment, exact-integer update, convergence plumbing) against
+    * the oracle, with recall floors as the quality teeth.
+    */
+  def annRecallTrained(spark: SparkSession, dir: String): DataFrame = {
+    val base = OpCaches.track(clusteredCorpus(spark, dir))
+    val brute = OpCaches.track(
+      bruteOn(base).select(col("query_id"), col("neighbor_id")))
+    val denom = brute.agg(count(lit(1)).as("n_brute"))
+    val ranked2 = ivfRankedWith(base, centroidsTrainedOn(base), 2)
+    val floor = TrainedRecallFloors.foldLeft(lit(null).cast("double")) {
+      case (acc, (m, f)) => when(col("method") === m, lit(f)).otherwise(acc)
+    }
+    Seq(
+      ("ivf_t1", ivfTopKFromRanked(ranked2, 1)),
+      ("ivf_t2", ivfTopKFromRanked(ranked2, 2))).map { case (name, df) =>
+        df.select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(name).as("method"), col("n_hits"))
+      }.reduce(_ unionAll _)
+      .crossJoin(broadcast(denom))
+      .filter(col("n_brute") > 0)
+      .withColumn("recall", col("n_hits").cast("double") / col("n_brute"))
       .withColumn("recall_floor", floor)
       .withColumn("recall_ok", col("recall") >= col("recall_floor"))
       .orderBy("method")

@@ -44,6 +44,24 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF beats the seed quantizer on the clustered corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val seed = EmbeddingOps.annRecallClustered(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val trained = EmbeddingOps.annRecallTrained(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    DedupOps.releaseTransients(spark)
+    // training must move the dial upward at each probe setting, and
+    // every trained value must clear its (higher) floor
+    assert(trained("ivf_t1") >= seed("ivf_p1"),
+      s"nprobe=1 recall fell with training: $trained vs $seed")
+    assert(trained("ivf_t2") >= seed("ivf_p2"),
+      s"nprobe=2 recall fell with training: $trained vs $seed")
+    EmbeddingOps.TrainedRecallFloors.foreach { case (m, f) =>
+      assert(trained(m) >= f, s"$m recall ${trained(m)} below floor $f")
+    }
+  }
+
   test("corpus precondition: no control characters in document text") {
     // Java regex \s includes U+000B; RE2 (DuckDB) does not — tokens()
     // splits on \s+, so a control char in the corpus could make Spark
