@@ -314,4 +314,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.contains((1L, t0, t0 + 60, 2L, 5.0)),
       s"trailing session not flushed: ${got.toSeq}")
   }
+
+  test("streaming corpus ingest: quality gate + fingerprint dedup across micro-batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docstream").toString
+    val t0 = 1700000000L
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "es")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("es")).as("ingest_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val longText = "one two three four five six seven eight nine ten"
+    // batch 1: a good doc and a too-short doc (quality gate rejects)
+    write(Seq((1L, longText, t0), (2L, "too short", t0 + 10)))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStream.cleanDocs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("doc_clean").start()
+    q.processAllAvailable()
+    // batch 2: a re-crawl of doc 1's content under a NEW id (case and
+    // padding differ — the normalized fingerprint must still match and
+    // suppress it) plus a genuinely new long doc
+    write(Seq((3L, "  " + longText.toUpperCase + " ", t0 + 60),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", t0 + 70)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("doc_clean").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 4L),
+      s"expected the first-crawled and the new doc only, got ${got.toSeq}")
+  }
 }
