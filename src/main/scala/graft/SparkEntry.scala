@@ -47,10 +47,11 @@ object SparkEntry {
     "run_sum"     -> (RelationalOps.windowRunningSum _),
     "window_lag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
-    "events_tumbling"        -> (EventOps.tumblingWindow _),
-    "events_sliding"         -> (EventOps.slidingWindow _),
+    "tumbling"        -> (EventOps.tumblingWindow _),
+    "sliding"         -> (EventOps.slidingWindow _),
     "sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
+    "json_funcs"             -> (EventOps.jsonFuncs _),
     "attribution"     -> (EventOps.clickAttribution _),
     "string_funcs"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
@@ -554,12 +555,12 @@ object SparkEntry {
              ORDER BY o_orderdate, o_orderkey) AS DATE),
            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
          FROM orders ORDER BY o_custkey, o_orderkey""",
-    "events_tumbling" ->
+    "tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "events_sliding" ->
+    "sliding" ->
       """WITH b AS (SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b0, value
                     FROM events)
          SELECT window_start, COUNT(*) AS n,
@@ -585,6 +586,17 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
+    // EventOps.jsonFuncs: both engines print compact JSON with
+    // explicit nulls, so the round-trip strings compare byte-for-byte.
+    "json_funcs" ->
+      """SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+         to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT))) AS rt_obj,
+         to_json([CAST(json_extract(props, '$.k') AS BIGINT),
+                  CAST(json_extract(props, '$.k') AS BIGINT) + 1]) AS rt_arr,
+         json_extract(props, '$.missing') IS NULL AS miss_null
+         FROM events ORDER BY event_id""",
     "attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)

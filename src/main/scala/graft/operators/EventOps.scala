@@ -150,4 +150,27 @@ object EventOps {
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("prop_k"))
       .orderBy("event_id")
+
+  /** JSON built-in-function surface over the events payload: path
+    * extraction (string and typed), from_json struct parse, to_json
+    * round-trips for structs and arrays, and a missing-path NULL probe
+    * — oracle-matched against DuckDB's JSON functions. Completes the
+    * semi-structured trio next to array_funcs / map_funcs; the
+    * hot-path extraction stays jsonExtract's single get_json_object.
+    * to_json keeps null fields explicit (ignoreNullFields=false) so
+    * both engines print `{"k":null}`, not a field-dropping `{}`.
+    */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val kLong = from_json(col("props"), "k LONG",
+      Map.empty[String, String]).getField("k")
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        kLong.as("k_long"),
+        to_json(struct(kLong.as("k")),
+          Map("ignoreNullFields" -> "false")).as("rt_obj"),
+        to_json(array(kLong, kLong + 1)).as("rt_arr"),
+        get_json_object(col("props"), "$.missing").isNull.as("miss_null"))
+      .orderBy("event_id")
+  }
 }
