@@ -325,6 +325,17 @@ class PlanSpec extends AnyFunSuite {
       s"window limits not pushed below the exchanges:\n$s")
   }
 
+  test("json_funcs parses the document exactly once") {
+    val s = planString(EventOps.jsonFuncs(spark, sf))
+    // JsonToStructs is a non-codegen parse; CollapseProject must keep
+    // the multiply-referenced parse in its own projection instead of
+    // inlining it into each of the three consumers (measured 1.7x at
+    // sf1). More than one from_json in the plan means the structure
+    // regressed.
+    assert("from_json".r.findAllIn(s).length === 1,
+      s"expected exactly one from_json parse in:\n$s")
+  }
+
   test("zorder is one narrow projection over one broadcast stats row") {
     // the Morton math must not introduce a per-row shuffle: the only
     // exchanges are the broadcast of the 1-row min/max stats and the
