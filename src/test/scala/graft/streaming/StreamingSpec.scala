@@ -346,4 +346,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 4L),
       s"expected the first-crawled and the new doc only, got ${got.toSeq}")
   }
+
+  test("streaming corpus ingest: dedup state expires behind the watermark") {
+    import spark.implicits._
+    // the bounded-state side of the contract: a re-crawl of content
+    // whose fingerprint state has EXPIRED (arrival far beyond the
+    // 30-minute horizon) is admitted again — exactly the trade that
+    // lets an unbounded crawl run with finite state. Batch dedup over
+    // the full corpus remains the global guarantee; the stream only
+    // promises in-horizon suppression.
+    val dir = java.nio.file.Files.createTempDirectory("graft_docexp").toString
+    val t0 = 1700000000L
+    def write(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "es")
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(col("es")).as("ingest_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val text = "one two three four five six seven eight nine ten"
+    write(Seq((1L, text, t0)))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, ingest_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = graft.streaming.DocStream.cleanDocs(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("doc_expire").start()
+    q.processAllAvailable()
+    // advance the watermark far past t0 + 30 min with unrelated docs
+    write(Seq((2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", t0 + 7200)))
+    q.processAllAvailable()
+    // the same content re-crawled 2h later: its state is gone
+    write(Seq((3L, text, t0 + 7300)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("doc_expire").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(1L, 2L, 3L),
+      s"expired fingerprint not re-admitted (state unbounded?): ${got.toSeq}")
+  }
 }
