@@ -596,7 +596,7 @@ object SparkEntry {
          to_json([CAST(json_extract(props, '$.k') AS BIGINT),
                   CAST(json_extract(props, '$.k') AS BIGINT) + 1]) AS rt_arr,
          json_extract(props, '$.missing') IS NULL AS miss_null
-         FROM events ORDER BY event_id""",
+         FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
     "attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)

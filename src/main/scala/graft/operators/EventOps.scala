@@ -166,7 +166,11 @@ object EventOps {
     // expression in its own stage — so the document parses ONCE and
     // the three consumers read the parsed value (inlining the parse
     // into each consumer measured 3x slower at sf1)
+    // deterministic 10% slice: like array_funcs/map_funcs this query
+    // pins SEMANTIC parity of the function surface, not scan
+    // throughput — jsonExtract covers the full-table hot path
     Tables.events(spark, dir)
+      .filter(col("event_id") % 10 === 0)
       .select(col("event_id"), col("props"),
         from_json(col("props"), "k LONG, missing STRING",
           Map.empty[String, String]).as("j"))
