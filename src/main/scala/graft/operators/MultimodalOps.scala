@@ -305,7 +305,10 @@ object MultimodalOps {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val got = inf.inflate(raw, off, raw.length - off)
-        if (got == 0 && inf.needsInput()) return None // truncated stream
+        // got == 0 without finished() is a structural violation: either a
+        // truncated stream (needsInput) or an FDICT preset-dictionary stream
+        // (needsDictionary) — both must bail, not spin
+        if (got == 0) return None
         off += got
       }
       if (off != raw.length) return None
@@ -493,7 +496,11 @@ object MultimodalOps {
         }
         Some((sum.toDouble / (w.toLong * h * 3), thumbMeanNN(w, h, 3, chanSum)))
       }
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only: swallowing OutOfMemoryError / InterruptedException
+      // would mask executor OOM and break Spark task cancellation
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   /** Real container parsing where the bytes allow it — PNG IHDR (and,

@@ -232,9 +232,14 @@ object TextOps {
       .select(col("b"),
         floor(col("c2").cast("double") / col("c1").cast("double") * LmScale)
           .cast("long").as("ps"))
+    // sum as decimal(38,0): ps ≤ 1e12 per position, so a LongType sum
+    // would silently wrap past ~9.2M bigrams/doc while the DuckDB
+    // oracle widens to HUGEINT — the decimal sum keeps both engines
+    // exact for any document size (IntegralDivide below returns long)
     val perDoc = occ.join(bs, Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum("ps").as("s"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("ps").cast("decimal(38,0)")).as("s"))
     Tables.documents(spark, dir).select("doc_id", "lang")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"),
