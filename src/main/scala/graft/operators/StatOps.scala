@@ -358,25 +358,36 @@ object StatOps {
     * one-sided error (est ≥ exact always; est ≤ exact + eps·N w.p.
     * ≥ 1−δ) is deterministic here: the seed is fixed and cell counts
     * are exact sums, so estimates are identical under any
-    * partitioning or merge order. The exact top-10 plans as
-    * TakeOrderedAndProject (ties broken by user_id); only those 10
-    * rows and the fixed-KB sketch reach the driver — the same
-    * LIMIT-bounded policy as the report sink. The oracle recomputes
-    * the exact side and expects both gates TRUE.
+    * partitioning or merge order. ONE declarative plan: the skinny
+    * user_id column is localCheckpointed so the `count_min_sketch`
+    * aggregate (binary column, merged map-side) and the exact top-10
+    * (TakeOrderedAndProject, ties broken by user_id) read the SAME
+    * materialized scan — no second events scan, and nothing reaches
+    * the driver during construction. The 1-row sketch frame broadcast
+    * cross-joins onto the 10 exact rows and the guarantee booleans
+    * evaluate executor-side via [[graft.functions.CmsEstimate]] (the
+    * scalar reader Spark's SQL surface lacks). At cluster scale the
+    * localCheckpoint becomes `checkpoint()` — or is dropped entirely:
+    * two pruned columnar scans of one BIGINT column are cheaper than
+    * materializing it, and the plan is otherwise unchanged. The
+    * oracle recomputes the exact side and expects both gates TRUE.
     */
   def sketchHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ev = Tables.events(spark, dir).select(col("user_id"))
     val eps = 0.001
-    val cms = ev.stat.countMinSketch(col("user_id"), eps, 0.99, seed = 42)
+    val ev = OpCaches.localCheckpointTracked(
+      Tables.events(spark, dir).select(col("user_id")))
+    // 0.99 confidence → depth ⌈−log₂ 0.01⌉ = 7; eps 0.001 → width 2000
+    val cms = ev.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("_cms"),
+      count(lit(1)).as("_n_total"))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
-      .orderBy(desc("n_exact"), col("user_id")).limit(10).collect()
-    val slack = (eps * cms.totalCount).toLong
-    top.toSeq.map { r =>
-      val (u, exact) = (r.getLong(0), r.getLong(1))
-      val est = cms.estimateCount(u)
-      (u, exact, est >= exact, est <= exact + slack)
-    }.toDF("user_id", "n_exact", "est_ge_exact", "est_within_eps")
+      .orderBy(desc("n_exact"), col("user_id")).limit(10)
+    val est = graft.functions.SketchExprs.cmsEstimate(col("_cms"), col("user_id"))
+    top.crossJoin(broadcast(cms))
+      .select(col("user_id"), col("n_exact"),
+        (est >= col("n_exact")).as("est_ge_exact"),
+        (est <= col("n_exact") +
+          floor(lit(eps) * col("_n_total")).cast("long")).as("est_within_eps"))
       .orderBy(desc("n_exact"), col("user_id"))
   }
 

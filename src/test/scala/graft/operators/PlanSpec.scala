@@ -346,4 +346,23 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
       s"stats row not broadcast in:\n$s")
   }
+
+  test("hh builds the CMS in-plan off one checkpointed events read") {
+    val s = planString(StatOps.sketchHeavyHitters(spark, sf))
+    // the sketch must be the count_min_sketch AGGREGATE (binary
+    // column, merged map-side), not a driver-side stat.countMinSketch
+    assert(s.contains("count_min_sketch"),
+      s"expected the count_min_sketch aggregate in:\n$s")
+    // both the sketch branch and the exact top-10 read the same
+    // checkpointed user_id column — a parquet scan here means a
+    // branch went back to the raw events table
+    assert(!s.contains("Scan parquet"),
+      s"a branch re-scans raw events:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"exact top-10 lost its TakeOrderedAndProject shape:\n$s")
+    // estimates evaluate executor-side against the broadcast 1-row
+    // sketch frame — the scalar reader must appear in the projection
+    assert(s.contains("cms_estimate"),
+      s"cms_estimate projection missing in:\n$s")
+  }
 }
