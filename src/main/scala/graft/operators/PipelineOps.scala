@@ -465,13 +465,22 @@ object PipelineOps {
     * with the standalone operators (same fingerprint as dedup +
     * decontaminate, same md5 rank as quota_sample).
     */
-  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
+    corpusStagesFrom(Tables.documents(spark, dir))
+
+  /** The composite's stage logic over an arbitrary (doc_id, source,
+    * lang, text) frame — factored out so the streaming twin's spec can
+    * run the IDENTICAL batch stages over its fixture and assert
+    * batch ≡ stream (StreamingSpec). `corpusPipeline` is exactly this
+    * over the documents table; the plan is unchanged by the factoring.
+    */
+  private[graft] def corpusStagesFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // checkpointed: the dedup spine AND the eval-fingerprint branch
     // both read these skinny (id, meta, fp) rows — without it each
     // branch re-reads and re-fingerprints the raw document scan
     val base = OpCaches.localCheckpointTracked(
-      Tables.documents(spark, dir)
+      docs
         .select(col("doc_id"), col("source"), col("lang"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
           md5(lower(trim(col("text")))).as("fp"))

@@ -347,6 +347,91 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the first-crawled and the new doc only, got ${got.toSeq}")
   }
 
+  test("streaming corpus composite equals the batch composite on the same docs") {
+    import spark.implicits._
+    // the full 4-stage twin: quality gate, dedup, stream-static
+    // decontamination, per-source quota. Fixture sized so the quota
+    // does NOT bind (≤2 docs/source < SourceQuota) — there the
+    // first-arrival streaming quota and the md5-ranked batch quota
+    // provably agree, so streamed survivors must EQUAL the batch
+    // composite (corpusStagesFrom) run over the very same rows.
+    val dir = java.nio.file.Files.createTempDirectory("graft_doccomp").toString
+    val t0 = 1700000000L
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val textB = "one two three four five six seven eight nine ten eleven"
+    val textE = "held out evaluation prompt with exactly ten little tokens"
+    // (doc_id, source, lang, text, arrival)
+    val rows = Seq(
+      (1L, "s1", "en", textA, t0),                        // survives
+      (2L, "s2", "en", "  " + textA.toUpperCase + " ", t0 + 10), // dup of 1
+      (3L, "s1", "en", textE.toUpperCase, t0 + 20),       // contaminated
+      (4L, "s2", "en", "too short", t0 + 30),             // quality gate
+      (7L, "s2", "de", textB, t0 + 40),                   // survives
+      (50L, "s3", "en", textE, t0 + 50))                  // the eval doc itself
+    def batchDf = rows.toDF("doc_id", "source", "lang", "text", "es")
+    def write(sel: Seq[Long]): Unit = batchDf
+      .filter(col("doc_id").isin(sel: _*))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        timestamp_seconds(col("es")).as("ingest_time"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq(1L, 2L, 3L, 4L))
+    write(Seq(7L, 50L))
+    // the static benchmark fingerprints — same derivation the batch
+    // composite uses internally (quality-gated, doc_id % 50 == 0)
+    val evalFps = batchDf
+      .filter(size(graft.operators.TextOps.tokens(col("text"))) >=
+        graft.operators.PipelineOps.CorpusMinTokens && col("doc_id") % 50 === 0)
+      .select(md5(lower(trim(col("text")))).as("fp")).distinct()
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING, ingest_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = DocStream.ingestCorpus(spark, stream, evalFps)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("doc_composite").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("doc_composite").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val batch = graft.operators.PipelineOps.corpusStagesFrom(
+        batchDf.select("doc_id", "source", "lang", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(streamed.map(_._1) === Set(1L, 7L))
+  }
+
+  test("streaming per-source quota admits first Q arrivals with one counter per source") {
+    import spark.implicits._
+    // the binding case the equality test can't cover: a hot source
+    // exceeding the quota across MICRO-BATCH boundaries — the state
+    // carried between batches is a single Long per source
+    val dir = java.nio.file.Files.createTempDirectory("graft_docquota").toString
+    val t0 = 1700000000L
+    def write(rows: Seq[(Long, String)]): Unit = rows
+      .toDF("doc_id", "source")
+      .select(col("doc_id"), col("source"), lit("en").as("lang"),
+        concat(lit("u"), col("doc_id"),
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota")).as("text"),
+        timestamp_seconds(lit(t0) + col("doc_id")).as("ingest_time"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq((10L, "hot"), (11L, "hot"), (12L, "hot")))
+    write(Seq((13L, "hot"), (14L, "hot"), (30L, "cold")))
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING, ingest_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = DocStream.ingestCorpus(spark, stream,
+        spark.emptyDataFrame.select(lit("").as("fp")).limit(0), quota = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("doc_quota").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("doc_quota").collect().map(_.getLong(0)).sorted.toSeq
+    // batch 1 fills hot's quota with its two lowest ids; batch 2's hot
+    // docs find the counter full; cold is untouched by hot's counter
+    assert(got === Seq(10L, 11L, 30L), s"quota mis-admitted: $got")
+  }
+
   test("streaming corpus ingest: dedup state expires behind the watermark") {
     import spark.implicits._
     // the bounded-state side of the contract: a re-crawl of content
