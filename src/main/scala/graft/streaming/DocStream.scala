@@ -35,9 +35,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    whole corpus); a stream cannot rank what has not arrived without
   *    unbounded buffering, so the streaming quota admits the FIRST Q
   *    arrivals per source (doc_id-ordered within a micro-batch, so a
-  *    replay of the same batch sequence emits identical rows). When
-  *    the quota does not bind, the two are identical — StreamingSpec
-  *    pins exactly that batch ≡ stream equivalence.
+  *    replay of the same batch sequence emits identical rows).
+  *
+  * Batch ≡ stream, precisely: when the quota does not bind, the two
+  * agree provided (a) arrival order matches doc_id order for every
+  * duplicate pair — batch dedup keeps the LOWEST doc_id per
+  * fingerprint while the stream keeps the FIRST arrival, so a
+  * higher-id duplicate arriving first survives with a different
+  * doc_id/source/lang — and (b) no duplicate pair spans the watermark
+  * horizon, past which the stream's expired state re-admits content
+  * batch would drop. StreamingSpec's equivalence fixture satisfies
+  * both; its expiry test pins the horizon trade explicitly.
   */
 object DocStream {
 
@@ -76,6 +84,12 @@ object DocStream {
       .withColumn("fp", md5(lower(trim(col("text")))))
       .withWatermark("ingest_time", "30 minutes")
       .dropDuplicatesWithinWatermark("fp")
+      // holdout-slot exclusion, SAME predicate as the batch composite
+      // (corpusStagesFrom): eval-slot docs are held out of training
+      // even when their fingerprint is not (yet) in the supplied
+      // static set — without this, an eval-slot doc unseen by evalFps
+      // would leak into training output where batch holds it out
+      .filter(col("doc_id") % 50 =!= 0)
       // stream-static anti-join: stateless, static side broadcast
       .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))
