@@ -127,6 +127,8 @@ object SparkEntry {
     // Sketch accuracy gates (the 100 TB cardinality/quantile tools)
     "sk_distinct"   -> (StatOps.sketchDistinctGate _),
     "sk_quantile"   -> (StatOps.sketchQuantileGate _),
+    "sk_merge"      -> (StatOps.sketchMergeGate _),
+    "skew_join"     -> (StatOps.skewJoin _),
     // Profiling / data-quality / graph
     "profile"     -> (QualityOps.profileTable _),
     "profile_approx" -> (QualityOps.profileApprox _),
@@ -142,6 +144,7 @@ object SparkEntry {
     // Training-data shaping: windowed chunking + lexical retrieval
     "chunks"            -> (TextOps.docChunks _),
     "bm25"              -> (TextOps.bm25Search _),
+    "bm25_lngate"       -> (TextOps.bm25LnGate _),
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zorder"            -> (LayoutOps.zorderKeys _),
   )
@@ -1289,6 +1292,27 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n,
          TRUE AS p50_within_1pct
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    // StatOps.sketchMergeGate: HLL union over disjoint halves must
+    // equal the from-scratch sketch (registers are per-value maxima —
+    // deterministic) and land within 5% of exact. Oracle emits the
+    // exact count and literal TRUE for both gates.
+    "sk_merge" ->
+      """SELECT COUNT(DISTINCT user_id) AS n_exact,
+         TRUE AS merge_eq_full,
+         TRUE AS merged_within_5pct
+         FROM events""",
+    // StatOps.skewJoin: the hot-key fold is a deterministic
+    // expression, so the oracle reproduces the same skewed join and
+    // the AQE skew-split's result-preservation claim is hash-checked.
+    "skew_join" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 < 5 THEN 0
+                                ELSE user_id END AS jk,
+                          value FROM events)
+         SELECT c.c_mktsegment, COUNT(*) AS n_events,
+                CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_value
+         FROM e JOIN customer c ON c.c_custkey = e.jk
+         GROUP BY 1 ORDER BY 1""",
     // QualityOps.profileTable: one-scan long-format column profile.
     "profile" -> {
       val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
@@ -1515,6 +1539,54 @@ object SparkEntry {
                  COUNT(*) AS n_terms
           FROM sc GROUP BY doc_id
           ORDER BY score_s DESC, doc_id LIMIT ${TextOps.Bm25TopK}""".stripMargin
+    },
+    // TextOps.bm25LnGate: both rankings recomputed with the same
+    // floor-quantized contributions (ratio at 1e9, ln at 1e6 — the
+    // quantization is what makes a libm last-ulp divergence unable to
+    // flip a rank), so the overlap COUNT matches exactly and the
+    // >=3/4-overlap gate is expected TRUE.
+    "bm25_lngate" -> {
+      val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val (k1, b, k1p1) = (TextOps.Bm25K1, TextOps.Bm25B, TextOps.Bm25K1 + 1.0)
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+          st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                        CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+          tk AS (SELECT doc_id, unnest(toks) AS term FROM t),
+          tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tk
+                 WHERE term IN ($terms) GROUP BY doc_id, term),
+          dfr AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+          ra AS (SELECT tf.doc_id,
+                   SUM(CAST(floor(
+                     (st.n_docs - dfr.df + CAST(0.5 AS DOUBLE))
+                       / (dfr.df + CAST(0.5 AS DOUBLE))
+                     * (tf.tf * CAST($k1p1 AS DOUBLE))
+                     / (tf.tf + CAST($k1 AS DOUBLE)
+                         * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+                            + CAST($b AS DOUBLE) * (dl.dl / st.avgdl)))
+                     * CAST(1e9 AS DOUBLE)) AS BIGINT)) AS s
+                 FROM tf, dfr, dl, st
+                 WHERE tf.term = dfr.term AND tf.doc_id = dl.doc_id
+                 GROUP BY tf.doc_id
+                 ORDER BY s DESC, tf.doc_id LIMIT ${TextOps.Bm25TopK}),
+          lna AS (SELECT tf.doc_id,
+                   SUM(CAST(floor(
+                     ln(CAST(1.0 AS DOUBLE)
+                        + (st.n_docs - dfr.df + CAST(0.5 AS DOUBLE))
+                          / (dfr.df + CAST(0.5 AS DOUBLE)))
+                     * (tf.tf * CAST($k1p1 AS DOUBLE))
+                     / (tf.tf + CAST($k1 AS DOUBLE)
+                         * (CAST(1.0 AS DOUBLE) - CAST($b AS DOUBLE)
+                            + CAST($b AS DOUBLE) * (dl.dl / st.avgdl)))
+                     * CAST(1e6 AS DOUBLE)) AS BIGINT)) AS s
+                 FROM tf, dfr, dl, st
+                 WHERE tf.term = dfr.term AND tf.doc_id = dl.doc_id
+                 GROUP BY tf.doc_id
+                 ORDER BY s DESC, tf.doc_id LIMIT ${TextOps.Bm25TopK})
+          SELECT (SELECT COUNT(*) FROM ra) AS n_ratio,
+                 (SELECT COUNT(*) FROM lna) AS n_ln,
+                 (SELECT COUNT(*) FROM ra JOIN lna USING (doc_id)) AS n_overlap,
+                 TRUE AS overlap_ge_3q""".stripMargin
     },
     // StatOps.sketchHeavyHitters: the oracle recomputes the exact
     // top-10 (same user_id tie-break) and expects the CMS guarantee

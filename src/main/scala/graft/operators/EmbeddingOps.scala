@@ -200,6 +200,16 @@ object EmbeddingOps {
         .select(col("vec_id"), col("v"), col("cent_id"), col("arank")))
   }
 
+  /** The (vec_id, v, cent_id, arank) assignment frame for external
+    * consumers — LayoutSpec writes the corpus parquet-partitioned by
+    * its arank=1 cell and proves a probe's scan prunes to nprobe/K of
+    * the files, machine-checking the "at real scale the corpus is
+    * written partitioned by cell" claim in the annIvf scaladoc.
+    */
+  private[graft] def ivfCellAssignments(spark: SparkSession, dir: String,
+                                        maxProbe: Int = 2): DataFrame =
+    ivfRanked(corpus(spark, dir), maxProbe)
+
   /** Probed search over a prebuilt assignment frame. An nprobe-p probe
     * set is a pure FILTER of any ranked frame built with maxProbe ≥ p
     * (same rows, arank ≤ p), so consumers that need several nprobe

@@ -11,16 +11,16 @@ import graft.util.Num._
   * graft.streaming (same windowing semantics, verifiable against a
   * SQL oracle).
   *
-  * The events parquet stores TIMESTAMP(NANOS), which Spark's reader
-  * only supports as a raw nanosecond long
-  * (`spark.sql.legacy.parquet.nanosAsLong`, set by GraftSession), so
-  * `ts` arrives as epoch nanoseconds. All window math happens in
-  * integer arithmetic (`DIV`) — a double roundtrip would lose
-  * precision above 2^53 ns (~1970+104 days).
+  * The events parquet stores TIMESTAMP(MICROS) without timezone, which
+  * Spark reads as TIMESTAMP_NTZ. All window math happens on whole
+  * epoch seconds via `unix_timestamp` (session timezone is UTC, so the
+  * NTZ wall clock IS the epoch instant — same convention as the
+  * DuckDB oracle's `floor(epoch(ts))`), in integer arithmetic (`DIV`)
+  * so bucket boundaries are exact.
   */
 object EventOps {
 
-  private def epochSec = expr("ts DIV 1000000000")
+  private def epochSec = expr("unix_timestamp(ts)")
 
   /** Tumbling 5-minute windows per event type: count + exact value sum.
     * Batch twin of `window($"ts", "5 minutes")` — bucket arithmetic is
@@ -88,8 +88,8 @@ object EventOps {
     * (c_es ∈ [p_es−1800, p_es] ⇒ ⌊c_es/1800⌋ ∈ {⌊p_es/1800⌋−1,
     * ⌊p_es/1800⌋}), and a click has exactly ONE bucket, so each
     * qualifying pair joins exactly once — identical output, no
-    * dedup needed. Bucket math is integer DIV (ts is epoch-ns derived;
-    * doubles lose above 2^53).
+    * dedup needed. Bucket math is integer DIV on whole epoch seconds,
+    * so boundaries are exact (no float rounding).
     */
   def clickAttribution(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir).withColumn("es", epochSec)
@@ -115,7 +115,7 @@ object EventOps {
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts DIV 1000000000 DIV 86400").as("day"))
+      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
     val cohorts = e.groupBy("user_id").agg(min("day").as("cohort_day"))
     e.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))

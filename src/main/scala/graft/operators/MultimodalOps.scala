@@ -247,6 +247,106 @@ object MultimodalOps {
     res
   }
 
+  /** Real frame-sample plan from the track sample tables — pure box
+    * walking, no codec: moov → trak → mdia → minf → stbl, decode
+    * `stts` (ISO 14496-12 §8.6.1.2: entry_count × (sample_count,
+    * sample_delta) run-length DTS deltas) and cross-check `stsz`'s
+    * sample_count when present, then emit the decoding timestamps of
+    * FrameSamples evenly-spaced samples (i-th = sample ⌊total·i/K⌋)
+    * in MEDIA-timescale units. The first trak carrying a valid stts
+    * wins. Every arithmetic step is overflow-guarded (32-bit counts ×
+    * 32-bit deltas can exceed Long via crafted tables) and every
+    * structural violation — including an stsz that disagrees with
+    * stts — returns None, falling back to the uniform mvhd plan.
+    */
+  private[operators] def mp4SampleTs(p: Array[Byte]): Option[String] = {
+    def ascii(off: Int) = new String(p, off, 4, "US-ASCII")
+    def beInt(off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+    def beLong(off: Int): Long = (beInt(off) << 32) | beInt(off + 4)
+    // iterate the child boxes of [start, end) as (type, payload, end)
+    def kids(start: Long, end: Long): Iterator[(String, Long, Long)] =
+      new Iterator[(String, Long, Long)] {
+        private var j = start
+        private var nxt: Option[(String, Long, Long)] = advance()
+        private def advance(): Option[(String, Long, Long)] = {
+          if (j + 8 > end) return None
+          var sz = beInt(j.toInt)
+          var hdr = 8L
+          if (sz == 1 && j + 16 <= end) { sz = beLong(j.toInt + 8); hdr = 16 }
+          // subtraction form — see mp4Mvhd's wrap note
+          if (sz < hdr || sz > end - j) return None
+          val out = (ascii(j.toInt + 4), j + hdr, j + sz)
+          j += sz
+          Some(out)
+        }
+        def hasNext: Boolean = nxt.isDefined
+        def next(): (String, Long, Long) = {
+          val v = nxt.get; nxt = advance(); v
+        }
+      }
+    def child(start: Long, end: Long, name: String): Option[(Long, Long)] =
+      kids(start, end).collectFirst { case (n, s, e) if n == name => (s, e) }
+    def sttsPlan(s: Long, e: Long, stsz: Option[(Long, Long)]): Option[String] = {
+      if (s + 8 > e) return None
+      val entries = beInt(s.toInt + 4)
+      if (entries < 0 || entries > (e - s - 8) / 8) return None
+      var total = 0L
+      var i = 0L
+      while (i < entries) {
+        val cnt = beInt((s + 8 + i * 8).toInt)
+        if (cnt > Long.MaxValue - total) return None
+        total += cnt
+        i += 1
+      }
+      if (total <= 0) return None
+      // stsz cross-check: a sample-size table that disagrees with the
+      // timing table is a structural violation, not a value
+      stsz.foreach { case (zs, ze) =>
+        if (zs + 12 > ze) return None
+        if (beInt(zs.toInt + 8) != total) return None
+      }
+      val k = FrameSamples.toLong
+      val stamps = (0L until k).map { fi =>
+        val idx = (total / k) * fi + (total % k) * fi / k // ⌊total·fi/k⌋
+        var seen = 0L
+        var dts = 0L
+        var ei = 0L
+        var out = -1L
+        while (out < 0 && ei < entries) {
+          val off = (s + 8 + ei * 8).toInt
+          val cnt = beInt(off)
+          val delta = beInt(off + 4)
+          if (idx < seen + cnt) out = dts + (idx - seen) * delta
+          else {
+            if (cnt != 0 && delta != 0 &&
+                delta > (Long.MaxValue - dts) / cnt) return None
+            dts += cnt * delta
+            seen += cnt
+          }
+          ei += 1
+        }
+        if (out < 0) return None
+        out
+      }
+      Some(stamps.mkString(","))
+    }
+    if (p.length < 16 || ascii(4) != "ftyp") return None
+    for {
+      (ms, me) <- child(0L, p.length.toLong, "moov")
+      plan <- kids(ms, me).collect { case ("trak", ts, te) =>
+        for {
+          (ds, de) <- child(ts, te, "mdia")
+          (fs, fe) <- child(ds, de, "minf")
+          (bs, be) <- child(fs, fe, "stbl")
+          (ss, se) <- child(bs, be, "stts")
+          out <- sttsPlan(ss, se, child(bs, be, "stsz"))
+        } yield out
+      }.collectFirst { case Some(v) => v }
+    } yield plan
+  }
+
   /** FULL PNG pixel decode for the common web formats — pure JVM, no
     * codec library: zlib inflate via `java.util.zip.Inflater`, then
     * per-scanline unfiltering (all five PNG filter types incl. the
@@ -532,7 +632,10 @@ object MultimodalOps {
       if (dims.isEmpty) None
       else pngFeatures(b.payload).orElse(jpegFeatures(b.payload))
         .orElse(wavFeatures(b.payload))
-    val frames = mvhd.map { case (_, dur) => frameTsOf(dur) }
+    // prefer the REAL sample-table plan (stts/stsz); fall back to the
+    // uniform mvhd-duration split when no track carries a valid stts
+    val frames = mvhd.map { case (_, dur) =>
+      mp4SampleTs(b.payload).getOrElse(frameTsOf(dur)) }
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n

@@ -391,6 +391,77 @@ object StatOps {
       .orderBy(desc("n_exact"), col("user_id"))
   }
 
+  /** Sketch-merge incremental maintenance gate — the sketch analog of
+    * incrAgg's merge ≡ recompute proof: HLL sketches built
+    * independently over two disjoint halves of events (event_id
+    * parity), merged with `hll_union_agg`, must land (a) EXACTLY on
+    * the from-scratch single-pass sketch and (b) within 5% of the
+    * exact distinct count. (a) is deterministic, not probabilistic:
+    * HLL registers are per-value maxima, so a union of same-lgK
+    * sketches over a partition of the data has bit-identical registers
+    * to one pass over the whole — merge order, data order and
+    * partitioning all cancel. This pins the 100 TB cardinality plan's
+    * incremental-refresh story: yesterday's sketch + today's delta
+    * sketch ≡ a full recompute, so the nightly refresh touches only
+    * the delta. The oracle recomputes the exact count and expects both
+    * gates TRUE.
+    */
+  def sketchMergeGate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"))
+    val halves = ev
+      .groupBy(pmod(col("event_id"), lit(2)).as("_half"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("_sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(_sk, false))")
+        .as("_est_merged"))
+    val full = ev.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("_est_full"),
+      countDistinct(col("user_id")).as("n_exact"))
+    halves.crossJoin(broadcast(full))
+      .select(col("n_exact"),
+        (col("_est_merged") === col("_est_full")).as("merge_eq_full"),
+        (abs(col("_est_merged") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("merged_within_5pct"))
+  }
+
+  /** Deliberately skewed fact-to-dimension join — the AQE skew-join
+    * demonstration. Half of all users are folded onto join key 0
+    * (deterministic expression, so the oracle can reproduce it), so
+    * after the shuffle one reduce partition holds ~50% of all events:
+    * the classic hot-key join that kills a naive 100 TB plan. Both
+    * join inputs are plain scans (SMJ over Sort over shuffle on each
+    * side — exactly the `OptimizeSkewedJoin` match pattern; an
+    * aggregate between shuffle and join would defeat it) and the join
+    * is pinned to sort-merge via a MERGE hint: at corpus scale the
+    * entity dimension is far past broadcast size. With
+    * `spark.sql.adaptive.skewJoin.enabled` (on by default) AQE splits
+    * the hot reduce partition into MAP-RANGE chunks (each chunk reads
+    * a slice of the map outputs) and replicates the matching dim rows
+    * to every chunk — identical results, per-task balance restored.
+    * Two demo-vs-production notes, both machine-checked in PlanSpec:
+    * the split needs multiple map outputs to slice (a 100 TB scan has
+    * thousands of map tasks; the local single-file scan has ONE, so
+    * the spec drives a multi-file copy of the table), and the
+    * downstream aggregate deliberately keys on c_mktsegment — an agg
+    * keyed on jk would reuse the join's partitioning, which AQE
+    * refuses to break without forceOptimizeSkewedJoin. The result is
+    * oracle-checked, so the rewrite's result-preservation claim is
+    * hash-verified too.
+    */
+  def skewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(
+        when(col("user_id") % 10 < 5, lit(0L)).otherwise(col("user_id"))
+          .as("jk"),
+        col("value"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("jk"), col("c_mktsegment"))
+    ev.hint("merge").join(cust, Seq("jk"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        graft.util.Num.moneySum(col("value")).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Per-group simple linear regression (price ~ quantity):
     * slope / intercept / r² from the same exact-decimal power sums as
     * corrByGroup — one partial-aggregation pass, with the closed-form
@@ -430,7 +501,7 @@ object StatOps {
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("ts DIV 1000000000").as("es"))
+        expr("unix_timestamp(ts)").as("es"))
     val w = Window.partitionBy("user_id").orderBy("es")
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("last_signup_es",

@@ -369,7 +369,21 @@ object TextOps {
     * (no global sort). At 100 TB the full text never shuffles — only
     * (doc_id, term, count) survivors do.
     */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Joined(spark, dir)
+      .withColumn("contrib",
+        floor(col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) / col("denom") * lit(1e9))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score_s"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score_s"), col("doc_id"))
+      .limit(Bm25TopK)
+
+  /** The (doc_id, term, tf, df, dl, idf-ratio, denom) frame both BM25
+    * variants score from — one tokenize/tf/df/stats pipeline, two
+    * scoring heads (anti-drift).
+    */
+  private def bm25Joined(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     // dl feeds both the per-doc join and the corpus stats — checkpoint
@@ -400,12 +414,41 @@ object TextOps {
       .withColumn("denom",
         col("tf") + lit(Bm25K1) * (lit(1.0) - lit(Bm25B) +
           lit(Bm25B) * (col("dl").cast("double") / col("avgdl"))))
-      .withColumn("contrib",
-        floor(col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) / col("denom") * lit(1e9))
-          .cast("long"))
-      .groupBy("doc_id")
-      .agg(sum("contrib").as("score_s"), count(lit(1)).as("n_terms"))
-      .orderBy(desc("score_s"), col("doc_id"))
-      .limit(Bm25TopK)
+  }
+
+  /** Rank-overlap gate for bm25Search's documented idf deviation: the
+    * ratio form (N−df+½)/(df+½) vs ln-idf CAN order documents
+    * differently on mixed-df queries — this query measures the
+    * practical impact on THIS corpus instead of leaving the deviation
+    * a prose caveat. The ln twin is Lucene's ln(1 + ratio), the form
+    * production engines actually ship: Robertson's raw ln(ratio) goes
+    * NEGATIVE for every term with df > N/2 (true for all four query
+    * terms on this corpus — df ≈ 390 of 500), which INVERTS rankings
+    * (fewest matches wins) and is precisely why practical BM25 adds
+    * the 1. Both rankings come from the same tf/df/dl frame; the ln
+    * twin quantizes each per-term contribution with floor at 1e6
+    * scale before the exact long sum, so a last-ulp libm divergence
+    * between engines cannot flip a rank (the same reason the ratio
+    * form floors at 1e9). Output: top-20 sizes of both rankings,
+    * their intersection size, and a ≥¾-overlap boolean the oracle
+    * expects TRUE.
+    */
+  def bm25LnGate(spark: SparkSession, dir: String): DataFrame = {
+    val j = bm25Joined(spark, dir)
+    def top(scored: DataFrame): DataFrame =
+      scored.groupBy("doc_id").agg(sum("contrib").as("s"))
+        .orderBy(desc("s"), col("doc_id")).limit(Bm25TopK)
+        .select(col("doc_id"))
+    val ratio = top(j.withColumn("contrib",
+      floor(col("idf") * (col("tf") * lit(Bm25K1 + 1.0)) / col("denom") * lit(1e9))
+        .cast("long")))
+    val ln = top(j.withColumn("contrib",
+      floor(log(lit(1.0) + col("idf")) * (col("tf") * lit(Bm25K1 + 1.0)) / col("denom") * lit(1e6))
+        .cast("long")))
+    ratio.agg(count(lit(1)).as("n_ratio"))
+      .crossJoin(ln.agg(count(lit(1)).as("n_ln")))
+      .crossJoin(ratio.join(ln, Seq("doc_id")).agg(count(lit(1)).as("n_overlap")))
+      .select(col("n_ratio"), col("n_ln"), col("n_overlap"),
+        (col("n_overlap") * 4 >= col("n_ratio") * 3).as("overlap_ge_3q"))
   }
 }

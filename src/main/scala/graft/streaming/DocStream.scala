@@ -100,11 +100,28 @@ object DocStream {
         case (_, it, state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(0L, quota.toLong - admitted).toInt
-          // doc_id order within the micro-batch: deterministic under
-          // replay of the same batch sequence (iterator order is not)
-          val keep = it.toSeq.sortBy(_.doc_id).take(room)
-          if (keep.nonEmpty) state.update(admitted + keep.size)
-          keep.iterator
+          if (room == 0) {
+            // quota exhausted: a hot source must cost O(1), not a full
+            // materialize+sort of every later micro-batch group
+            Iterator.empty
+          } else {
+            // doc_id order within the micro-batch: deterministic under
+            // replay of the same batch sequence (iterator order is not).
+            // Bounded selection of the `room` smallest doc_ids — a hot
+            // source pays O(group × log room) CPU and O(room) memory,
+            // never O(group) memory for a full sort.
+            val heap = new scala.collection.mutable.PriorityQueue[DocRow]()(
+              Ordering.by(_.doc_id)) // max-heap: evict largest doc_id
+            it.foreach { row =>
+              if (heap.size < room) heap.enqueue(row)
+              else if (row.doc_id < heap.head.doc_id) {
+                heap.dequeue(); heap.enqueue(row)
+              }
+            }
+            val keep = heap.dequeueAll.reverse // ascending doc_id
+            if (keep.nonEmpty) state.update(admitted + keep.size)
+            keep.iterator
+          }
       }
   }
 }

@@ -21,8 +21,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
-  /** The events schema with `ts` as raw epoch nanoseconds (see
-    * GraftSession nanosAsLong note).
+  /** The events schema — `ts` is TIMESTAMP_NTZ (micros, UTC wall
+    * clock; see EventOps scaladoc).
     */
   private def eventsSchema(spark: SparkSession, dir: String) =
     spark.read.parquet(s"$dir/events.parquet").schema
@@ -36,7 +36,9 @@ object EventStream {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
-      .withColumn("event_time", timestamp_seconds(expr("ts DIV 1000000000")))
+      // whole-second truncation, SAME rounding as the batch twins'
+      // unix_timestamp bucket math, so stream ≡ batch comparisons hold
+      .withColumn("event_time", timestamp_seconds(expr("unix_timestamp(ts)")))
 
   /** Tumbling 5-minute window per event type with a 10-minute
     * watermark — the streaming twin of EventOps.tumblingWindow.
@@ -163,8 +165,8 @@ object EventStream {
   def statefulSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
     val evs = events.select(col("user_id"),
-        expr("ts DIV 1000000000").as("es"), col("value"),
-        timestamp_seconds(expr("ts DIV 1000000000")).as("event_ts"))
+        expr("unix_timestamp(ts)").as("es"), col("value"),
+        timestamp_seconds(expr("unix_timestamp(ts)")).as("event_ts"))
       .withWatermark("event_ts", "30 minutes")
       .as[Ev]
     evs.groupByKey(_.user_id)

@@ -336,6 +336,61 @@ class MultimodalSpec extends AnyFunSuite {
     assert(p.frame_ts === None)
   }
 
+  private def mp4WithStts(timescale: Int, duration: Long,
+      entries: Seq[(Int, Int)], stszCount: Option[Int] = None): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val a = "US-ASCII"
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ name.getBytes(a) ++ payload
+    val mvhdBody = be32(0) ++ be32(0) ++ be32(0) ++
+      be32(timescale) ++ be32(duration) // v0: ver+flags, ctime, mtime
+    val stts = box("stts", be32(0) ++ be32(entries.size) ++
+      entries.toArray.flatMap { case (c, d) => be32(c) ++ be32(d) })
+    val stsz = stszCount.map(n => box("stsz", be32(0) ++ be32(0) ++ be32(n)))
+      .getOrElse(Array.empty[Byte])
+    val trak = box("trak", box("mdia", box("minf",
+      box("stbl", stts ++ stsz))))
+    val moov = box("moov", box("mvhd", mvhdBody) ++ trak)
+    be32(16) ++ "ftyp".getBytes(a) ++ "isom".getBytes(a) ++ be32(0) ++ moov
+  }
+
+  test("frame-sample: stts sample table yields REAL sample timestamps") {
+    // 4 samples with non-uniform deltas: DTS 0, 100, 200, 250 — a
+    // uniform mvhd split could never produce these stamps
+    val f = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(70L,
+      mp4WithStts(600, 3000, Seq((2, 100), (2, 50))), "video"))
+    assert(f.frame_ts === Some("0,100,200,250"), s"$f")
+    // heavily skewed timing (one long lead sample then rapid frames)
+    val g = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(71L,
+      mp4WithStts(600, 3000, Seq((1, 1000), (3, 10))), "video"))
+    assert(g.frame_ts === Some("0,1000,1010,1020"), s"$g")
+    // more samples than FrameSamples: evenly-spaced sample INDICES
+    // (0,2,4,6 of 8), timestamps from the run-length table
+    val h = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(72L,
+      mp4WithStts(600, 3000, Seq((8, 10))), "video"))
+    assert(h.frame_ts === Some("0,20,40,60"), s"$h")
+    // stsz agreeing with stts keeps the sample plan
+    val ok = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(73L,
+      mp4WithStts(600, 3000, Seq((2, 100), (2, 50)), stszCount = Some(4)), "video"))
+    assert(ok.frame_ts === Some("0,100,200,250"), s"$ok")
+  }
+
+  test("frame-sample: structural stts violations fall back to the uniform plan") {
+    // stsz sample_count disagreeing with stts: violation → uniform
+    val bad = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(74L,
+      mp4WithStts(600, 3000, Seq((2, 100), (2, 50)), stszCount = Some(5)), "video"))
+    assert(bad.frame_ts === Some("0,750,1500,2250"), s"$bad")
+    // empty stts (zero entries) → uniform
+    val empty = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(75L,
+      mp4WithStts(600, 3000, Seq.empty), "video"))
+    assert(empty.frame_ts === Some("0,750,1500,2250"), s"$empty")
+    // mvhd-only files (no trak at all) keep the uniform plan
+    val plain = MultimodalOps.decodeOne(
+      MultimodalOps.MediaBlob(76L, mp4Header(600, 3000), "video"))
+    assert(plain.frame_ts === Some("0,750,1500,2250"), s"$plain")
+  }
+
   test("non-media payloads fall through to the deterministic stub") {
     val blob = MultimodalOps.MediaBlob(2L, "hello world".getBytes, "audio")
     val f = MultimodalOps.decodeOne(blob)

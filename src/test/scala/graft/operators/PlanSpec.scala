@@ -365,4 +365,64 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("cms_estimate"),
       s"cms_estimate projection missing in:\n$s")
   }
+
+  test("skew_join: AQE splits the hot partition into balanced tasks") {
+    // Demonstration scale-down, two dials (the REWRITE under test is
+    // the same one a 100 TB hot key hits):
+    //  - thresholds: production defaults (256 MB) can't trigger on
+    //    test-scale bytes, so the skew detector runs at byte scale;
+    //  - map tasks: the split slices a reduce partition by MAP RANGE,
+    //    which needs multiple map outputs — a cluster scan has
+    //    thousands, the local single-file scan has ONE — so the spec
+    //    feeds skewJoin a multi-file copy of the tables.
+    val skewDir = "/tmp/graft_skew_sf"
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .repartition(8).write.mode("overwrite")
+      .parquet(s"$skewDir/events.parquet")
+    graft.sources.Tables.customer(spark, "/root/testdata/sf0.01")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$skewDir/customer.parquet")
+    val keep = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = StatOps.skewJoin(spark, skewDir)
+      val rows = df.collect() // AQE decides at runtime; materialize the final plan
+      val s = planString(df)
+      assert(s.contains("skew=true"),
+        s"expected an isSkewJoin SortMergeJoin in the final adaptive plan:\n$s")
+      // and the split preserved results: same rows as the plain run
+      // over the single-file tables (default thresholds, no split)
+      val plain = StatOps.skewJoin(spark, "/root/testdata/sf0.01").collect()
+      assert(rows.map(_.toString).toSeq === plain.map(_.toString).toSeq,
+        "skew-split run diverged from the unsplit run")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("from_json prunes the parse schema to the referenced field") {
+    // the 100 TB claim on json_funcs' parse-once structure: when a
+    // query touches ONE field, OptimizeJsonExprs must narrow the
+    // JsonToStructs schema so unreferenced fields are never parsed
+    import org.apache.spark.sql.functions.{col, from_json}
+    val df = graft.sources.Tables.events(spark, sf)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG, missing STRING")).as("j"))
+      .select(col("j.k"))
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("from_json"), s"parse disappeared entirely:\n$opt")
+    assert(opt.contains("StructField(k"),
+      s"referenced field missing from parse schema:\n$opt")
+    assert(!opt.contains("StructField(missing"),
+      s"unreferenced field still in the parse schema (pruning lost):\n$opt")
+  }
 }

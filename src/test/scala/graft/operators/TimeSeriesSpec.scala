@@ -72,7 +72,7 @@ class TimeSeriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     val vals = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("event_type"),
-        expr("ts DIV 1000000000").as("es"), col("value")).collect()
+        expr("unix_timestamp(ts)").as("es"), col("value")).collect()
       .map(r => (r.getString(1), r.getLong(2), BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_EVEN)))
     val byType = vals.groupBy(_._1)
     rows.foreach { case (_, typ, es, got) =>

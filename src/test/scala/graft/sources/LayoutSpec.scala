@@ -67,6 +67,56 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() > 0 && pruned.count() < full.count())
   }
 
+  test("IVF cell-partitioned corpus: a probe's scan prunes to its cells' files") {
+    // the annIvf scaladoc claims "at real scale the corpus is written
+    // partitioned by cell, so a query touches one partition" — prove
+    // it the way the orders_by_year test proves year pruning: write
+    // the corpus partitioned by its arank=1 cell, run one query's
+    // nprobe=2 probe through the parquet path, and measure the files
+    // actually opened.
+    val dir01 = "/root/testdata/sf0.01"
+    val ranked = graft.operators.EmbeddingOps.ivfCellAssignments(spark, dir01)
+    val out = "/tmp/graft_layout/emb_by_cell"
+    ranked.filter(col("arank") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    val stored = spark.read.parquet(out)
+    val totalFiles = stored.select(input_file_name()).distinct().count()
+    assert(totalFiles >= graft.operators.EmbeddingOps.IvfCentroidK,
+      s"expected at least one file per cell, got $totalFiles")
+    // query 0's two nearest cells (its nprobe=2 probe set)
+    val probeCells = ranked
+      .filter(col("vec_id") === 0 && col("arank") <= 2)
+      .select("cent_id").collect().map(_.getLong(0)).toSeq
+    assert(probeCells.length === 2)
+    val probed = stored.filter(col("cell").isin(probeCells: _*))
+    // the partition predicate must reach file listing, not row filters
+    val s = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(s.contains("PartitionFilters") &&
+      s.replaceAll("\\s", "").contains("cellIN") ||
+      s.replaceAll("\\s", "").contains("cell#"),
+      s"cell predicate not pruned at listing time:\n$s")
+    // files actually opened ~ nprobe/K of the corpus (2 of 32 cells)
+    val touched = probed.select(input_file_name()).distinct().count()
+    assert(touched.toDouble / totalFiles <= 3.0 / 32,
+      s"probe touched $touched of $totalFiles files — pruning lost")
+    // and the partitioned path returns the SAME neighbors: top-5 for
+    // query 0 from the pruned scan ≡ the in-memory IVF nprobe=2 result
+    val qv = ranked.filter(col("vec_id") === 0 && col("arank") === 1)
+      .select("v").head().getSeq[Double](0)
+    val qvCol = array(qv.map(lit): _*)
+    val viaParquet = probed.filter(col("vec_id") =!= 0)
+      .withColumn("cos", graft.operators.EmbeddingOps.cosine(qvCol, col("v")))
+      .orderBy(desc("cos"), col("vec_id")).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val inMemory = graft.operators.EmbeddingOps.annIvfProbe2(spark, dir01)
+      .filter(col("query_id") === 0).orderBy("rank")
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    assert(viaParquet === inMemory,
+      s"partitioned-path neighbors $viaParquet != in-memory $inMemory")
+  }
+
   test("z-order layout gives every written file a tight two-column bounding box") {
     import org.apache.spark.sql.DataFrame
     // sf0.01 so each of the 8 range partitions holds enough orders
