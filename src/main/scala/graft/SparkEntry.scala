@@ -29,7 +29,7 @@ object SparkEntry {
     "q5"      -> (SalesAnalytics.q5SalesByMonth _),
     // Operator inventory (SURVEY.md §2.2-2.8)
     "dedup_exact"            -> (RelationalOps.dedupExact _),
-    "median_by_group"        -> (RelationalOps.medianByGroup _),
+    "median_grp"        -> (RelationalOps.medianByGroup _),
     "impute_median"    -> (RelationalOps.imputeGroupMedian _),
     "scalar_funcs"           -> (RelationalOps.scalarFuncs _),
     "date_funcs"             -> (RelationalOps.dateFuncs _),
@@ -39,7 +39,7 @@ object SparkEntry {
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
     "join_full"        -> (RelationalOps.joinFullOuter _),
     "topk_orders"            -> (RelationalOps.topKOrders _),
-    "filter_pushdown"        -> (RelationalOps.filterPushdown _),
+    "pushdown"        -> (RelationalOps.filterPushdown _),
     "set_intersect"          -> (RelationalOps.setIntersect _),
     "set_except"             -> (RelationalOps.setExcept _),
     "agg_rollup"             -> (RelationalOps.aggRollup _),
@@ -67,7 +67,7 @@ object SparkEntry {
     "pct_rank"    -> (StatOps.windowPercentRank _),
     "collect_sort"     -> (StatOps.aggCollectSorted _),
     "collect_cap"     -> (StatOps.aggCollectCapped _),
-    "ntile_quartiles"        -> (StatOps.ntileQuartiles _),
+    "ntile"        -> (StatOps.ntileQuartiles _),
     "corr_grp"          -> (StatOps.corrByGroup _),
     "quantiles"     -> (StatOps.quantilesByGroup _),
     "histogram"              -> (StatOps.histogram _),
@@ -79,8 +79,8 @@ object SparkEntry {
     "text_tokens_bpe"        -> (TextOps.textTokensBpe _),
     "text_quality"           -> (TextOps.textQuality _),
     "text_langid"            -> (TextOps.textLangId _),
-    "text_fingerprint"       -> (TextOps.textFingerprint _),
-    "text_rep_signals"       -> (TextOps.textRepSignals _),
+    "text_fp"       -> (TextOps.textFingerprint _),
+    "text_reps"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
     "dedup_text"       -> (DedupOps.dedupExactText _),
     "dedup_jaccard"    -> (DedupOps.dedupNgramJaccard _),
@@ -92,7 +92,7 @@ object SparkEntry {
     "ann_native"  -> (EmbeddingOps.annBruteTopKNative _),
     "ann_lsh_bucket"         -> (EmbeddingOps.annLshBucket _),
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
-    "ann_ivf_probe2"         -> (EmbeddingOps.annIvfProbe2 _),
+    "ann_ivf_p2"         -> (EmbeddingOps.annIvfProbe2 _),
     "ann_recall"             -> (EmbeddingOps.annRecall _),
     "ann_recall_cl"   -> (EmbeddingOps.annRecallClustered _),
     "ivf_train"       -> (EmbeddingOps.annRecallTrained _),
@@ -101,7 +101,7 @@ object SparkEntry {
     "mm_meta"                -> (MultimodalOps.mmMeta _),
     "mm_decode"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
-    "text_pii_redact"        -> (PipelineOps.piiRedact _),
+    "pii_redact"        -> (PipelineOps.piiRedact _),
     "strat_sample"      -> (PipelineOps.sampleStratified _),
     "text_tfidf_topk"        -> (PipelineOps.tfidfTopK _),
     "events_funnel"          -> (PipelineOps.eventsFunnel _),
@@ -144,7 +144,7 @@ object SparkEntry {
     // Training-data shaping: windowed chunking + lexical retrieval
     "chunks"            -> (TextOps.docChunks _),
     "bm25"              -> (TextOps.bm25Search _),
-    "bm25_lngate"       -> (TextOps.bm25LnGate _),
+    "bm25_ln"       -> (TextOps.bm25LnGate _),
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zorder"            -> (LayoutOps.zorderKeys _),
   )
@@ -458,7 +458,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "dedup_exact" ->
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
-    "median_by_group" ->
+    "median_grp" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
          FROM part GROUP BY 1 ORDER BY 1""",
     "impute_median" ->
@@ -523,7 +523,7 @@ object SparkEntry {
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-    "filter_pushdown" ->
+    "pushdown" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem
          WHERE l_quantity > 40 AND l_discount >= 0.05 AND l_returnflag <> 'R'
          ORDER BY l_orderkey, l_partkey""",
@@ -690,7 +690,7 @@ object SparkEntry {
             AS types_cat,
           COUNT(*) AS n
           FROM part GROUP BY 1 ORDER BY 1""",
-    "ntile_quartiles" ->
+    "ntile" ->
       """SELECT p_brand, p_partkey,
          CAST(ntile(4) OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
@@ -787,13 +787,13 @@ object SparkEntry {
           FROM t ORDER BY doc_id"""
     },
     "text_langid" -> langIdSql,
-    "text_fingerprint" ->
+    "text_fp" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
     // TextOps.textRepSignals: Gopher-family repetition signals over
     // token bigrams; fractions are a single long→double division so
     // both engines agree bitwise. Docs with <2 tokens have no bigrams
     // and drop out on both sides.
-    "text_rep_signals" ->
+    "text_reps" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           bg AS (SELECT doc_id,
                    unnest(list_transform(range(1, len(toks)),
@@ -861,7 +861,7 @@ object SparkEntry {
     "ann_native" -> bruteAnnSql(),
     "ann_lsh_bucket" -> lshAnnSql(),
     "ann_ivf" -> ivfSql(nprobe = 1),
-    "ann_ivf_probe2" -> ivfSql(nprobe = 2),
+    "ann_ivf_p2" -> ivfSql(nprobe = 2),
     // EmbeddingOps.annRecall: engine-parity recall gate on the RAW
     // (uniform-random, so near-chance-recall) corpus.
     "ann_recall" -> annRecallSql(rawCorpusCtes),
@@ -940,7 +940,7 @@ object SparkEntry {
     // same three RE2/Java-compatible patterns, same redaction order
     // (emails, then IPs, then phones). Patterns are derived from the
     // one Scala constant set so the two engines cannot drift.
-    "text_pii_redact" -> {
+    "pii_redact" -> {
       val email = PipelineOps.EmailRe
       val ipv4 = PipelineOps.Ipv4Re
       val phone = PipelineOps.PhoneRe
@@ -1545,7 +1545,7 @@ object SparkEntry {
     // quantization is what makes a libm last-ulp divergence unable to
     // flip a rank), so the overlap COUNT matches exactly and the
     // >=3/4-overlap gate is expected TRUE.
-    "bm25_lngate" -> {
+    "bm25_ln" -> {
       val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
       val (k1, b, k1p1) = (TextOps.Bm25K1, TextOps.Bm25B, TextOps.Bm25K1 + 1.0)
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -28,9 +28,9 @@ class EmptyInputSpec extends AnyFunSuite {
   // n=0, a DQ suite must report every check passing — vanishing would
   // be the bug. Their row counts are pinned below instead.
   private val fixedShape = Map("profile" -> 6L, "profile_approx" -> 6L, "dq" -> 7L,
-    // one-row global gate: n_match=0 / NULL revenue / TRUE bounds on
-    // empty input (both engines agree a grand aggregate emits one row)
-    "bloom" -> 1L)
+    // one-row global gates: a grand aggregate emits one row on empty
+    // input in both engines (n=0 / NULL metrics / vacuous-TRUE bounds)
+    "bloom" -> 1L, "sk_merge" -> 1L, "bm25_ln" -> 1L)
 
   test("every registered query runs on empty tables and yields zero rows") {
     DedupOps.clearCaches(spark) // don't serve another suite's substrate

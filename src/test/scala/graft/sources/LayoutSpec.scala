@@ -67,6 +67,35 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() > 0 && pruned.count() < full.count())
   }
 
+  test("dynamic partition pruning: a dim predicate prunes fact partitions at runtime") {
+    import spark.implicits._
+    // the runtime complement of the static partition-pruning test
+    // above: the year is only known after filtering the dim, so the
+    // fact scan must receive a DYNAMIC pruning subquery (DPP reuses
+    // the broadcast). Note the dim predicate is an equality on a
+    // literal — the rule only fires for likely-selective predicates
+    // (a bare boolean attribute does not qualify).
+    val out = "/tmp/graft_layout/orders_by_year_dpp"
+    Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("order_year").parquet(out)
+    val fact = spark.read.parquet(out)
+    val dimPath = "/tmp/graft_layout/year_dim"
+    Seq((1995, "current"), (1996, "past"), (1997, "past"), (1998, "past"))
+      .toDF("order_year", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val j = fact.join(dim.filter(col("tag") === "current"), Seq("order_year"))
+      .groupBy("order_year").agg(count(lit(1)).as("n"))
+    val rows = j.collect()
+    val s = j.queryExecution.executedPlan.toString()
+    assert(s.contains("dynamicpruning"),
+      s"no dynamic pruning subquery on the fact scan:\n$s")
+    // and the pruned plan returns exactly the statically-filtered count
+    val want = fact.filter(col("order_year") === 1995).count()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((1995, want)),
+      s"DPP result diverged: ${rows.toSeq} vs $want")
+  }
+
   test("IVF cell-partitioned corpus: a probe's scan prunes to its cells' files") {
     // the annIvf scaladoc claims "at real scale the corpus is written
     // partitioned by cell, so a query touches one partition" — prove
