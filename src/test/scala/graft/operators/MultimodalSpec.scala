@@ -391,6 +391,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plain.frame_ts === Some("0,750,1500,2250"), s"$plain")
   }
 
+  test("hostile stts tables never throw, hang, or leak garbage timestamps") {
+    def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    val a = "US-ASCII"
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ name.getBytes(a) ++ payload
+    val mvhdBody = be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(3000)
+    def mp4With(stblKids: Array[Byte]): Array[Byte] = {
+      val moov = box("moov", box("mvhd", mvhdBody) ++
+        box("trak", box("mdia", box("minf", box("stbl", stblKids)))))
+      be32(16) ++ "ftyp".getBytes(a) ++ "isom".getBytes(a) ++ be32(0) ++ moov
+    }
+    val uniform = Some("0,750,1500,2250")
+    // entry_count far beyond the box payload: the count guard must
+    // reject it before any walk, not index off the array
+    val bombCount = mp4With(box("stts", be32(0) ++ be32(0x7fffffffL) ++ be32(1) ++ be32(1)))
+    val f1 = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(80L, bombCount, "video"))
+    assert(f1.frame_ts === uniform, s"entry-count bomb leaked: $f1")
+    // 2^32-scale counts x deltas: cumulative DTS must overflow-guard
+    // to fallback, never wrap negative into "real" stamps
+    val bombMul = mp4With(box("stts",
+      be32(0) ++ be32(2) ++
+        be32(0xffffffffL) ++ be32(0xffffffffL) ++
+        be32(0xffffffffL) ++ be32(0xffffffffL)))
+    val f2 = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(81L, bombMul, "video"))
+    assert(f2.frame_ts === uniform, s"overflow wrapped into stamps: $f2")
+    // stts child box whose size runs past its parent stbl: the child
+    // walk must stop at the boundary and fall back
+    val overrun = mp4With(be32(4096) ++ "stts".getBytes(a) ++ be32(0) ++ be32(1))
+    val f3 = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(82L, overrun, "video"))
+    assert(f3.frame_ts === uniform, s"overrun child leaked: $f3")
+    // zero-delta table (all samples at DTS 0) is structurally valid:
+    // stamps are real (all zero), not garbage
+    val zeroDelta = mp4With(box("stts", be32(0) ++ be32(1) ++ be32(4) ++ be32(0)))
+    val f4 = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(83L, zeroDelta, "video"))
+    assert(f4.frame_ts === Some("0,0,0,0"), s"zero-delta mishandled: $f4")
+  }
+
   test("non-media payloads fall through to the deterministic stub") {
     val blob = MultimodalOps.MediaBlob(2L, "hello world".getBytes, "audio")
     val f = MultimodalOps.decodeOne(blob)
