@@ -388,4 +388,38 @@ class OperatorSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(top.forall(r => hits(r.getLong(0))), "scored doc without any term")
   }
+
+  test("bm25_ln: both rankings full, overlap within bounds, gate consistent") {
+    val r = TextOps.bm25LnGate(spark, sf).collect()
+    assert(r.length === 1)
+    val (nRatio, nLn, nOv, gate) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getBoolean(3))
+    assert(nOv <= math.min(nRatio, nLn), "overlap exceeds a ranking size")
+    assert(nRatio <= TextOps.Bm25TopK && nLn <= TextOps.Bm25TopK)
+    assert(gate === (nOv * 4 >= nRatio * 3), "gate inconsistent with counts")
+  }
+
+  test("sk_merge: union-of-halves sketch equals from-scratch and is 5pct-accurate") {
+    val r = StatOps.sketchMergeGate(spark, sf).collect()
+    assert(r.length === 1)
+    assert(r(0).getBoolean(1), "merged sketch != from-scratch sketch")
+    assert(r(0).getBoolean(2), "merged estimate drifted past 5% of exact")
+    assert(r(0).getLong(0) > 0, "exact distinct count missing")
+  }
+
+  test("skew_join: fold preserves every event and the hot key dominates") {
+    import org.apache.spark.sql.functions._
+    val out = StatOps.skewJoin(spark, sf).collect()
+    assert(out.nonEmpty)
+    // the inner join loses nothing: every user_id is a valid custkey
+    val total = out.map(_.getLong(1)).sum
+    val nEvents = graft.sources.Tables.events(spark, sf).count()
+    assert(total === nEvents, s"join dropped events: $total != $nEvents")
+    // the fold is real skew: customer 0's segment absorbs >= 50% of rows
+    val hotSeg = graft.sources.Tables.customer(spark, sf)
+      .filter(col("c_custkey") === 0).select("c_mktsegment")
+      .head().getString(0)
+    val hotN = out.find(_.getString(0) == hotSeg).map(_.getLong(1)).getOrElse(0L)
+    assert(hotN * 2 >= nEvents, s"hot segment only $hotN of $nEvents")
+  }
 }
