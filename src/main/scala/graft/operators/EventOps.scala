@@ -13,14 +13,15 @@ import graft.util.Num._
   *
   * The events parquet stores TIMESTAMP(MICROS) without timezone, which
   * Spark reads as TIMESTAMP_NTZ. All window math happens on whole
-  * epoch seconds via `unix_timestamp` (session timezone is UTC, so the
-  * NTZ wall clock IS the epoch instant — same convention as the
-  * DuckDB oracle's `floor(epoch(ts))`), in integer arithmetic (`DIV`)
-  * so bucket boundaries are exact.
+  * epoch seconds via the shared [[TimeSeriesOps.epochSecExpr]]
+  * (session timezone is UTC, so the NTZ wall clock IS the epoch
+  * instant — same convention as the DuckDB oracle's
+  * `floor(epoch(ts))`), in integer arithmetic (`DIV`) so bucket
+  * boundaries are exact.
   */
 object EventOps {
 
-  private def epochSec = expr("unix_timestamp(ts)")
+  private def epochSec = TimeSeriesOps.epochSecExpr("ts")
 
   /** Tumbling 5-minute windows per event type: count + exact value sum.
     * Batch twin of `window($"ts", "5 minutes")` — bucket arithmetic is
@@ -115,7 +116,7 @@ object EventOps {
     */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-      .select(col("user_id"), expr("unix_timestamp(ts) DIV 86400").as("day"))
+      .select(col("user_id"), TimeSeriesOps.epochDayExpr("ts").as("day"))
     val cohorts = e.groupBy("user_id").agg(min("day").as("cohort_day"))
     e.join(cohorts, Seq("user_id"))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))

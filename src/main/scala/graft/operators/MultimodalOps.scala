@@ -248,18 +248,24 @@ object MultimodalOps {
   }
 
   /** Real frame-sample plan from the track sample tables — pure box
-    * walking, no codec: moov → trak → mdia → minf → stbl, decode
-    * `stts` (ISO 14496-12 §8.6.1.2: entry_count × (sample_count,
-    * sample_delta) run-length DTS deltas) and cross-check `stsz`'s
-    * sample_count when present, then emit the decoding timestamps of
-    * FrameSamples evenly-spaced samples (i-th = sample ⌊total·i/K⌋)
-    * in MEDIA-timescale units. The first trak carrying a valid stts
-    * wins. Every arithmetic step is overflow-guarded (32-bit counts ×
-    * 32-bit deltas can exceed Long via crafted tables) and every
-    * structural violation — including an stsz that disagrees with
-    * stts — returns None, falling back to the uniform mvhd plan.
+    * walking, no codec: moov → trak → mdia → {mdhd, minf → stbl},
+    * decode `stts` (ISO 14496-12 §8.6.1.2: entry_count ×
+    * (sample_count, sample_delta) run-length DTS deltas), cross-check
+    * `stsz`'s sample_count when present, and emit the decoding
+    * timestamps of FrameSamples evenly-spaced samples (i-th = sample
+    * ⌊total·i/K⌋). Stamps are converted from the track's MEDIA
+    * timescale (mdhd) to MOVIE-timescale units (⌊dts·movieTs/
+    * mediaTs⌋) so the column has ONE unit contract whether this plan
+    * or the uniform mvhd fallback produced it — a consumer never has
+    * to re-parse the file to know what the numbers mean. The first
+    * trak carrying mdhd + valid stts wins. Every arithmetic step is
+    * overflow-guarded (32-bit counts × 32-bit deltas, and the
+    * timescale conversion product, can exceed Long via crafted
+    * tables) and every structural violation — a missing mdhd, an
+    * stsz that disagrees with stts — returns None, falling back to
+    * the uniform mvhd plan.
     */
-  private[operators] def mp4SampleTs(p: Array[Byte]): Option[String] = {
+  private[operators] def mp4SampleTs(p: Array[Byte], movieTs: Long): Option[String] = {
     def ascii(off: Int) = new String(p, off, 4, "US-ASCII")
     def beInt(off: Int): Long =
       ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
@@ -288,7 +294,23 @@ object MultimodalOps {
       }
     def child(start: Long, end: Long, name: String): Option[(Long, Long)] =
       kids(start, end).collectFirst { case (n, s, e) if n == name => (s, e) }
-    def sttsPlan(s: Long, e: Long, stsz: Option[(Long, Long)]): Option[String] = {
+    // mdhd: version(1)+flags(3), then v0 ctime/mtime 4+4 or v1 8+8,
+    // then the 32-bit media timescale
+    def mdhdTimescale(ds: Long, de: Long): Option[Long] =
+      child(ds, de, "mdhd").flatMap { case (hs, he) =>
+        if (hs + 4 > he) None
+        else {
+          val v = p(hs.toInt) & 0xff
+          val tsOff = if (v == 1) hs + 4 + 16 else hs + 4 + 8
+          if (tsOff + 4 > he) None
+          else {
+            val t = beInt(tsOff.toInt)
+            if (t > 0) Some(t) else None
+          }
+        }
+      }
+    def sttsPlan(s: Long, e: Long, mediaTs: Long,
+                 stsz: Option[(Long, Long)]): Option[String] = {
       if (s + 8 > e) return None
       val entries = beInt(s.toInt + 4)
       if (entries < 0 || entries > (e - s - 8) / 8) return None
@@ -313,13 +335,23 @@ object MultimodalOps {
         var seen = 0L
         var dts = 0L
         var ei = 0L
-        var out = -1L
-        while (out < 0 && ei < entries) {
+        var found = false
+        var out = 0L
+        while (!found && ei < entries) {
           val off = (s + 8 + ei * 8).toInt
           val cnt = beInt(off)
           val delta = beInt(off + 4)
-          if (idx < seen + cnt) out = dts + (idx - seen) * delta
-          else {
+          if (idx < seen + cnt) {
+            // matching branch needs its own product guard: (idx−seen)
+            // < cnt but both factors are 32-bit, so the product alone
+            // can wrap Long — a wrapped value must fall back, never
+            // leak as a plausible stamp
+            val n = idx - seen
+            if (n != 0 && delta != 0 &&
+                delta > (Long.MaxValue - dts) / n) return None
+            out = dts + n * delta
+            found = true
+          } else {
             if (cnt != 0 && delta != 0 &&
                 delta > (Long.MaxValue - dts) / cnt) return None
             dts += cnt * delta
@@ -327,21 +359,24 @@ object MultimodalOps {
           }
           ei += 1
         }
-        if (out < 0) return None
-        out
+        if (!found) return None
+        // media → movie timescale (floor); guard the product
+        if (out != 0 && movieTs > Long.MaxValue / out) return None
+        out * movieTs / mediaTs
       }
       Some(stamps.mkString(","))
     }
-    if (p.length < 16 || ascii(4) != "ftyp") return None
+    if (p.length < 16 || ascii(4) != "ftyp" || movieTs <= 0) return None
     for {
       (ms, me) <- child(0L, p.length.toLong, "moov")
       plan <- kids(ms, me).collect { case ("trak", ts, te) =>
         for {
           (ds, de) <- child(ts, te, "mdia")
+          mts <- mdhdTimescale(ds, de)
           (fs, fe) <- child(ds, de, "minf")
           (bs, be) <- child(fs, fe, "stbl")
           (ss, se) <- child(bs, be, "stts")
-          out <- sttsPlan(ss, se, child(bs, be, "stsz"))
+          out <- sttsPlan(ss, se, mts, child(bs, be, "stsz"))
         } yield out
       }.collectFirst { case Some(v) => v }
     } yield plan
@@ -632,10 +667,12 @@ object MultimodalOps {
       if (dims.isEmpty) None
       else pngFeatures(b.payload).orElse(jpegFeatures(b.payload))
         .orElse(wavFeatures(b.payload))
-    // prefer the REAL sample-table plan (stts/stsz); fall back to the
-    // uniform mvhd-duration split when no track carries a valid stts
-    val frames = mvhd.map { case (_, dur) =>
-      mp4SampleTs(b.payload).getOrElse(frameTsOf(dur)) }
+    // prefer the REAL sample-table plan (stts/stsz, converted to
+    // movie-timescale units); fall back to the uniform mvhd-duration
+    // split when no track carries mdhd + a valid stts — either way
+    // frame_ts carries ONE unit contract (movie timescale)
+    val frames = mvhd.map { case (mts, dur) =>
+      mp4SampleTs(b.payload, mts).getOrElse(frameTsOf(dur)) }
     val mean =
       if (n == 0) 0.0
       else b.payload.foldLeft(0L)((acc, x) => acc + (x & 0xff)).toDouble / n

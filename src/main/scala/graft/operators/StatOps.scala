@@ -501,7 +501,7 @@ object StatOps {
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        expr("unix_timestamp(ts)").as("es"))
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
     val w = Window.partitionBy("user_id").orderBy("es")
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("last_signup_es",

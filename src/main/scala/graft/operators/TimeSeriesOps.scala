@@ -25,17 +25,18 @@ object TimeSeriesOps {
     * TIMESTAMP_NTZ, which has no direct long cast — routing through
     * TIMESTAMP uses the session timezone, pinned to UTC by
     * GraftSession, so this equals DuckDB's epoch() exactly. Shared by
-    * every operator that day/second-indexes orders (incrAgg,
-    * profileTable) so a timezone-semantics fix lands once.
+    * EVERY operator that second-indexes a timestamp column — orders
+    * (incrAgg, profileTable) and events (EventOps, StatOps.asofJoin,
+    * streaming.EventStream) — so a timezone-semantics fix lands once.
     */
-  private[operators] def epochSecExpr(colName: String) =
+  private[graft] def epochSecExpr(colName: String) =
     expr(s"CAST(CAST($colName AS TIMESTAMP) AS LONG)")
 
   /** Epoch-day index: integer DIV on epoch seconds (a double divide
     * would be exact here, but integer math keeps the oracle trivially
     * identical).
     */
-  private[operators] def epochDayExpr(colName: String) =
+  private[graft] def epochDayExpr(colName: String) =
     expr(s"CAST(CAST($colName AS TIMESTAMP) AS LONG) DIV 86400")
 
   /** Calendar gap-fill: daily order count + exact revenue per

@@ -38,7 +38,8 @@ object EventStream {
       .parquet(dir)
       // whole-second truncation, SAME rounding as the batch twins'
       // unix_timestamp bucket math, so stream ≡ batch comparisons hold
-      .withColumn("event_time", timestamp_seconds(expr("unix_timestamp(ts)")))
+      .withColumn("event_time",
+        timestamp_seconds(graft.operators.TimeSeriesOps.epochSecExpr("ts")))
 
   /** Tumbling 5-minute window per event type with a 10-minute
     * watermark — the streaming twin of EventOps.tumblingWindow.
@@ -165,8 +166,9 @@ object EventStream {
   def statefulSessions(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
     import spark.implicits._
     val evs = events.select(col("user_id"),
-        expr("unix_timestamp(ts)").as("es"), col("value"),
-        timestamp_seconds(expr("unix_timestamp(ts)")).as("event_ts"))
+        graft.operators.TimeSeriesOps.epochSecExpr("ts").as("es"), col("value"),
+        timestamp_seconds(
+          graft.operators.TimeSeriesOps.epochSecExpr("ts")).as("event_ts"))
       .withWatermark("event_ts", "30 minutes")
       .as[Ev]
     evs.groupByKey(_.user_id)

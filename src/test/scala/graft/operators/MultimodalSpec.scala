@@ -337,7 +337,8 @@ class MultimodalSpec extends AnyFunSuite {
   }
 
   private def mp4WithStts(timescale: Int, duration: Long,
-      entries: Seq[(Int, Int)], stszCount: Option[Int] = None): Array[Byte] = {
+      entries: Seq[(Int, Int)], stszCount: Option[Int] = None,
+      mediaTs: Option[Int] = None, withMdhd: Boolean = true): Array[Byte] = {
     def be32(v: Long): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
       ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
     val a = "US-ASCII"
@@ -345,11 +346,16 @@ class MultimodalSpec extends AnyFunSuite {
       be32(8L + payload.length) ++ name.getBytes(a) ++ payload
     val mvhdBody = be32(0) ++ be32(0) ++ be32(0) ++
       be32(timescale) ++ be32(duration) // v0: ver+flags, ctime, mtime
+    // mdhd v0: ver+flags, ctime, mtime, media timescale, duration
+    val mdhd =
+      if (withMdhd) box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+        be32(mediaTs.getOrElse(timescale).toLong) ++ be32(0))
+      else Array.empty[Byte]
     val stts = box("stts", be32(0) ++ be32(entries.size) ++
       entries.toArray.flatMap { case (c, d) => be32(c) ++ be32(d) })
     val stsz = stszCount.map(n => box("stsz", be32(0) ++ be32(0) ++ be32(n)))
       .getOrElse(Array.empty[Byte])
-    val trak = box("trak", box("mdia", box("minf",
+    val trak = box("trak", box("mdia", mdhd ++ box("minf",
       box("stbl", stts ++ stsz))))
     val moov = box("moov", box("mvhd", mvhdBody) ++ trak)
     be32(16) ++ "ftyp".getBytes(a) ++ "isom".getBytes(a) ++ be32(0) ++ moov
@@ -374,6 +380,12 @@ class MultimodalSpec extends AnyFunSuite {
     val ok = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(73L,
       mp4WithStts(600, 3000, Seq((2, 100), (2, 50)), stszCount = Some(4)), "video"))
     assert(ok.frame_ts === Some("0,100,200,250"), s"$ok")
+    // media timescale ≠ movie timescale: stamps convert to MOVIE units
+    // (mdhd 1200 ticks/s vs mvhd 600 ⇒ every DTS halves) — one unit
+    // contract with the uniform fallback
+    val cv = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(77L,
+      mp4WithStts(600, 3000, Seq((2, 100), (2, 50)), mediaTs = Some(1200)), "video"))
+    assert(cv.frame_ts === Some("0,50,100,125"), s"$cv")
   }
 
   test("frame-sample: structural stts violations fall back to the uniform plan") {
@@ -389,6 +401,11 @@ class MultimodalSpec extends AnyFunSuite {
     val plain = MultimodalOps.decodeOne(
       MultimodalOps.MediaBlob(76L, mp4Header(600, 3000), "video"))
     assert(plain.frame_ts === Some("0,750,1500,2250"), s"$plain")
+    // stts without mdhd: the media timescale is unknowable, so the
+    // stamps would be unit-less — must fall back, not guess
+    val noMdhd = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(78L,
+      mp4WithStts(600, 3000, Seq((2, 100), (2, 50)), withMdhd = false), "video"))
+    assert(noMdhd.frame_ts === Some("0,750,1500,2250"), s"$noMdhd")
   }
 
   test("hostile stts tables never throw, hang, or leak garbage timestamps") {
@@ -398,9 +415,10 @@ class MultimodalSpec extends AnyFunSuite {
     def box(name: String, payload: Array[Byte]): Array[Byte] =
       be32(8L + payload.length) ++ name.getBytes(a) ++ payload
     val mvhdBody = be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(3000)
+    val mdhd = box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(600) ++ be32(0))
     def mp4With(stblKids: Array[Byte]): Array[Byte] = {
       val moov = box("moov", box("mvhd", mvhdBody) ++
-        box("trak", box("mdia", box("minf", box("stbl", stblKids)))))
+        box("trak", box("mdia", mdhd ++ box("minf", box("stbl", stblKids)))))
       be32(16) ++ "ftyp".getBytes(a) ++ "isom".getBytes(a) ++ be32(0) ++ moov
     }
     val uniform = Some("0,750,1500,2250")
@@ -427,6 +445,17 @@ class MultimodalSpec extends AnyFunSuite {
     val zeroDelta = mp4With(box("stts", be32(0) ++ be32(1) ++ be32(4) ++ be32(0)))
     val f4 = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(83L, zeroDelta, "video"))
     assert(f4.frame_ts === Some("0,0,0,0"), s"zero-delta mishandled: $f4")
+    // the MATCHING branch's own product: entry 1 accumulates a huge
+    // dts under the cumulative guard, then a frame index lands inside
+    // entry 2 where (idx-seen)*delta alone wraps Long — must fall
+    // back, not emit the wrapped value recomputed against entry 3
+    val bombMatch = mp4With(box("stts",
+      be32(0) ++ be32(3) ++
+        be32(0x40000000L) ++ be32(4) ++            // dts -> 2^32, seen 2^30
+        be32(0xffffffffL) ++ be32(0xffffffffL) ++  // idx lands here: product wraps
+        be32(0x40000000L) ++ be32(0)))             // a delta-0 decoy tail
+    val f5 = MultimodalOps.decodeOne(MultimodalOps.MediaBlob(84L, bombMatch, "video"))
+    assert(f5.frame_ts === uniform, s"matching-branch overflow leaked: $f5")
   }
 
   test("non-media payloads fall through to the deterministic stub") {

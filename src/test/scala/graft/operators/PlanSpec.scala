@@ -382,6 +382,9 @@ class PlanSpec extends AnyFunSuite {
     graft.sources.Tables.customer(spark, "/root/testdata/sf0.01")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$skewDir/customer.parquet")
+    // baseline BEFORE any conf mutation: genuinely default thresholds,
+    // so the later equality really compares split vs unsplit
+    val plain = StatOps.skewJoin(spark, "/root/testdata/sf0.01").collect()
     val keep = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
@@ -398,9 +401,8 @@ class PlanSpec extends AnyFunSuite {
       val s = planString(df)
       assert(s.contains("skew=true"),
         s"expected an isSkewJoin SortMergeJoin in the final adaptive plan:\n$s")
-      // and the split preserved results: same rows as the plain run
-      // over the single-file tables (default thresholds, no split)
-      val plain = StatOps.skewJoin(spark, "/root/testdata/sf0.01").collect()
+      // and the split preserved results: same rows as the unsplit
+      // default-config run captured above
       assert(rows.map(_.toString).toSeq === plain.map(_.toString).toSeq,
         "skew-split run diverged from the unsplit run")
     } finally keep.foreach {

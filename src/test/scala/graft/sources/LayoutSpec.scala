@@ -119,12 +119,14 @@ class LayoutSpec extends AnyFunSuite {
       .select("cent_id").collect().map(_.getLong(0)).toSeq
     assert(probeCells.length === 2)
     val probed = stored.filter(col("cell").isin(probeCells: _*))
-    // the partition predicate must reach file listing, not row filters
+    // the partition predicate must reach file listing, not row
+    // filters: the cell reference must sit INSIDE the
+    // PartitionFilters bracket itself (a plan that merely mentions
+    // cell# in a downstream Filter node must not pass)
     val s = probed.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(s.contains("PartitionFilters") &&
-      s.replaceAll("\\s", "").contains("cellIN") ||
-      s.replaceAll("\\s", "").contains("cell#"),
+    val partFilter = "PartitionFilters:\\s*\\[[^\\]]*cell".r
+    assert(partFilter.findFirstIn(s).isDefined,
       s"cell predicate not pruned at listing time:\n$s")
     // files actually opened ~ nprobe/K of the corpus (2 of 32 cells)
     val touched = probed.select(input_file_name()).distinct().count()
