@@ -52,6 +52,7 @@ object SparkEntry {
     "sessionize"      -> (EventOps.sessionize _),
     "events_json"            -> (EventOps.jsonExtract _),
     "json_funcs"             -> (EventOps.jsonFuncs _),
+    "variant"          -> (EventOps.variantFuncs _),
     "attribution"     -> (EventOps.clickAttribution _),
     "string_funcs"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
@@ -103,7 +104,7 @@ object SparkEntry {
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "pii_redact"        -> (PipelineOps.piiRedact _),
     "strat_sample"      -> (PipelineOps.sampleStratified _),
-    "text_tfidf_topk"        -> (PipelineOps.tfidfTopK _),
+    "tfidf"        -> (PipelineOps.tfidfTopK _),
     "events_funnel"          -> (PipelineOps.eventsFunnel _),
     "merge_upsert"           -> (PipelineOps.mergeUpsert _),
     "pack_sequences"         -> (PipelineOps.packSequences _),
@@ -600,6 +601,17 @@ object SparkEntry {
                   CAST(json_extract(props, '$.k') AS BIGINT) + 1]) AS rt_arr,
          json_extract(props, '$.missing') IS NULL AS miss_null
          FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
+    // EventOps.variantFuncs: DuckDB replicates the typed reads with
+    // its JSON functions; the inferred-schema string is pinned as a
+    // literal (every props payload is {"k": int} — a row deviating
+    // from that shape flips schema_of_variant and fails the hash).
+    "variant" ->
+      """SELECT event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+         CAST(json(props) AS VARCHAR) AS rt,
+         'OBJECT<k: BIGINT>' AS sch,
+         json_extract(props, '$.missing') IS NULL AS miss_null
+         FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
     "attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
@@ -969,7 +981,7 @@ object SparkEntry {
     // PipelineOps.tfidfTopK: score = tf * (N / df) uses only
     // correctly-rounded IEEE ops (÷ then ×), so the doubles — and the
     // rank order they induce — are bitwise identical on both engines.
-    "text_tfidf_topk" ->
+    "tfidf" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           toks AS (SELECT doc_id, unnest(toks) AS term FROM t),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),

@@ -161,6 +161,31 @@ object EventOps {
     * to_json keeps null fields explicit (ignoreNullFields=false) so
     * both engines print `{"k":null}`, not a field-dropping `{}`.
     */
+  /** VARIANT semi-structured surface (Spark 4's open-schema path,
+    * next to jsonFuncs' fixed-schema from_json): `try_parse_json`
+    * parses each payload ONCE into the binary VARIANT encoding —
+    * shredded, typed access without declaring a schema up front —
+    * then `variant_get` extracts a typed field, `to_json` round-trips,
+    * and `schema_of_variant` reports the per-row inferred shape. At
+    * 100 TB this is the ingest-side answer to heterogeneous payloads:
+    * parse once into VARIANT at the edge, let every downstream
+    * consumer do typed point reads without re-parsing text. Same
+    * deterministic 10% slice as jsonFuncs (semantic-parity gate, not
+    * a scan benchmark); the oracle replicates with DuckDB's JSON
+    * functions and pins the inferred schema string as a literal — a
+    * malformed payload would flip it and fail the hash.
+    */
+  def variantFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), try_parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'long')").as("k_long"),
+        expr("to_json(v)").as("rt"),
+        expr("schema_of_variant(v)").as("sch"),
+        expr("variant_get(v, '$.missing', 'string')").isNull.as("miss_null"))
+      .orderBy("event_id")
+
   def jsonFuncs(spark: SparkSession, dir: String): DataFrame =
     // two projections, deliberately: JsonToStructs is a non-codegen
     // parse, and CollapseProject keeps a multiply-referenced expensive

@@ -25,8 +25,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    static side is broadcast once and the join is STATELESS — no
   *    watermark, no state store, exactly the shape Structured
   *    Streaming supports today.
-  *  - quota: `flatMapGroupsWithState` keyed by source with ONE Long of
-  *    state per source (documents admitted so far). State is
+  *  - quota: keyed by source with ONE Long of state per source
+  *    (documents admitted so far), on BOTH stateful backends — the
+  *    classic `flatMapGroupsWithState` (ingestCorpus) and Spark 4's
+  *    `transformWithState` StatefulProcessor (ingestCorpusTws, RocksDB
+  *    state store) — sharing one admission function, with a spec
+  *    pinning backend equivalence. State is
   *    O(#sources × 8 bytes) with NoTimeout — deliberate: a quota must
   *    remember its count forever or it is not a quota, and the key
   *    space (crawl domains) is bounded, unlike fingerprints. Semantic
@@ -77,7 +81,24 @@ object DocStream {
   def ingestCorpus(spark: SparkSession, docs: DataFrame, evalFps: DataFrame,
                    quota: Int = graft.operators.PipelineOps.SourceQuota): Dataset[DocRow] = {
     import spark.implicits._
-    val survivors = docs
+    corpusSurvivors(spark, docs, evalFps).groupByKey(_.source)
+      .flatMapGroupsWithState[Long, DocRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val keep = admitSmallest(it, quota, admitted)
+          if (keep.nonEmpty) state.update(admitted + keep.size)
+          keep.iterator
+      }
+  }
+
+  /** The three stateless-or-bounded pre-quota stages, shared by both
+    * quota backends (flatMapGroupsWithState and transformWithState).
+    */
+  private def corpusSurvivors(spark: SparkSession, docs: DataFrame,
+                              evalFps: DataFrame): Dataset[DocRow] = {
+    import spark.implicits._
+    docs
       .withColumn("n_tokens",
         size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
       .filter(col("n_tokens") >= graft.operators.PipelineOps.CorpusMinTokens)
@@ -94,34 +115,67 @@ object DocStream {
       .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_anti")
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"))
       .as[DocRow]
-    survivors.groupByKey(_.source)
-      .flatMapGroupsWithState[Long, DocRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (_, it, state: GroupState[Long]) =>
-          val admitted = state.getOption.getOrElse(0L)
-          val room = math.max(0L, quota.toLong - admitted).toInt
-          if (room == 0) {
-            // quota exhausted: a hot source must cost O(1), not a full
-            // materialize+sort of every later micro-batch group
-            Iterator.empty
-          } else {
-            // doc_id order within the micro-batch: deterministic under
-            // replay of the same batch sequence (iterator order is not).
-            // Bounded selection of the `room` smallest doc_ids — a hot
-            // source pays O(group × log room) CPU and O(room) memory,
-            // never O(group) memory for a full sort.
-            val heap = new scala.collection.mutable.PriorityQueue[DocRow]()(
-              Ordering.by(_.doc_id)) // max-heap: evict largest doc_id
-            it.foreach { row =>
-              if (heap.size < room) heap.enqueue(row)
-              else if (row.doc_id < heap.head.doc_id) {
-                heap.dequeue(); heap.enqueue(row)
-              }
-            }
-            val keep = heap.dequeueAll.reverse // ascending doc_id
-            if (keep.nonEmpty) state.update(admitted + keep.size)
-            keep.iterator
-          }
+  }
+
+  /** One micro-batch group's quota admission, shared by both state
+    * backends. doc_id order within the micro-batch: deterministic
+    * under replay of the same batch sequence (iterator order is not).
+    * Bounded selection of the `room` smallest doc_ids — a hot source
+    * pays O(group × log room) CPU and O(room) memory, never O(group)
+    * memory for a full sort; with room == 0 (quota exhausted) it
+    * costs O(1), not a materialize of every later group.
+    */
+  private[streaming] def admitSmallest(it: Iterator[DocRow], quota: Int,
+                                       admitted: Long): Seq[DocRow] = {
+    val room = math.max(0L, quota.toLong - admitted).toInt
+    if (room == 0) Seq.empty
+    else {
+      val heap = new scala.collection.mutable.PriorityQueue[DocRow]()(
+        Ordering.by(_.doc_id)) // max-heap: evict largest doc_id
+      it.foreach { row =>
+        if (heap.size < room) heap.enqueue(row)
+        else if (row.doc_id < heap.head.doc_id) {
+          heap.dequeue(); heap.enqueue(row)
+        }
       }
+      heap.dequeueAll.reverse // ascending doc_id
+    }
+  }
+
+  /** The per-source quota as a Spark 4 `StatefulProcessor` — the
+    * modern stateful API (typed per-key state handles, TTL support,
+    * timers; requires the RocksDB state store provider). Identical
+    * semantics to the flatMapGroupsWithState quota above: ONE Long of
+    * state per source, first-Q-arrivals admission, doc_id-ordered
+    * within a micro-batch. StreamingSpec pins backend equivalence —
+    * same input files, same admitted rows.
+    */
+  final class SourceQuotaProcessor(quota: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DocRow, DocRow] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var admitted: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[DocRow],
+        timerValues: TimerValues): Iterator[DocRow] = {
+      val cur = if (admitted.exists()) admitted.get() else 0L
+      val keep = admitSmallest(rows, quota, cur)
+      if (keep.nonEmpty) admitted.update(cur + keep.size)
+      keep.iterator
+    }
+  }
+
+  /** ingestCorpus on the transformWithState backend. Caller must run
+    * with `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (the API requires it).
+    */
+  def ingestCorpusTws(spark: SparkSession, docs: DataFrame, evalFps: DataFrame,
+                      quota: Int = graft.operators.PipelineOps.SourceQuota): Dataset[DocRow] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    corpusSurvivors(spark, docs, evalFps).groupByKey(_.source)
+      .transformWithState(new SourceQuotaProcessor(quota),
+        TimeMode.None(), OutputMode.Append)
   }
 }

@@ -432,6 +432,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(10L, 11L, 30L), s"quota mis-admitted: $got")
   }
 
+  test("transformWithState quota backend admits the same rows as flatMapGroupsWithState") {
+    import spark.implicits._
+    // same fixture as the quota test above, run through the Spark 4
+    // StatefulProcessor backend (RocksDB state store, required by the
+    // API): backend equivalence means the quota semantics live in the
+    // shared admitSmallest, not in either engine's state plumbing
+    val dir = java.nio.file.Files.createTempDirectory("graft_doctws").toString
+    val t0 = 1700000000L
+    def write(rows: Seq[(Long, String)]): Unit = rows
+      .toDF("doc_id", "source")
+      .select(col("doc_id"), col("source"), lit("en").as("lang"),
+        concat(lit("u"), col("doc_id"),
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota")).as("text"),
+        timestamp_seconds(lit(t0) + col("doc_id")).as("ingest_time"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq((10L, "hot"), (11L, "hot"), (12L, "hot")))
+    write(Seq((13L, "hot"), (14L, "hot"), (30L, "cold")))
+    val keepConf = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("doc_id LONG, source STRING, lang STRING, text STRING, ingest_time TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$dir/in")
+      val q = DocStream.ingestCorpusTws(spark, stream,
+          spark.emptyDataFrame.select(lit("").as("fp")).limit(0), quota = 2)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("doc_tws").start()
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("doc_tws").collect().map(_.getLong(0)).sorted.toSeq
+      // identical to the flatMapGroupsWithState backend's admission
+      assert(got === Seq(10L, 11L, 30L), s"tws backend diverged: $got")
+    } finally keepConf match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming quota: state survives a checkpoint restart and replay is deterministic") {
     import spark.implicits._
     // turns the in-code determinism claim (doc_id sort within a
