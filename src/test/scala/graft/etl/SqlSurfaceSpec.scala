@@ -100,4 +100,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
          ORDER BY periodo""")
     assert(rows(sql) === rows(SalesPipeline.q5SalesByPeriod(c)))
   }
+
+  test("Spark 4 SQL pipe syntax runs Q1 with identical results") {
+    // the modern linear dialect (FROM ... |> WHERE ... |> AGGREGATE):
+    // same analyzed plan space as classic SQL, so parity with the
+    // DataFrame implementation is the whole check — the engine's SQL
+    // surface includes the 4.x dialect, not just SQL-92 shapes
+    val c = cleaned
+    val piped = spark.sql(
+      """FROM vendas v
+         |> INNER JOIN empregados e ON v.id_empregado = e.id_empregado
+         |> AGGREGATE COALESCE(SUM(v.valor_total), 0) AS valor_total
+            GROUP BY e.id_empregado, e.nome
+         |> ORDER BY valor_total DESC""")
+    // pipe AGGREGATE emits group cols first, then aggregates — align
+    val aligned = piped.select("id_empregado", "nome", "valor_total")
+    assert(rows(aligned) === rows(SalesPipeline.q1SalesByEmployee(c)))
+  }
 }
