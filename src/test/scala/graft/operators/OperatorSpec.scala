@@ -141,6 +141,37 @@ class OperatorSpec extends AnyFunSuite {
       s"expected O(log n) convergence on the chain, took $rounds rounds")
   }
 
+  test("WITH RECURSIVE reachability (Spark 4 SQL) agrees with pointer-doubling labels") {
+    // the dedup_clusters ORACLE uses recursive-CTE reachability in
+    // DuckDB; Spark 4 now parses WITH RECURSIVE too (UNION ALL body
+    // only), so an equivalent formulation can run IN-ENGINE and
+    // cross-validate the scalable pointer-doubling implementation.
+    // The fixture's edges are id-ascending (a DAG with finitely many
+    // paths — what UNION ALL recursion needs to terminate); on it,
+    // min-over-ancestors IS the component min-label. General graphs
+    // stay pointer-doubling's job: its O(log n) rounds don't care
+    // about edge direction or cycles.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fwd = ((0L until 7L).map(i => (i, i + 1)) ++ Seq((10L, 11L)))
+      .toDF("src", "dst")
+    val bidir = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val (labels, _) = DedupOps.propagateLabels(bidir)
+    val want = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    DedupOps.releaseTransients(spark)
+    fwd.createOrReplaceTempView("rcte_edges")
+    bidir.select(col("src").as("id")).distinct().createOrReplaceTempView("rcte_nodes")
+    val got = spark.sql(
+      """WITH RECURSIVE reach(id, lbl) AS (
+           SELECT id, id AS lbl FROM rcte_nodes
+           UNION ALL
+           SELECT e.dst AS id, r.lbl FROM rcte_edges e JOIN reach r ON e.src = r.id
+         )
+         SELECT id, MIN(lbl) AS lbl FROM reach GROUP BY id""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want, s"recursive CTE $got != pointer-doubling $want")
+  }
+
   test("minhash-LSH: all emitted pairs verified >= 0.5, planted dups found") {
     val lsh = DedupOps.dedupMinhashLsh(spark, sf).collect()
     assert(lsh.forall(_.getDouble(2) >= 0.5), "unverified candidate leaked")
