@@ -117,4 +117,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val aligned = piped.select("id_empregado", "nome", "valor_total")
     assert(rows(aligned) === rows(SalesPipeline.q1SalesByEmployee(c)))
   }
+
+  test("Spark 4 collations: COLLATE UNICODE_CI folds case in distinct and grouping") {
+    // collation-aware comparison is engine-level (hash/sort keys fold
+    // under the collation — no lower() rewrite, so codegen'd
+    // aggregation keeps working at scale on collated keys)
+    import spark.implicits._
+    Seq("Brand#11", "BRAND#11", "brand#11", "Brand#22").toDF("b")
+      .createOrReplaceTempView("coll_t")
+    assert(spark.sql(
+      "SELECT COUNT(DISTINCT b COLLATE UNICODE_CI) AS n FROM coll_t")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT COUNT(DISTINCT b) AS n FROM coll_t")
+      .head().getLong(0) === 4L) // binary collation still the default
+    val grouped = spark.sql(
+      """SELECT COUNT(*) AS n FROM coll_t
+         GROUP BY b COLLATE UNICODE_CI ORDER BY n DESC""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(grouped === Seq(3L, 1L))
+  }
 }
