@@ -221,4 +221,79 @@ object EventStream {
           }
       }
   }
+
+  /** The sessionizer as a Spark 4 `StatefulProcessor` — identical
+    * semantics to statefulSessions (same envelope merge, same gap
+    * close, same watermark-driven flush), expressed on the modern API:
+    * a typed ValueState[SessionState] per user and an explicit
+    * event-time TIMER standing in for setTimeoutTimestamp. Two
+    * deliberate differences from the fMGWS mechanics, both pinned in
+    * StreamingSpec's backend-equivalence test:
+    *  - timers ACCUMULATE (registerTimer adds; setTimeoutTimestamp
+    *    replaced), so stale gap bounds are deleted before re-arming;
+    *  - a stale timer that still fires (same-batch race between input
+    *    processing and timer expiry) is ignored unless the watermark
+    *    really passed the CURRENT session's bound.
+    */
+  final class SessionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var session: ValueState[SessionState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.es)
+      var cur = if (session.exists()) Some(session.get()) else None
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        cur match {
+          case Some(s) if e.es - s.last <= 1800 =>
+            // min/max envelope extension — see statefulSessions
+            cur = Some(s.copy(start = math.min(s.start, e.es),
+              last = math.max(s.last, e.es), n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            closed += SessionOut(uid, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(e.es, e.es, 1, e.value))
+          case None =>
+            cur = Some(SessionState(e.es, e.es, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((s.last + 1800) * 1000L)
+      }
+      closed.result().iterator
+    }
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (session.exists()) {
+        val s = session.get()
+        // only flush when the watermark genuinely passed the CURRENT
+        // session's bound — a stale timer must not truncate a live one
+        if (timerValues.getCurrentWatermarkInMs() >= (s.last + 1800) * 1000L) {
+          session.clear()
+          Iterator.single(SessionOut(uid, s.start, s.last, s.n, s.total))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** statefulSessions on the transformWithState backend. Caller must
+    * run with the RocksDB state store provider (the API requires it).
+    */
+  def statefulSessionsTws(spark: SparkSession, events: DataFrame): Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val evs = events.select(col("user_id"),
+        graft.operators.TimeSeriesOps.epochSecExpr("ts").as("es"), col("value"),
+        timestamp_seconds(
+          graft.operators.TimeSeriesOps.epochSecExpr("ts")).as("event_ts"))
+      .withWatermark("event_ts", "30 minutes")
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(), OutputMode.Append)
+  }
 }

@@ -432,6 +432,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(10L, 11L, 30L), s"quota mis-admitted: $got")
   }
 
+  test("transformWithState sessionizer matches flatMapGroupsWithState incl. timeout flush") {
+    import spark.implicits._
+    // the sess_flush fixture on BOTH backends: gap-close emission and
+    // the watermark-driven flush of the trailing open session must
+    // produce identical SessionOut sets (the tws side drives the
+    // flush with an explicit event-time timer instead of
+    // setTimeoutTimestamp)
+    val t0 = 1600000000L
+    def run(tag: String,
+            mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[EventStream.SessionOut]): Set[(Long, Long, Long, Long, Double)] = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_sess_$tag").toString
+      def write(rows: Seq[(Long, Long, Double)]): Unit =
+        rows.toDF("user_id", "es", "value")
+          .select(col("user_id"), timestamp_seconds(col("es")).as("ts"), col("value"))
+          .coalesce(1).write.mode("append").parquet(s"$dir/in")
+      write(Seq((1L, t0, 2.0), (1L, t0 + 60, 3.0)))
+      val stream = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+      val q = mk(stream).writeStream.outputMode("append")
+        .format("memory").queryName(s"sess_$tag").start()
+      q.processAllAvailable()
+      // a second user advances the watermark twice so the trailing
+      // session of user 1 flushes deterministically on both backends
+      write(Seq((2L, t0 + 14400, 1.0)))
+      q.processAllAvailable()
+      write(Seq((2L, t0 + 14460, 1.0)))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(s"sess_$tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+    }
+    val fmgws = run("fmgws", df => EventStream.statefulSessions(spark, df))
+    val keepConf = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val tws =
+      try run("tws", df => EventStream.statefulSessionsTws(spark, df))
+      finally keepConf match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    assert(fmgws.contains((1L, t0, t0 + 60, 2L, 5.0)),
+      s"fMGWS baseline lost the flushed session: $fmgws")
+    assert(tws === fmgws, s"backends diverged: tws=$tws fmgws=$fmgws")
+  }
+
   test("transformWithState quota backend admits the same rows as flatMapGroupsWithState") {
     import spark.implicits._
     // same fixture as the quota test above, run through the Spark 4
