@@ -325,19 +325,27 @@ object MultimodalOps {
       if (total <= 0) return None
       // stsz cross-check: a sample-size table that disagrees with the
       // timing table is a structural violation, not a value
-      stsz.foreach { case (zs, ze) =>
-        if (zs + 12 > ze) return None
-        if (beInt(zs.toInt + 8) != total) return None
+      val stszOk = stsz.forall { case (zs, ze) =>
+        zs + 12 <= ze && beInt(zs.toInt + 8) == total
       }
+      if (!stszOk) return None
+      // The stamp loop propagates failure through an `ok` flag, never
+      // a `return` from inside a lambda: one wrapped value must abort
+      // the WHOLE plan, and a closure `return` only works by exception
+      // unwinding (gone in Scala 3, broken if the sequence ever turns
+      // lazy) — the flag keeps the abort explicit and refactor-proof.
       val k = FrameSamples.toLong
-      val stamps = (0L until k).map { fi =>
+      val stamps = new Array[Long](FrameSamples)
+      var fi = 0L
+      var ok = true
+      while (ok && fi < k) {
         val idx = (total / k) * fi + (total % k) * fi / k // ⌊total·fi/k⌋
         var seen = 0L
         var dts = 0L
         var ei = 0L
         var found = false
         var out = 0L
-        while (!found && ei < entries) {
+        while (ok && !found && ei < entries) {
           val off = (s + 8 + ei * 8).toInt
           val cnt = beInt(off)
           val delta = beInt(off + 4)
@@ -348,23 +356,20 @@ object MultimodalOps {
             // leak as a plausible stamp
             val n = idx - seen
             if (n != 0 && delta != 0 &&
-                delta > (Long.MaxValue - dts) / n) return None
-            out = dts + n * delta
-            found = true
+                delta > (Long.MaxValue - dts) / n) ok = false
+            else { out = dts + n * delta; found = true }
           } else {
             if (cnt != 0 && delta != 0 &&
-                delta > (Long.MaxValue - dts) / cnt) return None
-            dts += cnt * delta
-            seen += cnt
+                delta > (Long.MaxValue - dts) / cnt) ok = false
+            else { dts += cnt * delta; seen += cnt }
           }
           ei += 1
         }
-        if (!found) return None
         // media → movie timescale (floor); guard the product
-        if (out != 0 && movieTs > Long.MaxValue / out) return None
-        out * movieTs / mediaTs
+        if (!found || (out != 0 && movieTs > Long.MaxValue / out)) ok = false
+        if (ok) { stamps(fi.toInt) = out * movieTs / mediaTs; fi += 1 }
       }
-      Some(stamps.mkString(","))
+      if (ok) Some(stamps.mkString(",")) else None
     }
     if (p.length < 16 || ascii(4) != "ftyp" || movieTs <= 0) return None
     for {

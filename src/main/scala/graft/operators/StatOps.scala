@@ -396,11 +396,18 @@ object StatOps {
     * independently over two disjoint halves of events (event_id
     * parity), merged with `hll_union_agg`, must land (a) EXACTLY on
     * the from-scratch single-pass sketch and (b) within 5% of the
-    * exact distinct count. (a) is deterministic, not probabilistic:
-    * HLL registers are per-value maxima, so a union of same-lgK
-    * sketches over a partition of the data has bit-identical registers
-    * to one pass over the whole — merge order, data order and
-    * partitioning all cancel. This pins the 100 TB cardinality plan's
+    * exact distinct count. (a) holds because registers are per-value
+    * maxima (a union of same-lgK sketches over a partition of the data
+    * has bit-identical registers to one pass — merge order, data order
+    * and partitioning all cancel) AND both estimates come off the same
+    * estimator path: DataSketches reports the HIP estimate for
+    * streaming-built sketches but the composite estimate for union
+    * results, and identical registers do NOT guarantee identical
+    * estimates across those two paths. Both sides here are
+    * union-derived — Spark funnels partial→final aggregation through
+    * Union merges — which is what makes the equality safe; if partial
+    * aggregation were ever elided the gate would need to compare
+    * serialized registers instead. This pins the 100 TB cardinality plan's
     * incremental-refresh story: yesterday's sketch + today's delta
     * sketch ≡ a full recompute, so the nightly refresh touches only
     * the delta. The oracle recomputes the exact count and expects both

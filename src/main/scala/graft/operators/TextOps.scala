@@ -427,9 +427,12 @@ object TextOps {
     * (fewest matches wins) and is precisely why practical BM25 adds
     * the 1. Both rankings come from the same tf/df/dl frame; the ln
     * twin quantizes each per-term contribution with floor at 1e6
-    * scale before the exact long sum, so a last-ulp libm divergence
-    * between engines cannot flip a rank (the same reason the ratio
-    * form floors at 1e9). Output: top-20 sizes of both rankings,
+    * scale before the exact long sum, which makes a rank flip from a
+    * last-ulp libm divergence vanishingly unlikely — not impossible: a
+    * true value within an ulp of a quantization boundary can still
+    * floor to different longs on the two engines (the same accepted
+    * residual risk as lm_score's 1e12 flooring and the ratio form's
+    * 1e9). Output: top-20 sizes of both rankings,
     * their intersection size, and a ≥¾-overlap boolean the oracle
     * expects TRUE.
     */

@@ -375,40 +375,35 @@ class PlanSpec extends AnyFunSuite {
     //    which needs multiple map outputs — a cluster scan has
     //    thousands, the local single-file scan has ONE — so the spec
     //    feeds skewJoin a multi-file copy of the tables.
-    val skewDir = "/tmp/graft_skew_sf"
+    val skewDir = java.nio.file.Files
+      .createTempDirectory("graft_skew_sf").toString
     graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
       .repartition(8).write.mode("overwrite")
       .parquet(s"$skewDir/events.parquet")
     graft.sources.Tables.customer(spark, "/root/testdata/sf0.01")
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$skewDir/customer.parquet")
-    // baseline BEFORE any conf mutation: genuinely default thresholds,
-    // so the later equality really compares split vs unsplit
+    // baseline on the SHARED session, untouched confs: genuinely
+    // default thresholds, so the later equality really compares
+    // split vs unsplit
     val plain = StatOps.skewJoin(spark, "/root/testdata/sf0.01").collect()
-    val keep = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-      .map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256")
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-      val df = StatOps.skewJoin(spark, skewDir)
-      val rows = df.collect() // AQE decides at runtime; materialize the final plan
-      val s = planString(df)
-      assert(s.contains("skew=true"),
-        s"expected an isSkewJoin SortMergeJoin in the final adaptive plan:\n$s")
-      // and the split preserved results: same rows as the unsplit
-      // default-config run captured above
-      assert(rows.map(_.toString).toSeq === plain.map(_.toString).toSeq,
-        "skew-split run diverged from the unsplit run")
-    } finally keep.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
+    // byte-scale thresholds go on a PRIVATE child session (own
+    // SQLConf, shared SparkContext) — nothing shared is mutated, so
+    // concurrent suites can never observe the demo dials
+    val skewed = spark.newSession()
+    skewed.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    skewed.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256")
+    skewed.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256")
+    skewed.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = StatOps.skewJoin(skewed, skewDir)
+    val rows = df.collect() // AQE decides at runtime; materialize the final plan
+    val s = planString(df)
+    assert(s.contains("skew=true"),
+      s"expected an isSkewJoin SortMergeJoin in the final adaptive plan:\n$s")
+    // and the split preserved results: same rows as the unsplit
+    // default-config run captured above
+    assert(rows.map(_.toString).toSeq === plain.map(_.toString).toSeq,
+      "skew-split run diverged from the unsplit run")
   }
 
   test("from_json prunes the parse schema to the referenced field") {
