@@ -602,14 +602,26 @@ object SparkEntry {
          json_extract(props, '$.missing') IS NULL AS miss_null
          FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
     // EventOps.variantFuncs: DuckDB replicates the typed reads with
-    // its JSON functions; the inferred-schema string is pinned as a
-    // literal (every props payload is {"k": int} — a row deviating
-    // from that shape flips schema_of_variant and fails the hash).
+    // its JSON functions, and COMPUTES the inferred-schema string
+    // per row from json_structure (two-sided gate: a payload
+    // deviating from {"k": int} changes this derivation AND Spark's
+    // schema_of_variant, instead of only failing against a pinned
+    // literal). DuckDB reports non-negative ints as UBIGINT, signed
+    // as BIGINT; both land in Spark's BIGINT. Any other type falls
+    // through as its upper-cased DuckDB name and fails the hash —
+    // exactly the alarm a schema drift should raise.
     "variant" ->
       """SELECT event_id,
          CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
          CAST(json(props) AS VARCHAR) AS rt,
-         'OBJECT<k: BIGINT>' AS sch,
+         'OBJECT<' || array_to_string(list_transform(
+             json_keys(json_structure(props)),
+             key -> key || ': ' ||
+               CASE json_extract_string(json_structure(props), '$.' || key)
+                 WHEN 'UBIGINT' THEN 'BIGINT'
+                 WHEN 'BIGINT'  THEN 'BIGINT'
+                 ELSE upper(json_extract_string(json_structure(props), '$.' || key))
+               END), ', ') || '>' AS sch,
          json_extract(props, '$.missing') IS NULL AS miss_null
          FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
     "attribution" ->
