@@ -183,9 +183,18 @@ object Bench {
     }
     val ratioField =
       if (ratios.isEmpty) "" else s""","floor_ratio":${objFull(ratios)}"""
+    // Host-noise self-report for the COMPACT line: the count of
+    // queries whose run-min landed ≥3× its committed floor-min. Every
+    // round the driver's captured line needed the floors re-derived by
+    // hand to tell co-tenant spikes from regressions; this one small
+    // integer (−1 when no floor file is present — "unknown" must not
+    // read as "clean") makes the artifact self-documenting. 3× is
+    // far outside median-of-n run-to-run spread at any magnitude and
+    // matches the threshold the round reviews actually applied.
+    val noisy = if (floors.isEmpty) -1 else ratios.count(_._2 >= 3.0)
     println(s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)}$ratioField,"sf":"$sfDir"}""")
     def compact(f: Double => String) =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"noisy":$noisy,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
     val line3 = compact(qs)
     println(if (line3.length <= LineBudget) line3 else compact(qs2))
     spark.stop()

@@ -33,7 +33,7 @@ object SparkEntry {
     "impute_median"    -> (RelationalOps.imputeGroupMedian _),
     "scalar_funcs"           -> (RelationalOps.scalarFuncs _),
     "date_funcs"             -> (RelationalOps.dateFuncs _),
-    "join_left_enrich"       -> (RelationalOps.joinLeftEnrich _),
+    "enrich"       -> (RelationalOps.joinLeftEnrich _),
     "join_semi"              -> (RelationalOps.joinSemi _),
     "join_anti"              -> (RelationalOps.joinAnti _),
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
@@ -77,7 +77,7 @@ object SparkEntry {
     "asof_join"              -> (StatOps.asofJoin _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
-    "text_tokens_bpe"        -> (TextOps.textTokensBpe _),
+    "bpe"        -> (TextOps.textTokensBpe _),
     "text_quality"           -> (TextOps.textQuality _),
     "text_langid"            -> (TextOps.textLangId _),
     "text_fp"       -> (TextOps.textFingerprint _),
@@ -89,9 +89,9 @@ object SparkEntry {
     "text_simhash"           -> (DedupOps.textSimhash _),
     "simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
     // Training-data pipeline: similarity search
-    "ann_brute_topk"         -> (EmbeddingOps.annBruteTopK _),
+    "ann_brute"         -> (EmbeddingOps.annBruteTopK _),
     "ann_native"  -> (EmbeddingOps.annBruteTopKNative _),
-    "ann_lsh_bucket"         -> (EmbeddingOps.annLshBucket _),
+    "ann_lsh"         -> (EmbeddingOps.annLshBucket _),
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
     "ann_ivf_p2"         -> (EmbeddingOps.annIvfProbe2 _),
     "ann_recall"             -> (EmbeddingOps.annRecall _),
@@ -105,9 +105,9 @@ object SparkEntry {
     "pii_redact"        -> (PipelineOps.piiRedact _),
     "strat_sample"      -> (PipelineOps.sampleStratified _),
     "tfidf"        -> (PipelineOps.tfidfTopK _),
-    "events_funnel"          -> (PipelineOps.eventsFunnel _),
+    "funnel"          -> (PipelineOps.eventsFunnel _),
     "merge_upsert"           -> (PipelineOps.mergeUpsert _),
-    "pack_sequences"         -> (PipelineOps.packSequences _),
+    "pack"         -> (PipelineOps.packSequences _),
     "winsorize"     -> (PipelineOps.winsorizeByGroup _),
     "decontaminate"          -> (PipelineOps.decontaminate _),
     "decon_ngram"    -> (PipelineOps.decontaminateNgram _),
@@ -232,7 +232,7 @@ object SparkEntry {
               FROM emb0 b JOIN cent0 ct
                 ON ct.cid = b.vec_id % ${EmbeddingOps.ClusterPlantedK})"""
 
-  /** Brute-force ANN oracle body — shared by ann_brute_topk, its
+  /** Brute-force ANN oracle body — shared by ann_brute, its
     * native-expression twin, and the recall gates' exact reference
     * sets.
     */
@@ -252,7 +252,7 @@ object SparkEntry {
           FROM sc) r
         WHERE rank <= ${EmbeddingOps.TopK} ORDER BY query_id, rank"""
 
-  /** Sign-LSH bucketed ANN oracle body — shared by ann_lsh_bucket and
+  /** Sign-LSH bucketed ANN oracle body — shared by ann_lsh and
     * the recall gates.
     */
   private def lshAnnSql(corpusCtes: String = rawCorpusCtes): String = {
@@ -493,7 +493,7 @@ object SparkEntry {
          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
          CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS age_days
          FROM orders ORDER BY o_orderkey""",
-    "join_left_enrich" ->
+    "enrich" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
          l.l_partkey, p.p_type, p.p_brand
          FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
@@ -783,7 +783,7 @@ object SparkEntry {
           CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq_tokens,
           CAST(length(text) AS BIGINT) AS n_chars_text
           FROM documents ORDER BY doc_id""",
-    "text_tokens_bpe" -> {
+    "bpe" -> {
       val pat = TextOps.bpePattern.replace("'", "''")
       s"""WITH p AS (SELECT doc_id,
             regexp_extract_all(text, '$pat') AS pt, $toksSql AS toks
@@ -881,9 +881,9 @@ object SparkEntry {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
           ORDER BY doc_a, doc_b"""
     },
-    "ann_brute_topk" -> bruteAnnSql(),
+    "ann_brute" -> bruteAnnSql(),
     "ann_native" -> bruteAnnSql(),
-    "ann_lsh_bucket" -> lshAnnSql(),
+    "ann_lsh" -> lshAnnSql(),
     "ann_ivf" -> ivfSql(nprobe = 1),
     "ann_ivf_p2" -> ivfSql(nprobe = 2),
     // EmbeddingOps.annRecall: engine-parity recall gate on the RAW
@@ -1008,7 +1008,7 @@ object SparkEntry {
           FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""",
     // PipelineOps.eventsFunnel: stage-k users' earliest qualifying
     // event must be strictly after their stage-(k-1) anchor.
-    "events_funnel" ->
+    "funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS prev_ts FROM events
                     WHERE event_type = 'view' GROUP BY 1),
           c AS (SELECT e.user_id, min(e.ts) AS prev_ts FROM events e
@@ -1045,7 +1045,7 @@ object SparkEntry {
     // ways instead of funneling through one window partition. Sums and
     // bins are pure integer math; DuckDB's HUGEINT window sum is cast
     // back to BIGINT to match Spark's long.
-    "pack_sequences" ->
+    "pack" ->
       s"""WITH t AS (SELECT doc_id, lang,
                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket,
                 CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
