@@ -148,6 +148,7 @@ object SparkEntry {
     "bm25_ln"       -> (TextOps.bm25LnGate _),
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zorder"            -> (LayoutOps.zorderKeys _),
+    "bkt_join"          -> (LayoutOps.bucketedJoin _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -1640,5 +1641,16 @@ object SparkEntry {
           SELECT o_orderkey, zx, zy,
                  ${LayoutOps.zValueSql("zx", "zy")} AS zval
           FROM z ORDER BY o_orderkey""".stripMargin,
+    // LayoutOps.bucketedJoin: the oracle joins the RAW parquet tables
+    // — result preservation of the bucketed layout is exactly what the
+    // hash checks. bucketed_no_exchange is computed Spark-side from
+    // the planned join (TRUE only for an SMJ with zero Exchanges);
+    // the oracle expects the claim to hold.
+    "bkt_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         TRUE AS bucketed_no_exchange
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.util.Num
 
 /** Data-layout optimization: Z-order (Morton) interleaving of two
   * sort dimensions, the multi-column file-skipping technique behind
@@ -85,5 +86,77 @@ object LayoutOps {
         norm(col("cy"), col("cymin"), col("cymax")).as("zy"))
       .withColumn("zval", zValue(col("zx"), col("zy")))
       .orderBy("o_orderkey")
+  }
+
+  /** Buckets per side for the co-located join demo. Local files are
+    * tiny; on a cluster this is sized so bucket ≈ HDFS-block scale.
+    */
+  private[operators] val JoinBuckets = 16
+
+  /** Per-JVM memo of (session, sfDir) pairs whose bucketed tables have
+    * been written this process — the write is the amortized
+    * once-per-layout cost, not part of the repeated-join price.
+    */
+  private val bktWritten =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  /** Write `orders` + `customer` bucketed by the join key and return
+    * them as catalog tables. `bucketBy` hashes rows into a fixed
+    * number of per-key files AND records that layout in the catalog,
+    * so a later equi-join on the bucket key starts from already
+    * co-partitioned inputs — Spark plans a sort-merge join with NO
+    * Exchange on either side. Table names and paths are keyed by a
+    * hash of `sfDir` so different scale factors never collide; the
+    * write happens once per JVM (the whole point of bucketing:
+    * pay one layout shuffle at write time, join shuffle-free forever
+    * after).
+    */
+  private def bucketedTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (ot, ct) = bktWritten.getOrElseUpdate((spark, dir), {
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bkt_$tag"
+      val oName = s"graft_orders_bkt_$tag"
+      val cName = s"graft_customer_bkt_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $oName")
+      spark.sql(s"DROP TABLE IF EXISTS $cName")
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").option("path", s"$base/orders")
+        .bucketBy(JoinBuckets, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(oName)
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("path", s"$base/customer")
+        .bucketBy(JoinBuckets, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(cName)
+      (oName, cName)
+    })
+    (spark.table(ot), spark.table(ct))
+  }
+
+  /** Shuffle-free co-located join over the bucketed layout — the
+    * repeated-join amortization every production warehouse leans on at
+    * 100 TB: a fact table joined against the same dimension key every
+    * hour should pay the partitioning shuffle ONCE at write time, not
+    * per query. Both sides come from `bucketBy(JoinBuckets, key)`
+    * tables, the join is pinned to sort-merge (MERGE hint — at corpus
+    * scale neither side broadcasts), and the plan is interrogated
+    * BEFORE execution: `bucketed_no_exchange` is TRUE only if the
+    * planned join is an SMJ with zero Exchange nodes anywhere beneath
+    * it, so the layout claim is part of the hash-checked result, not
+    * just a spec assertion. The oracle computes the same aggregate
+    * from the raw (unbucketed) tables — result preservation and plan
+    * shape land in one gate.
+    */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (o, c) = bucketedTables(spark, dir)
+    val joined = o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    val noExchange = plan.contains("SortMergeJoin") && !plan.contains("Exchange")
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Num.moneySum(col("o_totalprice")).as("sum_price"))
+      .withColumn("bucketed_no_exchange", lit(noExchange))
+      .orderBy("c_mktsegment")
   }
 }

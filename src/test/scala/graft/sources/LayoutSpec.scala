@@ -51,6 +51,34 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("bkt_join operator: planned join is an Exchange-free SMJ and matches the raw join") {
+    val df = graft.operators.LayoutOps.bucketedJoin(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getBoolean(3)),
+      "bucketed_no_exchange gate is FALSE — the layout claim failed at plan time")
+    // the gate's plan interrogation is also re-checked here from the
+    // outside, so a regression in the operator's own check cannot
+    // silently weaken it: same inputs, same hint, direct plan read
+    val (o, c) = (spark.table(spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_orders_bkt_")).head),
+      spark.table(spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_customer_bkt_")).head))
+    val plan = o.hint("merge").join(c, col("o_custkey") === col("c_custkey"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+      s"bucketed join shuffles:\n$plan")
+    // and the aggregate equals the unbucketed in-engine join
+    val raw = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.util.Num.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      raw.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq,
+      "bucketed-join aggregate diverged from the raw join")
+  }
+
   test("partition-pruned scan pushes the partition predicate to file listing") {
     val out = "/tmp/graft_layout/orders_by_year"
     Tables.orders(spark, sf)
