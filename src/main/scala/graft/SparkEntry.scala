@@ -88,6 +88,7 @@ object SparkEntry {
     "minhash"      -> (DedupOps.dedupMinhashLsh _),
     "text_simhash"           -> (DedupOps.textSimhash _),
     "simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
+    "cand_work"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
     "ann_brute"         -> (EmbeddingOps.annBruteTopK _),
     "ann_native"  -> (EmbeddingOps.annBruteTopKNative _),
@@ -207,6 +208,93 @@ object SparkEntry {
             JOIN s sa ON sa.doc_id = c.doc_a
             JOIN s sb ON sb.doc_id = c.doc_b) p
           WHERE jaccard >= 0.5)"""
+
+  /** DedupOps.candidateGates oracle: recompute every candidate-stage
+    * pair count independently — md5-ordered PPJoin, MinHash bands,
+    * SimHash segments, sign-LSH bands — plus n·(n−1)/2 and the ≤5%
+    * `subq` bound (factor shared from DedupOps.CandSubqFactor). CTE
+    * names are prefixed/renamed to avoid colliding with the fragment
+    * vals reused elsewhere.
+    */
+  private def candWorkSql: String = {
+    val rowsPerBand = DedupOps.MinhashSeeds / DedupOps.MinhashBands
+    val mins = (0 until DedupOps.MinhashSeeds)
+      .map(s => s"min(md5('$s' || '|' || shingle)) AS h$s").mkString(", ")
+    val mbands = (0 until DedupOps.MinhashBands).map { bd =>
+      val hs = (0 until rowsPerBand).map(r => s"h${bd * rowsPerBand + r}").mkString(" || ")
+      s"SELECT doc_id, $bd AS band, md5($hs) AS bh FROM msig"
+    }.mkString(" UNION ALL ")
+    val votes = (0 until DedupOps.SimhashBits)
+      .map(b => s"SUM(((h >> $b) & 1) * 2 - 1) AS v$b").mkString(", ")
+    val recompose = (0 until DedupOps.SimhashBits)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    val segBits = DedupOps.SimhashBits / DedupOps.SimhashSegments
+    val segMask = (1L << segBits) - 1
+    val segs = (0 until DedupOps.SimhashSegments)
+      .map(sg => s"SELECT doc_id, $sg AS seg, (simhash >> ${sg * segBits}) & $segMask AS sv FROM ssig")
+      .mkString(" UNION ALL ")
+    val ebands = (0 until EmbeddingOps.NeardupBands).map { t =>
+      val bucket = (0 until EmbeddingOps.NeardupBandBits).map { i =>
+        s"CASE WHEN v[${t * EmbeddingOps.NeardupBandBits + i + 1}] >= 0 THEN ${1L << i} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS band, CAST($bucket AS BIGINT) AS bh FROM c"
+    }.mkString(" UNION ALL ")
+    val f = DedupOps.CandSubqFactor
+    s"""$shinglesSql,
+        exj AS (SELECT doc_id, lang, len(sh) AS n,
+                       unnest(list_transform(sh, x -> md5(x))) AS s FROM s),
+        dfq AS (SELECT lang, s, COUNT(*) AS df FROM exj
+                GROUP BY 1, 2 HAVING COUNT(*) > 1),
+        pre AS (SELECT * FROM (
+            SELECT exj.lang, exj.s, exj.doc_id, exj.n,
+                   row_number() OVER (PARTITION BY exj.doc_id
+                                      ORDER BY coalesce(dfq.df, 1), exj.s) AS rk
+            FROM exj LEFT JOIN dfq ON dfq.lang = exj.lang AND dfq.s = exj.s) z
+          WHERE rk <= n // 2 + 1),
+        candj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                         COUNT(*) AS cp, MAX(a.rk) AS i2, MAX(b.rk) AS j2
+                  FROM pre a JOIN pre b
+                    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2, 3, 4
+                  HAVING 2 * least(na, nb) >= greatest(na, nb)
+                     AND cp + least(na - i2, nb - j2) >= (na + nb + 2) // 3),
+        mex AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+        msig AS (SELECT doc_id, $mins FROM mex GROUP BY doc_id),
+        mbands AS ($mbands),
+        candm AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+                  FROM mbands x JOIN mbands y
+                    ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+        stk AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        shh AS (SELECT doc_id,
+                  CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h FROM stk),
+        svv AS (SELECT doc_id, $votes FROM shh GROUP BY doc_id),
+        ssig AS (SELECT doc_id, CAST($recompose AS BIGINT) AS simhash FROM svv),
+        blk AS ($segs),
+        cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM blk a JOIN blk b
+                    ON a.seg = b.seg AND a.sv = b.sv AND a.doc_id < b.doc_id),
+        c AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        ebands AS ($ebands),
+        cande AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+                  FROM ebands x JOIN ebands y
+                    ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+        gates AS (
+          SELECT 'jaccard' AS algo, (SELECT COUNT(*) FROM s) AS n_items,
+                 (SELECT COUNT(*) FROM candj) AS n_cand
+          UNION ALL SELECT 'minhash', (SELECT COUNT(*) FROM s),
+                 (SELECT COUNT(*) FROM candm)
+          UNION ALL SELECT 'simhash', (SELECT COUNT(*) FROM ssig),
+                 (SELECT COUNT(*) FROM cands)
+          UNION ALL SELECT 'neardup', (SELECT COUNT(*) FROM c),
+                 (SELECT COUNT(*) FROM cande))
+        SELECT algo, n_items, n_cand,
+               n_items * (n_items - 1) // 2 AS max_pairs,
+               n_cand * $f <= n_items * (n_items - 1) // 2 AS subq
+        FROM gates ORDER BY algo"""
+  }
 
   /** Corpus CTE chains for the ANN oracles — each must end by
     * defining `c(vec_id, v)`. RAW: the embeddings table as doubles.
@@ -849,6 +937,7 @@ object SparkEntry {
     "minhash" ->
       s"""$minhashPairsSql
           SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+    "cand_work" -> candWorkSql,
     // DedupOps.dedupClusters: connected components over the verified
     // MinHash-LSH pair graph — every clustered doc labeled with its
     // component's min doc_id. The oracle computes reachability closure

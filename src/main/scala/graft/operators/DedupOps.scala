@@ -203,11 +203,24 @@ object DedupOps {
     * package-private so its cost is measurable separately from the
     * exact-Jaccard verification tail (see ProfileNgram).
     */
-  private[operators] def ngramCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def ngramCandidates(spark: SparkSession, dir: String): DataFrame =
+    ngramCandidatesBy(spark, dir, xxhash64(_))
+
+  /** PPJoin candidate generation parameterized by the shingle hash.
+    * Production uses xxhash64 (8-byte join/shuffle keys — the right
+    * choice at corpus scale); the work-metric gate passes md5 so the
+    * DuckDB oracle can reproduce the EXACT candidate count (the
+    * prefix is chosen by a (df, hash) total order, and xxhash64 does
+    * not exist in DuckDB — tie-break order changes which equal-df
+    * shingles land in the prefix, so the counts are only comparable
+    * under one shared hash). The prune math is identical either way.
+    */
+  private[operators] def ngramCandidatesBy(spark: SparkSession, dir: String,
+      h: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = shingleRowsCached(spark, dir)
     val ex = rows.select(col("lang"), col("doc_id"), col("n"),
-      xxhash64(col("sh")).as("s"))
+      h(col("sh")).as("s"))
     // Document frequencies arrive by joining a df>1 side table (df=1
     // is the coalesce default), not by windowing over (lang, s): the
     // window would force the substrate through an extra
@@ -282,7 +295,15 @@ object DedupOps {
     * documents only (semi-join prune in verifyJaccard) — shingle data
     * never travels for non-candidates.
     */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    verifyJaccard(minhashCandidates(spark, dir),
+      shingleRowsCached(spark, dir), 0.5)
+
+  /** The band-bucket candidate stage of [[dedupMinhashLsh]], exposed
+    * so the work-metric gate counts the SAME frame the production
+    * query verifies (no drift between what is priced and what runs).
+    */
+  private[operators] def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val rows = shingleRowsCached(spark, dir)
     val sig = minhashSignatures(rows)
     val rowsPerBand = MinhashSeeds / MinhashBands
@@ -292,11 +313,10 @@ object DedupOps {
     }
     val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, rows, 0.5)
   }
 
   /** Connected-component canonicalization over the verified MinHash-LSH
@@ -457,7 +477,71 @@ object DedupOps {
     * near-dups (single-block schemes miss fingerprints differing in
     * one high bit). The join shuffles only (segment, value, id).
     */
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashCandidates(spark, dir)
+      .filter(col("hamming") <= 12)
+      // materialized before the global sort — orderBy's range sampling
+      // would otherwise re-run the segment join + distinct (measured
+      // 15.5x at 10x data without this; the sort input is tiny)
+      .transform(OpCaches.track)
+      .orderBy("doc_a", "doc_b")
+
+  /** Candidate-volume bound for [[candidateGates]]: candidates must be
+    * ≤ max_pairs / CandSubqFactor (5% of all pairs). Wide enough for
+    * the constant-fraction sign-LSH blocking (8 bands × 2⁻⁸ ≈ 3.1% on
+    * a near-random corpus), far below what any quadratic blowup
+    * produces, and shared with the oracle generator so the bound
+    * cannot drift between engines.
+    */
+  val CandSubqFactor = 20
+
+  /** Work-metric scale gates for every candidate-generation stage —
+    * the machine-checked subquadratic proof the bench clock cannot
+    * give (wall time on a shared host is noise-exposed; a candidate
+    * COUNT is exact and scale-attributable). For each blocked/banded
+    * algorithm the gate emits the candidate-pair count next to
+    * n·(n−1)/2 and a `subq` boolean pinning candidates ≤ 5% of all
+    * pairs: the quantity that decides whether dedup survives 100 TB,
+    * since verification cost is proportional to candidates and an
+    * unblocked all-pairs join is the classic quadratic killer.
+    *
+    * minhash / simhash / neardup count the EXACT production candidate
+    * frames (shared stage functions — nothing re-derived). jaccard
+    * counts the PPJoin stage under an md5 shingle hash instead of
+    * production's xxhash64 (see [[ngramCandidatesBy]]: the prefix is
+    * picked by a (df, hash) total order, so an oracle without
+    * xxhash64 can only reproduce the count under a shared hash);
+    * OperatorSpec additionally asserts the xxhash64 production count
+    * meets the same bound. All counts are computed as single-row
+    * aggregates joined by broadcast — no driver math. `max_pairs`
+    * stays in BIGINT, exact to ~3e9 items — beyond that the corpus is
+    * sharded and the gate runs per shard anyway.
+    */
+  def candidateGates(spark: SparkSession, dir: String): DataFrame = {
+    def gate(algo: String, items: DataFrame, cand: DataFrame): DataFrame =
+      cand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(broadcast(items.agg(count(lit(1)).as("n_items"))))
+        .select(lit(algo).as("algo"), col("n_items"), col("n_cand"),
+          expr("CAST(n_items * (n_items - 1) DIV 2 AS BIGINT)").as("max_pairs"))
+        .withColumn("subq", col("n_cand") * CandSubqFactor <= col("max_pairs"))
+    val docs = shingleRowsCached(spark, dir).select("doc_id").distinct()
+    gate("jaccard", docs, ngramCandidatesBy(spark, dir, md5(_)))
+      .unionByName(gate("minhash", docs, minhashCandidates(spark, dir)))
+      .unionByName(gate("simhash", textSimhash(spark, dir),
+        simhashCandidates(spark, dir)))
+      .unionByName(gate("neardup", Tables.embeddings(spark, dir),
+        EmbeddingOps.neardupCandidates(spark, dir)))
+      .orderBy("algo")
+  }
+
+  /** The segment-blocking candidate stage of [[dedupSimhashPairs]]:
+    * distinct pairs sharing ≥1 of the 4 fingerprint segments, with
+    * their Hamming distance (a pair function, so distinct-ness is
+    * unchanged by carrying it). Exposed for the work-metric gate —
+    * candidate volume is counted on the exact frame production
+    * filters.
+    */
+  private[operators] def simhashCandidates(spark: SparkSession, dir: String): DataFrame = {
     val segBits = SimhashBits / SimhashSegments
     val mask = (1L << segBits) - 1
     val segCols = (0 until SimhashSegments).map { s =>
@@ -474,11 +558,5 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 12)
-      // materialized before the global sort — orderBy's range sampling
-      // would otherwise re-run the segment join + distinct (measured
-      // 15.5x at 10x data without this; the sort input is tiny)
-      .transform(OpCaches.track)
-      .orderBy("doc_a", "doc_b")
   }
 }

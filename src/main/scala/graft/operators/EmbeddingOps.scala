@@ -484,20 +484,7 @@ object EmbeddingOps {
     import graft.functions.VectorExprs.dotProduct
     val base = corpus(spark, dir)
       .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
-    val bandCols = (0 until NeardupBands).map { t =>
-      val bucket = (0 until NeardupBandBits).map { i =>
-        when(element_at(col("v"), t * NeardupBandBits + i + 1) >= 0,
-          lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("band"), bucket.as("bh"))
-    }
-    val banded = base
-      .select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("vec_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
-      .filter(col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    val cand = neardupCandidates(spark, dir)
     val a = base.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     cand.join(a, Seq("vec_a")).join(b, Seq("vec_b"))
@@ -508,5 +495,27 @@ object EmbeddingOps {
       // sampling cannot re-run candidate generation + verification
       .transform(graft.operators.OpCaches.track)
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** The sign-LSH band-bucket candidate stage of [[embNeardupPairs]]:
+    * distinct pairs matching ≥1 of the 8 bands of 8 sign bits.
+    * Exposed so the work-metric gate counts the exact candidate frame
+    * production verifies.
+    */
+  private[operators] def neardupCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val bandCols = (0 until NeardupBands).map { t =>
+      val bucket = (0 until NeardupBandBits).map { i =>
+        when(element_at(col("v"), t * NeardupBandBits + i + 1) >= 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("band"), bucket.as("bh"))
+    }
+    val banded = corpus(spark, dir)
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("vec_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
   }
 }

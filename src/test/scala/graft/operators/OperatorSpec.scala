@@ -26,6 +26,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
 
+  test("cand_work: every candidate stage is subquadratic, incl. the xxhash64 production path") {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val gates = DedupOps.candidateGates(spark, sf).collect()
+    assert(gates.length === 4)
+    gates.foreach { r =>
+      val (algo, n, cand, maxp) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(maxp === n * (n - 1) / 2, s"$algo: max_pairs wrong")
+      assert(r.getBoolean(4) &&
+        cand * DedupOps.CandSubqFactor <= maxp,
+        s"$algo: $cand candidates vs $maxp pairs — blocking lost")
+    }
+    // the hash-gated jaccard row prices the md5-ordered replica (the
+    // oracle can't reproduce an xxhash64 prefix order); the bound must
+    // hold for the PRODUCTION hash too, or the gate would be testing a
+    // stand-in
+    val nDocs = gates.head.getLong(1)
+    val prod = DedupOps.ngramCandidates(spark, sf).count()
+    DedupOps.releaseTransients(spark)
+    assert(prod * DedupOps.CandSubqFactor <= nDocs * (nDocs - 1) / 2,
+      s"xxhash64 PPJoin candidates not subquadratic: $prod")
+  }
+
   test("lm_score: bigram count tracks token count; score within [0, scale]") {
     import org.apache.spark.sql.functions.col
     val lm = TextOps.lmScore(spark, sf).collect()
