@@ -64,15 +64,37 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").cast("long").as("window_start"), col("n"))
 
-  /** Built-in session windows (30-minute gap) — twin of
+  /** Built-in session windows (30-minute gap) rendered to the custom
+    * sessionizers' EXACT output shape — the third sessionizer twin
+    * beside [[statefulSessions]] (flatMapGroupsWithState) and
+    * [[statefulSessionsTws]] (transformWithState). `session_window`'s
+    * window END is last-event + gap, so `session_end` subtracts the
+    * gap back to the last event time; the gap and watermark delay
+    * match the custom twins (30 min). StreamingSpec pins three-way
+    * set equality on the deterministic flush fixture — the strongest
+    * available evidence that the two hand-built state machines
+    * implement the standard session semantics, and the declarative
+    * form Catalyst can optimize is the one to PREFER when gaps are
+    * constant (the custom processors exist for semantics
+    * session_window cannot express, e.g. value-dependent gaps).
+    */
+  def sessionWindowSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_time", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("session_start"),
+        (col("session_window.end").cast("long") - 1800L).as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** Per-user session counts off [[sessionWindowSessions]] — twin of
     * EventOps.sessionize's grouping.
     */
   def sessionWindows(events: DataFrame): DataFrame =
-    events
-      .withWatermark("event_time", "30 minutes")
-      .groupBy(session_window(col("event_time"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("n_events"))
+    sessionWindowSessions(events).select(col("user_id"), col("n_events"))
 
   /** Stream-static join: enrich the event stream with a static
     * dimension (per-user tier derived from the batch view) — the

@@ -432,16 +432,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq(10L, 11L, 30L), s"quota mis-admitted: $got")
   }
 
-  test("transformWithState sessionizer matches flatMapGroupsWithState incl. timeout flush") {
+  test("three sessionizers agree: fMGWS = transformWithState = session_window") {
     import spark.implicits._
-    // the sess_flush fixture on BOTH backends: gap-close emission and
-    // the watermark-driven flush of the trailing open session must
-    // produce identical SessionOut sets (the tws side drives the
-    // flush with an explicit event-time timer instead of
-    // setTimeoutTimestamp)
+    // the sess_flush fixture on ALL THREE backends: gap-close emission
+    // and the watermark-driven flush of the trailing open session must
+    // produce identical session sets — the two custom state machines
+    // (flatMapGroupsWithState with setTimeoutTimestamp;
+    // transformWithState with an explicit event-time timer) and the
+    // DECLARATIVE built-in session_window, whose append-mode emission
+    // is also watermark-driven. Three-way equality pins the custom
+    // processors to the standard session semantics, not just to each
+    // other.
     val t0 = 1600000000L
     def run(tag: String,
-            mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[EventStream.SessionOut]): Set[(Long, Long, Long, Long, Double)] = {
+            mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Double)] = {
       val dir = java.nio.file.Files.createTempDirectory(s"graft_sess_$tag").toString
       def write(rows: Seq[(Long, Long, Double)]): Unit =
         rows.toDF("user_id", "es", "value")
@@ -465,19 +469,26 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
         .toSet
     }
-    val fmgws = run("fmgws", df => EventStream.statefulSessions(spark, df))
+    val fmgws = run("fmgws", df => EventStream.statefulSessions(spark, df).toDF)
     val keepConf = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val tws =
-      try run("tws", df => EventStream.statefulSessionsTws(spark, df))
+      try run("tws", df => EventStream.statefulSessionsTws(spark, df).toDF)
       finally keepConf match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    // the declarative twin reads the same fixture; its event_time is
+    // derived with the same whole-second truncation as readEvents
+    val swin = run("swin", df => EventStream.sessionWindowSessions(
+      df.withColumn("event_time", timestamp_seconds(
+        graft.operators.TimeSeriesOps.epochSecExpr("ts")))))
     assert(fmgws.contains((1L, t0, t0 + 60, 2L, 5.0)),
       s"fMGWS baseline lost the flushed session: $fmgws")
     assert(tws === fmgws, s"backends diverged: tws=$tws fmgws=$fmgws")
+    assert(swin === fmgws,
+      s"session_window diverged from the custom sessionizers: swin=$swin fmgws=$fmgws")
   }
 
   test("transformWithState quota backend admits the same rows as flatMapGroupsWithState") {
