@@ -577,6 +577,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(replay === got, s"replay diverged: $replay vs $got")
   }
 
+  test("tws quota on RocksDB with changelog checkpointing recovers across restart") {
+    import spark.implicits._
+    // the state-store recovery-latency story at 100 TB state:
+    // changelog checkpointing uploads per-batch DELTAS instead of
+    // RocksDB snapshot files, so restart recovery replays a changelog
+    // rather than re-downloading full snapshots. The semantics
+    // contract is that recovery is indistinguishable from the
+    // snapshot path — pinned here by re-running the quota
+    // checkpoint-restart fixture on the transformWithState backend
+    // with changelog checkpointing ON (confs live on a private child
+    // session; nothing shared is mutated)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s2.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val root = java.nio.file.Files.createTempDirectory("graft_docchlog").toString
+    val t0 = 1700000000L
+    def write(rows: Seq[(Long, String)]): Unit = rows
+      .toDF("doc_id", "source")
+      .select(col("doc_id"), col("source"), lit("en").as("lang"),
+        concat(lit("u"), col("doc_id"),
+          lit(" alpha beta gamma delta epsilon zeta eta theta iota")).as("text"),
+        timestamp_seconds(lit(t0) + col("doc_id")).as("ingest_time"))
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    def run(): Unit = {
+      val stream = s2.readStream
+        .schema("doc_id LONG, source STRING, lang STRING, text STRING, ingest_time TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+      val q = DocStream.ingestCorpusTws(s2, stream,
+          s2.emptyDataFrame.select(lit("").as("fp")).limit(0), quota = 2)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ck")
+        .format("parquet").option("path", s"$root/out").start()
+      q.processAllAvailable(); q.stop()
+    }
+    write(Seq((10L, "hot"), (11L, "hot"))) // fills hot's quota exactly
+    run()
+    // restart from the changelog-checkpointed state: hot's counter
+    // must replay back to 2 (full) so doc 12 is rejected, while
+    // cold's fresh counter admits doc 30
+    write(Seq((12L, "hot"), (30L, "cold")))
+    run()
+    val got = spark.read.parquet(s"$root/out")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(10L, 11L, 30L),
+      s"changelog-checkpointed state lost across restart: $got")
+    // prove the changelog path actually engaged (a mistyped conf key
+    // would silently fall back to snapshot checkpointing and this test
+    // would assert nothing new): delta uploads appear as .changelog
+    // files under the state directory
+    val changelogs = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(s"$root/ck/state"))
+      .filter(_.toString.endsWith(".changelog")).count()
+    assert(changelogs > 0, "no .changelog files — changelog checkpointing never engaged")
+  }
+
   test("streaming corpus ingest: dedup state expires behind the watermark") {
     import spark.implicits._
     // the bounded-state side of the contract: a re-crawl of content
