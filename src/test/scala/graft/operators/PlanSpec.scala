@@ -406,6 +406,55 @@ class PlanSpec extends AnyFunSuite {
       "skew-split run diverged from the unsplit run")
   }
 
+  test("CBO join reorder: statistics move the selective dim ahead of the big fact") {
+    // Every small-side join in the engine is manually broadcast()- or
+    // merge-hinted; at 100 TB the optimizer must also be able to pick
+    // JOIN ORDER from statistics, because the human-written order of a
+    // 3-way join is wrong as often as not. Demonstrated end to end:
+    // catalog tables + ANALYZE ... FOR ALL COLUMNS, then the same
+    // deliberately-bad syntactic order (lineitem ⋈ orders first, the
+    // selective customer filter LAST) planned with CBO off vs on.
+    val dir01 = "/root/testdata/sf0.01"
+    val base = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    def mkTable(name: String, df: DataFrame): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      df.write.mode("overwrite").option("path", s"$base/$name").saveAsTable(name)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    mkTable("cbo_lineitem", graft.sources.Tables.lineitem(spark, dir01)
+      .select("l_orderkey", "l_extendedprice"))
+    mkTable("cbo_orders", graft.sources.Tables.orders(spark, dir01)
+      .select("o_orderkey", "o_custkey"))
+    mkTable("cbo_customer", graft.sources.Tables.customer(spark, dir01)
+      .select("c_custkey", "c_mktsegment"))
+    val sql = """SELECT count(*) AS n
+                 FROM cbo_lineitem l
+                 JOIN cbo_orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN cbo_customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_mktsegment = 'BUILDING'"""
+    // leaf order in the optimized plan reads the join tree left-to-right
+    def leafOrder(s: SparkSession): Seq[String] =
+      "cbo_(lineitem|orders|customer)".r
+        .findAllIn(s.sql(sql).queryExecution.optimizedPlan.toString())
+        .toSeq.distinct
+    val off = spark.newSession()
+    off.conf.set("spark.sql.cbo.enabled", "false")
+    val on = spark.newSession()
+    on.conf.set("spark.sql.cbo.enabled", "true")
+    on.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val (offOrder, onOrder) = (leafOrder(off), leafOrder(on))
+    // without stats-driven reorder the syntactic order survives
+    assert(offOrder === Seq("cbo_lineitem", "cbo_orders", "cbo_customer"),
+      s"cbo-off baseline not in syntactic order: $offOrder")
+    // with CBO the filtered customer dim must join BEFORE the big
+    // fact joins in — the stats-driven order a human hint encoded
+    assert(onOrder.indexOf("cbo_customer") < onOrder.indexOf("cbo_lineitem"),
+      s"CBO did not reorder the selective dim ahead of the fact: $onOrder")
+    // and the reorder preserved the result
+    val (a, b) = (off.sql(sql).head().getLong(0), on.sql(sql).head().getLong(0))
+    assert(a === b && a > 0, s"reordered result diverged: $a vs $b")
+  }
+
   test("from_json prunes the parse schema to the referenced field") {
     // the 100 TB claim on json_funcs' parse-once structure: when a
     // query touches ONE field, OptimizeJsonExprs must narrow the
