@@ -266,6 +266,11 @@ object EventStream {
         org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
     override def handleInputRows(uid: Long, rows: Iterator[Ev],
         timerValues: TimerValues): Iterator[SessionOut] = {
+      // O(per-user-per-trigger) memory, same as the fMGWS twin's
+      // group sort: bounded by one user's volume within one
+      // micro-batch, not by the stream. If a single hot user could
+      // exceed executor memory in one trigger, pre-aggregate or
+      // sub-bucket upstream.
       val sorted = rows.toSeq.sortBy(_.es)
       var cur = if (session.exists()) Some(session.get()) else None
       val closed = Seq.newBuilder[SessionOut]

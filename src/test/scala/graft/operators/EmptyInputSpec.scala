@@ -30,7 +30,10 @@ class EmptyInputSpec extends AnyFunSuite {
   private val fixedShape = Map("profile" -> 6L, "profile_approx" -> 6L, "dq" -> 7L,
     // one-row global gates: a grand aggregate emits one row on empty
     // input in both engines (n=0 / NULL metrics / vacuous-TRUE bounds)
-    "bloom" -> 1L, "sk_merge" -> 1L, "bm25_ln" -> 1L)
+    "bloom" -> 1L, "sk_merge" -> 1L, "bm25_ln" -> 1L,
+    // one gate row per candidate stage: 0 candidates of 0 pairs, subq
+    // vacuously TRUE — the work-metric report must not vanish
+    "cand_work" -> 4L)
 
   test("every registered query runs on empty tables and yields zero rows") {
     DedupOps.clearCaches(spark) // don't serve another suite's substrate
