@@ -210,7 +210,8 @@ object SparkEntry {
           WHERE jaccard >= 0.5)"""
 
   /** DedupOps.candidateGates oracle: recompute every candidate-stage
-    * pair count independently — md5-ordered PPJoin, MinHash bands,
+    * pair count independently — tokenHash-ordered PPJoin (60-bit
+    * md5-prefix longs, same derivation both engines), MinHash bands,
     * SimHash segments, sign-LSH bands — plus n·(n−1)/2 and the ≤5%
     * `subq` bound (factor shared from DedupOps.CandSubqFactor). CTE
     * names are prefixed/renamed to avoid colliding with the fragment
@@ -243,7 +244,9 @@ object SparkEntry {
     val f = DedupOps.CandSubqFactor
     s"""$shinglesSql,
         exj AS (SELECT doc_id, lang, len(sh) AS n,
-                       unnest(list_transform(sh, x -> md5(x))) AS s FROM s),
+                       unnest(list_transform(sh, x ->
+                         CAST(('0x' || substring(md5(x), 1, 15)) AS BIGINT))) AS s
+                FROM s),
         dfq AS (SELECT lang, s, COUNT(*) AS df FROM exj
                 GROUP BY 1, 2 HAVING COUNT(*) > 1),
         pre AS (SELECT * FROM (

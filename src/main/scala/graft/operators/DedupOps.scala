@@ -208,12 +208,14 @@ object DedupOps {
 
   /** PPJoin candidate generation parameterized by the shingle hash.
     * Production uses xxhash64 (8-byte join/shuffle keys — the right
-    * choice at corpus scale); the work-metric gate passes md5 so the
-    * DuckDB oracle can reproduce the EXACT candidate count (the
-    * prefix is chosen by a (df, hash) total order, and xxhash64 does
-    * not exist in DuckDB — tie-break order changes which equal-df
-    * shingles land in the prefix, so the counts are only comparable
-    * under one shared hash). The prune math is identical either way.
+    * choice at corpus scale); the work-metric gate passes the 60-bit
+    * md5-derived [[tokenHash]] so the DuckDB oracle can reproduce the
+    * EXACT candidate count (the prefix is chosen by a (df, hash)
+    * total order, and xxhash64 does not exist in DuckDB — tie-break
+    * order changes which equal-df shingles land in the prefix, so the
+    * counts are only comparable under one shared hash). Still 8-byte
+    * keys, so the gate prices the same join shape as production; the
+    * prune math is identical either way.
     */
   private[operators] def ngramCandidatesBy(spark: SparkSession, dir: String,
       h: Column => Column): DataFrame = {
@@ -507,10 +509,10 @@ object DedupOps {
     *
     * minhash / simhash / neardup count the EXACT production candidate
     * frames (shared stage functions — nothing re-derived). jaccard
-    * counts the PPJoin stage under an md5 shingle hash instead of
-    * production's xxhash64 (see [[ngramCandidatesBy]]: the prefix is
-    * picked by a (df, hash) total order, so an oracle without
-    * xxhash64 can only reproduce the count under a shared hash);
+    * counts the PPJoin stage under the md5-derived 60-bit tokenHash
+    * instead of production's xxhash64 (see [[ngramCandidatesBy]]: the
+    * prefix is picked by a (df, hash) total order, so an oracle
+    * without xxhash64 can only reproduce the count under a shared hash);
     * OperatorSpec additionally asserts the xxhash64 production count
     * meets the same bound. All counts are computed as single-row
     * aggregates joined by broadcast — no driver math. `max_pairs`
@@ -525,7 +527,7 @@ object DedupOps {
           expr("CAST(n_items * (n_items - 1) DIV 2 AS BIGINT)").as("max_pairs"))
         .withColumn("subq", col("n_cand") * CandSubqFactor <= col("max_pairs"))
     val docs = shingleRowsCached(spark, dir).select("doc_id").distinct()
-    gate("jaccard", docs, ngramCandidatesBy(spark, dir, md5(_)))
+    gate("jaccard", docs, ngramCandidatesBy(spark, dir, tokenHash))
       .unionByName(gate("minhash", docs, minhashCandidates(spark, dir)))
       .unionByName(gate("simhash", textSimhash(spark, dir),
         simhashCandidates(spark, dir)))
