@@ -455,7 +455,21 @@ object DedupOps {
     * vote of bit b across all token hashes (multiplicity included).
     * One explode + 60 conditional sums in a single aggregation pass.
     */
-  def textSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def textSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashSignatures(spark, dir).orderBy("doc_id")
+
+  /** The signature aggregation WITHOUT the output sort — shared by the
+    * registered query (which adds it) and the candidate stage (which
+    * must not: a mid-plan global sort of the small signature frame
+    * gets AQE-coalesced to ~2 reducers, and every downstream per-row
+    * stage — the band join's probe side, the candidate distinct —
+    * then runs effectively single-threaded. The production pair query
+    * survives it because the hamming filter is pushed INTO the join,
+    * so few rows reach the starved stages; the gate's unfiltered
+    * count (25.9 M pairs at sf1) does not. Measured at sf1: dropping
+    * the sort took the four-stage cand_work query 76 s → 20 s.)
+    */
+  private[operators] def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
@@ -466,7 +480,7 @@ object DedupOps {
     val sim = (0 until SimhashBits).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash")).orderBy("doc_id")
+    agg.select(col("doc_id"), sim.as("simhash"))
   }
 
   val SimhashSegments = 4 // 15 bits each
@@ -550,7 +564,7 @@ object DedupOps {
       struct(lit(s).as("seg"),
         shiftright(col("simhash"), s * segBits).bitwiseAND(lit(mask)).as("sv"))
     }
-    val sig = textSimhash(spark, dir)
+    val sig = simhashSignatures(spark, dir)
       .select(col("doc_id"), col("simhash"), explode(array(segCols: _*)).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.seg").as("seg"), col("b.sv").as("sv"))
     val a = sig.select(col("seg"), col("sv"), col("doc_id").as("doc_a"), col("simhash").as("s_a"))
