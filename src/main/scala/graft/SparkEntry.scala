@@ -57,7 +57,7 @@ object SparkEntry {
     "string_funcs"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
     "unpivot_long"           -> (RelationalOps.unpivotLong _),
-    "mode_by_group"          -> (RelationalOps.modeByGroup _),
+    "mode_grp"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "agg_moments"            -> (StatOps.aggMoments _),
     "pivot_wide"             -> (StatOps.pivotWide _),
@@ -84,10 +84,10 @@ object SparkEntry {
     "text_reps"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
     "dedup_text"       -> (DedupOps.dedupExactText _),
-    "dedup_jaccard"    -> (DedupOps.dedupNgramJaccard _),
+    "jaccard"    -> (DedupOps.dedupNgramJaccard _),
     "minhash"      -> (DedupOps.dedupMinhashLsh _),
     "text_simhash"           -> (DedupOps.textSimhash _),
-    "simhash_pairs"    -> (DedupOps.dedupSimhashPairs _),
+    "sim_pairs"    -> (DedupOps.dedupSimhashPairs _),
     "cand_work"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
     "ann_brute"         -> (EmbeddingOps.annBruteTopK _),
@@ -110,12 +110,12 @@ object SparkEntry {
     "merge_upsert"           -> (PipelineOps.mergeUpsert _),
     "pack"         -> (PipelineOps.packSequences _),
     "winsorize"     -> (PipelineOps.winsorizeByGroup _),
-    "decontaminate"          -> (PipelineOps.decontaminate _),
+    "decon"          -> (PipelineOps.decontaminate _),
     "decon_ngram"    -> (PipelineOps.decontaminateNgram _),
     "dup_spans"      -> (PipelineOps.dupSpans _),
     "lm_score"       -> (TextOps.lmScore _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
-    "dedup_clusters"         -> (DedupOps.dedupClusters _),
+    "clusters"         -> (DedupOps.dedupClusters _),
     "quota_sample"    -> (PipelineOps.sampleSourceQuota _),
     "imp_sample"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
@@ -133,7 +133,7 @@ object SparkEntry {
     "skew_join"     -> (StatOps.skewJoin _),
     // Profiling / data-quality / graph
     "profile"     -> (QualityOps.profileTable _),
-    "profile_approx" -> (QualityOps.profileApprox _),
+    "prof_apx" -> (QualityOps.profileApprox _),
     "checksum"    -> (QualityOps.tableChecksum _),
     "dq"         -> (QualityOps.dqChecks _),
     "pagerank"          -> (GraphOps.pageRank _),
@@ -150,6 +150,9 @@ object SparkEntry {
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zorder"            -> (LayoutOps.zorderKeys _),
     "bkt_join"          -> (LayoutOps.bucketedJoin _),
+    "rt_bloom"          -> (LayoutOps.runtimeBloomJoin _),
+    "xreuse"        -> (LayoutOps.exchangeReuse _),
+    "obs"       -> (PipelineOps.observedMetrics _),
   )
 
   // ---- programmatic oracle fragments (keep Spark & SQL in lockstep) --
@@ -750,7 +753,7 @@ object SparkEntry {
            UNION ALL
            SELECT p_partkey, 'retailprice', p_retailprice FROM part) t
          ORDER BY p_partkey, metric""",
-    "mode_by_group" ->
+    "mode_grp" ->
       """SELECT p_brand, mode_type, n FROM (
            SELECT p_brand, p_type AS mode_type, COUNT(*) AS n,
                   row_number() OVER (PARTITION BY p_brand
@@ -929,7 +932,7 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
          MIN(doc_id) AS first_doc
          FROM documents GROUP BY 1 ORDER BY 1""",
-    "dedup_jaccard" ->
+    "jaccard" ->
       s"""$shinglesSql
           SELECT doc_a, doc_b, jaccard FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -946,7 +949,7 @@ object SparkEntry {
     // component's min doc_id. The oracle computes reachability closure
     // with a recursive CTE (min reachable id ≡ the min-label fixpoint
     // the Spark loop converges to).
-    "dedup_clusters" ->
+    "clusters" ->
       s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
           e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -959,7 +962,7 @@ object SparkEntry {
     "text_simhash" ->
       s"""$simhashSql
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
-    "simhash_pairs" -> {
+    "sim_pairs" -> {
       val segBits = DedupOps.SimhashBits / DedupOps.SimhashSegments
       val mask = (1L << segBits) - 1
       val segs = (0 until DedupOps.SimhashSegments).map { s =>
@@ -1183,7 +1186,7 @@ object SparkEntry {
     // PipelineOps.decontaminate: NOT EXISTS (not NOT IN) so a NULL
     // fingerprint behaves like Spark's anti-join (kept), though the
     // corpus carries none.
-    "decontaminate" ->
+    "decon" ->
       """WITH d AS (SELECT doc_id, lang, md5(lower(trim(text))) AS fp FROM documents),
           e AS (SELECT fp FROM d WHERE doc_id % 50 = 0)
          SELECT doc_id, lang, fp FROM d
@@ -1455,7 +1458,7 @@ object SparkEntry {
     // production plan is the un-expanded one-pass approx aggregation;
     // the exact pass exists as the gate's reference and the emitted
     // n_distinct.)
-    "profile_approx" -> {
+    "prof_apx" -> {
       val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
       val str = Seq("o_orderstatus", "o_orderpriority")
       val rows = (num ++ str).map { c =>
@@ -1744,5 +1747,43 @@ object SparkEntry {
          TRUE AS bucketed_no_exchange
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // LayoutOps.runtimeBloomJoin: the oracle computes the plain
+    // filtered join — result preservation under runtime bloom
+    // pruning is exactly what the hash checks. bloom_injected is
+    // computed Spark-side from the optimized plan (TRUE only if the
+    // bloom_filter_might_contain probe was injected); the oracle
+    // expects the claim to hold.
+    "rt_bloom" ->
+      """SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         TRUE AS bloom_injected
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'""",
+    // LayoutOps.exchangeReuse: top-5 order revenues cross-joined with
+    // the global stats that consume the SAME grouped frame; the
+    // oracle recomputes both from scratch. exchange_reused is
+    // computed Spark-side (TRUE only if the static plan carries a
+    // ReusedExchange node); the oracle expects the claim to hold.
+    "xreuse" ->
+      """WITH g AS (SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_rev
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT t.l_orderkey, t.order_rev, s.n_orders, s.total_rev,
+           TRUE AS exchange_reused
+         FROM (SELECT * FROM g ORDER BY order_rev DESC, l_orderkey LIMIT 5) t
+         CROSS JOIN (SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(order_rev AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+           FROM g) s
+         ORDER BY t.order_rev DESC, t.l_orderkey""",
+    // PipelineOps.observedMetrics: the oracle recomputes the
+    // in-flight observed aggregates as a dedicated counting query —
+    // observed side-channel ≡ declarative result.
+    "obs" ->
+      """SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_empty,
+         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents""",
   )
 }

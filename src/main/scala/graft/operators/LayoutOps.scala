@@ -159,4 +159,78 @@ object LayoutOps {
       .withColumn("bucketed_no_exchange", lit(noExchange))
       .orderBy("c_mktsegment")
   }
+
+  /** Runtime bloom-filter join pruning — Spark's row-level runtime
+    * filtering (`InjectRuntimeFilter`), the shuffle-side sibling of
+    * the DPP pin in LayoutSpec: when a join's creation side carries a
+    * selective filter, the optimizer builds a bloom filter over its
+    * join keys as a scalar subquery and injects
+    * `might_contain` into the application side's scan,
+    * so non-matching fact rows die BEFORE the shuffle instead of
+    * after it. At 100 TB this is the difference between shuffling the
+    * whole fact table and shuffling the ~20% that can possibly join.
+    * Demo dials live on a private child session: broadcast off (bloom
+    * targets shuffle joins; at corpus scale the filtered dim is still
+    * past broadcast size), the application-side scan floor dropped to
+    * 0 and the creation-side ceiling raised (the defaults — 10 GB
+    * scan floor, 10 MB creation ceiling — are cluster-scale sizes the
+    * local files never reach; production keeps them). The injection
+    * claim ships inside the hash-checked row: `bloom_injected` is
+    * TRUE only if the optimized plan carries the
+    * might_contain probe, and the aggregate itself is
+    * oracle-checked against the plain join — filter-correctness and
+    * plan shape in one gate.
+    */
+  def runtimeBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+    val injected = j.queryExecution.optimizedPlan.toString()
+      .contains("might_contain")
+    j.agg(count(lit(1)).as("n_rows"),
+        Num.moneySum(col("l_extendedprice")).as("sum_price"))
+      .withColumn("bloom_injected", lit(injected))
+  }
+
+  /** Exchange reuse — one shuffle feeding two consumers. The grouped
+    * frame `g` (revenue per order) is consumed twice: its top-5
+    * orders AND its global stats. Naively that is two full
+    * scan+shuffle pipelines over the fact table; Spark's
+    * `ReuseExchangeAndSubquery` rule canonicalizes the two identical
+    * Exchange subtrees and wires the second consumer to the first's
+    * shuffle output — at 100 TB, half the I/O and half the shuffle
+    * for free, with no manual `.cache()` (which would spill a 100 TB
+    * intermediate to executor storage; exchange reuse streams it).
+    * AQE is off on the private child session only so the STATIC
+    * executed plan exposes the `ReusedExchange` node deterministically
+    * before execution (under AQE the same reuse happens via stage
+    * reuse at runtime); `exchange_reused` ships in the hash-checked
+    * row. Stats re-sum per-order revenue through DECIMAL(18,2) so the
+    * double total is partitioning-independent and oracle-hashable.
+    */
+  def exchangeReuse(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val g = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(Num.moneySum(col("l_extendedprice")).as("order_rev"))
+    val top = g.orderBy(col("order_rev").desc, col("l_orderkey")).limit(5)
+    val stats = g.agg(count(lit(1)).as("n_orders"),
+      Num.moneySum(col("order_rev")).as("total_rev"))
+    val out = top.crossJoin(stats)
+    val reused = out.queryExecution.executedPlan.toString()
+      .contains("ReusedExchange")
+    out.withColumn("exchange_reused", lit(reused))
+      .orderBy(col("order_rev").desc, col("l_orderkey"))
+  }
 }

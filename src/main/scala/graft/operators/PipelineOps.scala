@@ -499,4 +499,50 @@ object PipelineOps {
       .select("doc_id", "source", "lang", "n_tokens")
       .orderBy("doc_id")
   }
+
+  // ---- single-pass pipeline telemetry (Dataset.observe) ----------------
+
+  /** Pipeline telemetry via `Dataset.observe` — the 100 TB answer to
+    * "how many rows / how many bad rows did this stage see?": a
+    * second counting scan over a 100 TB input doubles the job's I/O,
+    * and a `.cache()` to avoid it spills the corpus to executor
+    * storage. `observe` instead attaches accumulator-backed
+    * aggregates to the FLOWING rows — the metrics fall out of the
+    * same single pass that feeds the sink, at zero extra scans and
+    * O(1) driver memory. Here the documents scan is written to the
+    * noop sink (the real pipeline's shard write) while row count,
+    * empty-text count, distinct-language count and total characters
+    * are observed in-flight; the observed map is then lifted back
+    * into a 1-row frame. The oracle recomputes the same aggregates
+    * declaratively, so the gate proves the side-channel carries
+    * exactly what a dedicated counting pass would have — observed ≡
+    * computed. (Observed metrics must merge as accumulators, so
+    * CheckAnalysis rejects DISTINCT aggregates — the mix here is
+    * count / conditional sum / min / max / sum, all accumulator-
+    * mergeable and all exactly reproducible by the oracle.)
+    */
+  def observedMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation("graft_docs_pass")
+    Tables.documents(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+          .as("n_empty"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("total_chars"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    // sum/min/max observe to NULL on an empty pass (count to 0) —
+    // boxed longs carry that through, matching the declarative twin
+    def l(k: String): java.lang.Long = m(k) match {
+      case null => null
+      case v: java.lang.Long => v
+      case v => java.lang.Long.valueOf(v.toString)
+    }
+    import spark.implicits._
+    Seq((l("n_rows"), l("n_empty"), l("min_id"), l("max_id"),
+      l("total_chars")))
+      .toDF("n_rows", "n_empty", "min_id", "max_id", "total_chars")
+  }
 }

@@ -17,8 +17,8 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and yields rows on sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
-      if (n == 0 && !Set("join_anti", "set_except", "dedup_jaccard",
-        "minhash", "simhash_pairs", "dedup_clusters",
+      if (n == 0 && !Set("join_anti", "set_except", "jaccard",
+        "minhash", "sim_pairs", "clusters",
         "emb_neardup").contains(name))
         Some(name -> n)
       else None

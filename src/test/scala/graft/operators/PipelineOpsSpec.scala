@@ -206,4 +206,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(bySource.values.forall(_ <= PipelineOps.SourceQuota),
       "per-source quota exceeded")
   }
+
+  test("observedMetrics: the in-flight side-channel equals a dedicated counting pass") {
+    val got = PipelineOps.observedMetrics(spark, sf).head()
+    val want = graft.sources.Tables.documents(spark, sf)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+          .as("n_empty"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("total_chars"))
+      .head()
+    assert((0 until 5).map(got.getLong) === (0 until 5).map(want.getLong),
+      s"observed metrics $got diverged from the counting pass $want")
+    assert(got.getLong(0) > 0, "vacuous: zero rows observed")
+    // a second pass must observe cleanly too (fresh Observation per
+    // call — the listener registration is not single-shot per session)
+    assert(PipelineOps.observedMetrics(spark, sf).head() === got)
+  }
 }

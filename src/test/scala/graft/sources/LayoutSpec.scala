@@ -79,6 +79,79 @@ class LayoutSpec extends AnyFunSuite {
       "bucketed-join aggregate diverged from the raw join")
   }
 
+  test("rt_bloom: runtime bloom filter is injected, prunes before the shuffle, and preserves the result") {
+    val dir01 = "/root/testdata/sf0.01"
+    val df = graft.operators.LayoutOps.runtimeBloomJoin(spark, dir01)
+    val row = df.head()
+    assert(row.getBoolean(2),
+      "bloom_injected gate is FALSE — InjectRuntimeFilter did not fire")
+    // external re-check of the operator's own plan interrogation:
+    // same dials, direct read of the optimized plan
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+    def joined(sess: SparkSession) =
+      Tables.lineitem(sess, dir01).select("l_orderkey", "l_extendedprice")
+        .join(Tables.orders(sess, dir01)
+          .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+    val opt = joined(s).queryExecution.optimizedPlan.toString()
+    assert(opt.contains("might_contain"),
+      s"no bloom probe on the application side:\n$opt")
+    // negative control: with the feature off the probe must vanish
+    val off = spark.newSession()
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    off.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    assert(!joined(off).queryExecution.optimizedPlan.toString()
+      .contains("might_contain"),
+      "bloom probe injected with the feature disabled")
+    // and pruning is result-preserving: the plain-session join (default
+    // thresholds, no injection on local file sizes) agrees exactly
+    val plain = joined(off)
+      .agg(count(lit(1)).as("n_rows"),
+        graft.util.Num.moneySum(col("l_extendedprice")).as("sum_price"))
+      .head()
+    assert((row.getLong(0), row.getDouble(1)) ===
+      ((plain.getLong(0), plain.getDouble(1))),
+      "bloom-pruned join diverged from the plain join")
+  }
+
+  test("xchg_reuse: one shuffle feeds both consumers, and reuse preserves the result") {
+    val dir01 = "/root/testdata/sf0.01"
+    val df = graft.operators.LayoutOps.exchangeReuse(spark, dir01)
+    val rows = df.collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getBoolean(4)),
+      "exchange_reused gate is FALSE — the second consumer re-shuffled")
+    // negative control: with exchange reuse disabled the node vanishes
+    // (same child-session dials as the operator, AQE off for a static plan)
+    val noReuse = spark.newSession()
+    noReuse.conf.set("spark.sql.adaptive.enabled", "false")
+    noReuse.conf.set("spark.sql.exchange.reuse", "false")
+    val g = Tables.lineitem(noReuse, dir01)
+      .groupBy("l_orderkey")
+      .agg(graft.util.Num.moneySum(col("l_extendedprice")).as("order_rev"))
+    val top = g.orderBy(col("order_rev").desc, col("l_orderkey")).limit(5)
+    val stats = g.agg(count(lit(1)).as("n_orders"),
+      graft.util.Num.moneySum(col("order_rev")).as("total_rev"))
+    val unshared = top.crossJoin(stats)
+    assert(!unshared.queryExecution.executedPlan.toString()
+      .contains("ReusedExchange"),
+      "ReusedExchange present with spark.sql.exchange.reuse=false")
+    // and reuse is result-preserving: values equal the reuse-free run
+    val want = unshared
+      .orderBy(col("order_rev").desc, col("l_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSeq ===
+      want.toSeq,
+      "exchange-reuse run diverged from the reuse-free run")
+  }
+
   test("partition-pruned scan pushes the partition predicate to file listing") {
     val out = "/tmp/graft_layout/orders_by_year"
     Tables.orders(spark, sf)
