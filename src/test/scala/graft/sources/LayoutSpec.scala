@@ -249,6 +249,53 @@ class LayoutSpec extends AnyFunSuite {
       s"partitioned-path neighbors $viaParquet != in-memory $inMemory")
   }
 
+  test("dynamic partition overwrite rewrites only the partitions receiving data") {
+    // the incremental-backfill primitive at 100 TB: re-running one
+    // day's ingest must replace THAT day's partition and leave the
+    // other ~36,500 untouched. Default (static) overwrite mode is the
+    // classic footgun — it clears the whole root first — so both
+    // behaviors are pinned: static loses the sibling partitions,
+    // dynamic preserves them byte-for-byte.
+    val base = java.nio.file.Files.createTempDirectory("graft_dynow").toString
+    def orders = Tables.orders(spark, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+    def writeFull(out: String): Unit =
+      orders.write.mode("overwrite").partitionBy("order_year").parquet(out)
+    def slice(hit: Int) = orders.filter(col("order_year") === hit)
+      .withColumn("o_totalprice", lit(0.0))
+    val years = orders.select("order_year").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(years.length >= 2, "fixture needs at least two year partitions")
+    val (keep, hit) = (years.head, years.last)
+    // static mode (the default): the one-partition rewrite clears the
+    // whole dataset root — sibling partitions are gone afterwards
+    val statOut = s"$base/static"
+    writeFull(statOut)
+    slice(hit).write.mode("overwrite").partitionBy("order_year").parquet(statOut)
+    assert(spark.read.parquet(statOut)
+      .filter(col("order_year") === keep).count() === 0L,
+      "static overwrite unexpectedly preserved sibling partitions")
+    // dynamic mode: only the partition that received data is replaced
+    val dynOut = s"$base/dynamic"
+    writeFull(dynOut)
+    val beforeKeep = spark.read.parquet(dynOut)
+      .filter(col("order_year") === keep).count()
+    val dyn = spark.newSession()
+    dyn.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    Tables.orders(dyn, sf)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .filter(col("order_year") === hit)
+      .withColumn("o_totalprice", lit(0.0))
+      .write.mode("overwrite").partitionBy("order_year").parquet(dynOut)
+    val after = spark.read.parquet(dynOut)
+    assert(after.filter(col("order_year") === keep).count() === beforeKeep,
+      "dynamic overwrite disturbed an untouched partition")
+    val hitRows = after.filter(col("order_year") === hit)
+    assert(hitRows.count() > 0 &&
+      hitRows.agg(max(abs(col("o_totalprice")))).head().getDouble(0) === 0.0,
+      "dynamic overwrite did not replace the targeted partition")
+  }
+
   test("z-order layout gives every written file a tight two-column bounding box") {
     import org.apache.spark.sql.DataFrame
     // sf0.01 so each of the 8 range partitions holds enough orders
