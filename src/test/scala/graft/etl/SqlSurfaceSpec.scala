@@ -136,4 +136,77 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(grouped === Seq(3L, 1L))
   }
+
+  test("Spark 4 SQL UDFs: scalar and table functions match their inline twins") {
+    // CREATE FUNCTION ... RETURN <expr> ships business logic as
+    // catalog objects instead of JVM jars — the deployment story for
+    // a shared 100 TB warehouse where analysts don't build Scala.
+    // The body is substituted into the plan at analysis (no black-box
+    // row-at-a-time evaluation), so codegen and pushdown still apply.
+    val c = cleaned
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION money_round(x DOUBLE)
+         RETURNS DOUBLE RETURN CAST(CAST(x AS DECIMAL(18,2)) AS DOUBLE)""")
+    val viaUdf = spark.sql(
+      """SELECT id_produto, SUM(money_round(valor_total)) AS total
+         FROM vendas GROUP BY id_produto""")
+    val inline = spark.sql(
+      """SELECT id_produto,
+           SUM(CAST(CAST(valor_total AS DECIMAL(18,2)) AS DOUBLE)) AS total
+         FROM vendas GROUP BY id_produto""")
+    assert(rows(viaUdf) === rows(inline))
+    // table-valued SQL UDF: parameterized view over the catalog
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION vendas_of(pid INT)
+         RETURNS TABLE(id_venda INT, valor_total DOUBLE)
+         RETURN SELECT id_venda, valor_total FROM vendas
+                WHERE id_produto = pid""")
+    val pid = spark.sql("SELECT id_produto FROM vendas ORDER BY id_produto LIMIT 1")
+      .head().getInt(0)
+    assert(rows(spark.sql(s"SELECT * FROM vendas_of($pid)")) ===
+      rows(spark.sql(
+        s"SELECT id_venda, valor_total FROM vendas WHERE id_produto = $pid")))
+  }
+
+  test("LATERAL correlated subquery decorrelates to a join, matching the groupBy twin") {
+    // per-product totals via LATERAL: Catalyst must decorrelate the
+    // dependent subquery into a join/aggregate (a re-executed inner
+    // query per outer row would be the scale bug). Result pinned
+    // against the plain aggregate; plan pinned join-shaped.
+    val c = cleaned
+    val lateral = spark.sql(
+      """SELECT p.id_produto, t.total
+         FROM produtos p,
+         LATERAL (SELECT SUM(v.valor_total) AS total FROM vendas v
+                  WHERE v.id_produto = p.id_produto) t""")
+    val twin = spark.sql(
+      """SELECT p.id_produto, s.total
+         FROM produtos p LEFT JOIN (
+           SELECT id_produto, SUM(valor_total) AS total
+           FROM vendas GROUP BY id_produto) s
+         ON p.id_produto = s.id_produto""")
+    assert(rows(lateral) === rows(twin))
+    val opt = lateral.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("Join") && opt.contains("Aggregate"),
+      s"lateral subquery did not decorrelate to join+aggregate:\n$opt")
+  }
+
+  test("parameterized SQL: named placeholders bind without string interpolation") {
+    // spark.sql(text, args) is the injection-safe plan-cache-friendly
+    // way to template the same statement over changing literals —
+    // at fleet scale the alternative (string concat) both breaks the
+    // SQL cache and invites quoting bugs.
+    val c = cleaned
+    val cat = spark.sql("SELECT categoria FROM produtos ORDER BY categoria LIMIT 1")
+      .head().getString(0)
+    val bound = spark.sql(
+      """SELECT COUNT(*) AS n, SUM(preco) AS sp FROM produtos
+         WHERE categoria = :cat AND preco >= :floor""",
+      Map("cat" -> cat, "floor" -> 0.0))
+    val literal = spark.sql(
+      s"""SELECT COUNT(*) AS n, SUM(preco) AS sp FROM produtos
+          WHERE categoria = '$cat' AND preco >= 0.0""")
+    assert(rows(bound) === rows(literal))
+    assert(bound.head().getLong(0) > 0, "vacuous: parameter matched nothing")
+  }
 }
