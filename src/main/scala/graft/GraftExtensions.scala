@@ -18,6 +18,9 @@ import graft.functions.{CosineSimilarity, DotProduct, MinKStrings, TopKByScore}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: the native as-of join's planner
+    // strategy (logical AsOfJoin → merge-scan AsOfJoinExec)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -30,7 +30,7 @@ object SparkEntry {
     // Operator inventory (SURVEY.md §2.2-2.8)
     "dedup_exact"            -> (RelationalOps.dedupExact _),
     "median_grp"        -> (RelationalOps.medianByGroup _),
-    "impute_median"    -> (RelationalOps.imputeGroupMedian _),
+    "imp_med"    -> (RelationalOps.imputeGroupMedian _),
     "scalar_funcs"           -> (RelationalOps.scalarFuncs _),
     "date_funcs"             -> (RelationalOps.dateFuncs _),
     "enrich"       -> (RelationalOps.joinLeftEnrich _),
@@ -75,6 +75,7 @@ object SparkEntry {
     "salted_agg"             -> (StatOps.saltedAgg _),
     "join_range"             -> (StatOps.joinRange _),
     "asof_join"              -> (StatOps.asofJoin _),
+    "asof_nat"               -> (StatOps.asofJoinNative _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
@@ -557,7 +558,7 @@ object SparkEntry {
     "median_grp" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
          FROM part GROUP BY 1 ORDER BY 1""",
-    "impute_median" ->
+    "imp_med" ->
       """WITH masked AS (
            SELECT p_partkey, p_brand,
                   CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_retailprice END AS pr
@@ -864,6 +865,18 @@ object SparkEntry {
            ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
          GROUP BY 1 ORDER BY 1""",
     "asof_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id,
+                (SELECT MAX(s.es) FROM e s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.es <= p.es) AS last_signup_es
+         FROM e p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+    // StatOps.asofJoinNative: identical contract to asof_join — the
+    // custom merge-scan operator must reproduce the window twin's
+    // oracle byte-for-byte
+    "asof_nat" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,

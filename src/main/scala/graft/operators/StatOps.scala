@@ -505,6 +505,35 @@ object StatOps {
       .orderBy("l_returnflag")
   }
 
+  /** The window twin's query on the NATIVE as-of operator
+    * (graft.plans.AsOfJoin → merge-scan AsOfJoinExec): each purchase
+    * picks up the latest signup at-or-before it, per user. Same
+    * result contract as [[asofJoin]] (the oracle is shared shape-for-
+    * shape), but the plan is one key shuffle + sort per side and a
+    * streaming merge that returns the full matched right row — the
+    * shape that generalizes where the window twin's running-max trick
+    * (single orderable payload column) does not. AsOfJoinSpec pins
+    * the AsOfJoin node in the executed plan, its window-free shape,
+    * value-equality with the window twin, and the merge edge cases;
+    * the DuckDB gate hashes the result.
+    */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    graft.plans.AsOfJoinOps.asof(
+        purchases, signups,
+        Seq(purchases("user_id")), Seq(signups("s_uid")),
+        purchases("es"), signups("signup_es"))
+      .select(col("event_id"), col("user_id"),
+        col("signup_es").as("last_signup_es"))
+      .orderBy("event_id")
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),

