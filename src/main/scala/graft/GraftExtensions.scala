@@ -19,8 +19,11 @@ import graft.functions.{CosineSimilarity, DotProduct, MinKStrings, TopKByScore}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension: the native as-of join's planner
-    // strategy (logical AsOfJoin → merge-scan AsOfJoinExec)
+    // strategy (logical AsOfJoin → merge-scan AsOfJoinExec) and its
+    // column-pruning optimizer rule (Catalyst's ColumnPruning doesn't
+    // know the custom node)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

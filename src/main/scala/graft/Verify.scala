@@ -24,6 +24,21 @@ object Verify {
       else SparkEntry.queries.filter { case (n, _) => only(n) }
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // full sweep into a reused outDir: drop stale result dirs from
+    // renamed/removed registry keys, or the compare would keep
+    // "passing" a query that no longer exists
+    if (only.isEmpty) {
+      val live = SparkEntry.queries.keySet
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live(f.getName))
+        .foreach { stale =>
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(stale.toPath)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+    }
     selected.foreach { case (name, fn) =>
       // clear any previous run's output first: a query that now throws
       // must not leave stale parquet behind for the gate to "pass" on

@@ -23,6 +23,9 @@ object AsOfJoinOps {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
     val node = AsOfJoin(
       left.queryExecution.analyzed,
       right.queryExecution.analyzed,

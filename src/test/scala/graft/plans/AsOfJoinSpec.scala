@@ -61,6 +61,35 @@ class AsOfJoinSpec extends AnyFunSuite {
       "native as-of join diverged from the window formulation")
   }
 
+  test("column pruning pushes through the custom node into both scans' ReadSchema") {
+    import spark.implicits._
+    // wide frames on REAL parquet: selecting two columns from the
+    // as-of join must narrow both file scans — without the
+    // PruneAsOfJoinColumns rule the unknown node blocks Catalyst's
+    // ColumnPruning and every junk column is read and shuffled
+    val base = java.nio.file.Files.createTempDirectory("graft_asof_prune").toString
+    (0 until 100).map(i => (i.toLong % 10, i.toLong, s"L$i", s"ljunkA$i", s"ljunkB$i"))
+      .toDF("k", "lt", "lpay", "ljunk_a", "ljunk_b")
+      .write.mode("overwrite").parquet(s"$base/left")
+    (0 until 50).map(i => (i.toLong % 10, i.toLong * 2, s"R$i", s"rjunkA$i", s"rjunkB$i"))
+      .toDF("rk", "rt", "rpay", "rjunk_a", "rjunk_b")
+      .write.mode("overwrite").parquet(s"$base/right")
+    val l = spark.read.parquet(s"$base/left")
+    val r = spark.read.parquet(s"$base/right")
+    val narrow = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+      .select("lpay", "rpay")
+    val formatted = narrow.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!formatted.contains("ljunk_a") && !formatted.contains("rjunk_b"),
+      s"junk columns survived into the physical plan:\n$formatted")
+    assert(formatted.contains("lpay") && formatted.contains("rpay"),
+      s"selected payloads missing from the plan:\n$formatted")
+    // and the pruned plan still computes the right values
+    val got = narrow.collect().map(x =>
+      x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(got.size === 100 && got.values.exists(_ != null))
+  }
+
   test("many keys across many partitions: per-user merge is partition-safe") {
     import spark.implicits._
     // 500 users × interleaved purchase/signup times, shuffled input
