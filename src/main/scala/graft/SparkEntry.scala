@@ -76,6 +76,7 @@ object SparkEntry {
     "join_range"             -> (StatOps.joinRange _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
+    "asof2"                  -> (StatOps.asofJoinPayload _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
@@ -108,7 +109,7 @@ object SparkEntry {
     "strat_sample"      -> (PipelineOps.sampleStratified _),
     "tfidf"        -> (PipelineOps.tfidfTopK _),
     "funnel"          -> (PipelineOps.eventsFunnel _),
-    "merge_upsert"           -> (PipelineOps.mergeUpsert _),
+    "upsert"           -> (PipelineOps.mergeUpsert _),
     "pack"         -> (PipelineOps.packSequences _),
     "winsorize"     -> (PipelineOps.winsorizeByGroup _),
     "decon"          -> (PipelineOps.decontaminate _),
@@ -117,7 +118,7 @@ object SparkEntry {
     "lm_score"       -> (TextOps.lmScore _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
     "clusters"         -> (DedupOps.dedupClusters _),
-    "quota_sample"    -> (PipelineOps.sampleSourceQuota _),
+    "quota"    -> (PipelineOps.sampleSourceQuota _),
     "imp_sample"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
     "cohort"       -> (EventOps.cohortRetention _),
@@ -885,6 +886,21 @@ object SparkEntry {
                    AND s.es <= p.es) AS last_signup_es
          FROM e p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+    // StatOps.asofJoinPayload: full-row payload — latest signup's
+    // (es, event_id) per purchase, ties broken highest-event-id,
+    // exactly the engine's composite-time merge order
+    "asof2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id, t.es AS signup_es,
+                t.event_id AS signup_event_id
+         FROM e p LEFT JOIN LATERAL (
+           SELECT s.es, s.event_id FROM e s
+           WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+             AND s.es <= p.es
+           ORDER BY s.es DESC, s.event_id DESC LIMIT 1) t ON TRUE
+         WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     "text_tokens" ->
       s"""SELECT doc_id,
           CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -1133,7 +1149,7 @@ object SparkEntry {
          WHERE users > 0 ORDER BY stage""",
     // PipelineOps.mergeUpsert: updated-wins upsert with deterministic
     // update/insert batches derived from the base table itself.
-    "merge_upsert" ->
+    "upsert" ->
       """WITH bumped AS (
            SELECT o_orderkey, o_custkey, o_orderstatus,
                   o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
@@ -1295,7 +1311,7 @@ object SparkEntry {
           ORDER BY d.doc_id""",
     // PipelineOps.sampleSourceQuota: deterministic per-source cap —
     // md5-of-id rank inside each source, keep rank <= quota.
-    "quota_sample" ->
+    "quota" ->
       s"""WITH r AS (SELECT doc_id, source,
                  CAST(row_number() OVER (PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk

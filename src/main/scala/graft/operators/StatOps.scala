@@ -534,6 +534,39 @@ object StatOps {
       .orderBy("event_id")
   }
 
+  /** The full-row-payload as-of case — the query the window twin's
+    * running-max trick cannot express: each purchase picks up BOTH
+    * columns of its latest at-or-before signup (time AND event id).
+    * Determinism under ties: two signups can share (user, second), so
+    * the merge's "last in sort order wins" must be pinned — the time
+    * column is the composite es·2³⁰ + event_id (event ids stay below
+    * 2³⁰ at every scale factor, so no residue collisions), making the
+    * right-side order total: latest second, then highest event id —
+    * exactly the oracle's ORDER BY es DESC, event_id DESC LIMIT 1.
+    * The left probes at es·2³⁰ + (2³⁰−1), i.e. "any signup in or
+    * before my second".
+    */
+  def asofJoinPayload(spark: SparkSession, dir: String): DataFrame = {
+    val Shift = 1L << 30
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        (col("es") * Shift + (Shift - 1)).as("lt"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"),
+        col("event_id").as("signup_event_id"))
+      .withColumn("rt", col("signup_es") * Shift + col("signup_event_id"))
+    graft.plans.AsOfJoinOps.asof(
+        purchases, signups,
+        Seq(purchases("user_id")), Seq(signups("s_uid")),
+        purchases("lt"), signups("rt"))
+      .select(col("event_id"), col("user_id"),
+        col("signup_es"), col("signup_event_id"))
+      .orderBy("event_id")
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
