@@ -26,6 +26,9 @@ object AsOfJoinOps {
     if (!spark.experimental.extraOptimizations.contains(PruneAsOfJoinColumns))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PruneAsOfJoinColumns
+    if (!spark.experimental.extraOptimizations.contains(PushLeftFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOfJoin
     val node = AsOfJoin(
       left.queryExecution.analyzed,
       right.queryExecution.analyzed,

@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{AttributeSet, NamedExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Column pruning through the custom as-of node — the optimizer-Rule
@@ -40,5 +41,36 @@ object PruneAsOfJoinColumns extends Rule[LogicalPlan] {
           else a.right
         Project(projectList, a.copy(left = newLeft, right = newRight))
       } else p
+  }
+}
+
+/** Predicate pushdown through the custom as-of node — and, just as
+  * importantly, where it must NOT push. A conjunct referencing only
+  * LEFT output commutes with the join (the operator emits exactly one
+  * row per left row; dropping a left row before or after the merge is
+  * identical), so it pushes below and reaches the left scan. A
+  * conjunct on RIGHT output must stay put: filtering right rows
+  * BEFORE the merge would re-match earlier signups ("latest signup
+  * with property X" ≠ "latest signup, if it has property X") and
+  * nullability flips besides — the spec pins both directions.
+  * Deterministic predicates only, the standard pushdown guard.
+  */
+object PushLeftFilterThroughAsOfJoin extends Rule[LogicalPlan] {
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoin) =>
+      val (pushable, kept) = splitConjuncts(cond).partition(c =>
+        c.deterministic && c.references.subsetOf(AttributeSet(a.left.output)))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = a.copy(left =
+          Filter(pushable.reduceLeft(And), a.left))
+        kept.reduceLeftOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }

@@ -90,6 +90,45 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got.size === 100 && got.values.exists(_ != null))
   }
 
+  test("left filters push below the node; right filters must NOT (semantics pin)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_asof_push").toString
+    Seq((1L, 10L, "keep"), (1L, 20L, "drop"), (2L, 10L, "keep"))
+      .toDF("k", "lt", "lflag").write.mode("overwrite").parquet(s"$base/left")
+    // user 1 history: tagged signup at 3, untagged at 5 — the LATEST
+    // at-or-before t=10 is the untagged one
+    Seq((1L, 3L, "tag"), (1L, 5L, "other"), (2L, 4L, "tag"))
+      .toDF("rk", "rt", "rtag").write.mode("overwrite").parquet(s"$base/right")
+    val l = spark.read.parquet(s"$base/left")
+    val r = spark.read.parquet(s"$base/right")
+    def asof = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+    // LEFT predicate: reaches the left scan as a pushed data filter
+    val lf = asof.filter(col("lflag") === "keep")
+    val formatted = lf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scanFilterRe = "PushedFilters: \\[[^\\]]*lflag".r
+    assert(scanFilterRe.findFirstIn(formatted).isDefined,
+      s"left predicate did not reach the left scan's PushedFilters:\n$formatted")
+    assert(lf.count() === 2)
+    // RIGHT predicate: stays ABOVE the join — "latest signup, if
+    // tagged" (null for user 1, whose latest is untagged), not
+    // "latest TAGGED signup" (which would resurrect rt=3)
+    val rf = asof.filter(col("rtag") === "tag" || col("rtag").isNull)
+    val rows = rf.select("k", "lt", "rtag").collect()
+      .map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(2)) null else x.getString(2))).toSet
+    // user 1 rows: latest signup is "other" → filtered OUT entirely
+    // (not rewritten to the older tagged signup); user 2 keeps "tag"
+    assert(rows === Set((2L, 10L, "tag")),
+      s"right-side filter changed as-of semantics: $rows")
+    val optR = rf.queryExecution.optimizedPlan.toString()
+    // the rtag predicate must sit above AsOfJoin, not inside its right child
+    val idxFilter = optR.indexOf("rtag")
+    val idxNode = optR.indexOf("AsOfJoin")
+    assert(idxFilter >= 0 && idxNode >= 0 && idxFilter < idxNode,
+      s"right predicate was pushed below the as-of node:\n$optR")
+  }
+
   test("many keys across many partitions: per-user merge is partition-safe") {
     import spark.implicits._
     // 500 users × interleaved purchase/signup times, shuffled input
