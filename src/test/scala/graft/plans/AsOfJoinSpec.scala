@@ -129,6 +129,37 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"right predicate was pushed below the as-of node:\n$optR")
   }
 
+  test("randomized property: merge equals the in-JVM reference on arbitrary data") {
+    import spark.implicits._
+    // 12 seeded trials of random shapes — empty sides, singleton keys,
+    // dense histories. Right (key,time) pairs are deduped: with equal
+    // composite sort keys the "last wins" tie is not a defined order
+    // (asof2's composite-time construction is how callers make ties
+    // total), so the property quantifies over well-posed inputs.
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 12) {
+      val nKeys = 1 + rnd.nextInt(6)
+      val left = (0 until rnd.nextInt(60)).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(30).toLong, i.toLong))
+      val right = (0 until rnd.nextInt(60)).map(i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(30).toLong, 1000L + i))
+        .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val l = left.toDF("k", "lt", "lid").repartition(1 + rnd.nextInt(5))
+      val r = right.toDF("rk", "rt", "rid").repartition(1 + rnd.nextInt(5))
+      val got = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+        .select("lid", "rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+      val byKey = right.groupBy(_._1)
+      val want = left.map { case (k, t, lid) =>
+        lid -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3).getOrElse(-1L)
+      }.toMap
+      assert(got === want, s"trial $trial diverged (seed fixed): " +
+        s"nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
+    }
+  }
+
   test("many keys across many partitions: per-user merge is partition-safe") {
     import spark.implicits._
     // 500 users × interleaved purchase/signup times, shuffled input
