@@ -129,6 +129,42 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"right predicate was pushed below the as-of node:\n$optR")
   }
 
+  test("bucketed inputs satisfy the node's distribution: as-of plans with zero Exchange") {
+    import spark.implicits._
+    // the repeated-join amortization story extends to the custom
+    // operator: because AsOfJoinExec declares the same
+    // ClusteredDistribution contract as sort-merge join, a history
+    // table bucketed on the key joins as-of with NO shuffle on either
+    // side — at 100 TB the hourly "enrich events with latest state"
+    // job stops paying two corpus shuffles per run
+    val base = java.nio.file.Files.createTempDirectory("graft_asof_bkt").toString
+    spark.sql("DROP TABLE IF EXISTS asof_bkt_l")
+    spark.sql("DROP TABLE IF EXISTS asof_bkt_r")
+    (0 until 200).map(i => (i.toLong % 20, i.toLong, s"L$i"))
+      .toDF("k", "lt", "lpay")
+      .write.mode("overwrite").option("path", s"$base/l")
+      .bucketBy(8, "k").sortBy("k", "lt").saveAsTable("asof_bkt_l")
+    (0 until 100).map(i => (i.toLong % 20, i.toLong * 2, s"R$i"))
+      .toDF("rk", "rt", "rpay")
+      .write.mode("overwrite").option("path", s"$base/r")
+      .bucketBy(8, "rk").sortBy("rk", "rt").saveAsTable("asof_bkt_r")
+    val l = spark.table("asof_bkt_l")
+    val r = spark.table("asof_bkt_r")
+    val j = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+    val plan = j.queryExecution.executedPlan.toString()
+    assert(plan.contains("AsOfJoin") && !plan.contains("Exchange"),
+      s"bucketed as-of join still shuffles:\n$plan")
+    // not vacuous: the same join from raw parquet DOES exchange
+    val lp = spark.read.parquet(s"$base/l")
+    val rp = spark.read.parquet(s"$base/r")
+    val raw = AsOfJoinOps.asof(lp, rp,
+      Seq(lp("k")), Seq(rp("rk")), lp("lt"), rp("rt"))
+    assert(raw.queryExecution.executedPlan.toString().contains("Exchange"))
+    // and the layouts agree on the result
+    assert(j.orderBy("lpay").collect().map(_.toString).toSeq ===
+      raw.orderBy("lpay").collect().map(_.toString).toSeq)
+  }
+
   test("randomized property: merge equals the in-JVM reference on arbitrary data") {
     import spark.implicits._
     // 12 seeded trials of random shapes — empty sides, singleton keys,
