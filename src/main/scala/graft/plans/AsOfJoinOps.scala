@@ -16,9 +16,16 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object AsOfJoinOps {
 
+  /** `tolerance`: maximum allowed (leftTime − matchTime) gap, pandas
+    * merge_asof-style — a latest-at-or-before match older than the
+    * bound yields nulls. Forward-direction as-of needs no extra code:
+    * negate both time columns ("latest at-or-before −t" ≡ "earliest
+    * at-or-after t"), as AsOfJoinSpec demonstrates.
+    */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[Column], rightKeys: Seq[Column],
-           leftTime: Column, rightTime: Column): DataFrame = {
+           leftTime: Column, rightTime: Column,
+           tolerance: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -29,13 +36,26 @@ object AsOfJoinOps {
     if (!spark.experimental.extraOptimizations.contains(PushLeftFilterThroughAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOfJoin
+    // computed Columns (e.g. -df("t")) arrive from the Spark 4
+    // column-node API as UnresolvedFunction stubs that no analyzer
+    // rule will visit inside a custom node — reject them with a
+    // usable message instead of a NullType failure at execution
+    def typed(c: Column, what: String) = {
+      val e = Bridge.expression(c)
+      require(e.resolved &&
+        e.dataType != org.apache.spark.sql.types.NullType,
+        s"asof: $what must reference a materialized column " +
+          s"(df(name), or withColumn the expression first); got: $e")
+      e
+    }
     val node = AsOfJoin(
       left.queryExecution.analyzed,
       right.queryExecution.analyzed,
-      leftKeys.map(Bridge.expression),
-      rightKeys.map(Bridge.expression),
-      Bridge.expression(leftTime),
-      Bridge.expression(rightTime))
+      leftKeys.map(typed(_, "left key")),
+      rightKeys.map(typed(_, "right key")),
+      typed(leftTime, "left time"),
+      typed(rightTime, "right time"),
+      tolerance)
     Bridge.ofRows(spark, node)
   }
 }

@@ -43,7 +43,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
@@ -62,8 +63,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -79,6 +80,7 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -121,6 +123,7 @@ case class AsOfJoinExec(
       // candKey; both copied out of the projection/scan reuse buffers
       var candidate: InternalRow = null
       var candKey: InternalRow = null
+      var candTime: Long = Long.MinValue
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         val lTime = lTimeEval.eval(lRow)
@@ -139,11 +142,17 @@ case class AsOfJoinExec(
               val r = rBuf.next()
               candidate = r.copy()
               candKey = rKeyProj(candidate).copy()
+              candTime = rTime.asInstanceOf[Long]
             } else advance = false
           } else advance = false
         }
+        // tolerance (pandas merge_asof): the latest-at-or-before match
+        // must also be RECENT enough, else the left row gets nulls —
+        // emission-time check only, so the candidate stays valid for
+        // later (larger-time) left rows of the same key
         val matched = lTime != null && candidate != null &&
-          keyOrd.compare(candKey, lKey) == 0
+          keyOrd.compare(candKey, lKey) == 0 &&
+          tolerance.forall(t => lTime.asInstanceOf[Long] - candTime <= t)
         resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }

@@ -129,6 +129,49 @@ class AsOfJoinSpec extends AnyFunSuite {
       s"right predicate was pushed below the as-of node:\n$optR")
   }
 
+  test("tolerance bounds the match gap; forward direction is time negation") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 100L, "c"))
+      .toDF("k", "lt", "lid")
+    // key 1 history at 95 and 120; key 2 history at 10 only
+    val right = Seq((1L, 95L, "r95"), (1L, 120L, "r120"), (2L, 10L, "r10"))
+      .toDF("rk", "rt", "tag")
+    def run(tol: Option[Long]) =
+      AsOfJoinOps.asof(left, right, Seq(left("k")), Seq(right("rk")),
+          left("lt"), right("rt"), tol)
+        .select("lid", "tag").collect()
+        .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+        .toMap
+    // unbounded: stale r10 still matches c
+    assert(run(None) === Map("a" -> "r95", "b" -> "r120", "c" -> "r10"))
+    // tolerance 80: a (gap 5) and b (gap 80) match; c (gap 90) nulls —
+    // and the candidate machinery keeps serving later rows of the key
+    assert(run(Some(80L)) === Map("a" -> "r95", "b" -> "r120", "c" -> null))
+    // tolerance 4: everything out of range
+    assert(run(Some(4L)) === Map("a" -> null, "b" -> null, "c" -> null))
+    // FORWARD as-of ("earliest at-or-after") via negated times: for
+    // lt=100 on key 1 the next history row is 120, not 95. Computed
+    // expressions must be materialized with withColumn first (the
+    // API rejects raw -col() stubs — pinned below)
+    val lneg = left.withColumn("nlt", -col("lt"))
+    val rneg = right.withColumn("nrt", -col("rt"))
+    val fwd = AsOfJoinOps.asof(lneg, rneg,
+        Seq(lneg("k")), Seq(rneg("rk")), lneg("nlt"), rneg("nrt"))
+      .select("lid", "tag").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(fwd === Map("a" -> "r120", "b" -> null, "c" -> null),
+      s"forward-asof via negation broke: $fwd")
+    // the API must reject non-materialized computed expressions with
+    // a usable message (Spark 4 column nodes leave them unresolved
+    // inside a custom operator)
+    val err = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asof(left, right, Seq(left("k")), Seq(right("rk")),
+        -left("lt"), -right("rt"))
+    }
+    assert(err.getMessage.contains("materialized column"))
+  }
+
   test("bucketed inputs satisfy the node's distribution: as-of plans with zero Exchange") {
     import spark.implicits._
     // the repeated-join amortization story extends to the custom
