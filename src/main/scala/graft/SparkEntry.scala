@@ -40,7 +40,7 @@ object SparkEntry {
     "join_full"        -> (RelationalOps.joinFullOuter _),
     "topk_orders"            -> (RelationalOps.topKOrders _),
     "pushdown"        -> (RelationalOps.filterPushdown _),
-    "set_intersect"          -> (RelationalOps.setIntersect _),
+    "isect"          -> (RelationalOps.setIntersect _),
     "set_except"             -> (RelationalOps.setExcept _),
     "agg_rollup"             -> (RelationalOps.aggRollup _),
     "topk_group"  -> (RelationalOps.windowTopKPerGroup _),
@@ -56,7 +56,7 @@ object SparkEntry {
     "attribution"     -> (EventOps.clickAttribution _),
     "string_funcs"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
-    "unpivot_long"           -> (RelationalOps.unpivotLong _),
+    "unpivot"           -> (RelationalOps.unpivotLong _),
     "mode_grp"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "agg_moments"            -> (StatOps.aggMoments _),
@@ -77,6 +77,7 @@ object SparkEntry {
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
+    "asof_tol"               -> (StatOps.asofJoinTolerance _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
@@ -625,7 +626,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem
          WHERE l_quantity > 40 AND l_discount >= 0.05 AND l_returnflag <> 'R'
          ORDER BY l_orderkey, l_partkey""",
-    "set_intersect" ->
+    "isect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1""",
     "set_except" ->
@@ -749,7 +750,7 @@ object SparkEntry {
          bool_or(l_quantity > 45) AS any_bulk,
          bool_and(l_quantity > 0) AS all_positive
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "unpivot_long" ->
+    "unpivot" ->
       """SELECT p_partkey, metric, value FROM (
            SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
            UNION ALL
@@ -901,6 +902,20 @@ object SparkEntry {
            ORDER BY s.es DESC, s.event_id DESC LIMIT 1) t ON TRUE
          WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+    // StatOps.asofJoinTolerance: the gap-bounded variant — for a
+    // MAX-es payload, "latest within [es-tol, es]" is the same row as
+    // "latest at-or-before, nulled when older than tol"
+    "asof_tol" -> {
+      val tol = graft.operators.StatOps.AsofToleranceSec
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id,
+                (SELECT MAX(s.es) FROM e s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.es <= p.es AND p.es - s.es <= $tol) AS last_signup_es
+         FROM e p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id"""
+    },
     "text_tokens" ->
       s"""SELECT doc_id,
           CAST(len($toksSql) AS BIGINT) AS n_tokens,

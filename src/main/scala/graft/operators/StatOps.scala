@@ -567,6 +567,34 @@ object StatOps {
       .orderBy("event_id")
   }
 
+  /** Tolerance-bounded as-of: [[asofJoinNative]] with the pandas
+    * merge_asof gap bound — a signup older than AsofToleranceSec
+    * before the purchase no longer counts (the "recent state only"
+    * enrichment contract; ~45% of sf0.01 matches fall outside it, so
+    * the gate discriminates). For a MAX-es payload the oracle's
+    * "latest within [es−tol, es]" window is identical to "latest
+    * at-or-before, nulled when stale" — same row when it exists.
+    */
+  private[graft] val AsofToleranceSec = 150000L
+
+  def asofJoinTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    graft.plans.AsOfJoinOps.asof(
+        purchases, signups,
+        Seq(purchases("user_id")), Seq(signups("s_uid")),
+        purchases("es"), signups("signup_es"),
+        tolerance = Some(AsofToleranceSec))
+      .select(col("event_id"), col("user_id"),
+        col("signup_es").as("last_signup_es"))
+      .orderBy("event_id")
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
