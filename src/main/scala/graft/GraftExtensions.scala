@@ -25,6 +25,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     ext.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsOfJoin)
+    // SQL surface for the native as-of join:
+    //   SELECT * FROM asof_join('left', 'right', 'key[:rkey]',
+    //                           'left_time', 'right_time'[, tolerance])
+    // (see AsOfJoinOps.buildFromSql for the argument contract)
+    ext.injectTableFunction((
+      FunctionIdentifier("asof_join"),
+      new ExpressionInfo(graft.plans.AsOfJoinOps.getClass.getName, "asof_join"),
+      (exprs: Seq[Expression]) => graft.plans.AsOfJoinOps.buildFromSql(exprs)))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -1,7 +1,10 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeMap, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** User-facing constructor for the native as-of join. Columns must be
   * resolved against the two input frames (`df.col("x")` / `df("x")`),
@@ -16,17 +19,7 @@ import org.apache.spark.sql.graftbridge.Bridge
   */
 object AsOfJoinOps {
 
-  /** `tolerance`: maximum allowed (leftTime − matchTime) gap, pandas
-    * merge_asof-style — a latest-at-or-before match older than the
-    * bound yields nulls. Forward-direction as-of needs no extra code:
-    * negate both time columns ("latest at-or-before −t" ≡ "earliest
-    * at-or-after t"), as AsOfJoinSpec demonstrates.
-    */
-  def asof(left: DataFrame, right: DataFrame,
-           leftKeys: Seq[Column], rightKeys: Seq[Column],
-           leftTime: Column, rightTime: Column,
-           tolerance: Option[Long] = None): DataFrame = {
-    val spark = left.sparkSession
+  private def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -36,6 +29,30 @@ object AsOfJoinOps {
     if (!spark.experimental.extraOptimizations.contains(PushLeftFilterThroughAsOfJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOfJoin
+  }
+
+  /** `tolerance`: maximum allowed (leftTime − matchTime) gap, pandas
+    * merge_asof-style — a latest-at-or-before match older than the
+    * bound yields nulls. Forward-direction as-of needs no extra code:
+    * negate both time columns ("latest at-or-before −t" ≡ "earliest
+    * at-or-after t"), as AsOfJoinSpec demonstrates.
+    *
+    * Self-as-of is safe: when the right plan shares attributes with
+    * the left (both sides descend from the SAME DataFrame — "join
+    * each event to the latest earlier event of its user" is the
+    * natural first query), the right side is re-aliased to fresh
+    * exprIds and the right-side key/time expressions are remapped —
+    * the same dedup Spark's own `Join` gets from `newInstance()`.
+    * Right-side expressions are interpreted against the RIGHT side by
+    * parameter position, which is the only coherent reading when the
+    * two sides share attribute ids.
+    */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKeys: Seq[Column], rightKeys: Seq[Column],
+           leftTime: Column, rightTime: Column,
+           tolerance: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
     // computed Columns (e.g. -df("t")) arrive from the Spark 4
     // column-node API as UnresolvedFunction stubs that no analyzer
     // rule will visit inside a custom node — reject them with a
@@ -48,14 +65,97 @@ object AsOfJoinOps {
           s"(df(name), or withColumn the expression first); got: $e")
       e
     }
+    val lPlan = left.queryExecution.analyzed
+    var rPlan = right.queryExecution.analyzed
+    var rKeys = rightKeys.map(typed(_, "right key"))
+    var rTime = typed(rightTime, "right time")
+    if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
+      val aliases = rPlan.output.map(a => Alias(a, a.name)())
+      val mapping = AttributeMap(rPlan.output.zip(aliases.map(_.toAttribute)))
+      rPlan = Project(aliases, rPlan)
+      def remap(e: Expression): Expression =
+        e.transform { case a: Attribute => mapping.getOrElse(a, a) }
+      rKeys = rKeys.map(remap)
+      rTime = remap(rTime)
+    }
     val node = AsOfJoin(
-      left.queryExecution.analyzed,
-      right.queryExecution.analyzed,
+      lPlan,
+      rPlan,
       leftKeys.map(typed(_, "left key")),
-      rightKeys.map(typed(_, "right key")),
+      rKeys,
       typed(leftTime, "left time"),
-      typed(rightTime, "right time"),
+      rTime,
       tolerance)
     Bridge.ofRows(spark, node)
+  }
+
+  /** SQL surface for the operator, as a table-valued function:
+    *
+    *   SELECT * FROM asof_join('purchases', 'signups',
+    *                           'user_id:s_uid', 'es', 'signup_es')
+    *   SELECT * FROM asof_join('l', 'r', 'k', 'lt', 'rt', 150000)
+    *
+    * Arguments: left table/view name, right table/view name, equi-key
+    * spec (comma-separated; each entry `name` for a same-named key or
+    * `lname:rname` when the sides differ), left time column, right
+    * time column, optional tolerance (integer literal, same unit as
+    * the time columns). All name arguments are string literals —
+    * they're resolved through the session catalog exactly like
+    * `spark.table`, so temp views, catalog tables and bucketed tables
+    * all work, and the TVF inherits the Scala API's whole contract
+    * (null-key SQL semantics, self-as-of dedup, pruning rules).
+    *
+    * Deployment: `spark.sql.extensions=graft.GraftExtensions`
+    * registers it at session build; [[registerSqlSurface]] installs it
+    * into an already-running session.
+    */
+  private[graft] def buildFromSql(exprs: Seq[Expression]): LogicalPlan = {
+    val usage = "asof_join('left', 'right', 'key[:rkey][,key2…]', " +
+      "'left_time', 'right_time'[, tolerance])"
+    require(exprs.length == 5 || exprs.length == 6,
+      s"asof_join expects 5 or 6 arguments: $usage; got ${exprs.length}")
+    def str(i: Int, what: String): String = exprs(i) match {
+      case Literal(v, StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"asof_join: $what must be a string literal ($usage); got $other")
+    }
+    val tolerance = if (exprs.length < 6) None else Some(exprs(5) match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"asof_join: tolerance must be an integer literal ($usage); got $other")
+    })
+    // TVF builders run inside analysis with the active session in
+    // scope; resolving through spark.table + the Scala constructor
+    // (instead of hand-building UnresolvedRelation/Attribute trees)
+    // reuses the hardened path — self-as-of dedup, computed-column
+    // rejection, strategy registration — and hands the analyzer an
+    // already-resolved subtree.
+    val spark = SparkSession.active
+    val l = spark.table(str(0, "left table"))
+    val r = spark.table(str(1, "right table"))
+    val keyPairs = str(2, "key spec").split(',').map(_.trim).filter(_.nonEmpty)
+      .map { k =>
+        k.split(':') match {
+          case Array(both) => (both.trim, both.trim)
+          case Array(lk, rk) => (lk.trim, rk.trim)
+          case _ => throw new IllegalArgumentException(
+            s"asof_join: bad key entry '$k' ($usage)")
+        }
+      }.toSeq
+    require(keyPairs.nonEmpty, s"asof_join: empty key spec ($usage)")
+    asof(l, r,
+      keyPairs.map(p => l(p._1)), keyPairs.map(p => r(p._2)),
+      l(str(3, "left time")), r(str(4, "right time")), tolerance)
+      .queryExecution.analyzed
+  }
+
+  /** Install the `asof_join` table-valued function into a running
+    * session (the runtime twin of GraftExtensions' injectTableFunction
+    * — for sessions not built with `spark.sql.extensions`).
+    */
+  def registerSqlSurface(spark: SparkSession): Unit = {
+    ensureRegistered(spark)
+    Bridge.registerTableFunction(spark, "asof_join", buildFromSql)
   }
 }

@@ -35,7 +35,11 @@ import org.apache.spark.sql.types.LongType
   * epoch-second convention via TimeSeriesOps.epochSecExpr); a NULL
   * time never matches (left emits nulls, right rows are skipped) —
   * the same contract as the window twin, where null es sorts first
-  * and a null max propagates.
+  * and a null max propagates. NULL equi-keys follow SQL equi-join
+  * semantics: a null key matches NOTHING (a null-keyed left row emits
+  * nulls, a null-keyed right row is never a candidate) — NOT the
+  * "null group joins null group" reading the sort order alone would
+  * give, which no SQL engine's `l.k = r.k` join condition exhibits.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -129,28 +133,36 @@ case class AsOfJoinExec(
         val lTime = lTimeEval.eval(lRow)
         // consume right rows that can never match a LATER left row:
         // strictly-smaller keys, and same-key rows at time ≤ lTime
-        // (left is key+time sorted, so later left rows only grow)
+        // (left is key+time sorted, so later left rows only grow).
+        // Null keys sort FIRST under the natural ordering, so a
+        // null-keyed left row cannot starve the advance: the only
+        // rows it consumes (cmp ≤ 0) are null-keyed right rows, which
+        // SQL equi-semantics discard anyway.
         var advance = lTime != null
         while (advance && rBuf.hasNext) {
           val head = rBuf.head
-          val cmp = keyOrd.compare(rKeyProj(head), lKey)
+          val headKey = rKeyProj(head)
+          val cmp = keyOrd.compare(headKey, lKey)
           if (cmp < 0) { rBuf.next() } // dead key, drop
           else if (cmp == 0) {
-            val rTime = rTimeEval.eval(head)
-            if (rTime == null) { rBuf.next() } // null time never matches
-            else if (rTime.asInstanceOf[Long] <= lTime.asInstanceOf[Long]) {
-              val r = rBuf.next()
-              candidate = r.copy()
-              candKey = rKeyProj(candidate).copy()
-              candTime = rTime.asInstanceOf[Long]
-            } else advance = false
+            if (headKey.anyNull) { rBuf.next() } // null key never matches (SQL)
+            else {
+              val rTime = rTimeEval.eval(head)
+              if (rTime == null) { rBuf.next() } // null time never matches
+              else if (rTime.asInstanceOf[Long] <= lTime.asInstanceOf[Long]) {
+                val r = rBuf.next()
+                candidate = r.copy()
+                candKey = rKeyProj(candidate).copy()
+                candTime = rTime.asInstanceOf[Long]
+              } else advance = false
+            }
           } else advance = false
         }
         // tolerance (pandas merge_asof): the latest-at-or-before match
         // must also be RECENT enough, else the left row gets nulls —
         // emission-time check only, so the candidate stays valid for
         // later (larger-time) left rows of the same key
-        val matched = lTime != null && candidate != null &&
+        val matched = lTime != null && !lKey.anyNull && candidate != null &&
           keyOrd.compare(candKey, lKey) == 0 &&
           tolerance.forall(t => lTime.asInstanceOf[Long] - candTime <= t)
         resultProj(joined(lRow, if (matched) candidate else nullRight))

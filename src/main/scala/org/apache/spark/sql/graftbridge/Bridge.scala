@@ -21,6 +21,16 @@ object Bridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Register a table-valued function (args → LogicalPlan) — the
+    * runtime twin of SparkSessionExtensions.injectTableFunction.
+    */
+  def registerTableFunction(
+      spark: SparkSession, name: String,
+      builder: Seq[Expression] =>
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+
   /** Wrap a custom logical plan as a user-facing DataFrame (the
     * `Dataset.ofRows` hook every whole-operator extension needs).
     */

@@ -40,6 +40,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT min_k_strings(v, 2) AS vs FROM VALUES
              ('b'), ('a'), ('c'), ('a') AS t(v)""").head()
       assert(m.getSeq[String](0) === Seq("a", "a"))
+      // the as-of TVF installs with the extensions too (zero
+      // per-session registration): latest at-or-before per key
+      import spark.implicits._
+      Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
+        .toDF("k", "lt", "lid").createOrReplaceTempView("ext_asof_l")
+      Seq((1L, 5L, "r5"), (1L, 15L, "r15"))
+        .toDF("rk", "rt", "tag").createOrReplaceTempView("ext_asof_r")
+      val a = spark.sql(
+        """SELECT lid, tag FROM asof_join('ext_asof_l', 'ext_asof_r',
+             'k:rk', 'lt', 'rt') ORDER BY lid""").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+        .toMap
+      assert(a === Map("a" -> "r5", "b" -> "r15", "c" -> null))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()

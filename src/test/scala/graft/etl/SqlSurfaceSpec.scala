@@ -209,4 +209,46 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows(bound) === rows(literal))
     assert(bound.head().getLong(0) > 0, "vacuous: parameter matched nothing")
   }
+
+  test("native as-of join from pure SQL: asof_join TVF ≡ DataFrame API") {
+    import org.apache.spark.sql.functions.col
+    // Every other engine capability is reachable from spark.sql; the
+    // whole-operator extension must be too. The TVF resolves its table
+    // arguments through the session catalog and expands to the SAME
+    // AsOfJoin node the Scala API builds — asserted by plan and by
+    // value against asof_nat / asof_tol on real data.
+    val sf = "/root/testdata/sf0.01"
+    graft.plans.AsOfJoinOps.registerSqlSurface(spark)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        graft.operators.TimeSeriesOps.epochSecExpr("ts").as("es"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+      .createOrReplaceTempView("asof_purchases")
+    ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+      .createOrReplaceTempView("asof_signups")
+    val sql = spark.sql(
+      """SELECT event_id, user_id, signup_es AS last_signup_es
+         FROM asof_join('asof_purchases', 'asof_signups',
+                        'user_id:s_uid', 'es', 'signup_es')
+         ORDER BY event_id""")
+    assert(sql.queryExecution.executedPlan.toString().contains("AsOfJoin"),
+      "SQL surface did not plan the native as-of operator")
+    assert(rows(sql) === rows(graft.operators.StatOps.asofJoinNative(spark, sf)))
+    // optional 6th argument: the pandas-merge_asof tolerance bound
+    val tol = spark.sql(
+      s"""SELECT event_id, user_id, signup_es AS last_signup_es
+          FROM asof_join('asof_purchases', 'asof_signups',
+                         'user_id:s_uid', 'es', 'signup_es',
+                         ${graft.operators.StatOps.AsofToleranceSec})
+          ORDER BY event_id""")
+    assert(rows(tol) === rows(graft.operators.StatOps.asofJoinTolerance(spark, sf)))
+    // argument validation fails fast with the usage string
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('asof_purchases', 'asof_signups', 'x')")
+        .collect()
+    }
+    assert(err.getMessage.contains("asof_join"), s"unhelpful error: $err")
+  }
 }

@@ -48,6 +48,46 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out2.length === 1 && out2.head.isNullAt(0))
   }
 
+  test("null equi-keys match nothing (SQL equi-join semantics)") {
+    import spark.implicits._
+    // A null key must behave like `l.k = r.k` in SQL: the left row
+    // emits nulls and the right row is never a candidate — NOT the
+    // null-group-joins-null-group reading the sort order would give.
+    val left = Seq((Option(1L), 10L, "a"), (Option.empty[Long], 10L, "b"),
+      (Option(2L), 10L, "c")).toDF("k", "lt", "lid")
+    val right = Seq((Option(1L), 5L, "r1"), (Option.empty[Long], 5L, "rnull"),
+      (Option(2L), 7L, "r2")).toDF("rk", "rt", "tag")
+    val out = AsOfJoinOps.asof(left, right,
+        Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"))
+      .select("lid", "tag").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out === Map("a" -> "r1", "b" -> null, "c" -> "r2"),
+      s"null-key rows leaked into the match: $out")
+  }
+
+  test("self-as-of: latest strictly-earlier event per user from ONE DataFrame") {
+    import spark.implicits._
+    // both sides descend from the SAME DataFrame instance — duplicate
+    // attribute exprIds must be deduped inside asof() (Spark Join's
+    // newInstance pattern), or the node corrupts. Strictly-earlier is
+    // at-or-before probing at es − 1.
+    val ev = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 30L, 102L),
+      (2L, 5L, 200L), (3L, 7L, 300L)).toDF("user_id", "es", "event_id")
+    val probe = ev.withColumn("probe_es", ev("es") - 1)
+    val out = AsOfJoinOps.asof(probe, ev,
+        Seq(probe("user_id")), Seq(ev("user_id")),
+        probe("probe_es"), ev("es"))
+      // duplicate names across the two sides — rename positionally
+      .toDF("user_id", "es", "event_id", "probe_es",
+        "r_user_id", "r_es", "r_event_id")
+      .select("event_id", "r_event_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    assert(out === Map(100L -> -1L, 101L -> 100L, 102L -> 101L,
+      200L -> -1L, 300L -> -1L), s"self-as-of diverged: $out")
+  }
+
   test("asof_nat plans the custom operator window-free and equals the window twin") {
     val native = graft.operators.StatOps.asofJoinNative(spark, sf)
     val plan = native.queryExecution.executedPlan.toString()
