@@ -31,7 +31,13 @@ object Verify {
       val live = SparkEntry.queries.keySet
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && !live(f.getName))
+        // only dirs that LOOK like prior Verify outputs (parquet write
+        // markers) — pointing Verify at a directory holding anything
+        // else must not destroy it; everything removed is logged
+        .filter(stale => Option(stale.listFiles()).getOrElse(Array.empty)
+          .exists(c => c.getName == "_SUCCESS" || c.getName.endsWith(".parquet")))
         .foreach { stale =>
+          System.err.println(s"[verify] removing stale result dir: $stale")
           import scala.jdk.CollectionConverters._
           val walk = java.nio.file.Files.walk(stale.toPath)
           try walk.iterator().asScala.toSeq.reverse

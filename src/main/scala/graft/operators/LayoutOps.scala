@@ -195,11 +195,15 @@ object LayoutOps {
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
     val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
-    val injected = j.queryExecution.optimizedPlan.toString()
+    // interrogate the AGGREGATED query's own optimized plan — the
+    // frame that actually ships — not the bare join's: InjectRuntimeFilter
+    // could in principle decide differently once the aggregate is on top,
+    // and the hash-checked claim must come from the plan that runs
+    val agg = j.agg(count(lit(1)).as("n_rows"),
+      Num.moneySum(col("l_extendedprice")).as("sum_price"))
+    val injected = agg.queryExecution.optimizedPlan.toString()
       .contains("might_contain")
-    j.agg(count(lit(1)).as("n_rows"),
-        Num.moneySum(col("l_extendedprice")).as("sum_price"))
-      .withColumn("bloom_injected", lit(injected))
+    agg.withColumn("bloom_injected", lit(injected))
   }
 
   /** Exchange reuse — one shuffle feeding two consumers. The grouped

@@ -557,6 +557,14 @@ object StatOps {
     val signups = ev.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_uid"), col("es").as("signup_es"),
         col("event_id").as("signup_event_id"))
+      // the composite is sound ONLY while event ids fit the residue
+      // width; a generator emitting ids ≥ 2³⁰ would silently corrupt
+      // the right-side order (residue collisions) and surface as a
+      // confusing oracle mismatch — fail fast in the plan instead
+      .filter(assert_true(
+        col("signup_event_id") >= 0 && col("signup_event_id") < Shift,
+        lit(s"asof2: event_id exceeds the composite-time residue width ($Shift)"))
+        .isNull)
       .withColumn("rt", col("signup_es") * Shift + col("signup_event_id"))
     graft.plans.AsOfJoinOps.asof(
         purchases, signups,
