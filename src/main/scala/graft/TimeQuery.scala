@@ -17,8 +17,10 @@ object TimeQuery {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.build("graft-time-query")
-    try graft.operators.DedupOps.materializeSubstrate(spark, dir)
-    catch { case e: Throwable =>
+    try {
+      graft.operators.DedupOps.materializeSubstrate(spark, dir)
+      graft.operators.DedupOps.materializePinnedStages(spark, dir)
+    } catch { case e: Throwable =>
       System.err.println(s"[time] substrate skipped: ${e.getMessage}")
     }
     names.foreach { n =>

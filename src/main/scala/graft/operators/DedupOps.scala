@@ -87,6 +87,27 @@ object DedupOps {
   private val shingleCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
+  /** Second memo tier: deterministic per-(session, dir) STAGE frames
+    * that more than one registered query consumes in the same process
+    * — minhash band candidates (the production pair query AND the
+    * work-metric gate), simhash signatures (text_simhash, sim_pairs'
+    * candidate stage AND the gate), the gate's md5-hash PPJoin
+    * replica, and the sign-LSH embedding candidates (emb_neardup AND
+    * the gate). Without this the gate re-priced candidate generation
+    * the production queries had already paid in the same bench
+    * process (cand_work was the registry's most expensive sf1 entry,
+    * ~10% of the whole bench). Same lifecycle as the shingle
+    * substrate: pinned via OpCaches, dropped by clearCaches, and
+    * Bench materializes them inside the `_substrate` entry so the
+    * one-time cost stays attributable.
+    */
+  private val stageCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private[operators] def memoStage(spark: SparkSession, dir: String, tag: String)(
+      build: => DataFrame): DataFrame =
+    OpCaches.memoPinned(stageCache, (spark, dir, tag))(build)
+
   /** Memoized shingle substrate — race-safety rationale lives on
     * OpCaches.memoPinned (shared with the gram substrate).
     */
@@ -100,6 +121,20 @@ object DedupOps {
     */
   def materializeSubstrate(spark: SparkSession, dir: String): Unit =
     shingleRowsCached(spark, dir).write.format("noop").mode("overwrite").save()
+
+  /** Force the shared pinned STAGE frames (see [[stageCache]]) for
+    * `dir` — the same explicit warm-up [[materializeSubstrate]] gives
+    * the shingle frame, so Bench prices their one-time construction
+    * inside `_substrate` instead of inside whichever consumer runs
+    * first. Order matters only in that the md5 PPJoin replica reads
+    * the shingle substrate — call after materializeSubstrate.
+    */
+  def materializePinnedStages(spark: SparkSession, dir: String): Unit =
+    Seq(minhashCandidates(spark, dir),
+        simhashSignatures(spark, dir),
+        jaccardMd5Candidates(spark, dir),
+        EmbeddingOps.neardupCandidates(spark, dir))
+      .foreach(_.write.format("noop").mode("overwrite").save())
 
   /** Unpersist the per-call transient frames (candidate sets, pre-sort
     * results) that the dedup/ANN operators persist internally, keeping
@@ -117,6 +152,7 @@ object DedupOps {
     */
   def clearCaches(spark: SparkSession): Unit = {
     shingleCache.keys.filter(_._1 eq spark).foreach(shingleCache.remove)
+    stageCache.keys.filter(_._1 eq spark).foreach(stageCache.remove)
     PipelineOps.clearGramCache(spark)
     OpCaches.clear(spark)
   }
@@ -305,7 +341,10 @@ object DedupOps {
     * so the work-metric gate counts the SAME frame the production
     * query verifies (no drift between what is priced and what runs).
     */
-  private[operators] def minhashCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "minhash_cand")(minhashCandidatesBuild(spark, dir))
+
+  private def minhashCandidatesBuild(spark: SparkSession, dir: String): DataFrame = {
     val rows = shingleRowsCached(spark, dir)
     val sig = minhashSignatures(rows)
     val rowsPerBand = MinhashSeeds / MinhashBands
@@ -469,7 +508,10 @@ object DedupOps {
     * count (25.9 M pairs at sf1) does not. Measured at sf1: dropping
     * the sort took the four-stage cand_work query 76 s → 20 s.)
     */
-  private[operators] def simhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def simhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "simhash_sig")(simhashSignaturesBuild(spark, dir))
+
+  private def simhashSignaturesBuild(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
@@ -541,7 +583,7 @@ object DedupOps {
           expr("CAST(n_items * (n_items - 1) DIV 2 AS BIGINT)").as("max_pairs"))
         .withColumn("subq", col("n_cand") * CandSubqFactor <= col("max_pairs"))
     val docs = shingleRowsCached(spark, dir).select("doc_id").distinct()
-    gate("jaccard", docs, ngramCandidatesBy(spark, dir, tokenHash))
+    gate("jaccard", docs, jaccardMd5Candidates(spark, dir))
       .unionByName(gate("minhash", docs, minhashCandidates(spark, dir)))
       .unionByName(gate("simhash", textSimhash(spark, dir),
         simhashCandidates(spark, dir)))
@@ -549,6 +591,15 @@ object DedupOps {
         EmbeddingOps.neardupCandidates(spark, dir)))
       .orderBy("algo")
   }
+
+  /** The gate's DuckDB-reproducible PPJoin replica under the shared
+    * md5-derived 60-bit [[tokenHash]] (see [[candidateGates]]) — a
+    * pinned stage frame: gate-only, but deterministic per dir and
+    * consumed once per gate evaluation, so iterations amortize like
+    * every other pinned stage.
+    */
+  private[operators] def jaccardMd5Candidates(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "jaccard_md5_cand")(ngramCandidatesBy(spark, dir, tokenHash))
 
   /** The segment-blocking candidate stage of [[dedupSimhashPairs]]:
     * distinct pairs sharing ≥1 of the 4 fingerprint segments, with

@@ -502,7 +502,10 @@ object EmbeddingOps {
     * Exposed so the work-metric gate counts the exact candidate frame
     * production verifies.
     */
-  private[operators] def neardupCandidates(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def neardupCandidates(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "neardup_cand")(neardupCandidatesBuild(spark, dir))
+
+  private def neardupCandidatesBuild(spark: SparkSession, dir: String): DataFrame = {
     val bandCols = (0 until NeardupBands).map { t =>
       val bucket = (0 until NeardupBandBits).map { i =>
         when(element_at(col("v"), t * NeardupBandBits + i + 1) >= 0,

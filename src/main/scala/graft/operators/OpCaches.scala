@@ -50,8 +50,16 @@ private[operators] object OpCaches {
   private val listenerInstalled =
     scala.collection.concurrent.TrieMap.empty[SparkSession, Unit]
 
-  /** Persist `df` (memory+disk) as a per-call TRANSIENT frame. */
-  def track(df: DataFrame): DataFrame = add(df, pinned = false)
+  /** Persist `df` (memory+disk) as a per-call TRANSIENT frame.
+    * A frame that is ALREADY cached (e.g. a pinned stage memo handed
+    * to a consumer that defensively tracks its input) is returned
+    * untouched: re-registering it as transient would let
+    * clearTransients unpersist the pinned twin — Spark's CacheManager
+    * keys entries by canonicalized plan, so the "two" registrations
+    * are one cache entry.
+    */
+  def track(df: DataFrame): DataFrame =
+    if (df.storageLevel != StorageLevel.NONE) df else add(df, pinned = false)
 
   /** Eagerly localCheckpoint `df` and register the materialized RDD
     * blocks as TRANSIENT. Iterative operators need checkpoints (plain
