@@ -133,6 +133,50 @@ object EventStream {
       .select(col("purchase_id"), col("p_user").as("user_id"))
   }
 
+  /** Streaming as-of twin: enrich each purchase with its user's
+    * LATEST signup within `toleranceSec` — the stream-stream
+    * counterpart of the batch native as-of join's tolerance form
+    * (StatOps.asofJoinTolerance / AsOfJoinOps.asof(tolerance)).
+    *
+    * Two chained stateful operators, both watermark-bounded:
+    *
+    *  1. an event-time INTERVAL join (`s_time ∈ [p_time − tol,
+    *     p_time]`) — join state holds only rows inside the interval
+    *     plus the watermark delay, then is evicted;
+    *  2. a windowed MAX per purchase — for a max-orderable payload,
+    *     "latest within the bound" ≡ the as-of match exactly when one
+    *     exists (the same identity asofJoinTolerance's oracle uses),
+    *     and the tumbling window over p_time gives the aggregation an
+    *     event-time horizon so append mode can finalize each purchase
+    *     (chaining a time-interval join into a window aggregation is
+    *     the multi-stateful-operator support Spark gained in 3.4).
+    *
+    * Inner-join semantics: a purchase with NO in-tolerance signup
+    * emits nothing — the streaming rendering of the batch operator's
+    * null row (an outer streaming join would hold every purchase to
+    * the watermark horizon for the same information). StreamingSpec
+    * pins result equality against AsOfJoinOps.asof(tolerance) on a
+    * deterministic fixture.
+    */
+  def asofSignupEnrichment(purchases: DataFrame, signups: DataFrame,
+      toleranceSec: Long): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val s = signups.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_time").as("s_time"))
+      .withWatermark("s_time", "10 minutes")
+    p.join(s, expr(
+        s"s_user = p_user AND s_time BETWEEN " +
+          s"p_time - INTERVAL $toleranceSec SECONDS AND p_time"))
+      .groupBy(window(col("p_time"), "5 minutes"),
+        col("purchase_id"), col("p_user"))
+      .agg(max(col("s_time").cast("long")).as("last_signup_es"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("last_signup_es"))
+  }
+
   /** Streaming exact dedup with BOUNDED state: the streaming twin of
     * DedupOps.dedupExactText's hash-group dedup.
     * `dropDuplicatesWithinWatermark` holds a key only until the

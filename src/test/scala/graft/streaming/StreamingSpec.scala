@@ -76,6 +76,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming as-of twin: interval join + windowed max ≡ batch tolerance as-of") {
+    import spark.implicits._
+    // purchases × signups with tolerance 100 s. Expected by hand AND
+    // against the batch native as-of with the same tolerance: the
+    // streaming inner form renders the batch operator's null rows as
+    // absence, so its output must equal the batch query's MATCHED set.
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_stream").toString
+    val t0 = 1700000000L
+    val fixture = Seq(
+      (10L, 1L, "signup", t0 + 10),
+      (11L, 1L, "signup", t0 + 50),
+      (12L, 1L, "purchase", t0 + 60),  // two in-window signups → latest (t0+50)
+      (13L, 1L, "purchase", t0 + 300), // latest signup 250 s stale → nothing
+      (20L, 2L, "purchase", t0 + 500), // only signup is later → nothing
+      (21L, 2L, "signup", t0 + 1000),
+      (30L, 3L, "signup", t0 + 650),
+      (31L, 3L, "purchase", t0 + 700)) // gap 50 → match
+    def write(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "es")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("es")).as("event_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(fixture)
+    def stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.asofSignupEnrichment(stream, stream, 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_stream").start()
+    q.processAllAvailable()
+    // watermark sentinels on BOTH filtered streams (user 99, excluded
+    // from expectations) so every fixture purchase's window finalizes;
+    // two batches guarantee a micro-batch runs AFTER the watermark
+    // update, same pattern as the session-flush test
+    write(Seq((98L, 99L, "signup", t0 + 100000), (99L, 99L, "purchase", t0 + 100000)))
+    q.processAllAvailable()
+    write(Seq((96L, 99L, "signup", t0 + 110000), (97L, 99L, "purchase", t0 + 110000)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_stream")
+      .filter(col("user_id") =!= 99L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(streamed === Map(12L -> (t0 + 50), 31L -> (t0 + 650)),
+      s"streaming as-of diverged from the hand-computed fixture: $streamed")
+    // batch native as-of, same tolerance, matched rows only
+    val ev = fixture.toDF("event_id", "user_id", "event_type", "es")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    val batch = graft.plans.AsOfJoinOps.asof(purchases, signups,
+        Seq(purchases("user_id")), Seq(signups("s_uid")),
+        purchases("es"), signups("signup_es"), Some(100L))
+      .filter(col("signup_es").isNotNull)
+      .select("event_id", "signup_es").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch,
+      "streaming as-of twin diverged from the batch tolerance as-of")
+  }
+
   test("foreachBatch JDBC sink lands the final windowed aggregate in the database") {
     System.setProperty("derby.system.home", "/tmp/graft_derby")
     val url = "jdbc:derby:/tmp/graft_derby/streamdb;create=true"
