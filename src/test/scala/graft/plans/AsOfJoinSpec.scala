@@ -248,6 +248,45 @@ class AsOfJoinSpec extends AnyFunSuite {
       raw.orderBy("lpay").collect().map(_.toString).toSeq)
   }
 
+  test("AQE composes: the node plans adaptively and its shuffles coalesce") {
+    // the "composes with the platform" proof bucketing already has:
+    // under AQE the custom exec must still plan, and the two
+    // EnsureRequirements Exchanges it asks for must participate in
+    // runtime partition coalescing — on the tiny sf0.01 fixture the
+    // 32 requested shuffle partitions collapse to a handful. Negative
+    // control: coalescing off keeps all 32.
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      import graft.operators.TimeSeriesOps
+      val ev = graft.sources.Tables.events(s, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          TimeSeriesOps.epochSecExpr("ts").as("es"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("es"))
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+      AsOfJoinOps.asof(p, su, Seq(p("user_id")), Seq(su("s_uid")),
+        p("es"), su("signup_es"))
+    }
+    val a = spark.newSession()
+    a.conf.set("spark.sql.shuffle.partitions", "32")
+    a.conf.set("spark.sql.adaptive.enabled", "true")
+    a.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val out = build(a)
+    out.collect() // drive the adaptive plan to its final shape
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("AsOfJoin"), s"node lost under AQE:\n$plan")
+    assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+      s"the as-of shuffles did not coalesce under AQE:\n$plan")
+    assert(out.rdd.getNumPartitions < 32,
+      s"post-shuffle partition count did not shrink: ${out.rdd.getNumPartitions}")
+    val b = spark.newSession()
+    b.conf.set("spark.sql.shuffle.partitions", "32")
+    b.conf.set("spark.sql.adaptive.enabled", "true")
+    b.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    assert(build(b).rdd.getNumPartitions === 32,
+      "negative control: coalescing off should keep all 32 partitions")
+  }
+
   test("randomized property: merge equals the in-JVM reference on arbitrary data") {
     import spark.implicits._
     // 12 seeded trials of random shapes — empty sides, singleton keys,
