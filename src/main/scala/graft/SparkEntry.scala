@@ -66,7 +66,7 @@ object SparkEntry {
     "agg_cdist"     -> (StatOps.aggCountDistinct _),
     "rank_dense"      -> (StatOps.windowRankDense _),
     "pct_rank"    -> (StatOps.windowPercentRank _),
-    "collect_sort"     -> (StatOps.aggCollectSorted _),
+    "csort"     -> (StatOps.aggCollectSorted _),
     "collect_cap"     -> (StatOps.aggCollectCapped _),
     "ntile"        -> (StatOps.ntileQuartiles _),
     "corr_grp"          -> (StatOps.corrByGroup _),
@@ -78,10 +78,11 @@ object SparkEntry {
     "asof_nat"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
     "asof_tol"               -> (StatOps.asofJoinTolerance _),
+    "asof_sql"               -> (StatOps.asofJoinSql _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
-    "text_quality"           -> (TextOps.textQuality _),
+    "quality"           -> (TextOps.textQuality _),
     "text_langid"            -> (TextOps.textLangId _),
     "text_fp"       -> (TextOps.textFingerprint _),
     "text_reps"       -> (TextOps.textRepSignals _),
@@ -89,7 +90,7 @@ object SparkEntry {
     "dedup_text"       -> (DedupOps.dedupExactText _),
     "jaccard"    -> (DedupOps.dedupNgramJaccard _),
     "minhash"      -> (DedupOps.dedupMinhashLsh _),
-    "text_simhash"           -> (DedupOps.textSimhash _),
+    "simhash"           -> (DedupOps.textSimhash _),
     "sim_pairs"    -> (DedupOps.dedupSimhashPairs _),
     "cand_work"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
@@ -798,7 +799,7 @@ object SparkEntry {
          cume_dist() OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS cum_dist
          FROM part ORDER BY p_brand, p_partkey""",
-    "collect_sort" ->
+    "csort" ->
       """SELECT p_brand,
          string_agg(p_type, '|' ORDER BY p_type) AS types_cat,
          COUNT(*) AS n
@@ -902,6 +903,18 @@ object SparkEntry {
            ORDER BY s.es DESC, s.event_id DESC LIMIT 1) t ON TRUE
          WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+    // StatOps.asofJoinSql: the same contract reached through the
+    // asof_join table-valued function — the SQL surface itself under
+    // the hash gate (oracle shared with asof_join/asof_nat)
+    "asof_sql" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id,
+                (SELECT MAX(s.es) FROM e s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.es <= p.es) AS last_signup_es
+         FROM e p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
     // StatOps.asofJoinTolerance: the gap-bounded variant — for a
     // MAX-es payload, "latest within [es-tol, es]" is the same row as
     // "latest at-or-before, nulled when older than tol"
@@ -933,7 +946,7 @@ object SparkEntry {
             CAST(len(pt) AS DOUBLE) / NULLIF(len(toks), 0) AS fertility
           FROM p ORDER BY doc_id"""
     },
-    "text_quality" -> {
+    "quality" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id,
@@ -1003,7 +1016,7 @@ object SparkEntry {
                 SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id)
           SELECT id AS doc_id, min(lbl) AS cluster FROM r
           GROUP BY 1 ORDER BY 1""",
-    "text_simhash" ->
+    "simhash" ->
       s"""$simhashSql
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
     "sim_pairs" -> {

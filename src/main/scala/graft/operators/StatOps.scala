@@ -603,6 +603,31 @@ object StatOps {
       .orderBy("event_id")
   }
 
+  /** [[asofJoinNative]] driven ENTIRELY through the SQL surface: the
+    * `asof_join` table-valued function over catalog temp views
+    * (plans/AsOfJoinOps.buildFromSql) — same result contract, same
+    * oracle, so the TVF argument parsing, catalog resolution and node
+    * expansion sit inside the hash-checked correctness gate rather
+    * than only in SqlSurfaceSpec.
+    */
+  def asofJoinSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.AsOfJoinOps.registerSqlSurface(spark)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+      .createOrReplaceTempView("graft_asof_purchases")
+    ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+      .createOrReplaceTempView("graft_asof_signups")
+    spark.sql(
+      """SELECT event_id, user_id, signup_es AS last_signup_es
+         FROM asof_join('graft_asof_purchases', 'graft_asof_signups',
+                        'user_id:s_uid', 'es', 'signup_es')
+         ORDER BY event_id""")
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),
