@@ -32,7 +32,9 @@ import org.apache.spark.sql.types.LongType
   * everything after is streaming.
   *
   * Scope kept honest: time expressions must be LongType (the engine's
-  * epoch-second convention via TimeSeriesOps.epochSecExpr); a NULL
+  * epoch-second convention via TimeSeriesOps.epochSecExpr) or the
+  * same timestamp type on both sides (timestamps are Long micros
+  * internally; tolerance is then in microseconds); a NULL
   * time never matches (left emits nulls, right rows are skipped) —
   * the same contract as the window twin, where null es sorts first
   * and a null max propagates. NULL equi-keys follow SQL equi-join
@@ -109,8 +111,18 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    require(leftTime.dataType == LongType && rightTime.dataType == LongType,
-      "as-of time expressions must be LongType (epoch seconds)")
+    // LongType (the engine's epoch-second convention) or a timestamp
+    // type — timestamps are Long microseconds in InternalRow, so the
+    // merge's comparisons and the tolerance arithmetic work unchanged
+    // (tolerance is in the column's native unit: seconds for epoch
+    // longs, MICROseconds for timestamps). Both sides must agree.
+    def timeOk(dt: org.apache.spark.sql.types.DataType) =
+      dt == LongType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType
+    require(timeOk(leftTime.dataType) && rightTime.dataType == leftTime.dataType,
+      "as-of time expressions must be LongType (epoch seconds) or the same " +
+        s"timestamp type on both sides; got ${leftTime.dataType} vs ${rightTime.dataType}")
     val keyTypes = leftKeys.map(_.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)

@@ -248,6 +248,55 @@ class AsOfJoinSpec extends AnyFunSuite {
       raw.orderBy("lpay").collect().map(_.toString).toSeq)
   }
 
+  test("timestamp time columns, composite keys, string keys") {
+    import spark.implicits._
+    // TIMESTAMP times: internally Long microseconds, so the merge and
+    // the tolerance (in MICROseconds for timestamps) work unchanged
+    val t0 = 1700000000L
+    val lts = Seq((1L, t0 + 100, "a"), (1L, t0 + 400, "b"))
+      .toDF("k", "es", "lid")
+      .withColumn("lt", timestamp_seconds(col("es")))
+    val rts = Seq((1L, t0 + 90, "r90"), (1L, t0 + 150, "r150"))
+      .toDF("rk", "res", "tag")
+      .withColumn("rt", timestamp_seconds(col("res")))
+    def runTs(tol: Option[Long]) =
+      AsOfJoinOps.asof(lts, rts, Seq(lts("k")), Seq(rts("rk")),
+          lts("lt"), rts("rt"), tol)
+        .select("lid", "tag").collect()
+        .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+        .toMap
+    assert(runTs(None) === Map("a" -> "r90", "b" -> "r150"))
+    // tolerance 20 s = 20e6 µs: a (gap 10 s) keeps, b (gap 250 s) nulls
+    assert(runTs(Some(20L * 1000000)) === Map("a" -> "r90", "b" -> null))
+    // mixed long/timestamp time types must fail fast with a usable message
+    val mixed = intercept[Exception] {
+      AsOfJoinOps.asof(lts, rts, Seq(lts("k")), Seq(rts("rk")),
+        lts("es"), rts("rt")).collect()
+    }
+    assert(mixed.getMessage.contains("same"), s"unhelpful: ${mixed.getMessage}")
+    // COMPOSITE (two-column) keys with a STRING component: candidate
+    // carry must respect the full key tuple
+    val l2 = Seq(("eu", 1L, 10L, "x"), ("us", 1L, 10L, "y"), ("eu", 2L, 10L, "z"))
+      .toDF("region", "k", "lt", "lid")
+    val r2 = Seq(("eu", 1L, 5L, "eu1"), ("us", 1L, 7L, "us1"), ("eu", 2L, 9L, "eu2"))
+      .toDF("r_region", "rk", "rt", "tag")
+    val out2 = AsOfJoinOps.asof(l2, r2,
+        Seq(l2("region"), l2("k")), Seq(r2("r_region"), r2("rk")),
+        l2("lt"), r2("rt"))
+      .select("lid", "tag").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(out2 === Map("x" -> "eu1", "y" -> "us1", "z" -> "eu2"))
+    // and the same composite spec through the SQL TVF ('a,b' key list)
+    AsOfJoinOps.registerSqlSurface(spark)
+    l2.createOrReplaceTempView("asof_ck_l")
+    r2.createOrReplaceTempView("asof_ck_r")
+    val sql = spark.sql(
+      """SELECT lid, tag FROM asof_join('asof_ck_l', 'asof_ck_r',
+           'region:r_region,k:rk', 'lt', 'rt') ORDER BY lid""").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(sql === out2, "TVF composite-key spec diverged from the Scala API")
+  }
+
   test("AQE composes: the node plans adaptively and its shuffles coalesce") {
     // the "composes with the platform" proof bucketing already has:
     // under AQE the custom exec must still plan, and the two
