@@ -31,8 +31,8 @@ object SparkEntry {
     "dedup_exact"            -> (RelationalOps.dedupExact _),
     "median_grp"        -> (RelationalOps.medianByGroup _),
     "imp_med"    -> (RelationalOps.imputeGroupMedian _),
-    "scalar_funcs"           -> (RelationalOps.scalarFuncs _),
-    "date_funcs"             -> (RelationalOps.dateFuncs _),
+    "scalars"           -> (RelationalOps.scalarFuncs _),
+    "dates"             -> (RelationalOps.dateFuncs _),
     "enrich"       -> (RelationalOps.joinLeftEnrich _),
     "join_semi"              -> (RelationalOps.joinSemi _),
     "join_anti"              -> (RelationalOps.joinAnti _),
@@ -54,7 +54,7 @@ object SparkEntry {
     "json_funcs"             -> (EventOps.jsonFuncs _),
     "variant"          -> (EventOps.variantFuncs _),
     "attribution"     -> (EventOps.clickAttribution _),
-    "string_funcs"           -> (RelationalOps.stringFuncs _),
+    "strings"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
     "unpivot"           -> (RelationalOps.unpivotLong _),
     "mode_grp"          -> (RelationalOps.modeByGroup _),
@@ -79,6 +79,7 @@ object SparkEntry {
     "asof2"                  -> (StatOps.asofJoinPayload _),
     "asof_tol"               -> (StatOps.asofJoinTolerance _),
     "asof_sql"               -> (StatOps.asofJoinSql _),
+    "asof_bc"                -> (StatOps.asofJoinBroadcast _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
@@ -574,7 +575,7 @@ object SparkEntry {
                 k.pr IS NULL AS imputed
          FROM masked k LEFT JOIN med d USING (p_brand)
          ORDER BY k.p_partkey""",
-    "scalar_funcs" ->
+    "scalars" ->
       """SELECT p_partkey,
          'Part ' || CAST(p_partkey AS VARCHAR) AS display_name,
          CASE WHEN p_type = 'widget' THEN 'gadget' ELSE p_type END AS type_fixed,
@@ -584,7 +585,7 @@ object SparkEntry {
          round(p_retailprice * 1.1, 2) AS price_bumped,
          COALESCE(NULLIF(p_brand, 'Brand#1'), 'UNBRANDED') AS brand_or_default
          FROM part ORDER BY p_partkey""",
-    "date_funcs" ->
+    "dates" ->
       """SELECT o_orderkey,
          strftime(o_orderdate, '%Y-%m') AS month_str,
          CAST(year(o_orderdate) AS BIGINT) AS order_year,
@@ -732,7 +733,7 @@ object SparkEntry {
            AND c.es BETWEEN p.es - 1800 AND p.es
          WHERE p.event_type = 'purchase'
          GROUP BY 1, 2 ORDER BY 1""",
-    "string_funcs" ->
+    "strings" ->
       """SELECT p_partkey,
          upper(p_name) AS up, lower(p_brand) AS lo,
          substring(p_name, 1, 4) AS sub,
@@ -913,6 +914,19 @@ object SparkEntry {
                 (SELECT MAX(s.es) FROM e s
                  WHERE s.user_id = p.user_id AND s.event_type = 'signup'
                    AND s.es <= p.es) AS last_signup_es
+         FROM e p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+    // StatOps.asofJoinBroadcast: the broadcast physical form — same
+    // values as the merge-scan oracle, plus the zero-shuffle plan
+    // claim as a hash-checked boolean the oracle expects TRUE
+    "asof_bc" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id,
+                (SELECT MAX(s.es) FROM e s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.es <= p.es) AS last_signup_es,
+                TRUE AS bcast_no_shuffle
          FROM e p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
     // StatOps.asofJoinTolerance: the gap-bounded variant — for a

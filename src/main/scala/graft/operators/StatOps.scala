@@ -628,6 +628,40 @@ object StatOps {
          ORDER BY event_id""")
   }
 
+  /** [[asofJoinNative]] on the BROADCAST physical form
+    * (plans/BroadcastAsOfJoinExec): the signup history is small
+    * relative to the purchase stream, so instead of co-partitioning
+    * both sides (two shuffles + sorts) the right side is collected
+    * into a per-key time-sorted index, broadcast, and probed by
+    * binary search — the left never shuffles. At 100 TB this is the
+    * as-of analog of broadcasting a dimension: "enrich the fact
+    * stream with latest small-reference state" costs one scan. The
+    * zero-shuffle claim ships IN the hash-checked row
+    * (`bcast_no_shuffle`, oracle expects TRUE), and the result must
+    * match the merge-scan queries' shared oracle exactly.
+    */
+  def asofJoinBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    val j = graft.plans.AsOfJoinOps.asof(
+      purchases, signups,
+      Seq(purchases("user_id")), Seq(signups("s_uid")),
+      purchases("es"), signups("signup_es"),
+      tolerance = None, broadcastRight = true)
+    val plan = j.queryExecution.executedPlan.toString()
+    val noShuffle = plan.contains("BroadcastAsOfJoin") &&
+      !plan.contains("Exchange")
+    j.select(col("event_id"), col("user_id"),
+        col("signup_es").as("last_signup_es"))
+      .withColumn("bcast_no_shuffle", lit(noShuffle))
+      .orderBy("event_id")
+  }
+
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("event_type"),

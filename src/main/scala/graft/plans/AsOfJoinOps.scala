@@ -50,7 +50,8 @@ object AsOfJoinOps {
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[Column], rightKeys: Seq[Column],
            leftTime: Column, rightTime: Column,
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           broadcastRight: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     // computed Columns (e.g. -df("t")) arrive from the Spark 4
@@ -85,7 +86,8 @@ object AsOfJoinOps {
       rKeys,
       typed(leftTime, "left time"),
       rTime,
-      tolerance)
+      tolerance,
+      broadcastRight)
     Bridge.ofRows(spark, node)
   }
 
@@ -111,20 +113,27 @@ object AsOfJoinOps {
     */
   private[graft] def buildFromSql(exprs: Seq[Expression]): LogicalPlan = {
     val usage = "asof_join('left', 'right', 'key[:rkey][,key2…]', " +
-      "'left_time', 'right_time'[, tolerance])"
-    require(exprs.length == 5 || exprs.length == 6,
-      s"asof_join expects 5 or 6 arguments: $usage; got ${exprs.length}")
+      "'left_time', 'right_time'[, tolerance][, 'broadcast'])"
+    require(exprs.length >= 5 && exprs.length <= 7,
+      s"asof_join expects 5 to 7 arguments: $usage; got ${exprs.length}")
     def str(i: Int, what: String): String = exprs(i) match {
       case Literal(v, StringType) if v != null => v.toString
       case other => throw new IllegalArgumentException(
         s"asof_join: $what must be a string literal ($usage); got $other")
     }
-    val tolerance = if (exprs.length < 6) None else Some(exprs(5) match {
-      case Literal(v: Long, LongType) => v
-      case Literal(v: Int, IntegerType) => v.toLong
+    // trailing options, in any order: an integer tolerance and/or the
+    // 'broadcast' size assertion (plan the shuffle-free probe form)
+    var tolerance: Option[Long] = None
+    var broadcast = false
+    exprs.drop(5).foreach {
+      case Literal(v: Long, LongType) => tolerance = Some(v)
+      case Literal(v: Int, IntegerType) => tolerance = Some(v.toLong)
+      case Literal(v, StringType) if v != null &&
+        v.toString.equalsIgnoreCase("broadcast") => broadcast = true
       case other => throw new IllegalArgumentException(
-        s"asof_join: tolerance must be an integer literal ($usage); got $other")
-    })
+        s"asof_join: trailing options must be an integer tolerance or " +
+          s"'broadcast' ($usage); got $other")
+    }
     // TVF builders run inside analysis with the active session in
     // scope; resolving through spark.table + the Scala constructor
     // (instead of hand-building UnresolvedRelation/Attribute trees)
@@ -146,7 +155,7 @@ object AsOfJoinOps {
     require(keyPairs.nonEmpty, s"asof_join: empty key spec ($usage)")
     asof(l, r,
       keyPairs.map(p => l(p._1)), keyPairs.map(p => r(p._2)),
-      l(str(3, "left time")), r(str(4, "right time")), tolerance)
+      l(str(3, "left time")), r(str(4, "right time")), tolerance, broadcast)
       .queryExecution.analyzed
   }
 

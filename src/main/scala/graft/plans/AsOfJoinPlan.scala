@@ -50,7 +50,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    tolerance: Option[Long] = None) extends BinaryNode {
+    tolerance: Option[Long] = None,
+    broadcastRight: Boolean = false) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
@@ -64,14 +65,39 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: one physical choice (the merge-scan), planLater
-  * for the children so the rest of the tree plans normally.
+/** Planner strategy: two physical choices — the shuffle-free
+  * broadcast probe when the caller asserts the right side is small
+  * (`broadcastRight`, the as-of analog of a broadcast-hash-join
+  * hint), else the co-partitioned merge-scan (the SMJ analog).
+  * planLater for the children so the rest of the tree plans normally.
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tol, planLater(l), planLater(r)) :: Nil
+    case a: AsOfJoin if a.broadcastRight =>
+      BroadcastAsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTime, a.rightTime,
+        a.tolerance, planLater(a.left), planLater(a.right)) :: Nil
+    case a: AsOfJoin =>
+      AsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTime, a.rightTime,
+        a.tolerance, planLater(a.left), planLater(a.right)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Shared time-type contract for both physical forms: LongType (the
+  * engine's epoch-second convention) or a timestamp type — timestamps
+  * are Long microseconds in InternalRow, so comparisons and the
+  * tolerance arithmetic work unchanged (tolerance is in the column's
+  * native unit). Both sides must agree.
+  */
+private[plans] object AsOfTime {
+  def requireTypes(leftTime: Expression, rightTime: Expression): Unit = {
+    def ok(dt: org.apache.spark.sql.types.DataType) =
+      dt == LongType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType
+    require(ok(leftTime.dataType) && rightTime.dataType == leftTime.dataType,
+      "as-of time expressions must be LongType (epoch seconds) or the same " +
+        s"timestamp type on both sides; got ${leftTime.dataType} vs ${rightTime.dataType}")
   }
 }
 
@@ -111,18 +137,7 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    // LongType (the engine's epoch-second convention) or a timestamp
-    // type — timestamps are Long microseconds in InternalRow, so the
-    // merge's comparisons and the tolerance arithmetic work unchanged
-    // (tolerance is in the column's native unit: seconds for epoch
-    // longs, MICROseconds for timestamps). Both sides must agree.
-    def timeOk(dt: org.apache.spark.sql.types.DataType) =
-      dt == LongType ||
-        dt == org.apache.spark.sql.types.TimestampType ||
-        dt == org.apache.spark.sql.types.TimestampNTZType
-    require(timeOk(leftTime.dataType) && rightTime.dataType == leftTime.dataType,
-      "as-of time expressions must be LongType (epoch seconds) or the same " +
-        s"timestamp type on both sides; got ${leftTime.dataType} vs ${rightTime.dataType}")
+    AsOfTime.requireTypes(leftTime, rightTime)
     val keyTypes = leftKeys.map(_.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -180,5 +195,107 @@ case class AsOfJoinExec(
         resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }
+  }
+}
+
+/** Broadcast physical form — the BHJ to [[AsOfJoinExec]]'s SMJ: when
+  * the right side is SMALL (a reference/state history beside a huge
+  * fact stream), co-partitioning both sides wastes a full shuffle+sort
+  * of the fact table for nothing. This exec collects the right side
+  * once, builds a per-key time-sorted index, broadcasts it, and probes
+  * with a binary search per left row:
+  *
+  *  - NO distribution or ordering requirement on either child — the
+  *    left keeps its scan partitioning and ordering end-to-end (zero
+  *    Exchange in the plan, spec-pinned);
+  *  - per-row work is O(log h) for history length h; memory is the
+  *    broadcast index only.
+  *
+  * Same semantics as the merge-scan (null keys/times match nothing,
+  * tolerance at probe time, ties need a caller-total composite time —
+  * the index takes the LAST entry in time order, exactly the merge's
+  * contract) — value-equality is spec-pinned against the merge exec.
+  *
+  * The `broadcastRight` flag is the caller's size assertion, like
+  * Spark's `broadcast()` hint: the right side must fit in driver and
+  * executor memory (`spark.driver.maxResultSize` guards the collect).
+  */
+case class BroadcastAsOfJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    tolerance: Option[Long],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // the point of this exec: left flows through untouched
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    AsOfTime.requireTypes(leftTime, rightTime)
+    // driver-side index build: key → (times asc, rows in same order).
+    // executeCollect materializes independent rows (no scan-buffer
+    // reuse), so only the projected keys need copying.
+    val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+    val rTimeEval = BindReferences.bindReference(rightTime, right.output)
+    val grouped = scala.collection.mutable.HashMap
+      .empty[InternalRow, scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]
+    right.executeCollect().foreach { r =>
+      val k = rKeyProj(r)
+      if (!k.anyNull) { // null key never matches (SQL equi-semantics)
+        val t = rTimeEval.eval(r)
+        if (t != null) // null time never matches
+          grouped.getOrElseUpdate(k.copy(),
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((t.asInstanceOf[Long], r))
+      }
+    }
+    val index: Map[InternalRow, (Array[Long], Array[InternalRow])] =
+      grouped.iterator.map { case (k, buf) =>
+        val sorted = buf.sortBy(_._1)
+        k -> (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+      }.toMap
+    val bc = sparkContext.broadcast(index)
+    val rightWidth = right.output.length
+    left.execute().mapPartitions({ iter =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val lTimeEval = BindReferences.bindReference(leftTime, left.output)
+      val joined = new JoinedRow
+      val resultProj = UnsafeProjection.create(output, output)
+      val nullRight = new GenericInternalRow(rightWidth)
+      val idx = bc.value
+      iter.map { lRow =>
+        val lTime = lTimeEval.eval(lRow)
+        val lKey = lKeyProj(lRow)
+        var matched: InternalRow = null
+        if (lTime != null && !lKey.anyNull) {
+          idx.get(lKey) match {
+            case Some((times, rows)) =>
+              // greatest i with times(i) ≤ lTime (upper-bound binary
+              // search — the LAST of equal times wins, like the merge)
+              val lt = lTime.asInstanceOf[Long]
+              var lo = 0; var hi = times.length - 1; var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (times(mid) <= lt) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (ans >= 0 && tolerance.forall(t => lt - times(ans) <= t))
+                matched = rows(ans)
+            case None =>
+          }
+        }
+        resultProj(joined(lRow, if (matched != null) matched else nullRight))
+      }
+    }, preservesPartitioning = true)
   }
 }

@@ -297,6 +297,59 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(sql === out2, "TVF composite-key spec diverged from the Scala API")
   }
 
+  test("broadcast form: zero shuffles, equal to the merge exec, same edge semantics") {
+    import spark.implicits._
+    // the BHJ analog: right side collected + broadcast, left flows
+    // through with its scan partitioning — NO Exchange anywhere
+    import graft.operators.TimeSeriesOps
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+    val su = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    def run(bcast: Boolean) = AsOfJoinOps.asof(p, su,
+      Seq(p("user_id")), Seq(su("s_uid")), p("es"), su("signup_es"),
+      tolerance = None, broadcastRight = bcast)
+    val bc = run(true)
+    val plan = bc.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastAsOfJoin"), s"broadcast form not planned:\n$plan")
+    assert(!plan.contains("Exchange"), s"broadcast as-of still shuffles:\n$plan")
+    // value equality with the merge-scan form on real data
+    assert(bc.orderBy("event_id").collect().map(_.toString).toSeq ===
+      run(false).orderBy("event_id").collect().map(_.toString).toSeq,
+      "broadcast form diverged from the merge-scan form")
+    // edge semantics shared with the merge: null keys/times match
+    // nothing, tolerance bounds the gap, ties take the latest
+    val left = Seq((Option(1L), 100L, "a"), (Option(1L), 200L, "b"),
+      (Option.empty[Long], 100L, "n"), (Option(2L), 100L, "c"))
+      .toDF("k", "lt", "lid")
+    val right = Seq((Option(1L), Option(95L), "r95"),
+      (Option(1L), Option(120L), "r120"), (Option(1L), Option.empty[Long], "rnull"),
+      (Option.empty[Long], Option(50L), "rn"), (Option(2L), Option(10L), "r10"))
+      .toDF("rk", "rt", "tag")
+    def runFix(tol: Option[Long]) = AsOfJoinOps.asof(left, right,
+        Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+        tol, broadcastRight = true)
+      .select("lid", "tag").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(runFix(None) === Map("a" -> "r95", "b" -> "r120", "n" -> null, "c" -> "r10"))
+    assert(runFix(Some(80L)) === Map("a" -> "r95", "b" -> "r120", "n" -> null, "c" -> null))
+    // and from SQL: the trailing 'broadcast' option plans the same form
+    AsOfJoinOps.registerSqlSurface(spark)
+    left.createOrReplaceTempView("asof_bc_l")
+    right.createOrReplaceTempView("asof_bc_r")
+    val sql = spark.sql(
+      """SELECT lid, tag FROM asof_join('asof_bc_l', 'asof_bc_r',
+           'k:rk', 'lt', 'rt', 'broadcast')""")
+    assert(sql.queryExecution.executedPlan.toString().contains("BroadcastAsOfJoin"))
+    assert(sql.collect().map(x =>
+        x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1))).toMap
+      === runFix(None))
+  }
+
   test("AQE composes: the node plans adaptively and its shuffles coalesce") {
     // the "composes with the platform" proof bucketing already has:
     // under AQE the custom exec must still plan, and the two
