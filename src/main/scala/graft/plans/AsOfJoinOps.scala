@@ -46,6 +46,13 @@ object AsOfJoinOps {
     * Right-side expressions are interpreted against the RIGHT side by
     * parameter position, which is the only coherent reading when the
     * two sides share attribute ids.
+    *
+    * `broadcastRight`: plan the shuffle-free broadcast probe form
+    * (BroadcastAsOfJoinExec) instead of the co-partitioned merge —
+    * the caller's assertion that the right side fits in memory, like
+    * Spark's `broadcast()` hint. Worth it exactly when the right side
+    * is small relative to the left (the left then never shuffles);
+    * for comparably-sized sides the merge form wins.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[Column], rightKeys: Seq[Column],
