@@ -406,7 +406,9 @@ class AsOfJoinSpec extends AnyFunSuite {
         .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
       val l = left.toDF("k", "lt", "lid").repartition(1 + rnd.nextInt(5))
       val r = right.toDF("rk", "rt", "rid").repartition(1 + rnd.nextInt(5))
-      val got = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+      def got(bcast: Boolean) = AsOfJoinOps.asof(l, r,
+          Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"),
+          tolerance = None, broadcastRight = bcast)
         .select("lid", "rid").collect()
         .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
         .toMap
@@ -415,8 +417,11 @@ class AsOfJoinSpec extends AnyFunSuite {
         lid -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
           .sortBy(_._2).lastOption.map(_._3).getOrElse(-1L)
       }.toMap
-      assert(got === want, s"trial $trial diverged (seed fixed): " +
-        s"nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
+      // BOTH physical forms must match the reference on every trial
+      assert(got(false) === want, s"merge form: trial $trial diverged " +
+        s"(seed fixed): nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
+      assert(got(true) === want, s"broadcast form: trial $trial diverged " +
+        s"(seed fixed): nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
     }
   }
 
