@@ -137,6 +137,49 @@ class StreamingSpec extends AnyFunSuite {
       "streaming as-of twin diverged from the batch tolerance as-of")
   }
 
+  test("streaming as-of twin recovers join + window state across restarts") {
+    import spark.implicits._
+    // two stateful operators' state (interval-join buffers AND the
+    // per-purchase window aggregate) must survive checkpoint restart:
+    // a purchase arriving AFTER the restart matches a signup ingested
+    // BEFORE it — possible only if the join's buffered right side was
+    // recovered — and earlier purchases still emit correctly.
+    val root = java.nio.file.Files.createTempDirectory("graft_asof_ck").toString
+    val t0 = 1700000000L
+    def write(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "es")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("es")).as("event_time"))
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    def run(): Unit = {
+      def stream = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, event_time TIMESTAMP")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+      val q = EventStream.asofSignupEnrichment(stream, stream, 100L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$root/ck")
+        .format("parquet").option("path", s"$root/out").start()
+      q.processAllAvailable(); q.stop()
+    }
+    write(Seq((10L, 1L, "signup", t0 + 50), (12L, 1L, "purchase", t0 + 60)))
+    run()
+    // restart 1: this purchase's only possible match was ingested in
+    // the PREVIOUS run — the cross-restart join-state proof
+    write(Seq((13L, 1L, "purchase", t0 + 120)))
+    run()
+    // restart 2: watermark sentinels finalize every fixture window
+    write(Seq((98L, 99L, "signup", t0 + 100000), (99L, 99L, "purchase", t0 + 100000)))
+    run()
+    write(Seq((96L, 99L, "signup", t0 + 110000), (97L, 99L, "purchase", t0 + 110000)))
+    run()
+    val got = spark.read.parquet(s"$root/out")
+      .filter(col("user_id") =!= 99L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(12L -> (t0 + 50), 13L -> (t0 + 50)),
+      s"as-of state lost across restart: $got")
+  }
+
   test("foreachBatch JDBC sink lands the final windowed aggregate in the database") {
     System.setProperty("derby.system.home", "/tmp/graft_derby")
     val url = "jdbc:derby:/tmp/graft_derby/streamdb;create=true"
