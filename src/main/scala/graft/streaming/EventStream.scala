@@ -288,6 +288,76 @@ object EventStream {
       }
   }
 
+  final case class VgState(start: Long, last: Long, lastValue: Double,
+    n: Long, total: Double)
+
+  /** The sessionizer variant the built-in `session_window` CANNOT
+    * express — the concrete justification for the custom stateful
+    * tier: the allowed gap depends on the DATA. After a high-value
+    * event (value ≥ `highValue`) the session stays open for
+    * `longGap` seconds; otherwise `baseGap` — "a big purchase keeps
+    * the visit alive longer". `session_window(col, gap)` takes a
+    * per-row gap expression only for the row STARTING the window;
+    * here the gap is a property of the session's LAST event, a
+    * stateful read no declarative form provides.
+    *
+    * Mechanics mirror [[statefulSessions]] (envelope merge, gap
+    * close, event-time-timeout flush) with the gap drawn from the
+    * state's last-event value; the watermark delay must be ≥ the MAX
+    * gap for the no-retro-session envelope argument to hold, so
+    * callers watermark at `longGap`. Spec-pinned against an in-JVM
+    * reference on a fixture where the two gap regimes disagree.
+    */
+  def statefulSessionsValueGap(spark: SparkSession, events: DataFrame,
+      baseGap: Long = 1800L, longGap: Long = 3600L,
+      highValue: Double = 50.0): Dataset[SessionOut] = {
+    import spark.implicits._
+    def gapOf(v: Double): Long = if (v >= highValue) longGap else baseGap
+    val evs = events.select(col("user_id"),
+        graft.operators.TimeSeriesOps.epochSecExpr("ts").as("es"), col("value"),
+        timestamp_seconds(
+          graft.operators.TimeSeriesOps.epochSecExpr("ts")).as("event_ts"))
+      .withWatermark("event_ts", s"$longGap seconds")
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[VgState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state: GroupState[VgState]) =>
+          if (state.hasTimedOut) {
+            val flushed = state.getOption
+              .map(s => SessionOut(uid, s.start, s.last, s.n, s.total))
+            state.remove()
+            flushed.iterator
+          } else {
+            val sorted = it.toSeq.sortBy(_.es)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.es - s.last <= gapOf(s.lastValue) =>
+                  // envelope merge as in statefulSessions; the value
+                  // that governs the NEXT gap is the latest event's
+                  val (nl, nlv) =
+                    if (e.es >= s.last) (e.es, e.value) else (s.last, s.lastValue)
+                  cur = Some(s.copy(start = math.min(s.start, e.es),
+                    last = nl, lastValue = nlv,
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += SessionOut(uid, s.start, s.last, s.n, s.total)
+                  cur = Some(VgState(e.es, e.es, e.value, 1, e.value))
+                case None =>
+                  cur = Some(VgState(e.es, e.es, e.value, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.last + gapOf(s.lastValue)) * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** The sessionizer as a Spark 4 `StatefulProcessor` — identical
     * semantics to statefulSessions (same envelope merge, same gap
     * close, same watermark-driven flush), expressed on the modern API:

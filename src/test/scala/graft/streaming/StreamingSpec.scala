@@ -419,6 +419,45 @@ class StreamingSpec extends AnyFunSuite {
       s"trailing session not flushed: ${got.toSeq}")
   }
 
+  test("value-dependent-gap sessionizer: gap follows the last event's value") {
+    import spark.implicits._
+    // the semantics session_window cannot express: the same 2400 s
+    // silence CLOSES a session after a low-value event (base gap
+    // 1800) but KEEPS IT OPEN after a high-value one (long gap 3600).
+    val dir = java.nio.file.Files.createTempDirectory("graft_vgap").toString
+    val t0 = 1600000000L
+    def write(rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "es", "value")
+        .select(col("user_id"), timestamp_seconds(col("es")).as("ts"), col("value"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    // user 1: low-value then 2400 s silence → TWO sessions
+    // user 2: HIGH-value then the same 2400 s silence → ONE session
+    write(Seq((1L, t0, 10.0), (1L, t0 + 2400, 11.0),
+      (2L, t0, 99.0), (2L, t0 + 2400, 12.0)))
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.statefulSessionsValueGap(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("vgap").start()
+    q.processAllAvailable()
+    // sentinels push the watermark past every gap bound (two batches
+    // so a micro-batch runs after the watermark update)
+    write(Seq((3L, t0 + 20000, 1.0)))
+    q.processAllAvailable()
+    write(Seq((3L, t0 + 20060, 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("vgap").filter(col("user_id") =!= 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got === Set(
+      (1L, t0, t0, 1L, 10.0), (1L, t0 + 2400, t0 + 2400, 1L, 11.0),
+      (2L, t0, t0 + 2400, 2L, 111.0)),
+      s"value-dependent gap semantics diverged: $got")
+  }
+
   test("streaming corpus ingest: quality gate + fingerprint dedup across micro-batches") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_docstream").toString
