@@ -130,11 +130,19 @@ object DedupOps {
     * the shingle substrate — call after materializeSubstrate.
     */
   def materializePinnedStages(spark: SparkSession, dir: String): Unit =
-    Seq(minhashCandidates(spark, dir),
-        simhashSignatures(spark, dir),
-        jaccardMd5Candidates(spark, dir),
-        EmbeddingOps.neardupCandidates(spark, dir))
-      .foreach(_.write.format("noop").mode("overwrite").save())
+    Seq(
+      "minhash_cand" -> minhashCandidates(spark, dir),
+      "simhash_sig" -> simhashSignatures(spark, dir),
+      "jaccard_md5_cand" -> jaccardMd5Candidates(spark, dir),
+      "neardup_cand" -> EmbeddingOps.neardupCandidates(spark, dir)
+    ).foreach { case (name, df) =>
+      // stderr breakdown so _substrate's aggregate cost stays
+      // attributable per stage (the JSON line carries only the total)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      System.err.println(
+        f"[bench] pinned stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
 
   /** Unpersist the per-call transient frames (candidate sets, pre-sort
     * results) that the dedup/ANN operators persist internally, keeping

@@ -70,6 +70,26 @@ class OpCachesSpec extends AnyFunSuite {
     assert(OpCaches.trackedCount(spark) === 1)
   }
 
+  test("track() leaves already-cached frames alone (pinned-twin protection)") {
+    DedupOps.clearCaches(spark)
+    // a PINNED stage frame handed to a consumer that defensively
+    // track()s its input: the track must be a no-op, or the next
+    // releaseTransients would unpersist the pinned twin (CacheManager
+    // keys by canonicalized plan — "two" registrations are one entry)
+    val pinned = DedupOps.minhashCandidates(spark, sf)
+    pinned.write.format("noop").mode("overwrite").save()
+    assert(pinned.storageLevel !== StorageLevel.NONE)
+    val before = OpCaches.trackedCount(spark)
+    val tracked = OpCaches.track(pinned)
+    assert(tracked eq pinned, "track() wrapped an already-cached frame")
+    assert(OpCaches.trackedCount(spark) === before,
+      "track() re-registered an already-cached frame")
+    DedupOps.releaseTransients(spark)
+    assert(pinned.storageLevel !== StorageLevel.NONE,
+      "releaseTransients unpersisted the pinned twin")
+    DedupOps.clearCaches(spark)
+  }
+
   test("clearCaches releases everything including the pinned substrate") {
     DedupOps.clearCaches(spark)
     val substrate = DedupOps.shingleRowsCached(spark, sf)
