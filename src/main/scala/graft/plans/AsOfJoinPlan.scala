@@ -116,6 +116,17 @@ case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
+  // hot-key note: like sort-merge join, a single very hot key lands
+  // in one partition; the mitigations are the same as SMJ's (salt the
+  // key upstream where semantics allow) or the broadcast form when
+  // the right side is small.
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -138,6 +149,8 @@ case class AsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     AsOfTime.requireTypes(leftTime, rightTime)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val keyTypes = leftKeys.map(_.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -192,6 +205,8 @@ case class AsOfJoinExec(
         val matched = lTime != null && !lKey.anyNull && candidate != null &&
           keyOrd.compare(candKey, lKey) == 0 &&
           tolerance.forall(t => lTime.asInstanceOf[Long] - candTime <= t)
+        numOutputRows += 1
+        if (matched) numMatched += 1
         resultProj(joined(lRow, if (matched) candidate else nullRight))
       }
     }
@@ -232,6 +247,14 @@ case class BroadcastAsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"),
+    "indexRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "broadcast index rows"))
+
   // the point of this exec: left flows through untouched
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -242,6 +265,9 @@ case class BroadcastAsOfJoinExec(
 
   override protected def doExecute(): RDD[InternalRow] = {
     AsOfTime.requireTypes(leftTime, rightTime)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val indexRows = longMetric("indexRows")
     // driver-side index build: key → (times asc, rows in same order).
     // executeCollect materializes independent rows (no scan-buffer
     // reuse), so only the projected keys need copying.
@@ -264,6 +290,7 @@ case class BroadcastAsOfJoinExec(
         val sorted = buf.sortBy(_._1)
         k -> (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
       }.toMap
+    indexRows += index.valuesIterator.map(_._1.length.toLong).sum
     val bc = sparkContext.broadcast(index)
     val rightWidth = right.output.length
     left.execute().mapPartitions({ iter =>
@@ -294,6 +321,8 @@ case class BroadcastAsOfJoinExec(
             case None =>
           }
         }
+        numOutputRows += 1
+        if (matched != null) numMatched += 1
         resultProj(joined(lRow, if (matched != null) matched else nullRight))
       }
     }, preservesPartitioning = true)

@@ -350,6 +350,39 @@ class AsOfJoinSpec extends AnyFunSuite {
       === runFix(None))
   }
 
+  test("both execs expose SQL metrics: output rows, matched rows") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "lt", "lid")
+    val right = Seq((1L, 5L, "r")).toDF("rk", "rt", "tag")
+    // AQE wraps executed subtrees in leaf QueryStageExec nodes, so a
+    // plain collect() stops at stage boundaries — unwrap recursively
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def deep(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(deep)) ++ (p match {
+        case qs: QueryStageExec => deep(qs.plan)
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case _ => Nil
+      })
+    def finalPlan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      deep(df.queryExecution.executedPlan)
+    }
+    val merge = AsOfJoinOps.asof(left, right,
+      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"))
+    val m = finalPlan(merge).collectFirst { case e: AsOfJoinExec => e }.get
+    assert(m.metrics("numOutputRows").value === 3)
+    assert(m.metrics("numMatched").value === 2)
+    val bcast = AsOfJoinOps.asof(left, right,
+      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+      tolerance = None, broadcastRight = true)
+    val b = finalPlan(bcast).collectFirst { case e: BroadcastAsOfJoinExec => e }.get
+    assert(b.metrics("numOutputRows").value === 3)
+    assert(b.metrics("numMatched").value === 2)
+    assert(b.metrics("indexRows").value === 1)
+  }
+
   test("AQE composes: the node plans adaptively and its shuffles coalesce") {
     // the "composes with the platform" proof bucketing already has:
     // under AQE the custom exec must still plan, and the two
