@@ -133,6 +133,28 @@ object EventStream {
       .select(col("purchase_id"), col("p_user").as("user_id"))
   }
 
+  /** The LEFT OUTER face of [[clickAttribution]]: every purchase
+    * emits — matched pairs eagerly like the inner join, and an
+    * unmatched purchase emits ONE null-click row only once the
+    * watermark proves no in-interval click can still arrive (the
+    * state-eviction moment doubles as the null-emission trigger; this
+    * is the outer-join capability the inner twin renders as absence).
+    * Same bounded join state as the inner form.
+    */
+  def clickAttributionOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "10 minutes")
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_time").as("c_time"))
+      .withWatermark("c_time", "10 minutes")
+    p.join(c, expr(
+        "c_user = p_user AND c_time BETWEEN p_time - INTERVAL 30 MINUTES AND p_time"),
+        "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("c_time"))
+  }
+
   /** Streaming as-of twin: enrich each purchase with its user's
     * LATEST signup within `toleranceSec` — the stream-stream
     * counterpart of the batch native as-of join's tolerance form

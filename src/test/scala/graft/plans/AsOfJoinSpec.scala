@@ -337,6 +337,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       .toMap
     assert(runFix(None) === Map("a" -> "r95", "b" -> "r120", "n" -> null, "c" -> "r10"))
     assert(runFix(Some(80L)) === Map("a" -> "r95", "b" -> "r120", "n" -> null, "c" -> null))
+    // self-as-of composes with the broadcast form: the exprId dedup
+    // and the driver-built index must agree on one source DataFrame
+    val ev2 = Seq((1L, 10L, 100L), (1L, 20L, 101L), (2L, 5L, 200L))
+      .toDF("user_id", "es", "event_id")
+    val probe = ev2.withColumn("probe_es", ev2("es") - 1)
+    val selfBc = AsOfJoinOps.asof(probe, ev2,
+        Seq(probe("user_id")), Seq(ev2("user_id")),
+        probe("probe_es"), ev2("es"),
+        tolerance = None, broadcastRight = true)
+      .toDF("user_id", "es", "event_id", "probe_es",
+        "r_user_id", "r_es", "r_event_id")
+      .select("event_id", "r_event_id").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    assert(selfBc === Map(100L -> -1L, 101L -> 100L, 200L -> -1L),
+      s"broadcast self-as-of diverged: $selfBc")
     // and from SQL: the trailing 'broadcast' option plans the same form
     AsOfJoinOps.registerSqlSurface(spark)
     left.createOrReplaceTempView("asof_bc_l")

@@ -76,6 +76,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("outer interval join: unmatched purchases emit nulls only after the watermark") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_outer_join").toString
+    val t0 = 1700000000L
+    def write(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "es")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("es")).as("event_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    // user 1's purchase has a click in the 30-min window; user 2's
+    // purchase has none — it must emit a single null-click row, and
+    // ONLY once the watermark passes its eviction bound
+    write(Seq((1L, 1L, "click", t0 + 100), (10L, 1L, "purchase", t0 + 200),
+      (20L, 2L, "purchase", t0 + 200)))
+    def stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.clickAttributionOuter(stream, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("outer_attr").start()
+    q.processAllAvailable()
+    // pre-watermark: the matched pair may have emitted eagerly, but
+    // the unmatched purchase must NOT have produced its null row yet
+    val early = spark.table("outer_attr").filter(col("purchase_id") === 20L).count()
+    assert(early === 0, "null row emitted before the watermark proved no match")
+    // advance the watermark well past the interval + delay bound
+    write(Seq((97L, 99L, "click", t0 + 100000), (98L, 99L, "purchase", t0 + 100000)))
+    q.processAllAvailable()
+    write(Seq((95L, 99L, "click", t0 + 110000), (96L, 99L, "purchase", t0 + 110000)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("outer_attr").filter(col("user_id") < 99L).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getTimestamp(2).getTime / 1000))).toSet
+    assert(rows === Set((10L, java.lang.Long.valueOf(t0 + 100)), (20L, null)),
+      s"outer interval join diverged: $rows")
+  }
+
   test("streaming as-of twin: interval join + windowed max ≡ batch tolerance as-of") {
     import spark.implicits._
     // purchases × signups with tolerance 100 s. Expected by hand AND
