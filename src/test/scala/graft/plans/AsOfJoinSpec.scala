@@ -246,6 +246,16 @@ class AsOfJoinSpec extends AnyFunSuite {
     // and the layouts agree on the result
     assert(j.orderBy("lpay").collect().map(_.toString).toSeq ===
       raw.orderBy("lpay").collect().map(_.toString).toSeq)
+    // the SQL TVF resolves CATALOG tables, so the bucketed layout's
+    // zero-Exchange plan is reachable from pure SQL too
+    AsOfJoinOps.registerSqlSurface(spark)
+    val sql = spark.sql(
+      "SELECT * FROM asof_join('asof_bkt_l', 'asof_bkt_r', 'k:rk', 'lt', 'rt')")
+    val sqlPlan = sql.queryExecution.executedPlan.toString()
+    assert(sqlPlan.contains("AsOfJoin") && !sqlPlan.contains("Exchange"),
+      s"TVF over bucketed tables still shuffles:\n$sqlPlan")
+    assert(sql.orderBy("lpay").collect().map(_.toString).toSeq ===
+      j.orderBy("lpay").collect().map(_.toString).toSeq)
   }
 
   test("timestamp time columns, composite keys, string keys") {
