@@ -210,6 +210,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(bound.head().getLong(0) > 0, "vacuous: parameter matched nothing")
   }
 
+  test("Spark 4 recursive CTE: transitive closure matches the hand-computed components") {
+    // WITH RECURSIVE landed in Spark 4 — the declarative twin of the
+    // engine's pointer-doubling cluster canonicalization (DedupOps),
+    // whose DuckDB oracle already cross-validates the same recursion.
+    // Spark 4.1 supports UNION ALL recursion only (UNION dedup raises
+    // UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so the fixture is the
+    // DAG orientation of the component graph — paths are finite, the
+    // loop terminates, and MIN(label) per node is still the
+    // components contract: {1,2,3}, {4,5}, {6}.
+    val closure = spark.sql(
+      """WITH RECURSIVE reach(node, label) AS (
+           SELECT node, node AS label
+           FROM VALUES (1), (2), (3), (4), (5), (6) t(node)
+           UNION ALL
+           SELECT e.dst, r.label
+           FROM reach r
+           JOIN VALUES (1, 2), (2, 3), (4, 5) e(src, dst)
+             ON e.src = r.node
+         )
+         SELECT node, MIN(label) AS comp FROM reach
+         GROUP BY node ORDER BY node""")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toSeq
+    assert(closure === Seq(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 6),
+      s"recursive CTE closure diverged: $closure")
+  }
+
   test("native as-of join from pure SQL: asof_join TVF ≡ DataFrame API") {
     import org.apache.spark.sql.functions.col
     // Every other engine capability is reachable from spark.sql; the
