@@ -160,6 +160,44 @@ object LayoutOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Small-file compaction — the layout-housekeeping twin of z-order:
+    * a streaming ingest or over-parallel write leaves thousands of
+    * tiny parquet files, and at 100 TB the per-file open/footer/task
+    * overhead dominates scans long before data volume does. Rewrites
+    * `srcDir` into `destDir` at ⌈bytes / targetBytes⌉ output files.
+    *
+    * `shuffle = false` (default) uses `coalesce` — NO shuffle, each
+    * output file concatenates input partitions; the right choice for
+    * uniformly-small files. `shuffle = true` uses `repartition` to
+    * also rebalance skewed inputs at the cost of one shuffle.
+    * Returns (filesIn, filesOut, rows) so callers can assert/log the
+    * effect; content equality is the spec's job (LayoutSpec pins
+    * row-set identity and the file-count collapse).
+    */
+  def compactParquet(spark: SparkSession, srcDir: String, destDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      shuffle: Boolean = false): (Long, Long, Long) = {
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    val in = dataFiles(srcDir)
+    val totalBytes = in.map(_.getLen).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(srcDir)
+    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
+    sized.write.mode("overwrite").parquet(destDir)
+    (in.length.toLong, dataFiles(destDir).length.toLong,
+      spark.read.parquet(destDir).count())
+  }
+
   /** Runtime bloom-filter join pruning — Spark's row-level runtime
     * filtering (`InjectRuntimeFilter`), the shuffle-side sibling of
     * the DPP pin in LayoutSpec: when a join's creation side carries a

@@ -335,4 +335,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(mean(zFiles, col("yspan")) < mean(xFiles, col("yspan")),
       "z-order should bound the second column where an x-only sort cannot")
   }
+
+  test("small-file compaction collapses file count, preserves content, no shuffle by default") {
+    import graft.operators.LayoutOps
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // an over-parallel write: 40 tiny files
+    val src = graft.sources.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    src.repartition(40).write.mode("overwrite").parquet(s"$base/messy")
+    val (filesIn, filesOut, rows) =
+      LayoutOps.compactParquet(spark, s"$base/messy", s"$base/tidy")
+    assert(filesIn >= 40, s"fixture did not produce small files: $filesIn")
+    assert(filesOut <= 2, s"compaction left $filesOut files")
+    assert(rows === src.count(), "compaction changed the row count")
+    // content identical as a multiset
+    val before = spark.read.parquet(s"$base/messy").collect()
+      .map(_.toString).sorted.toSeq
+    val after = spark.read.parquet(s"$base/tidy").collect()
+      .map(_.toString).sorted.toSeq
+    assert(after === before, "compaction changed the data")
+    // the default path must not shuffle: coalesce keeps the read
+    // pipeline exchange-free (the 100 TB point — compaction is I/O,
+    // not a shuffle job)
+    val plan = spark.read.parquet(s"$base/messy").coalesce(1)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"coalesce path shuffled:\n$plan")
+  }
 }
