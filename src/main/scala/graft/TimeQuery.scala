@@ -17,9 +17,15 @@ object TimeQuery {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.build("graft-time-query")
+    // pinned-stage consumers: only pre-build the (expensive) stage
+    // frames when a requested query would actually hit them — timing
+    // `scalars` should not pay a ~30 s dedup-stage warm-up
+    val stageConsumers = Set("jaccard", "minhash", "sim_pairs",
+      "cand_work", "emb_neardup", "simhash", "dedup_text", "clusters")
     try {
       graft.operators.DedupOps.materializeSubstrate(spark, dir)
-      graft.operators.DedupOps.materializePinnedStages(spark, dir)
+      if (names.exists(stageConsumers))
+        graft.operators.DedupOps.materializePinnedStages(spark, dir)
     } catch { case e: Throwable =>
       System.err.println(s"[time] substrate skipped: ${e.getMessage}")
     }

@@ -179,6 +179,14 @@ object LayoutOps {
       shuffle: Boolean = false): (Long, Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(srcDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place compaction (dest == src, or nested either way) would
+    // have the overwrite delete the very files the lazy read needs —
+    // permanent data loss. Fail fast; compact to a sibling then swap.
+    val srcQ = fs.makeQualified(new org.apache.hadoop.fs.Path(srcDir)).toUri.getPath
+    val dstQ = fs.makeQualified(new org.apache.hadoop.fs.Path(destDir)).toUri.getPath
+    require(srcQ != dstQ && !dstQ.startsWith(srcQ + "/") && !srcQ.startsWith(dstQ + "/"),
+      s"compactParquet: destDir must not equal or nest with srcDir " +
+        s"($srcQ vs $dstQ) — overwrite would destroy the input")
     def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]

@@ -129,14 +129,23 @@ object AsOfJoinOps {
         s"asof_join: $what must be a string literal ($usage); got $other")
     }
     // trailing options, in any order: an integer tolerance and/or the
-    // 'broadcast' size assertion (plan the shuffle-free probe form)
+    // 'broadcast' size assertion (plan the shuffle-free probe form).
+    // Duplicates error — a repeated tolerance silently last-winning
+    // would hide a caller's mistake.
     var tolerance: Option[Long] = None
     var broadcast = false
+    def setTol(v: Long): Unit = {
+      require(tolerance.isEmpty,
+        s"asof_join: tolerance given twice ($usage)")
+      tolerance = Some(v)
+    }
     exprs.drop(5).foreach {
-      case Literal(v: Long, LongType) => tolerance = Some(v)
-      case Literal(v: Int, IntegerType) => tolerance = Some(v.toLong)
+      case Literal(v: Long, LongType) => setTol(v)
+      case Literal(v: Int, IntegerType) => setTol(v.toLong)
       case Literal(v, StringType) if v != null &&
-        v.toString.equalsIgnoreCase("broadcast") => broadcast = true
+        v.toString.equalsIgnoreCase("broadcast") =>
+        require(!broadcast, s"asof_join: 'broadcast' given twice ($usage)")
+        broadcast = true
       case other => throw new IllegalArgumentException(
         s"asof_join: trailing options must be an integer tolerance or " +
           s"'broadcast' ($usage); got $other")
@@ -152,9 +161,12 @@ object AsOfJoinOps {
     val r = spark.table(str(1, "right table"))
     val keyPairs = str(2, "key spec").split(',').map(_.trim).filter(_.nonEmpty)
       .map { k =>
-        k.split(':') match {
-          case Array(both) => (both.trim, both.trim)
-          case Array(lk, rk) => (lk.trim, rk.trim)
+        // split with limit -1 keeps trailing empties, so 'k:' (a
+        // mistyped right-side name) errors instead of silently
+        // becoming a same-named key
+        k.split(":", -1).map(_.trim) match {
+          case Array(both) if both.nonEmpty => (both, both)
+          case Array(lk, rk) if lk.nonEmpty && rk.nonEmpty => (lk, rk)
           case _ => throw new IllegalArgumentException(
             s"asof_join: bad key entry '$k' ($usage)")
         }

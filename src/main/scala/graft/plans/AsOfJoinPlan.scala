@@ -55,6 +55,15 @@ case class AsOfJoin(
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
+  // a normal SQL join would COERCE mismatched key types; this node
+  // hash-partitions and byte-compares each side with its own type, so
+  // a mismatch (INT vs BIGINT key) would silently drop matches —
+  // fail fast instead and tell the caller to cast
+  leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((lk, rk), i) =>
+    require(!lk.resolved || !rk.resolved || lk.dataType == rk.dataType,
+      s"as-of join key #$i has mismatched types: ${lk.dataType} vs " +
+        s"${rk.dataType} — cast one side explicitly")
+  }
 
   // right payload becomes nullable: a left row may have no match
   override def output: Seq[Attribute] =
@@ -291,6 +300,14 @@ case class BroadcastAsOfJoinExec(
         k -> (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
       }.toMap
     indexRows += index.valuesIterator.map(_._1.length.toLong).sum
+    // driver-side metric writes reach the SQL UI only via an explicit
+    // post (the BroadcastExchangeExec pattern); task-side accumulator
+    // updates flow automatically but this one is set on the driver
+    org.apache.spark.sql.execution.metric.SQLMetrics.postDriverMetricUpdates(
+      sparkContext,
+      sparkContext.getLocalProperty(
+        org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY),
+      Seq(indexRows))
     val bc = sparkContext.broadcast(index)
     val rightWidth = right.output.length
     left.execute().mapPartitions({ iter =>

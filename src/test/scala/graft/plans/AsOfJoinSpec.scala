@@ -376,6 +376,32 @@ class AsOfJoinSpec extends AnyFunSuite {
       === runFix(None))
   }
 
+  test("guards fail fast: mismatched key types, bad TVF key entries, duplicate options") {
+    import spark.implicits._
+    val l = Seq((1, 10L, "a")).toDF("k", "lt", "lid") // INT key
+    val r = Seq((1L, 5L, "r")).toDF("rk", "rt", "tag") // BIGINT key
+    // a SQL join would coerce; this node byte-compares — must error,
+    // not silently drop every match
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+    }
+    assert(e1.getMessage.contains("mismatched types"), e1.getMessage)
+    // TVF: a trailing colon is a mistyped right key, not a same-named one
+    AsOfJoinOps.registerSqlSurface(spark)
+    Seq((1L, 10L, "a")).toDF("k", "lt", "lid").createOrReplaceTempView("g_l")
+    Seq((1L, 5L, "r")).toDF("rk", "rt", "tag").createOrReplaceTempView("g_r")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('g_l', 'g_r', 'k:', 'lt', 'rt')").collect()
+    }
+    assert(e2.getMessage.contains("bad key entry"), e2.getMessage)
+    // duplicate trailing options error instead of last-wins
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM asof_join('g_l', 'g_r', 'k:rk', 'lt', 'rt', 5, 500)")
+        .collect()
+    }
+    assert(e3.getMessage.contains("twice"), e3.getMessage)
+  }
+
   test("both execs expose SQL metrics: output rows, matched rows") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))

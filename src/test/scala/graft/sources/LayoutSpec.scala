@@ -360,5 +360,14 @@ class LayoutSpec extends AnyFunSuite {
     val plan = spark.read.parquet(s"$base/messy").coalesce(1)
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"coalesce path shuffled:\n$plan")
+    // in-place compaction would have overwrite destroy the input the
+    // lazy read still needs — both directions must fail fast
+    val e = intercept[IllegalArgumentException] {
+      LayoutOps.compactParquet(spark, s"$base/messy", s"$base/messy")
+    }
+    assert(e.getMessage.contains("destroy"), e.getMessage)
+    intercept[IllegalArgumentException] {
+      LayoutOps.compactParquet(spark, s"$base/messy", s"$base/messy/sub")
+    }
   }
 }
