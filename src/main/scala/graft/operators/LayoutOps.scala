@@ -173,10 +173,19 @@ object LayoutOps {
     * Returns (filesIn, filesOut, rows) so callers can assert/log the
     * effect; content equality is the spec's job (LayoutSpec pins
     * row-set identity and the file-count collapse).
+    *
+    * `partitionBy`: preserve a Hive-style partition layout — the
+    * common 100 TB case is compacting `dt=…/source=…` directories
+    * without flattening them. The frame is hash-repartitioned ON the
+    * partition columns first (each value lands in one task → one file
+    * per partition directory); a plain coalesce + partitionBy would
+    * instead have every task write a file into every partition it
+    * sees — the small-file problem re-created at the output.
     */
   def compactParquet(spark: SparkSession, srcDir: String, destDir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      shuffle: Boolean = false): (Long, Long, Long) = {
+      shuffle: Boolean = false,
+      partitionBy: Seq[String] = Nil): (Long, Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(srcDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // in-place compaction (dest == src, or nested either way) would
@@ -200,8 +209,14 @@ object LayoutOps {
     val totalBytes = in.map(_.getLen).sum
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(srcDir)
-    val sized = if (shuffle) df.repartition(nOut) else df.coalesce(nOut)
-    sized.write.mode("overwrite").parquet(destDir)
+    val sized =
+      if (partitionBy.nonEmpty)
+        df.repartition(math.max(nOut, 1), partitionBy.map(col): _*)
+      else if (shuffle) df.repartition(nOut)
+      else df.coalesce(nOut)
+    val writer = sized.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(destDir)
     (in.length.toLong, dataFiles(destDir).length.toLong,
       spark.read.parquet(destDir).count())
   }

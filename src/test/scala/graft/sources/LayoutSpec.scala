@@ -369,5 +369,24 @@ class LayoutSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       LayoutOps.compactParquet(spark, s"$base/messy", s"$base/messy/sub")
     }
+    // partition-preserving compaction: a dt-style layout keeps its
+    // directories, and each partition dir collapses to ONE file (the
+    // hash-repartition-on-partition-columns shape; a naive coalesce +
+    // partitionBy would re-create a file per task per partition)
+    graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text")
+      .repartition(10)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$base/part_messy")
+    val (pIn, pOut, pRows) = LayoutOps.compactParquet(
+      spark, s"$base/part_messy", s"$base/part_tidy",
+      partitionBy = Seq("lang"))
+    val langs = spark.read.parquet(s"$base/part_tidy")
+      .select("lang").distinct().count()
+    assert(pOut <= langs, s"partitioned compaction left $pOut files for $langs partitions")
+    assert(pIn > pOut && pRows === spark.read.parquet(s"$base/part_messy").count())
+    // layout preserved: partition directories exist at the destination
+    val dirs = new java.io.File(s"$base/part_tidy").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
+    assert(dirs.nonEmpty, "partition directories were flattened")
   }
 }
