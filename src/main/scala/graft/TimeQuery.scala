@@ -17,14 +17,13 @@ object TimeQuery {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.build("graft-time-query")
-    // pinned-stage consumers: only pre-build the (expensive) stage
-    // frames when a requested query would actually hit them — timing
-    // `scalars` should not pay a ~30 s dedup-stage warm-up
-    val stageConsumers = Set("jaccard", "minhash", "sim_pairs",
-      "cand_work", "emb_neardup", "simhash", "dedup_text", "clusters")
+    // only pre-build the (expensive) pinned stage frames when a
+    // requested query actually consumes one — timing `scalars` should
+    // not pay a ~30 s dedup-stage warm-up. The consumer set lives
+    // beside the stage definitions (DedupOps.PinnedStageConsumers).
     try {
       graft.operators.DedupOps.materializeSubstrate(spark, dir)
-      if (names.exists(stageConsumers))
+      if (names.exists(graft.operators.DedupOps.PinnedStageConsumers))
         graft.operators.DedupOps.materializePinnedStages(spark, dir)
     } catch { case e: Throwable =>
       System.err.println(s"[time] substrate skipped: ${e.getMessage}")

@@ -108,6 +108,16 @@ object DedupOps {
       build: => DataFrame): DataFrame =
     OpCaches.memoPinned(stageCache, (spark, dir, tag))(build)
 
+  /** Registered queries that consume at least one pinned STAGE frame
+    * (minhash_cand: minhash, clusters, cand_work; simhash_sig:
+    * simhash, sim_pairs, cand_work; jaccard_md5_cand: cand_work;
+    * neardup_cand: emb_neardup, cand_work). Lives beside the stage
+    * definitions so a new consumer updates ONE file — TimeQuery uses
+    * it to decide whether the stage warm-up is owed before timing.
+    */
+  val PinnedStageConsumers: Set[String] =
+    Set("minhash", "sim_pairs", "simhash", "cand_work", "emb_neardup", "clusters")
+
   /** Memoized shingle substrate — race-safety rationale lives on
     * OpCaches.memoPinned (shared with the gram substrate).
     */

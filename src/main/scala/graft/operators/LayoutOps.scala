@@ -180,7 +180,11 @@ object LayoutOps {
     * partition columns first (each value lands in one task → one file
     * per partition directory); a plain coalesce + partitionBy would
     * instead have every task write a file into every partition it
-    * sees — the small-file problem re-created at the output.
+    * sees — the small-file problem re-created at the output. In this
+    * mode sizing is per-partition-VALUE, not targetBytes (a single
+    * huge partition becomes one file) — cap with
+    * `spark.sql.files.maxRecordsPerFile` when partitions can be
+    * large; the `shuffle` flag is meaningless here and rejected.
     */
   def compactParquet(spark: SparkSession, srcDir: String, destDir: String,
       targetBytes: Long = 128L * 1024 * 1024,
@@ -191,11 +195,18 @@ object LayoutOps {
     // in-place compaction (dest == src, or nested either way) would
     // have the overwrite delete the very files the lazy read needs —
     // permanent data loss. Fail fast; compact to a sibling then swap.
-    val srcQ = fs.makeQualified(new org.apache.hadoop.fs.Path(srcDir)).toUri.getPath
-    val dstQ = fs.makeQualified(new org.apache.hadoop.fs.Path(destDir)).toUri.getPath
+    // FULL qualified URIs (scheme + authority + path): two buckets/
+    // filesystems sharing a path prefix are distinct and safe.
+    val srcQ = fs.makeQualified(new org.apache.hadoop.fs.Path(srcDir)).toString
+    val dstQ = new org.apache.hadoop.fs.Path(destDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new org.apache.hadoop.fs.Path(destDir)).toString
     require(srcQ != dstQ && !dstQ.startsWith(srcQ + "/") && !srcQ.startsWith(dstQ + "/"),
       s"compactParquet: destDir must not equal or nest with srcDir " +
         s"($srcQ vs $dstQ) — overwrite would destroy the input")
+    require(!shuffle || partitionBy.isEmpty,
+      "compactParquet: shuffle is implied by partitionBy (hash repartition " +
+        "on the partition columns) — pass one or the other")
     def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
@@ -211,7 +222,7 @@ object LayoutOps {
     val df = spark.read.parquet(srcDir)
     val sized =
       if (partitionBy.nonEmpty)
-        df.repartition(math.max(nOut, 1), partitionBy.map(col): _*)
+        df.repartition(nOut, partitionBy.map(col): _*)
       else if (shuffle) df.repartition(nOut)
       else df.coalesce(nOut)
     val writer = sized.write.mode("overwrite")

@@ -58,12 +58,19 @@ case class AsOfJoin(
   // a normal SQL join would COERCE mismatched key types; this node
   // hash-partitions and byte-compares each side with its own type, so
   // a mismatch (INT vs BIGINT key) would silently drop matches —
-  // fail fast instead and tell the caller to cast
+  // fail fast instead and tell the caller to cast. sameType ignores
+  // nullability (UnsafeRow layout/hash are identical across it),
+  // matching Spark's own join checks.
   leftKeys.zip(rightKeys).zipWithIndex.foreach { case ((lk, rk), i) =>
-    require(!lk.resolved || !rk.resolved || lk.dataType == rk.dataType,
+    require(!lk.resolved || !rk.resolved ||
+      org.apache.spark.sql.graftbridge.Bridge.sameType(lk.dataType, rk.dataType),
       s"as-of join key #$i has mismatched types: ${lk.dataType} vs " +
         s"${rk.dataType} — cast one side explicitly")
   }
+  // same fail-fast treatment for the time columns (the exec re-checks
+  // at execution as defense, but the error belongs at the call site)
+  if (leftTime.resolved && rightTime.resolved)
+    AsOfTime.requireTypes(leftTime, rightTime)
 
   // right payload becomes nullable: a left row may have no match
   override def output: Seq[Attribute] =

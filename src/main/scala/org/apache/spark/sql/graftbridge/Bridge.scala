@@ -21,6 +21,14 @@ object Bridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
 
+  /** Nullability-insensitive type equality (DataType.sameType is
+    * private[sql] in Spark 4) — the comparison Spark's own join
+    * checks use.
+    */
+  def sameType(a: org.apache.spark.sql.types.DataType,
+               b: org.apache.spark.sql.types.DataType): Boolean =
+    a.sameType(b)
+
   /** Register a table-valued function (args → LogicalPlan) — the
     * runtime twin of SparkSessionExtensions.injectTableFunction.
     */
