@@ -388,5 +388,16 @@ class LayoutSpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$base/part_tidy").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("lang="))
     assert(dirs.nonEmpty, "partition directories were flattened")
+    // the documented escape hatch for LARGE partitions: in partitionBy
+    // mode sizing is per-partition-value, and maxRecordsPerFile is how
+    // a caller caps a huge partition — each dir splits past the cap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxRecordsPerFile", "5")
+    val (_, cappedOut, cappedRows) = LayoutOps.compactParquet(
+      s2, s"$base/part_messy", s"$base/part_capped",
+      partitionBy = Seq("lang"))
+    assert(cappedOut > langs,
+      s"maxRecordsPerFile did not split large partitions: $cappedOut files")
+    assert(cappedRows === pRows)
   }
 }
