@@ -28,7 +28,7 @@ object SparkEntry {
     "q4"      -> (SalesAnalytics.q4Top5Customers _),
     "q5"      -> (SalesAnalytics.q5SalesByMonth _),
     // Operator inventory (SURVEY.md §2.2-2.8)
-    "dedup_exact"            -> (RelationalOps.dedupExact _),
+    "dexact"            -> (RelationalOps.dedupExact _),
     "median_grp"        -> (RelationalOps.medianByGroup _),
     "imp_med"    -> (RelationalOps.imputeGroupMedian _),
     "scalars"           -> (RelationalOps.scalarFuncs _),
@@ -38,7 +38,7 @@ object SparkEntry {
     "join_anti"              -> (RelationalOps.joinAnti _),
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
     "join_full"        -> (RelationalOps.joinFullOuter _),
-    "topk_orders"            -> (RelationalOps.topKOrders _),
+    "topk_o"            -> (RelationalOps.topKOrders _),
     "pushdown"        -> (RelationalOps.filterPushdown _),
     "isect"          -> (RelationalOps.setIntersect _),
     "set_except"             -> (RelationalOps.setExcept _),
@@ -50,10 +50,10 @@ object SparkEntry {
     "tumbling"        -> (EventOps.tumblingWindow _),
     "sliding"         -> (EventOps.slidingWindow _),
     "sessionize"      -> (EventOps.sessionize _),
-    "events_json"            -> (EventOps.jsonExtract _),
+    "ev_json"            -> (EventOps.jsonExtract _),
     "json_funcs"             -> (EventOps.jsonFuncs _),
     "variant"          -> (EventOps.variantFuncs _),
-    "attribution"     -> (EventOps.clickAttribution _),
+    "attrib"     -> (EventOps.clickAttribution _),
     "strings"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
     "unpivot"           -> (RelationalOps.unpivotLong _),
@@ -80,6 +80,8 @@ object SparkEntry {
     "asof_tol"               -> (StatOps.asofJoinTolerance _),
     "asof_sql"               -> (StatOps.asofJoinSql _),
     "asof_bc"                -> (StatOps.asofJoinBroadcast _),
+    "asof_auto"              -> (StatOps.asofJoinAuto _),
+    "asof_near"              -> (StatOps.asofJoinNearest _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "text_tokens"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
@@ -101,7 +103,7 @@ object SparkEntry {
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
     "ann_ivf_p2"         -> (EmbeddingOps.annIvfProbe2 _),
     "ann_recall"             -> (EmbeddingOps.annRecall _),
-    "ann_recall_cl"   -> (EmbeddingOps.annRecallClustered _),
+    "ann_rcl"   -> (EmbeddingOps.annRecallClustered _),
     "ivf_train"       -> (EmbeddingOps.annRecallTrained _),
     "emb_neardup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
@@ -109,7 +111,7 @@ object SparkEntry {
     "mm_decode"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "pii_redact"        -> (PipelineOps.piiRedact _),
-    "strat_sample"      -> (PipelineOps.sampleStratified _),
+    "strat"      -> (PipelineOps.sampleStratified _),
     "tfidf"        -> (PipelineOps.tfidfTopK _),
     "funnel"          -> (PipelineOps.eventsFunnel _),
     "upsert"           -> (PipelineOps.mergeUpsert _),
@@ -557,7 +559,7 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
-    "dedup_exact" ->
+    "dexact" ->
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
     "median_grp" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
@@ -621,7 +623,7 @@ object SparkEntry {
       """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
          FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
          ORDER BY n.n_nationkey, s.s_suppkey""",
-    "topk_orders" ->
+    "topk_o" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "pushdown" ->
@@ -686,7 +688,7 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
-    "events_json" ->
+    "ev_json" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
@@ -724,7 +726,7 @@ object SparkEntry {
                END), ', ') || '>' AS sch,
          json_extract(props, '$.missing') IS NULL AS miss_null
          FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
-    "attribution" ->
+    "attrib" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id, COUNT(*) AS n_clicks
@@ -929,6 +931,39 @@ object SparkEntry {
                 TRUE AS bcast_no_shuffle
          FROM e p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id""",
+    // StatOps.asofJoinAuto: NO hint — the strategy's stats-driven
+    // choice itself under the hash gate: auto_broadcast must be TRUE
+    // (the planner noticed the small right side and chose the
+    // zero-shuffle broadcast probe on its own, like JoinSelection)
+    "asof_auto" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id,
+                (SELECT MAX(s.es) FROM e s
+                 WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                   AND s.es <= p.es) AS last_signup_es,
+                TRUE AS auto_broadcast
+         FROM e p WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id""",
+    // StatOps.asofJoinNearest: direction='nearest' (pandas
+    // merge_asof's third direction) — the signup closest in absolute
+    // time within the tolerance, equidistant ties going BACKWARD
+    // (ORDER BY abs(Δ), s.es ASC pins the same rule in the oracle);
+    // the payload is the matched time itself, so equal-time right
+    // rows cannot make the hash flap
+    "asof_near" -> {
+      val tol = graft.operators.StatOps.AsofToleranceSec
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
+         SELECT p.event_id, p.user_id, t.es AS near_signup_es
+         FROM e p LEFT JOIN LATERAL (
+           SELECT s.es FROM e s
+           WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+             AND abs(s.es - p.es) <= $tol
+           ORDER BY abs(s.es - p.es), s.es LIMIT 1) t ON TRUE
+         WHERE p.event_type = 'purchase'
+         ORDER BY p.event_id"""
+    },
     // StatOps.asofJoinTolerance: the gap-bounded variant — for a
     // MAX-es payload, "latest within [es-tol, es]" is the same row as
     // "latest at-or-before, nulled when older than tol"
@@ -1061,7 +1096,7 @@ object SparkEntry {
     // recall identically and expects every floor gate TRUE, so a
     // broken coarse quantizer (recall collapses toward chance) fails
     // the hash outright.
-    "ann_recall_cl" -> annRecallSql(clusteredCorpusCtes, {
+    "ann_rcl" -> annRecallSql(clusteredCorpusCtes, {
       val floorCase = EmbeddingOps.ClusterRecallFloors.toSeq.sortBy(_._1)
         .map { case (m, f) => s"WHEN method = '$m' THEN CAST($f AS DOUBLE)" }
         .mkString(" ")
@@ -1151,7 +1186,7 @@ object SparkEntry {
     // PipelineOps.sampleStratified: the sampling decision is a pure
     // function of (doc_id, lang) via md5 — both engines agree on md5
     // hex, so the sampled set is identical by construction.
-    "strat_sample" ->
+    "strat" ->
       """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)

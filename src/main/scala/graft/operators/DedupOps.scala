@@ -108,15 +108,26 @@ object DedupOps {
       build: => DataFrame): DataFrame =
     OpCaches.memoPinned(stageCache, (spark, dir, tag))(build)
 
-  /** Registered queries that consume at least one pinned STAGE frame
-    * (minhash_cand: minhash, clusters, cand_work; simhash_sig:
-    * simhash, sim_pairs, cand_work; jaccard_md5_cand: cand_work;
-    * neardup_cand: emb_neardup, cand_work). Lives beside the stage
-    * definitions so a new consumer updates ONE file — TimeQuery uses
-    * it to decide whether the stage warm-up is owed before timing.
+  /** Per-stage registry-consumer declarations — the single source the
+    * warm-up logic derives from. Declared beside the stage builders so
+    * adding a consumer (or renaming a registry key) updates ONE map;
+    * OperatorSpec asserts every name here exists in
+    * `SparkEntry.queries`, so a rename that forgets this map fails the
+    * build instead of silently mis-attributing the stage build cost to
+    * the renamed query's timing.
     */
-  val PinnedStageConsumers: Set[String] =
-    Set("minhash", "sim_pairs", "simhash", "cand_work", "emb_neardup", "clusters")
+  private[graft] val StageConsumers: Map[String, Set[String]] = Map(
+    "minhash_cand"     -> Set("minhash", "clusters", "cand_work"),
+    "simhash_sig"      -> Set("simhash", "sim_pairs", "cand_work"),
+    "jaccard_md5_cand" -> Set("cand_work"),
+    "neardup_cand"     -> Set("emb_neardup", "cand_work"))
+
+  /** Registered queries that consume at least one pinned STAGE frame —
+    * TimeQuery uses it to decide whether the stage warm-up is owed
+    * before timing. Derived from [[StageConsumers]], never edited
+    * directly.
+    */
+  val PinnedStageConsumers: Set[String] = StageConsumers.values.flatten.toSet
 
   /** Memoized shingle substrate — race-safety rationale lives on
     * OpCaches.memoPinned (shared with the gram substrate).
@@ -139,13 +150,20 @@ object DedupOps {
     * first. Order matters only in that the md5 PPJoin replica reads
     * the shingle substrate — call after materializeSubstrate.
     */
-  def materializePinnedStages(spark: SparkSession, dir: String): Unit =
-    Seq(
+  def materializePinnedStages(spark: SparkSession, dir: String): Unit = {
+    val stages = Seq(
       "minhash_cand" -> minhashCandidates(spark, dir),
       "simhash_sig" -> simhashSignatures(spark, dir),
       "jaccard_md5_cand" -> jaccardMd5Candidates(spark, dir),
-      "neardup_cand" -> EmbeddingOps.neardupCandidates(spark, dir)
-    ).foreach { case (name, df) =>
+      "neardup_cand" -> EmbeddingOps.neardupCandidates(spark, dir))
+    // every pinned stage must have a consumer declaration and vice
+    // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
+    // derives from, so a drifted entry would silently mis-attribute
+    // the stage build cost
+    require(stages.map(_._1).toSet == StageConsumers.keySet,
+      s"pinned stages ${stages.map(_._1)} drifted from StageConsumers " +
+        s"${StageConsumers.keySet}")
+    stages.foreach { case (name, df) =>
       // stderr breakdown so _substrate's aggregate cost stays
       // attributable per stage (the JSON line carries only the total)
       val t0 = System.nanoTime()
@@ -153,6 +171,7 @@ object DedupOps {
       System.err.println(
         f"[bench] pinned stage $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+  }
 
   /** Unpersist the per-call transient frames (candidate sets, pre-sort
     * results) that the dedup/ANN operators persist internally, keeping

@@ -182,14 +182,26 @@ object LayoutOps {
     * instead have every task write a file into every partition it
     * sees — the small-file problem re-created at the output. In this
     * mode sizing is per-partition-VALUE, not targetBytes (a single
-    * huge partition becomes one file) — cap with
-    * `spark.sql.files.maxRecordsPerFile` when partitions can be
-    * large; the `shuffle` flag is meaningless here and rejected.
+    * huge partition becomes one file) — unless `sizePartitionFiles`
+    * opts into target-byte sizing (below); the `shuffle` flag is
+    * meaningless here and rejected.
+    *
+    * `sizePartitionFiles` (partitionBy mode only): derive a
+    * `maxRecordsPerFile` cap from `targetBytes` and the source's
+    * measured bytes-per-row, so a single huge partition VALUE splits
+    * into ≈targetBytes files instead of one monster file — the writer
+    * rolls files per task, so this adds NO extra shuffle. The row
+    * count comes from parquet footer metadata (a count() over parquet
+    * is metadata-only), not a data scan. Estimate quality is the
+    * source's average row width — a partition whose rows are far
+    * wider than average lands proportionally over target, same as
+    * Spark's own size estimation everywhere else.
     */
   def compactParquet(spark: SparkSession, srcDir: String, destDir: String,
       targetBytes: Long = 128L * 1024 * 1024,
       shuffle: Boolean = false,
-      partitionBy: Seq[String] = Nil): (Long, Long, Long) = {
+      partitionBy: Seq[String] = Nil,
+      sizePartitionFiles: Boolean = false): (Long, Long, Long) = {
     val fs = new org.apache.hadoop.fs.Path(srcDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // in-place compaction (dest == src, or nested either way) would
@@ -207,8 +219,18 @@ object LayoutOps {
     require(!shuffle || partitionBy.isEmpty,
       "compactParquet: shuffle is implied by partitionBy (hash repartition " +
         "on the partition columns) — pass one or the other")
+    require(!sizePartitionFiles || partitionBy.nonEmpty,
+      "compactParquet: sizePartitionFiles only applies with partitionBy " +
+        "(the flat modes already size by targetBytes)")
+    // each directory resolves its OWN FileSystem: src and dest may
+    // live on different stores (file: staging → hdfs:/s3: target is
+    // exactly the cross-store copy-compact a 100 TB operator runs),
+    // and listing dest through src's FS would throw 'Wrong FS' AFTER
+    // the write already succeeded
     def dataFiles(dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val it = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listFiles(p, true)
       val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
       while (it.hasNext) {
         val f = it.next()
@@ -221,11 +243,27 @@ object LayoutOps {
     val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(srcDir)
     val sized =
-      if (partitionBy.nonEmpty)
-        df.repartition(nOut, partitionBy.map(col): _*)
+      if (partitionBy.nonEmpty) {
+        // hash-on-partition-columns can use at most one task per
+        // DISTINCT partition value — width beyond the session's
+        // shuffle parallelism only schedules empty tasks (a tiny
+        // targetBytes would otherwise request totalBytes tasks)
+        val width = math.max(1, math.min(nOut,
+          spark.sessionState.conf.numShufflePartitions))
+        df.repartition(width, partitionBy.map(col): _*)
+      }
       else if (shuffle) df.repartition(nOut)
       else df.coalesce(nOut)
-    val writer = sized.write.mode("overwrite")
+    var writer0 = sized.write.mode("overwrite")
+    if (sizePartitionFiles) {
+      val rows = df.count() // parquet metadata count — no data scan
+      if (rows > 0 && totalBytes > 0) {
+        val bytesPerRow = math.max(1.0, totalBytes.toDouble / rows)
+        val cap = math.max(1L, (targetBytes / bytesPerRow).toLong)
+        writer0 = writer0.option("maxRecordsPerFile", cap)
+      }
+    }
+    val writer = writer0
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(destDir)
     (in.length.toLong, dataFiles(destDir).length.toLong,

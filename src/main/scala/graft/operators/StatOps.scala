@@ -528,7 +528,10 @@ object StatOps {
     graft.plans.AsOfJoinOps.asof(
         purchases, signups,
         Seq(purchases("user_id")), Seq(signups("s_uid")),
-        purchases("es"), signups("signup_es"))
+        purchases("es"), signups("signup_es"),
+        // this key DEMONSTRATES the merge exec (like a MERGE join
+        // hint); asof_auto gates the stats-driven Auto choice
+        hint = graft.plans.AsOfHint.Merge)
       .select(col("event_id"), col("user_id"),
         col("signup_es").as("last_signup_es"))
       .orderBy("event_id")
@@ -569,7 +572,8 @@ object StatOps {
     graft.plans.AsOfJoinOps.asof(
         purchases, signups,
         Seq(purchases("user_id")), Seq(signups("s_uid")),
-        purchases("lt"), signups("rt"))
+        purchases("lt"), signups("rt"),
+        hint = graft.plans.AsOfHint.Merge)
       .select(col("event_id"), col("user_id"),
         col("signup_es"), col("signup_event_id"))
       .orderBy("event_id")
@@ -597,7 +601,8 @@ object StatOps {
         purchases, signups,
         Seq(purchases("user_id")), Seq(signups("s_uid")),
         purchases("es"), signups("signup_es"),
-        tolerance = Some(AsofToleranceSec))
+        tolerance = Some(AsofToleranceSec),
+        hint = graft.plans.AsOfHint.Merge)
       .select(col("event_id"), col("user_id"),
         col("signup_es").as("last_signup_es"))
       .orderBy("event_id")
@@ -624,7 +629,7 @@ object StatOps {
     spark.sql(
       """SELECT event_id, user_id, signup_es AS last_signup_es
          FROM asof_join('graft_asof_purchases', 'graft_asof_signups',
-                        'user_id:s_uid', 'es', 'signup_es')
+                        'user_id:s_uid', 'es', 'signup_es', 'merge')
          ORDER BY event_id""")
   }
 
@@ -652,13 +657,79 @@ object StatOps {
       purchases, signups,
       Seq(purchases("user_id")), Seq(signups("s_uid")),
       purchases("es"), signups("signup_es"),
-      tolerance = None, broadcastRight = true)
+      hint = graft.plans.AsOfHint.Broadcast)
     val plan = j.queryExecution.executedPlan.toString()
     val noShuffle = plan.contains("BroadcastAsOfJoin") &&
       !plan.contains("Exchange")
     j.select(col("event_id"), col("user_id"),
         col("signup_es").as("last_signup_es"))
       .withColumn("bcast_no_shuffle", lit(noShuffle))
+      .orderBy("event_id")
+  }
+
+  /** [[asofJoinNative]] with NO physical-form hint — the stats-driven
+    * Auto path (plans/AsOfJoinStrategy): the planner must notice the
+    * signup side's logical stats clear
+    * `spark.sql.autoBroadcastJoinThreshold` at the gate's scale and
+    * choose the shuffle-free broadcast probe ON ITS OWN, exactly as
+    * JoinSelection picks BHJ for a small equi-join side. The choice
+    * ships in the hash-checked row: `auto_broadcast` is TRUE only if
+    * the executed plan carries BroadcastAsOfJoin with zero Exchange —
+    * "the plan you'd want at 100× scale is chosen, not requested",
+    * machine-checked. (At larger SFs the same code may legitimately
+    * flip to the merge form when the stats outgrow the threshold; the
+    * claim is asserted at the sf0.01 gate, where the side is small.)
+    */
+  def asofJoinAuto(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    val j = graft.plans.AsOfJoinOps.asof(
+      purchases, signups,
+      Seq(purchases("user_id")), Seq(signups("s_uid")),
+      purchases("es"), signups("signup_es"))
+    val plan = j.queryExecution.executedPlan.toString()
+    val autoBroadcast = plan.contains("BroadcastAsOfJoin") &&
+      !plan.contains("Exchange")
+    j.select(col("event_id"), col("user_id"),
+        col("signup_es").as("last_signup_es"))
+      .withColumn("auto_broadcast", lit(autoBroadcast))
+      .orderBy("event_id")
+  }
+
+  /** `direction = Nearest` — the third pandas merge_asof direction,
+    * native in both physical forms (backward is the latest-at-or-
+    * before, forward the negation trick; nearest needs BOTH neighbors
+    * and is expressible by neither): each purchase picks the signup
+    * CLOSEST in absolute time within the tolerance, equidistant ties
+    * going backward (the pinned rule — the oracle's
+    * `ORDER BY abs(Δ), s.es`). The payload is the matched time
+    * itself, so equal-time right rows cannot make the hash flap
+    * (tie-immunity note on BroadcastAsOfJoinExec). Discriminating
+    * three ways: vs backward (a purchase whose nearest signup is
+    * AFTER it), vs forward (nearest before), and the tolerance nulls
+    * the isolated ones.
+    */
+  def asofJoinNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    graft.plans.AsOfJoinOps.asof(
+        purchases, signups,
+        Seq(purchases("user_id")), Seq(signups("s_uid")),
+        purchases("es"), signups("signup_es"),
+        tolerance = Some(AsofToleranceSec),
+        direction = graft.plans.AsOfDirection.Nearest)
+      .select(col("event_id"), col("user_id"),
+        col("signup_es").as("near_signup_es"))
       .orderBy("event_id")
   }
 

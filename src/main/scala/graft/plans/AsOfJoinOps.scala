@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   */
 object AsOfJoinOps {
 
-  private def ensureRegistered(spark: SparkSession): Unit = {
+  // the check-then-append below is not atomic; without the lock two
+  // threads planning their first as-of join on one session could
+  // double-register (harmless results, but every rule would run twice
+  // per batch). Registration is rare and cheap, so one global lock —
+  // not per-session — keeps it simple.
+  private def ensureRegistered(spark: SparkSession): Unit = synchronized {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
@@ -31,11 +36,20 @@ object AsOfJoinOps {
         spark.experimental.extraOptimizations :+ PushLeftFilterThroughAsOfJoin
   }
 
-  /** `tolerance`: maximum allowed (leftTime − matchTime) gap, pandas
-    * merge_asof-style — a latest-at-or-before match older than the
-    * bound yields nulls. Forward-direction as-of needs no extra code:
-    * negate both time columns ("latest at-or-before −t" ≡ "earliest
-    * at-or-after t"), as AsOfJoinSpec demonstrates.
+  /** `tolerance`: maximum allowed |leftTime − matchTime| gap, pandas
+    * merge_asof-style — a neighbor farther than the bound yields
+    * nulls.
+    *
+    * `direction`: pandas merge_asof's triple — Backward (default,
+    * latest at-or-before), Forward (earliest at-or-after), Nearest
+    * (closest in absolute distance; equidistant ties go BACKWARD, the
+    * pinned rule). All three run natively in both physical forms.
+    *
+    * EQUAL-TIME determinism: when several right rows share (key,
+    * time), which one wins is undefined — it follows physical order
+    * (shuffle-sort vs broadcast-index), which is not stable across
+    * runs or forms. Make the time column a total order when that
+    * matters (see the composite-time pattern in StatOps.asofJoinPayload).
     *
     * Self-as-of is safe: when the right plan shares attributes with
     * the left (both sides descend from the SAME DataFrame — "join
@@ -47,18 +61,23 @@ object AsOfJoinOps {
     * parameter position, which is the only coherent reading when the
     * two sides share attribute ids.
     *
-    * `broadcastRight`: plan the shuffle-free broadcast probe form
-    * (BroadcastAsOfJoinExec) instead of the co-partitioned merge —
-    * the caller's assertion that the right side fits in memory, like
-    * Spark's `broadcast()` hint. Worth it exactly when the right side
-    * is small relative to the left (the left then never shuffles);
-    * for comparably-sized sides the merge form wins.
+    * `hint`: physical-form choice. The default [[AsOfHint.Auto]] is
+    * stats-driven — the planner broadcasts the right side exactly when
+    * its logical stats clear `spark.sql.autoBroadcastJoinThreshold`,
+    * the same decision Spark's JoinSelection makes for equi-joins
+    * (threshold −1 disables). [[AsOfHint.Broadcast]] forces the
+    * shuffle-free probe form (the caller's in-memory size assertion,
+    * like `broadcast()`); [[AsOfHint.Merge]] forces the co-partitioned
+    * merge (like a MERGE join hint). Broadcast is worth it exactly
+    * when the right side is small relative to the left (the left then
+    * never shuffles); for comparably-sized sides the merge form wins.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[Column], rightKeys: Seq[Column],
            leftTime: Column, rightTime: Column,
            tolerance: Option[Long] = None,
-           broadcastRight: Boolean = false): DataFrame = {
+           direction: AsOfDirection = AsOfDirection.Backward,
+           hint: AsOfHint = AsOfHint.Auto): DataFrame = {
     val spark = left.sparkSession
     ensureRegistered(spark)
     // computed Columns (e.g. -df("t")) arrive from the Spark 4
@@ -94,7 +113,8 @@ object AsOfJoinOps {
       typed(leftTime, "left time"),
       rTime,
       tolerance,
-      broadcastRight)
+      direction,
+      hint)
     Bridge.ofRows(spark, node)
   }
 
@@ -107,8 +127,11 @@ object AsOfJoinOps {
     * Arguments: left table/view name, right table/view name, equi-key
     * spec (comma-separated; each entry `name` for a same-named key or
     * `lname:rname` when the sides differ), left time column, right
-    * time column, optional tolerance (integer literal, same unit as
-    * the time columns). All name arguments are string literals —
+    * time column, then trailing options in any order: an integer
+    * tolerance (same unit as the time columns), a physical-form hint
+    * ('broadcast'/'merge'; omitted = stats-driven Auto), a direction
+    * ('forward'/'nearest'; omitted = backward). All name arguments
+    * are string literals —
     * they're resolved through the session catalog exactly like
     * `spark.table`, so temp views, catalog tables and bucketed tables
     * all work, and the TVF inherits the Scala API's whole contract
@@ -120,35 +143,55 @@ object AsOfJoinOps {
     */
   private[graft] def buildFromSql(exprs: Seq[Expression]): LogicalPlan = {
     val usage = "asof_join('left', 'right', 'key[:rkey][,key2…]', " +
-      "'left_time', 'right_time'[, tolerance][, 'broadcast'])"
-    require(exprs.length >= 5 && exprs.length <= 7,
-      s"asof_join expects 5 to 7 arguments: $usage; got ${exprs.length}")
+      "'left_time', 'right_time'[, tolerance][, 'broadcast'|'merge']" +
+      "[, 'forward'|'nearest'])"
+    require(exprs.length >= 5 && exprs.length <= 8,
+      s"asof_join expects 5 to 8 arguments: $usage; got ${exprs.length}")
     def str(i: Int, what: String): String = exprs(i) match {
       case Literal(v, StringType) if v != null => v.toString
       case other => throw new IllegalArgumentException(
         s"asof_join: $what must be a string literal ($usage); got $other")
     }
-    // trailing options, in any order: an integer tolerance and/or the
-    // 'broadcast' size assertion (plan the shuffle-free probe form).
-    // Duplicates error — a repeated tolerance silently last-winning
-    // would hide a caller's mistake.
+    // trailing options, in any order: an integer tolerance, a
+    // physical-form hint ('broadcast' size assertion / 'merge'
+    // never-broadcast — omitted means stats-driven Auto, like every
+    // other join), and a direction ('forward' / 'nearest' — omitted
+    // means backward). Duplicates and contradictions error — a
+    // repeated option silently last-winning would hide a caller's
+    // mistake.
     var tolerance: Option[Long] = None
-    var broadcast = false
+    var hint: Option[AsOfHint] = None
+    var dir: Option[AsOfDirection] = None
     def setTol(v: Long): Unit = {
       require(tolerance.isEmpty,
         s"asof_join: tolerance given twice ($usage)")
       tolerance = Some(v)
     }
+    def setHint(h: AsOfHint, word: String): Unit = {
+      require(hint.isEmpty,
+        s"asof_join: physical-form hint given twice ('$word'; $usage)")
+      hint = Some(h)
+    }
+    def setDir(d: AsOfDirection, word: String): Unit = {
+      require(dir.isEmpty,
+        s"asof_join: direction given twice ('$word'; $usage)")
+      dir = Some(d)
+    }
     exprs.drop(5).foreach {
       case Literal(v: Long, LongType) => setTol(v)
       case Literal(v: Int, IntegerType) => setTol(v.toLong)
-      case Literal(v, StringType) if v != null &&
-        v.toString.equalsIgnoreCase("broadcast") =>
-        require(!broadcast, s"asof_join: 'broadcast' given twice ($usage)")
-        broadcast = true
+      case Literal(v, StringType) if v != null =>
+        v.toString.toLowerCase(java.util.Locale.ROOT) match {
+          case w @ "broadcast" => setHint(AsOfHint.Broadcast, w)
+          case w @ "merge" => setHint(AsOfHint.Merge, w)
+          case w @ "forward" => setDir(AsOfDirection.Forward, w)
+          case w @ "nearest" => setDir(AsOfDirection.Nearest, w)
+          case other => throw new IllegalArgumentException(
+            s"asof_join: unknown option '$other' ($usage)")
+        }
       case other => throw new IllegalArgumentException(
-        s"asof_join: trailing options must be an integer tolerance or " +
-          s"'broadcast' ($usage); got $other")
+        s"asof_join: trailing options must be an integer tolerance, " +
+          s"'broadcast'/'merge', or 'forward'/'nearest' ($usage); got $other")
     }
     // TVF builders run inside analysis with the active session in
     // scope; resolving through spark.table + the Scala constructor
@@ -174,7 +217,8 @@ object AsOfJoinOps {
     require(keyPairs.nonEmpty, s"asof_join: empty key spec ($usage)")
     asof(l, r,
       keyPairs.map(p => l(p._1)), keyPairs.map(p => r(p._2)),
-      l(str(3, "left time")), r(str(4, "right time")), tolerance, broadcast)
+      l(str(3, "left time")), r(str(4, "right time")), tolerance,
+      dir.getOrElse(AsOfDirection.Backward), hint.getOrElse(AsOfHint.Auto))
       .queryExecution.analyzed
   }
 

@@ -43,6 +43,47 @@ import org.apache.spark.sql.types.LongType
   * "null group joins null group" reading the sort order alone would
   * give, which no SQL engine's `l.k = r.k` join condition exhibits.
   */
+/** Match direction, the pandas merge_asof triple:
+  *  - [[AsOfDirection.Backward]] — the LATEST right row at-or-before
+  *    the left time (the native as-of; default);
+  *  - [[AsOfDirection.Forward]] — the EARLIEST right row at-or-after;
+  *  - [[AsOfDirection.Nearest]] — whichever of the two is closer in
+  *    absolute time distance, ties (equidistant neighbors) going to
+  *    the BACKWARD match — the pinned rule, matching the oracle's
+  *    `ORDER BY abs(Δt), t_r`.
+  * `tolerance` bounds the |gap| on whichever side is considered.
+  * Forward is also expressible as backward over negated times; the
+  * native form exists because nearest is NOT (it needs both
+  * neighbors), and once the scan keeps both, forward is free.
+  */
+sealed trait AsOfDirection
+object AsOfDirection {
+  case object Backward extends AsOfDirection
+  case object Forward extends AsOfDirection
+  case object Nearest extends AsOfDirection
+}
+
+/** Physical-form hint, mirroring Spark's own join-strategy hints:
+  *  - [[AsOfHint.Auto]] (default) — the strategy chooses like
+  *    `JoinSelection` does: the broadcast probe form when the right
+  *    side's LOGICAL STATS fall at or under
+  *    `spark.sql.autoBroadcastJoinThreshold` (`-1` disables, same
+  *    escape as everywhere else in Spark), else the co-partitioned
+  *    merge. The plan you'd want at 100× scale is chosen from stats,
+  *    not requested per call site.
+  *  - [[AsOfHint.Broadcast]] — force the broadcast form (the caller's
+  *    size assertion, like the `broadcast()` function).
+  *  - [[AsOfHint.Merge]] — force the merge form (like a MERGE join
+  *    hint; also what a stats-blind caller uses to keep a
+  *    borderline-sized right side off the driver).
+  */
+sealed trait AsOfHint
+object AsOfHint {
+  case object Auto extends AsOfHint
+  case object Broadcast extends AsOfHint
+  case object Merge extends AsOfHint
+}
+
 case class AsOfJoin(
     left: LogicalPlan,
     right: LogicalPlan,
@@ -51,7 +92,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long] = None,
-    broadcastRight: Boolean = false) extends BinaryNode {
+    direction: AsOfDirection = AsOfDirection.Backward,
+    hint: AsOfHint = AsOfHint.Auto) extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key per side")
@@ -81,20 +123,35 @@ case class AsOfJoin(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner strategy: two physical choices — the shuffle-free
-  * broadcast probe when the caller asserts the right side is small
-  * (`broadcastRight`, the as-of analog of a broadcast-hash-join
-  * hint), else the co-partitioned merge-scan (the SMJ analog).
-  * planLater for the children so the rest of the tree plans normally.
+/** Planner strategy: two physical forms — the shuffle-free broadcast
+  * probe (the BHJ analog) and the co-partitioned merge-scan (the SMJ
+  * analog). Under [[AsOfHint.Auto]] the choice is STATS-DRIVEN,
+  * exactly the decision Spark's `JoinSelection` makes for equi-joins:
+  * broadcast when the right side's logical `stats.sizeInBytes` is at
+  * or under `spark.sql.autoBroadcastJoinThreshold` (read from the
+  * planning session's conf — `SQLConf.get` is bound by
+  * `QueryExecution` during planning), merge otherwise; threshold ≤ 0
+  * disables auto-broadcast, Spark's own `never` escape. The explicit
+  * hints override in either direction. planLater for the children so
+  * the rest of the tree plans normally.
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case a: AsOfJoin if a.broadcastRight =>
-      BroadcastAsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTime, a.rightTime,
-        a.tolerance, planLater(a.left), planLater(a.right)) :: Nil
     case a: AsOfJoin =>
-      AsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTime, a.rightTime,
-        a.tolerance, planLater(a.left), planLater(a.right)) :: Nil
+      val broadcast = a.hint match {
+        case AsOfHint.Broadcast => true
+        case AsOfHint.Merge => false
+        case AsOfHint.Auto =>
+          val threshold = org.apache.spark.sql.internal.SQLConf.get
+            .autoBroadcastJoinThreshold
+          threshold > 0 && a.right.stats.sizeInBytes <= threshold
+      }
+      if (broadcast)
+        BroadcastAsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTime, a.rightTime,
+          a.tolerance, a.direction, planLater(a.left), planLater(a.right)) :: Nil
+      else
+        AsOfJoinExec(a.leftKeys, a.rightKeys, a.leftTime, a.rightTime,
+          a.tolerance, a.direction, planLater(a.left), planLater(a.right)) :: Nil
     case _ => Nil
   }
 }
@@ -129,6 +186,7 @@ case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -168,6 +226,7 @@ case class AsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val keyTypes = leftKeys.map(_.dataType)
+    val dir = direction
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
@@ -179,22 +238,29 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(right.output.length)
       val joined = new JoinedRow
       val resultProj = UnsafeProjection.create(output, output)
-      // candidate = latest right row already consumed whose key equals
-      // candKey; both copied out of the projection/scan reuse buffers
+      // Backward/Nearest keep a BACKWARD candidate: the latest right
+      // row already consumed (key, time ≤ left time), copied out of
+      // the projection/scan reuse buffers. Forward keeps none — its
+      // match is always the un-consumed HEAD, peeked in place.
+      val keepBackward = dir != AsOfDirection.Forward
       var candidate: InternalRow = null
       var candKey: InternalRow = null
       var candTime: Long = Long.MinValue
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTime = lTimeEval.eval(lRow)
+        val lTimeAny = lTimeEval.eval(lRow)
+        val lTime = if (lTimeAny == null) 0L else lTimeAny.asInstanceOf[Long]
         // consume right rows that can never match a LATER left row:
-        // strictly-smaller keys, and same-key rows at time ≤ lTime
-        // (left is key+time sorted, so later left rows only grow).
-        // Null keys sort FIRST under the natural ordering, so a
-        // null-keyed left row cannot starve the advance: the only
-        // rows it consumes (cmp ≤ 0) are null-keyed right rows, which
-        // SQL equi-semantics discard anyway.
-        var advance = lTime != null
+        // strictly-smaller keys, and same-key rows behind the frontier
+        // (time ≤ lTime for backward/nearest — they become the
+        // backward candidate; time < lTime for forward — dead, since
+        // later left rows only grow). Null keys sort FIRST under the
+        // natural ordering, so a null-keyed left row cannot starve the
+        // advance: the only rows it consumes (cmp ≤ 0) are null-keyed
+        // right rows, which SQL equi-semantics discard anyway. Null
+        // times sort first WITHIN a key group and are dropped here, so
+        // the head a forward/nearest probe peeks always has a real time.
+        var advance = lTimeAny != null
         while (advance && rBuf.hasNext) {
           val head = rBuf.head
           val headKey = rKeyProj(head)
@@ -205,25 +271,63 @@ case class AsOfJoinExec(
             else {
               val rTime = rTimeEval.eval(head)
               if (rTime == null) { rBuf.next() } // null time never matches
-              else if (rTime.asInstanceOf[Long] <= lTime.asInstanceOf[Long]) {
-                val r = rBuf.next()
-                candidate = r.copy()
-                candKey = rKeyProj(candidate).copy()
-                candTime = rTime.asInstanceOf[Long]
-              } else advance = false
+              else {
+                val rt = rTime.asInstanceOf[Long]
+                if (if (keepBackward) rt <= lTime else rt < lTime) {
+                  val r = rBuf.next()
+                  if (keepBackward) {
+                    candidate = r.copy()
+                    candKey = rKeyProj(candidate).copy()
+                    candTime = rt
+                  }
+                } else advance = false
+              }
             }
           } else advance = false
         }
-        // tolerance (pandas merge_asof): the latest-at-or-before match
-        // must also be RECENT enough, else the left row gets nulls —
-        // emission-time check only, so the candidate stays valid for
-        // later (larger-time) left rows of the same key
-        val matched = lTime != null && !lKey.anyNull && candidate != null &&
-          keyOrd.compare(candKey, lKey) == 0 &&
-          tolerance.forall(t => lTime.asInstanceOf[Long] - candTime <= t)
+        // decide the match for THIS left row. tolerance (pandas
+        // merge_asof): the neighbor must also be CLOSE enough, else
+        // nulls — an emission-time check only, so the backward
+        // candidate stays valid for later left rows of the same key.
+        var matched: InternalRow = null
+        if (lTimeAny != null && !lKey.anyNull) {
+          val backOk = keepBackward && candidate != null &&
+            keyOrd.compare(candKey, lKey) == 0 &&
+            tolerance.forall(t => lTime - candTime <= t)
+          // forward neighbor = the still-buffered head, iff same key:
+          // the FIRST right row at-or-after (forward) / strictly after
+          // (nearest — equal times were consumed as the backward
+          // candidate, distance 0) the left time. Peeked, never
+          // consumed — it may be a later left row's backward match.
+          var fwdRow: InternalRow = null
+          var fwdTime = 0L
+          if (dir != AsOfDirection.Backward && rBuf.hasNext) {
+            val head = rBuf.head
+            val headKey = rKeyProj(head)
+            if (!headKey.anyNull && keyOrd.compare(headKey, lKey) == 0) {
+              val rTime = rTimeEval.eval(head)
+              if (rTime != null) {
+                val rt = rTime.asInstanceOf[Long]
+                if (rt >= lTime && tolerance.forall(t => rt - lTime <= t)) {
+                  fwdRow = head; fwdTime = rt
+                }
+              }
+            }
+          }
+          matched = dir match {
+            case AsOfDirection.Backward => if (backOk) candidate else null
+            case AsOfDirection.Forward => fwdRow
+            case AsOfDirection.Nearest =>
+              if (backOk && fwdRow != null)
+                // pinned tie rule: equidistant → backward (earlier t_r)
+                if (lTime - candTime <= fwdTime - lTime) candidate else fwdRow
+              else if (backOk) candidate
+              else fwdRow
+          }
+        }
         numOutputRows += 1
-        if (matched) numMatched += 1
-        resultProj(joined(lRow, if (matched) candidate else nullRight))
+        if (matched != null) numMatched += 1
+        resultProj(joined(lRow, if (matched != null) matched else nullRight))
       }
     }
   }
@@ -243,13 +347,22 @@ case class AsOfJoinExec(
   *    broadcast index only.
   *
   * Same semantics as the merge-scan (null keys/times match nothing,
-  * tolerance at probe time, ties need a caller-total composite time —
-  * the index takes the LAST entry in time order, exactly the merge's
-  * contract) — value-equality is spec-pinned against the merge exec.
+  * tolerance at probe time, all three directions) — value-equality is
+  * spec-pinned against the merge exec. EQUAL-TIME ties: both forms
+  * take the last (backward) / first (forward) entry *in their own
+  * physical order* — shuffle-sort order here, driver-collect order in
+  * the index — so WHICH of several same-(key, time) right rows wins
+  * is undefined and may differ between the forms and between runs.
+  * Callers needing determinism under ties must make the time column a
+  * total order (the composite-time pattern `asof2` uses); payloads
+  * that are functions of (key, time) alone — like the gated `asof_bc`
+  * query, whose payload IS the time — are tie-immune by construction.
   *
-  * The `broadcastRight` flag is the caller's size assertion, like
-  * Spark's `broadcast()` hint: the right side must fit in driver and
-  * executor memory (`spark.driver.maxResultSize` guards the collect).
+  * Planned under [[AsOfHint.Broadcast]] (the caller's size assertion,
+  * like Spark's `broadcast()` hint: the right side must fit in driver
+  * and executor memory — `spark.driver.maxResultSize` guards the
+  * collect) or under [[AsOfHint.Auto]] when the right side's stats
+  * clear `spark.sql.autoBroadcastJoinThreshold`.
   */
 case class BroadcastAsOfJoinExec(
     leftKeys: Seq[Expression],
@@ -257,6 +370,7 @@ case class BroadcastAsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     tolerance: Option[Long],
+    direction: AsOfDirection,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -269,7 +383,9 @@ case class BroadcastAsOfJoinExec(
     "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of matched left rows"),
     "indexRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "broadcast index rows"))
+      .createMetric(sparkContext, "broadcast index rows"),
+    "indexBytes" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createSizeMetric(sparkContext, "broadcast index size"))
 
   // the point of this exec: left flows through untouched
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -284,6 +400,7 @@ case class BroadcastAsOfJoinExec(
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
     val indexRows = longMetric("indexRows")
+    val indexBytes = longMetric("indexBytes")
     // driver-side index build: key → (times asc, rows in same order).
     // executeCollect materializes independent rows (no scan-buffer
     // reuse), so only the projected keys need copying.
@@ -307,16 +424,25 @@ case class BroadcastAsOfJoinExec(
         k -> (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
       }.toMap
     indexRows += index.valuesIterator.map(_._1.length.toLong).sum
+    // measured memory bill of the boxed-Map index (SizeEstimator walks
+    // the object graph — the same estimator Spark's MemoryStore uses),
+    // so "how expensive was this broadcast" is a number in the SQL UI
+    // rather than a guess. At local sf1 (250k signup rows, 2 small
+    // columns) the index measures ~180 bytes/row — roughly 2× a
+    // compact UnsafeRow-paged layout; acceptable for a caller-asserted
+    // small side, and now visible when it isn't.
+    indexBytes += org.apache.spark.util.SizeEstimator.estimate(index)
     // driver-side metric writes reach the SQL UI only via an explicit
     // post (the BroadcastExchangeExec pattern); task-side accumulator
-    // updates flow automatically but this one is set on the driver
+    // updates flow automatically but these are set on the driver
     org.apache.spark.sql.execution.metric.SQLMetrics.postDriverMetricUpdates(
       sparkContext,
       sparkContext.getLocalProperty(
         org.apache.spark.sql.execution.SQLExecution.EXECUTION_ID_KEY),
-      Seq(indexRows))
+      Seq(indexRows, indexBytes))
     val bc = sparkContext.broadcast(index)
     val rightWidth = right.output.length
+    val dir = direction
     left.execute().mapPartitions({ iter =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
       val lTimeEval = BindReferences.bindReference(leftTime, left.output)
@@ -332,7 +458,9 @@ case class BroadcastAsOfJoinExec(
           idx.get(lKey) match {
             case Some((times, rows)) =>
               // greatest i with times(i) ≤ lTime (upper-bound binary
-              // search — the LAST of equal times wins, like the merge)
+              // search — the LAST of equal times wins, like the merge;
+              // the forward neighbor is then ans+1, the FIRST strictly
+              // after, and forward-inclusive probes lower-bound below)
               val lt = lTime.asInstanceOf[Long]
               var lo = 0; var hi = times.length - 1; var ans = -1
               while (lo <= hi) {
@@ -340,8 +468,38 @@ case class BroadcastAsOfJoinExec(
                 if (times(mid) <= lt) { ans = mid; lo = mid + 1 }
                 else hi = mid - 1
               }
-              if (ans >= 0 && tolerance.forall(t => lt - times(ans) <= t))
-                matched = rows(ans)
+              val backOk = ans >= 0 &&
+                tolerance.forall(t => lt - times(ans) <= t)
+              dir match {
+                case AsOfDirection.Backward =>
+                  if (backOk) matched = rows(ans)
+                case AsOfDirection.Forward =>
+                  // smallest i with times(i) ≥ lt — the FIRST of equal
+                  // times, exactly the merge's un-consumed head. That
+                  // is ans+1 (first > lt) unless times(ans) == lt, in
+                  // which case walk back to the first equal entry.
+                  var f = ans + 1
+                  if (ans >= 0 && times(ans) == lt) {
+                    f = ans
+                    while (f > 0 && times(f - 1) == lt) f -= 1
+                  }
+                  if (f < times.length &&
+                    tolerance.forall(t => times(f) - lt <= t))
+                    matched = rows(f)
+                case AsOfDirection.Nearest =>
+                  // backward neighbor vs the first strictly-after one;
+                  // pinned tie rule: equidistant → backward (equal
+                  // times land on the backward side at distance 0)
+                  val f = ans + 1
+                  val fwdOk = f < times.length &&
+                    tolerance.forall(t => times(f) - lt <= t)
+                  if (backOk && fwdOk)
+                    matched =
+                      if (lt - times(ans) <= times(f) - lt) rows(ans)
+                      else rows(f)
+                  else if (backOk) matched = rows(ans)
+                  else if (fwdOk) matched = rows(f)
+              }
             case None =>
           }
         }

@@ -181,7 +181,31 @@ object EventStream {
     * deterministic fixture.
     */
   def asofSignupEnrichment(purchases: DataFrame, signups: DataFrame,
-      toleranceSec: Long): DataFrame = {
+      toleranceSec: Long): DataFrame =
+    asofEnrichment(purchases, signups, toleranceSec, "inner")
+
+  /** The LEFT OUTER face of [[asofSignupEnrichment]] — the streaming
+    * twin of the batch operator's FULL contract, null rows included:
+    * every purchase emits exactly one row, with a null
+    * `last_signup_es` when no in-tolerance signup exists. The chain
+    * is the left-outer interval join (unmatched purchases surface a
+    * null-signup row once the watermark proves no match can still
+    * arrive — the state-eviction moment) feeding the same windowed
+    * MAX; an unmatched purchase's group holds only its null row, so
+    * the MAX is null and the row survives. The join's late null
+    * emissions are not dropped by the aggregation because Spark's
+    * per-operator watermark propagation (the 3.4 multi-stateful-
+    * operator work) delays the downstream operator's input watermark
+    * by the join's state retention. StreamingSpec pins result
+    * equality against AsOfJoinOps.asof(tolerance) INCLUDING the null
+    * rows.
+    */
+  def asofSignupEnrichmentOuter(purchases: DataFrame, signups: DataFrame,
+      toleranceSec: Long): DataFrame =
+    asofEnrichment(purchases, signups, toleranceSec, "leftOuter")
+
+  private def asofEnrichment(purchases: DataFrame, signups: DataFrame,
+      toleranceSec: Long, joinType: String): DataFrame = {
     val p = purchases.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("event_time").as("p_time"))
@@ -191,7 +215,7 @@ object EventStream {
       .withWatermark("s_time", "10 minutes")
     p.join(s, expr(
         s"s_user = p_user AND s_time BETWEEN " +
-          s"p_time - INTERVAL $toleranceSec SECONDS AND p_time"))
+          s"p_time - INTERVAL $toleranceSec SECONDS AND p_time"), joinType)
       .groupBy(window(col("p_time"), "5 minutes"),
         col("purchase_id"), col("p_user"))
       .agg(max(col("s_time").cast("long")).as("last_signup_es"))

@@ -476,4 +476,16 @@ class OperatorSpec extends AnyFunSuite {
     val hotN = out.find(_.getString(0) == hotSeg).map(_.getLong(1)).getOrElse(0L)
     assert(hotN * 2 >= nEvents, s"hot segment only $hotN of $nEvents")
   }
+
+  test("pinned-stage consumer declarations stay in sync with the registry") {
+    // the warm-up attribution logic (TimeQuery, Bench _substrate)
+    // derives from DedupOps.StageConsumers; a registry-key rename
+    // that forgets the map would silently mis-attribute the stage
+    // build cost to the renamed query's timing — fail the build
+    // instead
+    val unknown = graft.operators.DedupOps.PinnedStageConsumers
+      .diff(graft.SparkEntry.queries.keySet)
+    assert(unknown.isEmpty,
+      s"StageConsumers names not in SparkEntry.queries (stale rename?): $unknown")
+  }
 }

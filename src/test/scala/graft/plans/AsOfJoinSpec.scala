@@ -34,7 +34,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     ).toDF("k", "rt", "tag")
       .select(col("k").as("rk"), col("rt"), col("tag"))
     val out = AsOfJoinOps.asof(left, right,
-        Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"))
+        Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+        hint = AsOfHint.Merge)
       .select("lid", "tag").collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
       .toMap
@@ -43,7 +44,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     // null LEFT time: no match even when right rows exist for the key
     val nullLeft = Seq((4L, Option.empty[Long], "g")).toDF("k", "lt", "lid")
     val out2 = AsOfJoinOps.asof(nullLeft, right,
-        Seq(nullLeft("k")), Seq(right("rk")), nullLeft("lt"), right("rt"))
+        Seq(nullLeft("k")), Seq(right("rk")), nullLeft("lt"), right("rt"),
+        hint = AsOfHint.Merge)
       .select("tag").collect()
     assert(out2.length === 1 && out2.head.isNullAt(0))
   }
@@ -58,7 +60,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     val right = Seq((Option(1L), 5L, "r1"), (Option.empty[Long], 5L, "rnull"),
       (Option(2L), 7L, "r2")).toDF("rk", "rt", "tag")
     val out = AsOfJoinOps.asof(left, right,
-        Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"))
+        Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+        hint = AsOfHint.Merge)
       .select("lid", "tag").collect()
       .map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
       .toMap
@@ -77,7 +80,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val probe = ev.withColumn("probe_es", ev("es") - 1)
     val out = AsOfJoinOps.asof(probe, ev,
         Seq(probe("user_id")), Seq(ev("user_id")),
-        probe("probe_es"), ev("es"))
+        probe("probe_es"), ev("es"), hint = AsOfHint.Merge)
       // duplicate names across the two sides — rename positionally
       .toDF("user_id", "es", "event_id", "probe_es",
         "r_user_id", "r_es", "r_event_id")
@@ -178,7 +181,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .toDF("rk", "rt", "tag")
     def run(tol: Option[Long]) =
       AsOfJoinOps.asof(left, right, Seq(left("k")), Seq(right("rk")),
-          left("lt"), right("rt"), tol)
+          left("lt"), right("rt"), tol, hint = AsOfHint.Merge)
         .select("lid", "tag").collect()
         .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
         .toMap
@@ -196,7 +199,8 @@ class AsOfJoinSpec extends AnyFunSuite {
     val lneg = left.withColumn("nlt", -col("lt"))
     val rneg = right.withColumn("nrt", -col("rt"))
     val fwd = AsOfJoinOps.asof(lneg, rneg,
-        Seq(lneg("k")), Seq(rneg("rk")), lneg("nlt"), rneg("nrt"))
+        Seq(lneg("k")), Seq(rneg("rk")), lneg("nlt"), rneg("nrt"),
+        hint = AsOfHint.Merge)
       .select("lid", "tag").collect()
       .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
       .toMap
@@ -233,15 +237,17 @@ class AsOfJoinSpec extends AnyFunSuite {
       .bucketBy(8, "rk").sortBy("rk", "rt").saveAsTable("asof_bkt_r")
     val l = spark.table("asof_bkt_l")
     val r = spark.table("asof_bkt_r")
-    val j = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+    val j = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"),
+      hint = AsOfHint.Merge)
     val plan = j.queryExecution.executedPlan.toString()
-    assert(plan.contains("AsOfJoin") && !plan.contains("Exchange"),
+    assert(plan.contains("AsOfJoin") && !plan.contains("BroadcastAsOfJoin") &&
+      !plan.contains("Exchange"),
       s"bucketed as-of join still shuffles:\n$plan")
     // not vacuous: the same join from raw parquet DOES exchange
     val lp = spark.read.parquet(s"$base/l")
     val rp = spark.read.parquet(s"$base/r")
     val raw = AsOfJoinOps.asof(lp, rp,
-      Seq(lp("k")), Seq(rp("rk")), lp("lt"), rp("rt"))
+      Seq(lp("k")), Seq(rp("rk")), lp("lt"), rp("rt"), hint = AsOfHint.Merge)
     assert(raw.queryExecution.executedPlan.toString().contains("Exchange"))
     // and the layouts agree on the result
     assert(j.orderBy("lpay").collect().map(_.toString).toSeq ===
@@ -250,9 +256,10 @@ class AsOfJoinSpec extends AnyFunSuite {
     // zero-Exchange plan is reachable from pure SQL too
     AsOfJoinOps.registerSqlSurface(spark)
     val sql = spark.sql(
-      "SELECT * FROM asof_join('asof_bkt_l', 'asof_bkt_r', 'k:rk', 'lt', 'rt')")
+      "SELECT * FROM asof_join('asof_bkt_l', 'asof_bkt_r', 'k:rk', 'lt', 'rt', 'merge')")
     val sqlPlan = sql.queryExecution.executedPlan.toString()
-    assert(sqlPlan.contains("AsOfJoin") && !sqlPlan.contains("Exchange"),
+    assert(sqlPlan.contains("AsOfJoin") && !sqlPlan.contains("BroadcastAsOfJoin") &&
+      !sqlPlan.contains("Exchange"),
       s"TVF over bucketed tables still shuffles:\n$sqlPlan")
     assert(sql.orderBy("lpay").collect().map(_.toString).toSeq ===
       j.orderBy("lpay").collect().map(_.toString).toSeq)
@@ -271,7 +278,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .withColumn("rt", timestamp_seconds(col("res")))
     def runTs(tol: Option[Long]) =
       AsOfJoinOps.asof(lts, rts, Seq(lts("k")), Seq(rts("rk")),
-          lts("lt"), rts("rt"), tol)
+          lts("lt"), rts("rt"), tol, hint = AsOfHint.Merge)
         .select("lid", "tag").collect()
         .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
         .toMap
@@ -292,7 +299,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .toDF("r_region", "rk", "rt", "tag")
     val out2 = AsOfJoinOps.asof(l2, r2,
         Seq(l2("region"), l2("k")), Seq(r2("r_region"), r2("rk")),
-        l2("lt"), r2("rt"))
+        l2("lt"), r2("rt"), hint = AsOfHint.Merge)
       .select("lid", "tag").collect()
       .map(x => x.getString(0) -> x.getString(1)).toMap
     assert(out2 === Map("x" -> "eu1", "y" -> "us1", "z" -> "eu2"))
@@ -321,7 +328,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
     def run(bcast: Boolean) = AsOfJoinOps.asof(p, su,
       Seq(p("user_id")), Seq(su("s_uid")), p("es"), su("signup_es"),
-      tolerance = None, broadcastRight = bcast)
+      hint = if (bcast) AsOfHint.Broadcast else AsOfHint.Merge)
     val bc = run(true)
     val plan = bc.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastAsOfJoin"), s"broadcast form not planned:\n$plan")
@@ -341,7 +348,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       .toDF("rk", "rt", "tag")
     def runFix(tol: Option[Long]) = AsOfJoinOps.asof(left, right,
         Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
-        tol, broadcastRight = true)
+        tol, hint = AsOfHint.Broadcast)
       .select("lid", "tag").collect()
       .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
       .toMap
@@ -355,7 +362,7 @@ class AsOfJoinSpec extends AnyFunSuite {
     val selfBc = AsOfJoinOps.asof(probe, ev2,
         Seq(probe("user_id")), Seq(ev2("user_id")),
         probe("probe_es"), ev2("es"),
-        tolerance = None, broadcastRight = true)
+        hint = AsOfHint.Broadcast)
       .toDF("user_id", "es", "event_id", "probe_es",
         "r_user_id", "r_es", "r_event_id")
       .select("event_id", "r_event_id").collect()
@@ -374,6 +381,108 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(sql.collect().map(x =>
         x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1))).toMap
       === runFix(None))
+  }
+
+  test("stats-driven physical selection: Auto broadcasts a small right side, merges a large one") {
+    // the JoinSelection analog, spec-pinned both ways on the SAME
+    // data by dialing spark.sql.autoBroadcastJoinThreshold on child
+    // sessions: under the default 10 MB threshold the sf0.01 signup
+    // side's logical stats are small → the strategy must choose the
+    // broadcast probe WITHOUT any hint; with the threshold at 1 byte
+    // the same stats are "large" → merge; with −1 (Spark's universal
+    // never-broadcast escape) → merge. All three result-identical.
+    import graft.operators.TimeSeriesOps
+    def build(s: org.apache.spark.sql.SparkSession) = {
+      val ev = graft.sources.Tables.events(s, sf)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          TimeSeriesOps.epochSecExpr("ts").as("es"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("es"))
+      val su = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+      AsOfJoinOps.asof(p, su, Seq(p("user_id")), Seq(su("s_uid")),
+        p("es"), su("signup_es")) // NO hint — the planner decides
+    }
+    val small = spark.newSession() // default threshold: 10 MB
+    val autoBc = build(small)
+    val bcPlan = autoBc.queryExecution.executedPlan.toString()
+    assert(bcPlan.contains("BroadcastAsOfJoin") && !bcPlan.contains("Exchange"),
+      s"Auto did not broadcast a small right side:\n$bcPlan")
+    val tight = spark.newSession()
+    tight.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    val autoMerge = build(tight)
+    val mPlan = autoMerge.queryExecution.executedPlan.toString()
+    assert(mPlan.contains("AsOfJoin") && !mPlan.contains("BroadcastAsOfJoin"),
+      s"Auto broadcast a right side LARGER than the threshold:\n$mPlan")
+    val never = spark.newSession()
+    never.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val neverPlan = build(never).queryExecution.executedPlan.toString()
+    assert(!neverPlan.contains("BroadcastAsOfJoin"),
+      s"threshold=-1 must disable auto-broadcast:\n$neverPlan")
+    assert(autoBc.orderBy("event_id").collect().map(_.toString).toSeq ===
+      autoMerge.orderBy("event_id").collect().map(_.toString).toSeq,
+      "the two auto-chosen forms disagree on values")
+  }
+
+  test("directions: forward and nearest semantics, both physical forms") {
+    import spark.implicits._
+    // k=1 history at 2, 9, 11, 30 (+ a null-time row); k=2 at 100
+    // only; k=3 empty. Covers: equidistant tie → backward (a),
+    // forward strictly closer (b), exact-time hit (c, distance 0 both
+    // ways — and forward is INCLUSIVE at-or-after), no-backward (d),
+    // far-only-forward vs tolerance (e), no history (f).
+    val left = Seq((1L, 10L, "a"), (1L, 25L, "b"), (1L, 2L, "c"),
+      (1L, 1L, "d"), (2L, 10L, "e"), (3L, 10L, "f")).toDF("k", "lt", "lid")
+    val right = Seq(
+      (Option(1L), Option(2L), "h2"), (Option(1L), Option(9L), "h9"),
+      (Option(1L), Option(11L), "h11"), (Option(1L), Option(30L), "h30"),
+      (Option(1L), Option.empty[Long], "hnull"),
+      (Option.empty[Long], Option(10L), "knull"),
+      (Option(2L), Option(100L), "h100")).toDF("rk", "rt", "tag")
+    def run(dir: AsOfDirection, tol: Option[Long], h: AsOfHint) =
+      AsOfJoinOps.asof(left, right, Seq(left("k")), Seq(right("rk")),
+          left("lt"), right("rt"), tol, dir, h)
+        .select("lid", "tag").collect()
+        .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+        .toMap
+    val wantFwd = Map("a" -> "h11", "b" -> "h30", "c" -> "h2",
+      "d" -> "h2", "e" -> "h100", "f" -> null)
+    val wantNear = Map("a" -> "h9" /* tie 1:1 → backward */, "b" -> "h30",
+      "c" -> "h2", "d" -> "h2", "e" -> "h100", "f" -> null)
+    val wantNearTol = wantNear + ("e" -> null) // dist 90 > 50
+    for (h <- Seq(AsOfHint.Merge, AsOfHint.Broadcast)) {
+      assert(run(AsOfDirection.Forward, None, h) === wantFwd, s"forward/$h")
+      assert(run(AsOfDirection.Nearest, None, h) === wantNear, s"nearest/$h")
+      assert(run(AsOfDirection.Nearest, Some(50L), h) === wantNearTol,
+        s"nearest+tol/$h")
+      assert(run(AsOfDirection.Forward, Some(50L), h) ===
+        wantFwd + ("e" -> null), s"forward+tol/$h")
+    }
+    // native forward ≡ the documented negation trick on the same data
+    val lneg = left.withColumn("nlt", -col("lt"))
+    val rneg = right.withColumn("nrt", -col("rt"))
+    val viaNeg = AsOfJoinOps.asof(lneg, rneg,
+        Seq(lneg("k")), Seq(rneg("rk")), lneg("nlt"), rneg("nrt"),
+        hint = AsOfHint.Merge)
+      .select("lid", "tag").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(viaNeg === wantFwd, "negation twin disagrees with native forward")
+    // nearest through the SQL TVF, and option conflicts fail fast
+    AsOfJoinOps.registerSqlSurface(spark)
+    left.createOrReplaceTempView("asof_dir_l")
+    right.createOrReplaceTempView("asof_dir_r")
+    val sqlNear = spark.sql(
+      """SELECT lid, tag FROM asof_join('asof_dir_l', 'asof_dir_r',
+           'k:rk', 'lt', 'rt', 'nearest')""").collect()
+      .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(sqlNear === wantNear, "TVF 'nearest' diverged from the Scala API")
+    val dup = intercept[Exception] {
+      spark.sql("""SELECT * FROM asof_join('asof_dir_l', 'asof_dir_r',
+        'k:rk', 'lt', 'rt', 'forward', 'nearest')""").collect()
+    }
+    assert(dup.getMessage.contains("twice"), dup.getMessage)
   }
 
   test("guards fail fast: mismatched key types, bad TVF key entries, duplicate options") {
@@ -422,17 +531,21 @@ class AsOfJoinSpec extends AnyFunSuite {
       deep(df.queryExecution.executedPlan)
     }
     val merge = AsOfJoinOps.asof(left, right,
-      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"))
+      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+      hint = AsOfHint.Merge)
     val m = finalPlan(merge).collectFirst { case e: AsOfJoinExec => e }.get
     assert(m.metrics("numOutputRows").value === 3)
     assert(m.metrics("numMatched").value === 2)
     val bcast = AsOfJoinOps.asof(left, right,
       Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
-      tolerance = None, broadcastRight = true)
+      hint = AsOfHint.Broadcast)
     val b = finalPlan(bcast).collectFirst { case e: BroadcastAsOfJoinExec => e }.get
     assert(b.metrics("numOutputRows").value === 3)
     assert(b.metrics("numMatched").value === 2)
     assert(b.metrics("indexRows").value === 1)
+    // the measured memory bill of the boxed index (SizeEstimator walk)
+    assert(b.metrics("indexBytes").value > 0,
+      "broadcast index size metric not posted")
   }
 
   test("AQE composes: the node plans adaptively and its shuffles coalesce") {
@@ -452,7 +565,7 @@ class AsOfJoinSpec extends AnyFunSuite {
       val su = ev.filter(col("event_type") === "signup")
         .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
       AsOfJoinOps.asof(p, su, Seq(p("user_id")), Seq(su("s_uid")),
-        p("es"), su("signup_es"))
+        p("es"), su("signup_es"), hint = AsOfHint.Merge)
     }
     val a = spark.newSession()
     a.conf.set("spark.sql.shuffle.partitions", "32")
@@ -491,22 +604,40 @@ class AsOfJoinSpec extends AnyFunSuite {
         .groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
       val l = left.toDF("k", "lt", "lid").repartition(1 + rnd.nextInt(5))
       val r = right.toDF("rk", "rt", "rid").repartition(1 + rnd.nextInt(5))
-      def got(bcast: Boolean) = AsOfJoinOps.asof(l, r,
-          Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"),
-          tolerance = None, broadcastRight = bcast)
+      def got(bcast: Boolean, dir: AsOfDirection) = AsOfJoinOps.asof(l, r,
+          Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"), direction = dir,
+          hint = if (bcast) AsOfHint.Broadcast else AsOfHint.Merge)
         .select("lid", "rid").collect()
         .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
         .toMap
       val byKey = right.groupBy(_._1)
-      val want = left.map { case (k, t, lid) =>
-        lid -> byKey.getOrElse(k, Nil).filter(_._2 <= t)
-          .sortBy(_._2).lastOption.map(_._3).getOrElse(-1L)
+      // in-JVM reference for each direction: backward = latest ≤,
+      // forward = earliest ≥, nearest = argmin |Δ| with equidistant
+      // ties to the backward side (the pinned rule)
+      def want(dir: AsOfDirection) = left.map { case (k, t, lid) =>
+        val hist = byKey.getOrElse(k, Nil)
+        val back = hist.filter(_._2 <= t).sortBy(_._2).lastOption
+        val fwd = hist.filter(_._2 >= t).sortBy(_._2).headOption
+        lid -> (dir match {
+          case AsOfDirection.Backward => back
+          case AsOfDirection.Forward => fwd
+          case AsOfDirection.Nearest => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }).map(_._3).getOrElse(-1L)
       }.toMap
-      // BOTH physical forms must match the reference on every trial
-      assert(got(false) === want, s"merge form: trial $trial diverged " +
-        s"(seed fixed): nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
-      assert(got(true) === want, s"broadcast form: trial $trial diverged " +
-        s"(seed fixed): nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
+      // BOTH physical forms × all three directions must match the
+      // reference on every trial
+      for (dir <- Seq(AsOfDirection.Backward, AsOfDirection.Forward,
+          AsOfDirection.Nearest)) {
+        val w = want(dir)
+        assert(got(false, dir) === w, s"merge/$dir: trial $trial diverged " +
+          s"(seed fixed): nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
+        assert(got(true, dir) === w, s"broadcast/$dir: trial $trial diverged " +
+          s"(seed fixed): nKeys=$nKeys |L|=${left.size} |R|=${right.size}")
+      }
     }
   }
 
@@ -524,7 +655,8 @@ class AsOfJoinSpec extends AnyFunSuite {
       .toDF("k", "lt", "pid").repartition(13)
     val r = spark.createDataset(rng.shuffle(signups.toVector))
       .toDF("rk", "rt", "sid").repartition(7)
-    val got = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+    val got = AsOfJoinOps.asof(l, r, Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"),
+        hint = AsOfHint.Merge)
       .select("pid", "sid").collect()
       .map(x => x.getString(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
       .toMap

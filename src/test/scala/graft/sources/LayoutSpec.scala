@@ -399,5 +399,53 @@ class LayoutSpec extends AnyFunSuite {
     assert(cappedOut > langs,
       s"maxRecordsPerFile did not split large partitions: $cappedOut files")
     assert(cappedRows === pRows)
+    // per-partition-bytes sizing: derive the records-per-file cap from
+    // targetBytes and the source's measured bytes-per-row, so a huge
+    // partition VALUE splits into ≈targetBytes files without the
+    // caller hand-tuning a conf — a target of ~2 average rows forces
+    // strictly more files than partition values
+    val avgRowBytes = {
+      val d = new java.io.File(s"$base/part_messy")
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length else 0L
+      math.max(1L, walk(d) / math.max(1L, pRows))
+    }
+    val (_, sizedOut, sizedRows) = LayoutOps.compactParquet(
+      spark, s"$base/part_messy", s"$base/part_sized",
+      targetBytes = 2 * avgRowBytes, partitionBy = Seq("lang"),
+      sizePartitionFiles = true)
+    assert(sizedOut > langs,
+      s"sizePartitionFiles did not split large partitions: $sizedOut files")
+    assert(sizedRows === pRows)
+    intercept[IllegalArgumentException] { // flat modes already size by targetBytes
+      LayoutOps.compactParquet(spark, s"$base/part_messy", s"$base/part_bad",
+        sizePartitionFiles = true)
+    }
+  }
+
+  test("compaction across distinct filesystems lists each side with its own FS") {
+    import graft.operators.LayoutOps
+    // a genuinely distinct second FileSystem without a second store:
+    // a viewfs:// mount table whose link resolves to the local disk.
+    // Src stays on file:, dest lives on viewfs://graftmt/... — the
+    // file:-staging → hdfs:/s3:-target copy-compact shape. The final
+    // file count must list the dest through the dest's OWN FileSystem
+    // (listing a viewfs path through src's LocalFileSystem throws
+    // 'Wrong FS' — AFTER the write already succeeded).
+    val base = java.nio.file.Files.createTempDirectory("graft_xfs").toString
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.viewfs.mounttable.graftmt.link./stage", s"file:$base/stage")
+    val src = graft.sources.Tables.nation(spark, sf)
+    src.repartition(8).write.mode("overwrite").parquet(s"$base/messy")
+    val destDir = "viewfs://graftmt/stage/tidy"
+    val (filesIn, filesOut, rows) = LayoutOps.compactParquet(
+      spark, s"$base/messy", destDir)
+    assert(filesIn >= 8 && filesOut <= 2,
+      s"cross-FS compaction: $filesIn -> $filesOut files")
+    assert(rows === src.count())
+    val after = spark.read.parquet(destDir).collect()
+      .map(_.toString).sorted.toSeq
+    assert(after === src.collect().map(_.toString).sorted.toSeq)
   }
 }

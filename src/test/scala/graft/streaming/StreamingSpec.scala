@@ -176,6 +176,66 @@ class StreamingSpec extends AnyFunSuite {
       "streaming as-of twin diverged from the batch tolerance as-of")
   }
 
+  test("streaming as-of OUTER twin ≡ batch tolerance as-of INCLUDING null rows") {
+    import spark.implicits._
+    // same fixture as the inner twin, but through the left-outer
+    // interval join → windowed MAX chain: purchases with NO
+    // in-tolerance signup (13: stale by 250 s; 20: only signup is
+    // later) must each emit exactly ONE null-signup row once the
+    // watermark proves no match can arrive — the batch operator's
+    // null rows, rendered by a stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_outer").toString
+    val t0 = 1700000000L
+    val fixture = Seq(
+      (10L, 1L, "signup", t0 + 10),
+      (11L, 1L, "signup", t0 + 50),
+      (12L, 1L, "purchase", t0 + 60),  // latest in-window signup → t0+50
+      (13L, 1L, "purchase", t0 + 300), // stale → NULL row
+      (20L, 2L, "purchase", t0 + 500), // signup only later → NULL row
+      (21L, 2L, "signup", t0 + 1000),
+      (30L, 3L, "signup", t0 + 650),
+      (31L, 3L, "purchase", t0 + 700)) // gap 50 → match
+    def write(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "es")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("es")).as("event_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(fixture)
+    def stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.asofSignupEnrichmentOuter(stream, stream, 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_outer_stream").start()
+    q.processAllAvailable()
+    write(Seq((98L, 99L, "signup", t0 + 100000), (99L, 99L, "purchase", t0 + 100000)))
+    q.processAllAvailable()
+    write(Seq((96L, 99L, "signup", t0 + 110000), (97L, 99L, "purchase", t0 + 110000)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_outer_stream")
+      .filter(col("user_id") =!= 99L).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null
+        else java.lang.Long.valueOf(r.getLong(2)))).toMap
+    // batch native as-of with the same tolerance, null rows KEPT
+    val ev = fixture.toDF("event_id", "user_id", "event_type", "es")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    val batch = graft.plans.AsOfJoinOps.asof(purchases, signups,
+        Seq(purchases("user_id")), Seq(signups("s_uid")),
+        purchases("es"), signups("signup_es"), Some(100L))
+      .select("event_id", "signup_es").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null
+        else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(streamed === batch,
+      s"outer streaming as-of != batch as-of with nulls: $streamed vs $batch")
+    assert(streamed(13L) == null && streamed(20L) == null,
+      s"unmatched purchases did not surface null rows: $streamed")
+  }
+
   test("streaming as-of twin recovers join + window state across restarts") {
     import spark.implicits._
     // two stateful operators' state (interval-join buffers AND the
