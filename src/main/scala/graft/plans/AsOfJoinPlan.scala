@@ -427,10 +427,12 @@ case class BroadcastAsOfJoinExec(
     // measured memory bill of the boxed-Map index (SizeEstimator walks
     // the object graph — the same estimator Spark's MemoryStore uses),
     // so "how expensive was this broadcast" is a number in the SQL UI
-    // rather than a guess. At local sf1 (250k signup rows, 2 small
-    // columns) the index measures ~180 bytes/row — roughly 2× a
-    // compact UnsafeRow-paged layout; acceptable for a caller-asserted
-    // small side, and now visible when it isn't.
+    // rather than a guess. Measured on the signup history (2 long
+    // columns): ~104 bytes/row, ≈4× the raw 24-byte UnsafeRow payload
+    // — the boxed-Map/two-array overhead, per-row so scale-invariant
+    // (AsOfJoinSpec asserts the band). Acceptable for a
+    // caller-asserted small side; switch to an UnsafeRow-paged layout
+    // only if this metric ever says otherwise on a real workload.
     indexBytes += org.apache.spark.util.SizeEstimator.estimate(index)
     // driver-side metric writes reach the SQL UI only via an explicit
     // post (the BroadcastExchangeExec pattern); task-side accumulator

@@ -337,6 +337,28 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(bc.orderBy("event_id").collect().map(_.toString).toSeq ===
       run(false).orderBy("event_id").collect().map(_.toString).toSeq,
       "broadcast form diverged from the merge-scan form")
+    // the boxed-Map index's measured memory bill per right row — the
+    // number the broadcastRight doc quotes. A generous band: blowing
+    // past it means the index layout regressed to something a compact
+    // UnsafeRow-paged build should replace
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def deep(pl: SparkPlan): Seq[SparkPlan] =
+      (pl +: pl.children.flatMap(deep)) ++ (pl match {
+        case qs: QueryStageExec => deep(qs.plan)
+        case a: AdaptiveSparkPlanExec => deep(a.executedPlan)
+        case _ => Nil
+      })
+    bc.collect() // drive THIS plan: the orderBy above executed a derived one
+    val exec = deep(bc.queryExecution.executedPlan)
+      .collectFirst { case e: BroadcastAsOfJoinExec => e }.get
+    val rowsIdx = exec.metrics("indexRows").value
+    val bytesIdx = exec.metrics("indexBytes").value
+    assert(rowsIdx > 100, s"fixture too small to measure: $rowsIdx rows")
+    val bytesPerRow = bytesIdx.toDouble / rowsIdx
+    info(f"broadcast index: $rowsIdx rows, $bytesIdx bytes ($bytesPerRow%.0f B/row)")
+    assert(bytesPerRow > 8 && bytesPerRow < 2000,
+      s"broadcast index memory bill out of band: $bytesPerRow B/row")
     // edge semantics shared with the merge: null keys/times match
     // nothing, tolerance bounds the gap, ties take the latest
     val left = Seq((Option(1L), 100L, "a"), (Option(1L), 200L, "b"),
