@@ -118,6 +118,55 @@ object AsOfJoinOps {
     Bridge.ofRows(spark, node)
   }
 
+  /** Hot-key mitigation for the MERGE form — the salting pattern the
+    * exec's skew note points at, packaged so the semantics stay
+    * correct: like sort-merge join, a single very hot as-of key lands
+    * every one of its left rows in ONE partition. This wrapper
+    *
+    *  - assigns each LEFT row a salt in [0, salts) (a hash of the
+    *    whole row — any assignment is correct, since each left row's
+    *    result is independent of its neighbors; hashing keeps it
+    *    deterministic for identical rows),
+    *  - REPLICATES the right side across all `salts` values
+    *    (`explode`), so every (key, salt) partition carries the key's
+    *    FULL history,
+    *  - joins as-of on (keys… :+ salt) and drops the salt.
+    *
+    * The trade is the classic one: `salts`× the right side's shuffle
+    * volume buys `salts`× parallelism on the hot left key — worth it
+    * exactly when the left dominates (the 100 TB fact-stream case
+    * where the right is history, not bulk). When the right side is
+    * outright SMALL, prefer the broadcast form instead (zero shuffle,
+    * no replication); this exists for the middle regime: right too
+    * big to broadcast, left hot-keyed. Forced `hint = Merge` — salting
+    * a broadcast join would only replicate the index for nothing.
+    * AsOfJoinSpec pins value-equality with the unsalted operator and
+    * the max-partition-shrink on a deliberately hot key.
+    */
+  def asofSalted(left: DataFrame, right: DataFrame,
+                 leftKeys: Seq[Column], rightKeys: Seq[Column],
+                 leftTime: Column, rightTime: Column,
+                 salts: Int,
+                 tolerance: Option[Long] = None,
+                 direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
+    require(salts > 1, s"asofSalted needs salts > 1 (got $salts); " +
+      "use asof() directly when not splitting")
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, xxhash64}
+    val saltCol = "__graft_asof_salt"
+    val l = left.withColumn(saltCol,
+      pmod(xxhash64(left.columns.map(left(_)): _*), lit(salts.toLong)).cast("int"))
+    val r = right.withColumn(saltCol,
+      explode(lit((0 until salts).toArray)))
+    // the caller's columns resolve unchanged against l/r: withColumn/
+    // explode project over the same child, preserving attribute ids
+    val out = asof(l, r,
+      leftKeys :+ l(saltCol), rightKeys :+ r(saltCol),
+      leftTime, rightTime,
+      tolerance, direction, AsOfHint.Merge)
+    // drop BOTH salt columns (left's and the replicated right's)
+    out.drop(saltCol)
+  }
+
   /** SQL surface for the operator, as a table-valued function:
     *
     *   SELECT * FROM asof_join('purchases', 'signups',

@@ -191,9 +191,11 @@ case class AsOfJoinExec(
     right: SparkPlan) extends BinaryExecNode {
 
   // hot-key note: like sort-merge join, a single very hot key lands
-  // in one partition; the mitigations are the same as SMJ's (salt the
-  // key upstream where semantics allow) or the broadcast form when
-  // the right side is small.
+  // in one partition. Mitigations, by right-side size: SMALL → the
+  // broadcast form (zero shuffle, no skew possible); too big to
+  // broadcast → AsOfJoinOps.asofSalted (salt the left, replicate the
+  // right across salts — each (key, salt) partition keeps the key's
+  // full history, so semantics are unchanged; spec-pinned).
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics

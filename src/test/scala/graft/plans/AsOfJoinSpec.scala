@@ -507,6 +507,104 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(dup.getMessage.contains("twice"), dup.getMessage)
   }
 
+  test("salted as-of: hot-key skew splits across partitions, values unchanged") {
+    import spark.implicits._
+    // one pathological key (0) carries 80% of the left rows — the
+    // merge form puts ALL of them in one partition (SMJ's bill). The
+    // salted wrapper must (a) return exactly the plain operator's
+    // values and (b) shrink the max left-partition row count by ~the
+    // salt factor, because each (key, salt) cell carries the full
+    // history and left rows spread by row hash.
+    // child session: AQE partition coalescing OFF — at this toy scale
+    // it would fold every post-shuffle partition into one and erase
+    // the histogram the test measures (production keeps it on; the
+    // hot key is still hot after coalescing at real volume)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "16")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val hot = (0 until 8000).map(i => (0L, 100L + i % 50, i.toLong))
+    val cold = (0 until 2000).map(i => ((1L + i % 200), 100L + i % 50, 100000L + i))
+    val left = s.createDataset(hot ++ cold)(
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("k", "lt", "lid")
+      .repartition(8)
+    val right = s.createDataset(
+        (0L to 200L).flatMap(k => Seq((k, 90L, 10000L + k), (k, 120L, 20000L + k))))(
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("rk", "rt", "rid").repartition(4)
+    def toMapOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect()
+        .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toMap
+    val plain = AsOfJoinOps.asof(left, right,
+      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+      hint = AsOfHint.Merge)
+    val salted = AsOfJoinOps.asofSalted(left, right,
+      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"), salts = 8)
+    assert(toMapOf(salted) === toMapOf(plain),
+      "salting changed as-of values")
+    // the salt column must not leak into the output schema
+    assert(salted.columns.toSeq === plain.columns.toSeq,
+      s"schema changed: ${salted.columns.toSeq}")
+    // partition histogram: output partitioning = the exec's left-side
+    // partitioning, so the max partition of the OUTPUT measures the
+    // hot key's split
+    def maxPart(df: org.apache.spark.sql.DataFrame) =
+      df.rdd.mapPartitions(it => Iterator(it.size)).collect().max
+    val (mp, ms) = (maxPart(plain), maxPart(salted))
+    assert(ms * 2 <= mp,
+      s"salting did not split the hot key: plain max=$mp salted max=$ms")
+    // tolerance + direction compose through the wrapper
+    val nearSalt = AsOfJoinOps.asofSalted(left, right,
+      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+      salts = 4, tolerance = Some(15L), direction = AsOfDirection.Nearest)
+    val nearPlain = AsOfJoinOps.asof(left, right,
+      Seq(left("k")), Seq(right("rk")), left("lt"), right("rt"),
+      Some(15L), AsOfDirection.Nearest, AsOfHint.Merge)
+    assert(toMapOf(nearSalt) === toMapOf(nearPlain),
+      "salted nearest diverged from plain nearest")
+  }
+
+  test("auto selection reads PLAN stats: column pruning flips the choice") {
+    import spark.implicits._
+    // the broadcast decision consumes the OPTIMIZED plan's stats, not
+    // the table's raw size — so PruneAsOfJoinColumns narrowing the
+    // right side (width ratio shrinks Project stats) can carry it
+    // under the threshold. Same parquet table, same threshold: the
+    // full-width join merges, the two-column projection broadcasts.
+    val base = java.nio.file.Files.createTempDirectory("graft_asof_stats").toString
+    (0 until 2000).map(i => (i.toLong % 50, i.toLong,
+      "x" * 200, "y" * 200, "z" * 200))
+      .toDF("rk", "rt", "pay_a", "pay_b", "pay_c")
+      .write.mode("overwrite").parquet(s"$base/right")
+    (0 until 500).map(i => (i.toLong % 50, i.toLong * 2))
+      .toDF("k", "lt")
+      .write.mode("overwrite").parquet(s"$base/left")
+    val s = spark.newSession()
+    val rSize = new java.io.File(s"$base/right").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // threshold strictly between the 2-of-5-column projection's stats
+    // (~2/5 width ratio, and far less here since the junk is the
+    // payload bulk) and the full relation size
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (rSize / 2).toString)
+    val l = s.read.parquet(s"$base/left")
+    val r = s.read.parquet(s"$base/right")
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString()
+    val wide = AsOfJoinOps.asof(l, r,
+      Seq(l("k")), Seq(r("rk")), l("lt"), r("rt"))
+    assert(!planOf(wide).contains("BroadcastAsOfJoin"),
+      s"full-width right side should exceed the dialed threshold:\n${planOf(wide)}")
+    val narrow = wide.select("k", "lt", "rt")
+    assert(planOf(narrow).contains("BroadcastAsOfJoin"),
+      s"pruned right side should fall under the threshold:\n${planOf(narrow)}")
+    // both shapes return the same values for the shared columns
+    assert(narrow.collect().map(_.toString).sorted.toSeq ===
+      wide.select("k", "lt", "rt").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("guards fail fast: mismatched key types, bad TVF key entries, duplicate options") {
     import spark.implicits._
     val l = Seq((1, 10L, "a")).toDF("k", "lt", "lid") // INT key
