@@ -236,6 +236,53 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"recursive CTE closure diverged: $closure")
   }
 
+  test("session variables + EXECUTE IMMEDIATE: typed state without string interpolation") {
+    // DECLARE/SET VARIABLE (Spark 3.5+) is the catalog-backed way to
+    // thread a computed scalar between statements — the multi-step
+    // report pattern (compute a threshold, reuse it in later queries)
+    // without driver-side string building; EXECUTE IMMEDIATE runs a
+    // statement held in a variable, with USING binds for its own
+    // parameters. Pin both against the directly-computed twin.
+    val c = cleaned
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_floor DOUBLE")
+    spark.sql("SET VARIABLE graft_floor = (SELECT AVG(preco) FROM produtos)")
+    val viaVar = spark.sql(
+      "SELECT COUNT(*) AS n FROM produtos WHERE preco > graft_floor")
+      .head().getLong(0)
+    val avg = spark.sql("SELECT AVG(preco) FROM produtos").head().getDouble(0)
+    val direct = spark.sql(
+      s"SELECT COUNT(*) AS n FROM produtos WHERE preco > $avg").head().getLong(0)
+    assert(viaVar === direct && viaVar > 0,
+      s"session-variable threshold diverged: $viaVar vs $direct")
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_stmt STRING")
+    spark.sql(
+      """SET VARIABLE graft_stmt =
+         'SELECT COUNT(*) AS n FROM produtos WHERE preco > ?'""")
+    val viaExec = spark.sql("EXECUTE IMMEDIATE graft_stmt USING graft_floor")
+      .head().getLong(0)
+    assert(viaExec === direct, s"EXECUTE IMMEDIATE diverged: $viaExec")
+  }
+
+  test("SQL scripting: BEGIN/WHILE/IF procedural block matches the declarative twin") {
+    // Spark 4 SQL scripting (BEGIN ... END with DECLARE, WHILE, IF)
+    // — the migration surface for warehouse stored-procedure logic.
+    // The script computes doubling powers of two below a bound, the
+    // same contract as a recursive CTE; both must agree.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    val script = s.sql(
+      """BEGIN
+           DECLARE p INT DEFAULT 1;
+           DECLARE acc STRING DEFAULT '1';
+           WHILE p * 2 <= 64 DO
+             SET p = p * 2;
+             SET acc = acc || ',' || CAST(p AS STRING);
+           END WHILE;
+           SELECT acc AS powers;
+         END""").head().getString(0)
+    assert(script === "1,2,4,8,16,32,64", s"scripted loop diverged: $script")
+  }
+
   test("native as-of join from pure SQL: asof_join TVF ≡ DataFrame API") {
     import org.apache.spark.sql.functions.col
     // Every other engine capability is reachable from spark.sql; the
