@@ -245,11 +245,15 @@ object LayoutOps {
     val sized =
       if (partitionBy.nonEmpty) {
         // hash-on-partition-columns can use at most one task per
-        // DISTINCT partition value — width beyond the session's
-        // shuffle parallelism only schedules empty tasks (a tiny
-        // targetBytes would otherwise request totalBytes tasks)
-        val width = math.max(1, math.min(nOut,
-          spark.sessionState.conf.numShufflePartitions))
+        // DISTINCT partition value — any width beyond that only
+        // schedules empty tasks (a tiny targetBytes would otherwise
+        // request totalBytes of them). The exact bound costs one
+        // column-pruned pre-scan over the partition columns — noise
+        // next to the full rewrite this call is about to do, and it
+        // keeps a 1000-partition compaction at its full 1000-task
+        // parallelism instead of clamping to some session constant.
+        val nValues = df.select(partitionBy.map(col): _*).distinct().count()
+        val width = math.max(1L, math.min(nOut.toLong, nValues)).toInt
         df.repartition(width, partitionBy.map(col): _*)
       }
       else if (shuffle) df.repartition(nOut)

@@ -123,10 +123,16 @@ object AsOfJoinOps {
     * correct: like sort-merge join, a single very hot as-of key lands
     * every one of its left rows in ONE partition. This wrapper
     *
-    *  - assigns each LEFT row a salt in [0, salts) (a hash of the
-    *    whole row — any assignment is correct, since each left row's
-    *    result is independent of its neighbors; hashing keeps it
-    *    deterministic for identical rows),
+    *  - assigns each LEFT row a salt in [0, salts) — a hash of the
+    *    KEY and TIME columns only: any assignment is correct (each
+    *    left row's result is independent of its neighbors), hashing
+    *    keeps it deterministic under task retries, and restricting
+    *    the hash to the join columns keeps the wrapper usable on wide
+    *    fact rows whose payload carries unhashable (map) or
+    *    duplicate-named columns. Consequence: left rows sharing an
+    *    identical (key, time) share a salt — a key hot at ONE
+    *    repeated timestamp does not split (distinct timestamps, the
+    *    real fact-stream shape, do),
     *  - REPLICATES the right side across all `salts` values
     *    (`explode`), so every (key, salt) partition carries the key's
     *    FULL history,
@@ -151,10 +157,13 @@ object AsOfJoinOps {
                  direction: AsOfDirection = AsOfDirection.Backward): DataFrame = {
     require(salts > 1, s"asofSalted needs salts > 1 (got $salts); " +
       "use asof() directly when not splitting")
-    import org.apache.spark.sql.functions.{col, explode, lit, pmod, xxhash64}
+    import org.apache.spark.sql.functions.{explode, lit, pmod, xxhash64}
     val saltCol = "__graft_asof_salt"
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"asofSalted: input already has a '$saltCol' column — rename it first " +
+        "(withColumn would silently overwrite it and corrupt the join keys)")
     val l = left.withColumn(saltCol,
-      pmod(xxhash64(left.columns.map(left(_)): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64((leftKeys :+ leftTime): _*), lit(salts.toLong)).cast("int"))
     val r = right.withColumn(saltCol,
       explode(lit((0 until salts).toArray)))
     // the caller's columns resolve unchanged against l/r: withColumn/
