@@ -188,7 +188,8 @@ object AsOfJoinOps {
     * time column, then trailing options in any order: an integer
     * tolerance (same unit as the time columns), a physical-form hint
     * ('broadcast'/'merge'; omitted = stats-driven Auto), a direction
-    * ('forward'/'nearest'; omitted = backward). All name arguments
+    * ('forward'/'nearest'; omitted = backward), and 'salt:N' for the
+    * hot-key salted merge ([[asofSalted]]). All name arguments
     * are string literals —
     * they're resolved through the session catalog exactly like
     * `spark.table`, so temp views, catalog tables and bucketed tables
@@ -202,9 +203,9 @@ object AsOfJoinOps {
   private[graft] def buildFromSql(exprs: Seq[Expression]): LogicalPlan = {
     val usage = "asof_join('left', 'right', 'key[:rkey][,key2…]', " +
       "'left_time', 'right_time'[, tolerance][, 'broadcast'|'merge']" +
-      "[, 'forward'|'nearest'])"
-    require(exprs.length >= 5 && exprs.length <= 8,
-      s"asof_join expects 5 to 8 arguments: $usage; got ${exprs.length}")
+      "[, 'forward'|'nearest'][, 'salt:N'])"
+    require(exprs.length >= 5 && exprs.length <= 9,
+      s"asof_join expects 5 to 9 arguments: $usage; got ${exprs.length}")
     def str(i: Int, what: String): String = exprs(i) match {
       case Literal(v, StringType) if v != null => v.toString
       case other => throw new IllegalArgumentException(
@@ -220,6 +221,7 @@ object AsOfJoinOps {
     var tolerance: Option[Long] = None
     var hint: Option[AsOfHint] = None
     var dir: Option[AsOfDirection] = None
+    var salt: Option[Int] = None
     def setTol(v: Long): Unit = {
       require(tolerance.isEmpty,
         s"asof_join: tolerance given twice ($usage)")
@@ -244,6 +246,14 @@ object AsOfJoinOps {
           case w @ "merge" => setHint(AsOfHint.Merge, w)
           case w @ "forward" => setDir(AsOfDirection.Forward, w)
           case w @ "nearest" => setDir(AsOfDirection.Nearest, w)
+          case w if w.startsWith("salt:") =>
+            require(salt.isEmpty, s"asof_join: 'salt:N' given twice ($usage)")
+            val n = try w.stripPrefix("salt:").toInt catch {
+              case _: NumberFormatException => throw new IllegalArgumentException(
+                s"asof_join: bad salt count in '$w' ($usage)")
+            }
+            require(n > 1, s"asof_join: 'salt:N' needs N > 1 ($usage); got $n")
+            salt = Some(n)
           case other => throw new IllegalArgumentException(
             s"asof_join: unknown option '$other' ($usage)")
         }
@@ -273,11 +283,23 @@ object AsOfJoinOps {
         }
       }.toSeq
     require(keyPairs.nonEmpty, s"asof_join: empty key spec ($usage)")
-    asof(l, r,
-      keyPairs.map(p => l(p._1)), keyPairs.map(p => r(p._2)),
-      l(str(3, "left time")), r(str(4, "right time")), tolerance,
-      dir.getOrElse(AsOfDirection.Backward), hint.getOrElse(AsOfHint.Auto))
-      .queryExecution.analyzed
+    val lk = keyPairs.map(p => l(p._1))
+    val rk = keyPairs.map(p => r(p._2))
+    val (lt, rt) = (l(str(3, "left time")), r(str(4, "right time")))
+    val direction = dir.getOrElse(AsOfDirection.Backward)
+    val out = salt match {
+      case Some(n) =>
+        // salted path: forces the merge form (salting a broadcast
+        // would replicate the index for nothing), so an explicit
+        // 'broadcast' hint contradicts it
+        require(!hint.contains(AsOfHint.Broadcast),
+          s"asof_join: 'salt:N' implies the merge form — drop 'broadcast' ($usage)")
+        asofSalted(l, r, lk, rk, lt, rt, n, tolerance, direction)
+      case None =>
+        asof(l, r, lk, rk, lt, rt, tolerance, direction,
+          hint.getOrElse(AsOfHint.Auto))
+    }
+    out.queryExecution.analyzed
   }
 
   /** Install the `asof_join` table-valued function into a running

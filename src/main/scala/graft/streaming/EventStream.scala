@@ -204,8 +204,25 @@ object EventStream {
       toleranceSec: Long): DataFrame =
     asofEnrichment(purchases, signups, toleranceSec, "leftOuter")
 
+  /** FORWARD-direction streaming twin: each purchase picks its user's
+    * EARLIEST signup at-or-after it within `toleranceSec` — the
+    * stream rendering of `AsOfJoinOps.asof(direction = Forward,
+    * tolerance)`. Same two-stateful-operator chain, mirrored: the
+    * interval flips to `s_time ∈ [p_time, p_time + tol]` and the
+    * windowed aggregate takes MIN (earliest ≥ ≡ the forward match for
+    * a min-orderable payload, the mirror of the backward twin's MAX
+    * identity). Inner semantics: no in-window signup → absence.
+    * Nearest has no such rendering — it needs both neighbors compared
+    * per row, which a single monotone aggregate cannot express; batch
+    * owns that direction.
+    */
+  def asofSignupEnrichmentForward(purchases: DataFrame, signups: DataFrame,
+      toleranceSec: Long): DataFrame =
+    asofEnrichment(purchases, signups, toleranceSec, "inner", forward = true)
+
   private def asofEnrichment(purchases: DataFrame, signups: DataFrame,
-      toleranceSec: Long, joinType: String): DataFrame = {
+      toleranceSec: Long, joinType: String,
+      forward: Boolean = false): DataFrame = {
     val p = purchases.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("event_time").as("p_time"))
@@ -213,14 +230,22 @@ object EventStream {
     val s = signups.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_time").as("s_time"))
       .withWatermark("s_time", "10 minutes")
-    p.join(s, expr(
+    val interval =
+      if (forward)
         s"s_user = p_user AND s_time BETWEEN " +
-          s"p_time - INTERVAL $toleranceSec SECONDS AND p_time"), joinType)
+          s"p_time AND p_time + INTERVAL $toleranceSec SECONDS"
+      else
+        s"s_user = p_user AND s_time BETWEEN " +
+          s"p_time - INTERVAL $toleranceSec SECONDS AND p_time"
+    val agg =
+      if (forward) min(col("s_time").cast("long")).as("first_signup_es")
+      else max(col("s_time").cast("long")).as("last_signup_es")
+    p.join(s, expr(interval), joinType)
       .groupBy(window(col("p_time"), "5 minutes"),
         col("purchase_id"), col("p_user"))
-      .agg(max(col("s_time").cast("long")).as("last_signup_es"))
-      .select(col("purchase_id"), col("p_user").as("user_id"),
-        col("last_signup_es"))
+      .agg(agg)
+      .select(col("purchase_id"), col("p_user").as("user_id"), col(
+        if (forward) "first_signup_es" else "last_signup_es"))
   }
 
   /** Streaming exact dedup with BOUNDED state: the streaming twin of

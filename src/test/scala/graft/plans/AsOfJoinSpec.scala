@@ -565,6 +565,25 @@ class AsOfJoinSpec extends AnyFunSuite {
       Some(15L), AsOfDirection.Nearest, AsOfHint.Merge)
     assert(toMapOf(nearSalt) === toMapOf(nearPlain),
       "salted nearest diverged from plain nearest")
+    // and from SQL: the 'salt:N' trailing option takes the same path
+    AsOfJoinOps.registerSqlSurface(s)
+    left.createOrReplaceTempView("asof_salt_l")
+    right.createOrReplaceTempView("asof_salt_r")
+    val sqlSalt = s.sql(
+      """SELECT lid, rid FROM asof_join('asof_salt_l', 'asof_salt_r',
+           'k:rk', 'lt', 'rt', 'salt:8')""")
+    assert(toMapOf(sqlSalt) === toMapOf(plain),
+      "TVF 'salt:N' diverged from the Scala salted path")
+    val badSalt = intercept[Exception] {
+      s.sql("""SELECT * FROM asof_join('asof_salt_l', 'asof_salt_r',
+        'k:rk', 'lt', 'rt', 'salt:x')""").collect()
+    }
+    assert(badSalt.getMessage.contains("bad salt count"), badSalt.getMessage)
+    val conflict = intercept[Exception] {
+      s.sql("""SELECT * FROM asof_join('asof_salt_l', 'asof_salt_r',
+        'k:rk', 'lt', 'rt', 'salt:4', 'broadcast')""").collect()
+    }
+    assert(conflict.getMessage.contains("merge form"), conflict.getMessage)
   }
 
   test("auto selection reads PLAN stats: column pruning flips the choice") {

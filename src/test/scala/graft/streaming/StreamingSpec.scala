@@ -236,6 +236,66 @@ class StreamingSpec extends AnyFunSuite {
       s"unmatched purchases did not surface null rows: $streamed")
   }
 
+  test("streaming FORWARD as-of twin ≡ batch forward-direction tolerance as-of") {
+    import spark.implicits._
+    // mirrored fixture: each purchase wants its EARLIEST at-or-after
+    // signup within 100 s. 12: signup 40 s later → match; 13: next
+    // signup 700 s later → nothing; 20: signup 500 s EARLIER only →
+    // nothing (forward ignores the past); 31: exact-time signup →
+    // distance 0, forward is inclusive at-or-after.
+    val dir = java.nio.file.Files.createTempDirectory("graft_asof_fwd").toString
+    val t0 = 1700000000L
+    val fixture = Seq(
+      (12L, 1L, "purchase", t0 + 60),
+      (10L, 1L, "signup", t0 + 100),   // +40 → match for 12
+      (11L, 1L, "signup", t0 + 150),   // later; 12 takes the EARLIEST ≥
+      (13L, 1L, "purchase", t0 + 300), // next signup t0+1000 → too far
+      (14L, 1L, "signup", t0 + 1000),
+      (21L, 2L, "signup", t0 + 100),
+      (20L, 2L, "purchase", t0 + 600), // only signup is in the past → nothing
+      (31L, 3L, "purchase", t0 + 700),
+      (30L, 3L, "signup", t0 + 700))   // exact time → inclusive match
+    def write(rows: Seq[(Long, Long, String, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "event_type", "es")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_seconds(col("es")).as("event_time"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(fixture)
+    def stream = spark.readStream
+      .schema("event_id LONG, user_id LONG, event_type STRING, event_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = EventStream.asofSignupEnrichmentForward(stream, stream, 100L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_fwd_stream").start()
+    q.processAllAvailable()
+    write(Seq((98L, 99L, "signup", t0 + 100000), (99L, 99L, "purchase", t0 + 100000)))
+    q.processAllAvailable()
+    write(Seq((96L, 99L, "signup", t0 + 110000), (97L, 99L, "purchase", t0 + 110000)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("asof_fwd_stream")
+      .filter(col("user_id") =!= 99L).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(streamed === Map(12L -> (t0 + 100), 31L -> (t0 + 700)),
+      s"forward streaming as-of diverged from hand-computed fixture: $streamed")
+    // batch native FORWARD as-of, same tolerance, matched rows only
+    val ev = fixture.toDF("event_id", "user_id", "event_type", "es")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("es"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_uid"), col("es").as("signup_es"))
+    val batch = graft.plans.AsOfJoinOps.asof(purchases, signups,
+        Seq(purchases("user_id")), Seq(signups("s_uid")),
+        purchases("es"), signups("signup_es"), Some(100L),
+        graft.plans.AsOfDirection.Forward)
+      .filter(col("signup_es").isNotNull)
+      .select("event_id", "signup_es").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch,
+      "forward streaming twin diverged from the batch forward as-of")
+  }
+
   test("streaming as-of twin recovers join + window state across restarts") {
     import spark.implicits._
     // two stateful operators' state (interval-join buffers AND the
