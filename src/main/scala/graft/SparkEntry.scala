@@ -71,7 +71,7 @@ object SparkEntry {
     "ntile"        -> (StatOps.ntileQuartiles _),
     "corr_grp"          -> (StatOps.corrByGroup _),
     "quantiles"     -> (StatOps.quantilesByGroup _),
-    "histogram"              -> (StatOps.histogram _),
+    "histo"              -> (StatOps.histogram _),
     "salted_agg"             -> (StatOps.saltedAgg _),
     "join_range"             -> (StatOps.joinRange _),
     "asof_join"              -> (StatOps.asofJoin _),
@@ -134,8 +134,9 @@ object SparkEntry {
     "fuzzy"        -> (RelationalOps.joinFuzzyEdit _),
     "regr"          -> (StatOps.regrByGroup _),
     // Sketch accuracy gates (the 100 TB cardinality/quantile tools)
-    "sk_distinct"   -> (StatOps.sketchDistinctGate _),
-    "sk_quantile"   -> (StatOps.sketchQuantileGate _),
+    "sk_dist"   -> (StatOps.sketchDistinctGate _),
+    "sk_quant"   -> (StatOps.sketchQuantileGate _),
+    "theta"         -> (StatOps.thetaSetOps _),
     "sk_merge"      -> (StatOps.sketchMergeGate _),
     "skew_join"     -> (StatOps.skewJoin _),
     // Profiling / data-quality / graph
@@ -855,7 +856,7 @@ object SparkEntry {
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.75) AS p75,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.95) AS p95
          FROM part GROUP BY 1 ORDER BY 1""",
-    "histogram" ->
+    "histo" ->
       """SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
     "salted_agg" ->
@@ -1506,7 +1507,7 @@ object SparkEntry {
     // StatOps.sketchDistinctGate: oracle computes the exact distinct
     // count and expects both sketch gates TRUE — a sketch drifting
     // past 5% fails the hash, same contract as ann_recall.
-    "sk_distinct" ->
+    "sk_dist" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_orderkey) AS n_exact,
          TRUE AS acd_within_5pct,
@@ -1514,7 +1515,7 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     // StatOps.sketchQuantileGate: GK rank error <= n/accuracy under
     // any merge order, so the 1% gate is deterministic.
-    "sk_quantile" ->
+    "sk_quant" ->
       """SELECT l_returnflag, COUNT(*) AS n,
          TRUE AS p50_within_1pct
          FROM lineitem GROUP BY 1 ORDER BY 1""",
@@ -1527,6 +1528,27 @@ object SparkEntry {
          TRUE AS merge_eq_full,
          TRUE AS merged_within_5pct
          FROM events""",
+    // StatOps.thetaSetOps: KMV/theta-sketch set operations — exact
+    // |A|, |B|, |A∩B|, |A∪B| per returnflag pair recomputed by the
+    // oracle; the sketch estimates (the intersection is the estimate
+    // HLL cannot produce) ship as within-tolerance booleans, and the
+    // exact-merge gate (k smallest of two retained sets ≡ the
+    // from-scratch union sketch) as a TRUE boolean.
+    "theta" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag AS flag,
+                           l_orderkey AS k FROM lineitem),
+              c AS (SELECT flag, COUNT(*) AS n FROM d GROUP BY 1),
+              i AS (SELECT a.flag AS fa, b.flag AS fb, COUNT(*) AS ni
+                    FROM d a JOIN d b ON a.k = b.k AND a.flag < b.flag
+                    GROUP BY 1, 2)
+         SELECT i.fa AS flag_a, i.fb AS flag_b,
+                ca.n AS exact_a, cb.n AS exact_b, i.ni AS exact_inter,
+                ca.n + cb.n - i.ni AS exact_union,
+                TRUE AS a_within_5pct, TRUE AS b_within_5pct,
+                TRUE AS inter_within_10pct, TRUE AS union_within_10pct,
+                TRUE AS merge_exact
+         FROM i JOIN c ca ON ca.flag = i.fa JOIN c cb ON cb.flag = i.fb
+         ORDER BY 1, 2""",
     // StatOps.skewJoin: the hot-key fold is a deterministic
     // expression, so the oracle reproduces the same skewed join and
     // the AQE skew-split's result-preservation claim is hash-checked.

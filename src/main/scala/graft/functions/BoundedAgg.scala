@@ -116,6 +116,93 @@ case class MinKStrings(
     copy(child = newChildren(0))
 }
 
+/** Partial-aggregatable "k smallest DISTINCT longs, ascending" — the
+  * KMV (k-minimum-values) sketch state as an aggregate: feed it a
+  * 64-bit hash column and the result IS a theta sketch (the k-th
+  * smallest distinct hash, normalized, is the theta threshold; the
+  * retained set under theta is a uniform sample of the distinct
+  * values, which is what makes set-operation ESTIMATES — intersection
+  * and union cardinality, the thing HLL cannot do — a few array
+  * built-ins away; see StatOps.thetaSetOps). Distinctness is the
+  * semantic difference from [[MinKStrings]]: duplicates of one value
+  * must not occupy k slots or the estimator is biased, so the buffer
+  * is a bounded sorted SET. O(k) state per buffer, map-side
+  * combinable, merge-order-independent (a set of minima is), so the
+  * output array is deterministic under any partitioning — sketch
+  * equality gates can demand exact array equality.
+  */
+case class MinKDistinctLongs(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  require(k > 0, "k must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects bigint, got ${child.dataType.simpleString}")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.remove(buf.last)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach { v =>
+      buf.add(v)
+      if (buf.size > k) buf.remove(buf.last)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray[Long]) // TreeSet iterates ascending; primitive overload
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.size)
+    buf.foreach(out.writeLong)
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    var n = in.readInt()
+    while (n > 0) { buf.add(in.readLong()); n -= 1 }
+    buf
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "min_k_distinct_longs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinKDistinctLongs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinKDistinctLongs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinKDistinctLongs =
+    copy(child = newChildren(0))
+}
+
 object BoundedAgg {
 
   /** Column-level API: the k binary-smallest strings per group,
@@ -124,5 +211,13 @@ object BoundedAgg {
   def minKStrings(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(MinKStrings(Bridge.expression(c), k).toAggregateExpression())
+  }
+
+  /** Column-level API: the k smallest DISTINCT longs per group,
+    * ascending — a KMV/theta sketch when fed 64-bit hashes.
+    */
+  def minKDistinctLongs(c: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(MinKDistinctLongs(Bridge.expression(c), k).toAggregateExpression())
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -428,6 +428,98 @@ object StatOps {
         (col("_est_merged") === col("_est_full")).as("merge_eq_full"),
         (abs(col("_est_merged") - col("n_exact")) <= col("n_exact") * 0.05)
           .as("merged_within_5pct"))
+  }
+
+  /** KMV/theta-sketch SET OPERATIONS, accuracy-gated — the fourth
+    * fixed-memory sketch family, covering the estimate HLL
+    * structurally cannot produce: intersection (and therefore
+    * difference/overlap-ratio) cardinality between distinct sets. A
+    * KMV sketch is the k smallest distinct 64-bit hashes of a set
+    * ([[graft.functions.MinKDistinctLongs]] — bounded sorted-set
+    * buffer, map-side combinable, merge-order-independent so the
+    * retained array is DETERMINISTIC); its k-th hash, normalized to
+    * (0,1), is the theta threshold, the retained hashes are a uniform
+    * θ-sample of the set, and every set-op estimate is then plain
+    * array built-ins over two sketches: cut both to the common
+    * θ = min(θA, θB) with `filter`, `array_intersect` them, divide by
+    * θ. At 100 TB the sketches ARE the overlap plan — 32 KB per set
+    * through one map-side-combinable pass and audience-overlap /
+    * train-test-contamination style questions answered from sketches
+    * alone — while exact intersections re-shuffle the full key sets
+    * pairwise. The gate runs both on the per-returnflag orderkey sets
+    * (11k+ distinct per flag at sf0.01 > k = 4096, so the ESTIMATOR
+    * regime is exercised at the gate SF, ~73% pairwise overlap):
+    * exact |A|, |B|, |A∩B|, |A∪B| ship in the row, the estimates ship
+    * as within-tolerance booleans (cardinalities 5% — KMV RSE at
+    * k=4096 is ≈1.6%, so the bound is ≈3σ of a random hash; with the
+    * FIXED hash the observed errors are deterministic and well
+    * inside), and sketch MERGEABILITY is pinned exactly: the k
+    * smallest of the union of two retained sets must EQUAL the
+    * from-scratch union sketch element-for-element (sets of minima
+    * compose associatively — no estimator-path caveat like the HLL
+    * merge gate needs). The extra from-scratch pass exists only for
+    * that gate; production keeps one pass per set. The oracle
+    * recomputes the exact sides in DuckDB and expects every boolean
+    * TRUE.
+    */
+  private[graft] val ThetaK = 4096
+
+  def thetaSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val k = ThetaK
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+    val hashed = li.select(col("flag"), xxhash64(col("l_orderkey")).as("h"))
+    val sk = hashed.groupBy("flag")
+      .agg(graft.functions.BoundedAgg.minKDistinctLongs(col("h"), k).as("hs"))
+    // exact sides split from the sketch aggregation (the sk_dist
+    // lesson: countDistinct's rewrite would run the imperative buffer
+    // per fine-grained group)
+    val exact = li.groupBy("flag").agg(countDistinct("l_orderkey").as("n_exact"))
+    val d = li.distinct()
+    val inter = d.as("a").join(d.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") && col("a.flag") < col("b.flag"))
+      .groupBy(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    val pairs = inter.select("flag_a", "flag_b")
+    val scratch = hashed.join(broadcast(pairs),
+        col("flag") === col("flag_a") || col("flag") === col("flag_b"))
+      .groupBy("flag_a", "flag_b")
+      .agg(graft.functions.BoundedAgg.minKDistinctLongs(col("h"), k).as("hs_scratch"))
+    def u(c: Column): Column =
+      c.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+    def thetaOf(hs: Column): Column =
+      when(size(hs) < k, lit(1.0)).otherwise(u(element_at(hs, k)))
+    def estOf(hs: Column): Column =
+      when(size(hs) < k, size(hs).cast("double"))
+        .otherwise(lit((k - 1).toDouble) / thetaOf(hs))
+    val skA = sk.select(col("flag").as("flag_a"), col("hs").as("ha"))
+    val skB = sk.select(col("flag").as("flag_b"), col("hs").as("hb"))
+    val exA = exact.select(col("flag").as("flag_a"), col("n_exact").as("exact_a"))
+    val exB = exact.select(col("flag").as("flag_b"), col("n_exact").as("exact_b"))
+    def pct(est: Column, ex: Column, tol: Double): Column =
+      abs(est - ex) <= ex * tol
+    inter
+      .join(skA, Seq("flag_a")).join(skB, Seq("flag_b"))
+      .join(exA, Seq("flag_a")).join(exB, Seq("flag_b"))
+      .join(scratch, Seq("flag_a", "flag_b"))
+      .withColumn("theta", least(thetaOf(col("ha")), thetaOf(col("hb"))))
+      .withColumn("f_a", filter(col("ha"), x => u(x) < col("theta")))
+      .withColumn("f_b", filter(col("hb"), x => u(x) < col("theta")))
+      .withColumn("est_a", estOf(col("ha")))
+      .withColumn("est_b", estOf(col("hb")))
+      .withColumn("est_inter",
+        size(array_intersect(col("f_a"), col("f_b"))).cast("double") / col("theta"))
+      .withColumn("est_union", col("est_a") + col("est_b") - col("est_inter"))
+      .select(col("flag_a"), col("flag_b"),
+        col("exact_a"), col("exact_b"), col("exact_inter"),
+        (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        pct(col("est_a"), col("exact_a"), 0.05).as("a_within_5pct"),
+        pct(col("est_b"), col("exact_b"), 0.05).as("b_within_5pct"),
+        pct(col("est_inter"), col("exact_inter"), 0.10).as("inter_within_10pct"),
+        pct(col("est_union"), col("exact_union"), 0.10).as("union_within_10pct"),
+        (slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, k)
+          === col("hs_scratch")).as("merge_exact"))
+      .orderBy("flag_a", "flag_b")
   }
 
   /** Deliberately skewed fact-to-dimension join — the AQE skew-join

@@ -477,6 +477,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(hotN * 2 >= nEvents, s"hot segment only $hotN of $nEvents")
   }
 
+  test("theta sketch: KMV bound, dedup, determinism, estimator regime") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the bounded aggregate itself: k smallest DISTINCT longs,
+    // ascending, ≡ the unbounded built-in composition, stable under
+    // repartitioning (sets of minima are merge-order-independent)
+    val vals = (1L to 500L).flatMap(v => Seq(v, v, v)) // heavy duplicates
+    val df = spark.createDataset(vals).toDF("v").repartition(7)
+    val got = df.agg(graft.functions.BoundedAgg
+        .minKDistinctLongs(col("v"), 32).as("mk"))
+      .head().getSeq[Long](0)
+    assert(got === (1L to 32L), s"min-k-distinct diverged: $got")
+    val got2 = df.repartition(3).agg(graft.functions.BoundedAgg
+        .minKDistinctLongs(col("v"), 32).as("mk"))
+      .head().getSeq[Long](0)
+    assert(got2 === got, "retained set not deterministic under partitioning")
+    // estimator-regime accuracy, independent of SF: at k=256 the
+    // per-flag sketches saturate even on sf0.001 (1000+ distinct
+    // orderkeys per flag), so the KMV estimate (k−1)/θ — not the
+    // exact-mode passthrough — is what's checked here. (The oracle
+    // gate at sf0.01 saturates the production k=4096 the same way.)
+    val k = 256
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+    val hashed = li.select(col("flag"), xxhash64(col("l_orderkey")).as("h"))
+    val sketches = hashed.groupBy("flag")
+      .agg(graft.functions.BoundedAgg.minKDistinctLongs(col("h"), k).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val exacts = li.distinct().groupBy("flag").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def theta(hs: Seq[Long]): Double = hs(k - 1).toDouble / 1.8446744073709552e19 + 0.5
+    sketches.foreach { case (flag, hs) =>
+      assert(hs.length === k, s"$flag sketch not saturated: ${hs.length}")
+      val est = (k - 1).toDouble / theta(hs)
+      val exact = exacts(flag).toDouble
+      assert(math.abs(est - exact) <= 0.15 * exact, // k=256 RSE ≈ 6.3%
+        s"$flag KMV estimate off: est=$est exact=$exact")
+    }
+    // intersection estimate in the sampled regime, vs the exact one
+    val Seq(fa, fb) = sketches.keys.toSeq.sorted.take(2)
+    val th = math.min(theta(sketches(fa)), theta(sketches(fb)))
+    def under(hs: Seq[Long]) =
+      hs.filter(h => h.toDouble / 1.8446744073709552e19 + 0.5 < th).toSet
+    val estInter = under(sketches(fa)).intersect(under(sketches(fb))).size / th
+    val exactInter = li.distinct().as("a").join(li.distinct().as("b"),
+        Seq("l_orderkey"))
+      .filter(col("a.flag") === fa && col("b.flag") === fb).count().toDouble
+    assert(math.abs(estInter - exactInter) <= 0.25 * exactInter,
+      s"KMV intersection estimate off: est=$estInter exact=$exactInter")
+    // and the shipped gate rows are all-TRUE with nontrivial exacts
+    val rows = StatOps.thetaSetOps(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getLong(4) > 0 && r.getLong(4) < r.getLong(5),
+        s"degenerate intersection fixture: $r")
+      (6 to 10).foreach(i => assert(r.getBoolean(i), s"gate $i false: $r"))
+    }
+  }
+
   test("pinned-stage consumer declarations stay in sync with the registry") {
     // the warm-up attribution logic (TimeQuery, Bench _substrate)
     // derives from DedupOps.StageConsumers; a registry-key rename
