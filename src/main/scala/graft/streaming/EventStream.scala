@@ -96,6 +96,39 @@ object EventStream {
   def sessionWindows(events: DataFrame): DataFrame =
     sessionWindowSessions(events).select(col("user_id"), col("n_events"))
 
+  /** Streaming KMV/theta sketch: per tumbling day, the k-minimum-
+    * values sketch of distinct users plus its cardinality estimate —
+    * the streaming face of StatOps.thetaSetOps' sketch tier, and the
+    * proof that the custom bounded aggregate
+    * ([[graft.functions.MinKDistinctLongs]], a TypedImperativeAggregate)
+    * composes with Structured Streaming STATE: its serialized buffer
+    * is what the state store persists between micro-batches, and its
+    * merge() folds each batch's partials into the stored sketch. At
+    * 100 TB this is the continuous-distincts plan: O(k) state per
+    * window regardless of traffic, watermark-bounded window count,
+    * and the emitted sketches are MERGEABLE downstream (union across
+    * windows/streams = k smallest of concatenated retained sets) —
+    * overlap dashboards without ever storing raw ids. Because the
+    * retained set is deterministic under any merge order and
+    * partitioning, StreamingSpec pins the streamed sketch arrays
+    * EXACTLY equal to the batch twin's, element for element — a
+    * stronger gate than any estimate tolerance.
+    */
+  def windowedDistinctSketch(events: DataFrame, k: Int): DataFrame =
+    events
+      .withWatermark("event_time", "10 minutes")
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(graft.functions.BoundedAgg
+        .minKDistinctLongs(xxhash64(col("user_id")), k).as("sketch"))
+      .select(col("window.start").cast("long").as("window_start"),
+        col("sketch"),
+        // (k−1)/θ when saturated, exact retained count otherwise —
+        // same estimator as the batch set-ops gate
+        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (element_at(col("sketch"), k).cast("double") /
+              lit(1.8446744073709552e19) + lit(0.5))).as("est_distinct"))
+
   /** Stream-static join: enrich the event stream with a static
     * dimension (per-user tier derived from the batch view) — the
     * static side is re-read per micro-batch and broadcast; the stream

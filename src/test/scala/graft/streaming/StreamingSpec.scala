@@ -53,6 +53,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming KMV sketch: retained arrays EXACTLY equal the batch twin per window") {
+    // the custom TypedImperativeAggregate's serialized buffer lives in
+    // the state store between micro-batches; if streaming state
+    // save/restore or cross-batch merge() corrupted a single element,
+    // the array equality breaks. k=8 saturates on sf0.001's 15
+    // distinct users per full daily window, so the estimator path
+    // (not exact-mode passthrough) is what both sides exercise.
+    val k = 8
+    val events = EventStream.readEvents(spark, sf)
+    runToCompletion(EventStream.windowedDistinctSketch(events, k),
+      "theta_stream", "complete")
+    val streamed = spark.table("theta_stream")
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getDouble(2))).toMap
+    val batchEvents = graft.sources.Tables.events(spark, sf)
+      .withColumn("event_time",
+        timestamp_seconds(graft.operators.TimeSeriesOps.epochSecExpr("ts")))
+    val batch = EventStream.windowedDistinctSketch(batchEvents, k)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getDouble(2))).toMap
+    assert(streamed.keySet === batch.keySet, "window sets diverged")
+    streamed.foreach { case (w, (sk, est)) =>
+      assert(sk === batch(w)._1, s"window $w sketch arrays diverged")
+      assert(est === batch(w)._2, s"window $w estimates diverged")
+    }
+    // saturated (estimator regime) and the estimate is sane: within
+    // 75% of the exact per-window distinct at this tiny k (RSE ~41%;
+    // the hash is fixed so the observed errors are deterministic)
+    val exact = batchEvents
+      .groupBy(window(col("event_time"), "1 day"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0).getTime / 1000 ->
+        r.getLong(1)).toMap
+    streamed.foreach { case (w, (sk, est)) =>
+      assert(sk.length === math.min(k, exact(w).toInt),
+        s"window $w sketch size off")
+      assert(math.abs(est - exact(w)) <= 0.75 * exact(w),
+        s"window $w estimate far off: $est vs ${exact(w)}")
+    }
+    assert(streamed.exists(_._2._1.length == k),
+      "no window saturated the sketch — estimator untested")
+  }
+
   test("stream-static join matches the batch equivalent") {
     val events = EventStream.readEvents(spark, sf)
     runToCompletion(EventStream.enrichedCounts(spark, events, sf), "enriched", "complete")
