@@ -1544,8 +1544,10 @@ object SparkEntry {
          SELECT i.fa AS flag_a, i.fb AS flag_b,
                 ca.n AS exact_a, cb.n AS exact_b, i.ni AS exact_inter,
                 ca.n + cb.n - i.ni AS exact_union,
+                ca.n - i.ni AS exact_diff,
                 TRUE AS a_within_5pct, TRUE AS b_within_5pct,
                 TRUE AS inter_within_10pct, TRUE AS union_within_10pct,
+                TRUE AS diff_within_20pct,
                 TRUE AS merge_exact
          FROM i JOIN c ca ON ca.flag = i.fa JOIN c cb ON cb.flag = i.fb
          ORDER BY 1, 2""",

@@ -513,10 +513,18 @@ object StatOps {
       .select(col("flag_a"), col("flag_b"),
         col("exact_a"), col("exact_b"), col("exact_inter"),
         (col("exact_a") + col("exact_b") - col("exact_inter")).as("exact_union"),
+        (col("exact_a") - col("exact_inter")).as("exact_diff"),
         pct(col("est_a"), col("exact_a"), 0.05).as("a_within_5pct"),
         pct(col("est_b"), col("exact_b"), 0.05).as("b_within_5pct"),
         pct(col("est_inter"), col("exact_inter"), 0.10).as("inter_within_10pct"),
         pct(col("est_union"), col("exact_union"), 0.10).as("union_within_10pct"),
+        // A∖B inherits the ABSOLUTE errors of |A| and |A∩B|, so its
+        // RELATIVE bound scales by (|A|+|A∩B|)/|A∖B| — here ~73%
+        // overlap makes the difference ~¼ of |A| and the honest gate
+        // is 20%, not 10%. Differences of similar-sized sketched sets
+        // are the one estimate in this family to treat with care.
+        pct(col("est_a") - col("est_inter"),
+          col("exact_a") - col("exact_inter"), 0.20).as("diff_within_20pct"),
         (slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, k)
           === col("hs_scratch")).as("merge_exact"))
       .orderBy("flag_a", "flag_b")

@@ -532,7 +532,7 @@ class OperatorSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getLong(4) > 0 && r.getLong(4) < r.getLong(5),
         s"degenerate intersection fixture: $r")
-      (6 to 10).foreach(i => assert(r.getBoolean(i), s"gate $i false: $r"))
+      (7 to 12).foreach(i => assert(r.getBoolean(i), s"gate $i false: $r"))
     }
   }
 
