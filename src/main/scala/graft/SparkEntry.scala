@@ -1536,20 +1536,25 @@ object SparkEntry {
     // from-scratch union sketch) as a TRUE boolean.
     "theta" ->
       """WITH d AS (SELECT DISTINCT l_returnflag AS flag,
-                           l_orderkey AS k FROM lineitem),
+                           l_orderkey AS k FROM lineitem
+                    WHERE l_orderkey IS NOT NULL),
               c AS (SELECT flag, COUNT(*) AS n FROM d GROUP BY 1),
+              p AS (SELECT ca.flag AS fa, cb.flag AS fb
+                    FROM c ca JOIN c cb ON ca.flag < cb.flag),
               i AS (SELECT a.flag AS fa, b.flag AS fb, COUNT(*) AS ni
                     FROM d a JOIN d b ON a.k = b.k AND a.flag < b.flag
                     GROUP BY 1, 2)
-         SELECT i.fa AS flag_a, i.fb AS flag_b,
-                ca.n AS exact_a, cb.n AS exact_b, i.ni AS exact_inter,
-                ca.n + cb.n - i.ni AS exact_union,
-                ca.n - i.ni AS exact_diff,
+         SELECT p.fa AS flag_a, p.fb AS flag_b,
+                ca.n AS exact_a, cb.n AS exact_b,
+                COALESCE(i.ni, 0) AS exact_inter,
+                ca.n + cb.n - COALESCE(i.ni, 0) AS exact_union,
+                ca.n - COALESCE(i.ni, 0) AS exact_diff,
                 TRUE AS a_within_5pct, TRUE AS b_within_5pct,
                 TRUE AS inter_within_10pct, TRUE AS union_within_10pct,
                 TRUE AS diff_within_20pct,
                 TRUE AS merge_exact
-         FROM i JOIN c ca ON ca.flag = i.fa JOIN c cb ON cb.flag = i.fb
+         FROM p JOIN c ca ON ca.flag = p.fa JOIN c cb ON cb.flag = p.fb
+              LEFT JOIN i ON i.fa = p.fa AND i.fb = p.fb
          ORDER BY 1, 2""",
     // StatOps.skewJoin: the hot-key fold is a deterministic
     // expression, so the oracle reproduces the same skewed join and

@@ -220,4 +220,27 @@ object BoundedAgg {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(MinKDistinctLongs(Bridge.expression(c), k).toAggregateExpression())
   }
+
+  /** The sketch's theta threshold: the k-th smallest retained hash
+    * mapped from signed-long order onto (0,1) — the fraction of hash
+    * space the retained set samples. 1.0 while the sketch is below
+    * capacity (exact mode). Single-sourced here so the batch set-ops
+    * gate, the streaming sketch, and any future consumer share ONE
+    * estimator definition.
+    */
+  def kmvTheta(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(size(sketch) < k, lit(1.0))
+      .otherwise(element_at(sketch, k).cast("double") /
+        lit(1.8446744073709552e19) + lit(0.5)) // 2^64 exactly, as a double
+  }
+
+  /** The KMV cardinality estimate: (k−1)/θ when the sketch is
+    * saturated, the exact retained count below capacity.
+    */
+  def kmvEstimate(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(size(sketch) < k, size(sketch).cast("double"))
+      .otherwise(lit((k - 1).toDouble) / kmvTheta(sketch, k))
+  }
 }

@@ -465,40 +465,51 @@ object StatOps {
   private[graft] val ThetaK = 4096
 
   def thetaSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedAgg
     val k = ThetaK
+    // NULL keys are not set members (countDistinct semantics; without
+    // the guard xxhash64(NULL) = the seed would plant a phantom
+    // element in every sketch)
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+      .filter(col("l_orderkey").isNotNull)
     val hashed = li.select(col("flag"), xxhash64(col("l_orderkey")).as("h"))
     val sk = hashed.groupBy("flag")
-      .agg(graft.functions.BoundedAgg.minKDistinctLongs(col("h"), k).as("hs"))
-    // exact sides split from the sketch aggregation (the sk_dist
-    // lesson: countDistinct's rewrite would run the imperative buffer
-    // per fine-grained group)
-    val exact = li.groupBy("flag").agg(countDistinct("l_orderkey").as("n_exact"))
+      .agg(BoundedAgg.minKDistinctLongs(col("h"), k).as("hs"))
+    // ONE distinct frame feeds both exact sides (the sk_dist lesson
+    // still applies — no countDistinct mixed into the sketch agg)
     val d = li.distinct()
+    val exact = d.groupBy("flag").agg(count(lit(1)).as("n_exact"))
     val inter = d.as("a").join(d.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") && col("a.flag") < col("b.flag"))
       .groupBy(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"))
       .agg(count(lit(1)).as("exact_inter"))
-    val pairs = inter.select("flag_a", "flag_b")
+    // pairs come from the FLAG DOMAIN, not from the intersection join:
+    // a disjoint pair must still emit its row (exact_inter = 0 — the
+    // "zero overlap" answer is exactly what an overlap gate is for),
+    // and deriving pairs independently also keeps the heavy
+    // d-self-join subtree referenced ONCE in the final plan
+    val flags = sk.select(col("flag"))
+    val pairs = flags.select(col("flag").as("flag_a"))
+      .crossJoin(flags.select(col("flag").as("flag_b")))
+      .filter(col("flag_a") < col("flag_b"))
     val scratch = hashed.join(broadcast(pairs),
         col("flag") === col("flag_a") || col("flag") === col("flag_b"))
       .groupBy("flag_a", "flag_b")
-      .agg(graft.functions.BoundedAgg.minKDistinctLongs(col("h"), k).as("hs_scratch"))
+      .agg(BoundedAgg.minKDistinctLongs(col("h"), k).as("hs_scratch"))
     def u(c: Column): Column =
       c.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
-    def thetaOf(hs: Column): Column =
-      when(size(hs) < k, lit(1.0)).otherwise(u(element_at(hs, k)))
-    def estOf(hs: Column): Column =
-      when(size(hs) < k, size(hs).cast("double"))
-        .otherwise(lit((k - 1).toDouble) / thetaOf(hs))
+    def thetaOf(hs: Column): Column = BoundedAgg.kmvTheta(hs, k)
+    def estOf(hs: Column): Column = BoundedAgg.kmvEstimate(hs, k)
     val skA = sk.select(col("flag").as("flag_a"), col("hs").as("ha"))
     val skB = sk.select(col("flag").as("flag_b"), col("hs").as("hb"))
     val exA = exact.select(col("flag").as("flag_a"), col("n_exact").as("exact_a"))
     val exB = exact.select(col("flag").as("flag_b"), col("n_exact").as("exact_b"))
     def pct(est: Column, ex: Column, tol: Double): Column =
       abs(est - ex) <= ex * tol
-    inter
+    pairs
+      .join(inter, Seq("flag_a", "flag_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
       .join(skA, Seq("flag_a")).join(skB, Seq("flag_b"))
       .join(exA, Seq("flag_a")).join(exB, Seq("flag_b"))
       .join(scratch, Seq("flag_a", "flag_b"))

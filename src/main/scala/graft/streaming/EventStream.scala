@@ -118,16 +118,18 @@ object EventStream {
     events
       .withWatermark("event_time", "10 minutes")
       .groupBy(window(col("event_time"), "1 day"))
-      .agg(graft.functions.BoundedAgg
-        .minKDistinctLongs(xxhash64(col("user_id")), k).as("sketch"))
+      // NULL ids are not distinct members (countDistinct semantics) —
+      // and xxhash64(NULL) would be the constant seed, a phantom
+      // element in every window's sketch; the null-gated hash keeps
+      // the aggregate's null-skip path in charge
+      .agg(graft.functions.BoundedAgg.minKDistinctLongs(
+        when(col("user_id").isNotNull, xxhash64(col("user_id"))), k).as("sketch"))
       .select(col("window.start").cast("long").as("window_start"),
         col("sketch"),
-        // (k−1)/θ when saturated, exact retained count otherwise —
-        // same estimator as the batch set-ops gate
-        when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
-          .otherwise(lit((k - 1).toDouble) /
-            (element_at(col("sketch"), k).cast("double") /
-              lit(1.8446744073709552e19) + lit(0.5))).as("est_distinct"))
+        // single-sourced estimator — the same definition the batch
+        // set-ops gate uses (BoundedAgg.kmvEstimate)
+        graft.functions.BoundedAgg.kmvEstimate(col("sketch"), k)
+          .as("est_distinct"))
 
   /** Stream-static join: enrich the event stream with a static
     * dimension (per-user tier derived from the batch view) — the
