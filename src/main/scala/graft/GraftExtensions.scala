@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, MinKStrings, TopKByScore}
+import graft.functions.{CosineSimilarity, DotProduct, MinKDistinctLongs, MinKStrings, TopKByScore}
 
 /** SparkSessionExtensions entry point: installs the engine's custom
   * Catalyst expressions as SQL functions at session build time —
@@ -48,16 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         if (exprs.length != 3) throw new IllegalArgumentException(
           s"topk_by_score expects 3 arguments (score, id, k), got ${exprs.length}")
-        val k = exprs(2) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"topk_by_score: k must be an INT, got $other")
-          }
-          case other => throw new IllegalArgumentException(
-            s"topk_by_score: k must be a foldable int expression, got $other")
-        }
-        TopKByScore(exprs(0), exprs(1), k)
+        TopKByScore(exprs(0), exprs(1), foldableK("topk_by_score", exprs(2)))
       }))
     // min_k_strings(s, k) — the bounded companion to
     // sort_array(collect_list(s)); k must fold to an int at plan time
@@ -67,16 +58,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         if (exprs.length != 2) throw new IllegalArgumentException(
           s"min_k_strings expects 2 arguments (value, k), got ${exprs.length}")
-        val k = exprs(1) match {
-          case e if e.foldable => e.eval() match {
-            case i: Int => i
-            case other => throw new IllegalArgumentException(
-              s"min_k_strings: k must be an INT, got $other")
-          }
-          case other => throw new IllegalArgumentException(
-            s"min_k_strings: k must be a foldable int expression, got $other")
-        }
-        MinKStrings(exprs(0), k)
+        MinKStrings(exprs(0), foldableK("min_k_strings", exprs(1)))
       }))
+    // min_k_distinct_longs(hash, k) — the KMV/theta sketch aggregate
+    // from SQL: min_k_distinct_longs(xxhash64(id), 4096) builds the
+    // sketch, and the estimates are plain SQL over the array (see
+    // StatOps.thetaSetOps / BoundedAgg.kmvEstimate)
+    ext.injectFunction((
+      FunctionIdentifier("min_k_distinct_longs"),
+      new ExpressionInfo(classOf[MinKDistinctLongs].getName, "min_k_distinct_longs"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"min_k_distinct_longs expects 2 arguments (value, k), got ${exprs.length}")
+        MinKDistinctLongs(exprs(0), foldableK("min_k_distinct_longs", exprs(1)))
+      }))
+  }
+
+  /** Shared k-argument contract for the bounded aggregates/functions:
+    * a plan-time-foldable INT (the buffer bound must be known before
+    * execution).
+    */
+  private def foldableK(fn: String, e: Expression): Int = e match {
+    case f if f.foldable => f.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$fn: k must be an INT, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$fn: k must be a foldable int expression, got $other")
   }
 }

@@ -40,6 +40,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT min_k_strings(v, 2) AS vs FROM VALUES
              ('b'), ('a'), ('c'), ('a') AS t(v)""").head()
       assert(m.getSeq[String](0) === Seq("a", "a"))
+      // the KMV/theta sketch aggregate from pure SQL: distinct min-k
+      // of hashes, and the whole sketch tier is then plain SQL — the
+      // k-th element IS theta. 3 distinct values under k=8 → exact
+      // mode: the retained set is xxhash64 of all three, sorted.
+      val kmv = spark.sql(
+        """SELECT min_k_distinct_longs(xxhash64(v), 8) AS sk FROM VALUES
+             (10L), (20L), (10L), (30L), (20L) AS t(v)""").head()
+      val expectedHashes = spark.sql(
+        """SELECT sort_array(collect_set(xxhash64(v))) FROM VALUES
+             (10L), (20L), (30L) AS t(v)""").head().getSeq[Long](0)
+      assert(kmv.getSeq[Long](0) === expectedHashes,
+        "SQL-built KMV sketch diverged from the distinct hash set")
       // the as-of TVF installs with the extensions too (zero
       // per-session registration): latest at-or-before per key
       import spark.implicits._
