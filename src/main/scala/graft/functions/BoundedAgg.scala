@@ -221,6 +221,15 @@ object BoundedAgg {
     Bridge.column(MinKDistinctLongs(Bridge.expression(c), k).toAggregateExpression())
   }
 
+  /** Signed-long hash mapped onto (0,1) in the same order longs sort —
+    * the normalization every KMV consumer must share (theta, the
+    * common-theta cut in set-op estimates).
+    */
+  def kmvNorm(hash: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    hash.cast("double") / lit(1.8446744073709552e19) + lit(0.5) // 2^64 exactly
+  }
+
   /** The sketch's theta threshold: the k-th smallest retained hash
     * mapped from signed-long order onto (0,1) — the fraction of hash
     * space the retained set samples. 1.0 while the sketch is below
@@ -230,9 +239,7 @@ object BoundedAgg {
     */
   def kmvTheta(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    when(size(sketch) < k, lit(1.0))
-      .otherwise(element_at(sketch, k).cast("double") /
-        lit(1.8446744073709552e19) + lit(0.5)) // 2^64 exactly, as a double
+    when(size(sketch) < k, lit(1.0)).otherwise(kmvNorm(element_at(sketch, k)))
   }
 
   /** The KMV cardinality estimate: (k−1)/θ when the sketch is

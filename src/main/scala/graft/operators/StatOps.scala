@@ -497,8 +497,7 @@ object StatOps {
         col("flag") === col("flag_a") || col("flag") === col("flag_b"))
       .groupBy("flag_a", "flag_b")
       .agg(BoundedAgg.minKDistinctLongs(col("h"), k).as("hs_scratch"))
-    def u(c: Column): Column =
-      c.cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+    def u(c: Column): Column = BoundedAgg.kmvNorm(c)
     def thetaOf(hs: Column): Column = BoundedAgg.kmvTheta(hs, k)
     def estOf(hs: Column): Column = BoundedAgg.kmvEstimate(hs, k)
     val skA = sk.select(col("flag").as("flag_a"), col("hs").as("ha"))
