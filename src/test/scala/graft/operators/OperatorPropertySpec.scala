@@ -172,4 +172,31 @@ class OperatorPropertySpec extends AnyFunSuite {
     // count / beta-start count — its positions all score identically
     assert(got(64L)._1 === 19L)
   }
+
+  test("min_k_distinct_longs matches the in-JVM reference on random shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the KMV sketch state must equal distinct→sort→take(k) for ANY
+    // data, duplication pattern, k, and partitioning — including k
+    // larger than the distinct count (exact mode), empty input, and
+    // null values (skipped, like every Spark aggregate)
+    for (trial <- 1 to 10) {
+      val n = rnd.nextInt(400)
+      val domain = 1 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(40)
+      val values = (0 until n).map(_ =>
+        if (rnd.nextInt(10) == 0) None
+        else Some(rnd.nextLong() % domain))
+      val rows = values.map(v => Row(v.map(Long.box).orNull))
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1 + rnd.nextInt(6)),
+          StructType(Seq(StructField("v", LongType, nullable = true))))
+      val got = df.agg(graft.functions.BoundedAgg
+          .minKDistinctLongs(col("v"), k).as("mk"))
+        .head().getSeq[Long](0)
+      val want = values.flatten.distinct.sorted.take(k)
+      assert(got === want,
+        s"trial $trial (n=$n domain=$domain k=$k) diverged: $got vs $want")
+    }
+  }
 }
