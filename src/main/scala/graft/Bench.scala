@@ -242,10 +242,23 @@ object Bench {
       else remeasured.map("\"" + _ + "\"")
         .mkString(",\"remeasured\":[", ",", "]")
     println(s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)}$ratioField$remeasuredField,"sf":"$sfDir"}""")
-    def compact(f: Double => String) =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"noisy":$noisy,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
-    val line3 = compact(qs)
-    println(if (line3.length <= LineBudget) line3 else compact(qs2))
+    // The COMPACT line must carry the re-measurement semantics too: a
+    // re-measured query's `queries` value is best-of-(sweep ∪ re-run),
+    // not a strict median, and a consumer reading only this line must
+    // be able to tell. `rm_n` (count, fixed width) is ALWAYS present —
+    // 0 certifies "every value is a true sweep median"; the name list
+    // rides along when it fits the tail window and degrades to
+    // count-only (then to 2-char value widths) before the line can
+    // overflow. BenchLineSpec pins the worst case WITH the count field.
+    val rmN = s""","rm_n":${remeasured.length}"""
+    val rmList =
+      if (remeasured.isEmpty) ""
+      else remeasured.map("\"" + _ + "\"").mkString(""","rm":[""", ",", "]")
+    def compact(f: Double => String, rm: String) =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"noisy":$noisy$rm,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
+    val candidates =
+      Seq(compact(qs, rmN + rmList), compact(qs, rmN), compact(qs2, rmN))
+    println(candidates.find(_.length <= LineBudget).getOrElse(candidates.last))
     spark.stop()
   }
 }

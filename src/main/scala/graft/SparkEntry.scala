@@ -45,13 +45,13 @@ object SparkEntry {
     "agg_rollup"             -> (RelationalOps.aggRollup _),
     "topk_group"  -> (RelationalOps.windowTopKPerGroup _),
     "run_sum"     -> (RelationalOps.windowRunningSum _),
-    "window_lag"             -> (RelationalOps.windowLag _),
+    "wlag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
     "tumbling"        -> (EventOps.tumblingWindow _),
     "sliding"         -> (EventOps.slidingWindow _),
-    "sessionize"      -> (EventOps.sessionize _),
+    "sess"      -> (EventOps.sessionize _),
     "ev_json"            -> (EventOps.jsonExtract _),
-    "json_funcs"             -> (EventOps.jsonFuncs _),
+    "jsonf"             -> (EventOps.jsonFuncs _),
     "variant"          -> (EventOps.variantFuncs _),
     "attrib"     -> (EventOps.clickAttribution _),
     "strings"           -> (RelationalOps.stringFuncs _),
@@ -60,7 +60,7 @@ object SparkEntry {
     "mode_grp"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "agg_moments"            -> (StatOps.aggMoments _),
-    "pivot_wide"             -> (StatOps.pivotWide _),
+    "pivot"             -> (StatOps.pivotWide _),
     "agg_cube"               -> (StatOps.aggCube _),
     "gsets"      -> (StatOps.aggGroupingSets _),
     "agg_cdist"     -> (StatOps.aggCountDistinct _),
@@ -70,9 +70,9 @@ object SparkEntry {
     "collect_cap"     -> (StatOps.aggCollectCapped _),
     "ntile"        -> (StatOps.ntileQuartiles _),
     "corr_grp"          -> (StatOps.corrByGroup _),
-    "quantiles"     -> (StatOps.quantilesByGroup _),
+    "quant"     -> (StatOps.quantilesByGroup _),
     "histo"              -> (StatOps.histogram _),
-    "salted_agg"             -> (StatOps.saltedAgg _),
+    "salted"             -> (StatOps.saltedAgg _),
     "join_range"             -> (StatOps.joinRange _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
@@ -90,7 +90,7 @@ object SparkEntry {
     "text_fp"       -> (TextOps.textFingerprint _),
     "text_reps"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
-    "dedup_text"       -> (DedupOps.dedupExactText _),
+    "dtext"       -> (DedupOps.dedupExactText _),
     "jaccard"    -> (DedupOps.dedupNgramJaccard _),
     "minhash"      -> (DedupOps.dedupMinhashLsh _),
     "simhash"           -> (DedupOps.textSimhash _),
@@ -116,9 +116,9 @@ object SparkEntry {
     "funnel"          -> (PipelineOps.eventsFunnel _),
     "upsert"           -> (PipelineOps.mergeUpsert _),
     "pack"         -> (PipelineOps.packSequences _),
-    "winsorize"     -> (PipelineOps.winsorizeByGroup _),
+    "winsor"     -> (PipelineOps.winsorizeByGroup _),
     "decon"          -> (PipelineOps.decontaminate _),
-    "decon_ngram"    -> (PipelineOps.decontaminateNgram _),
+    "dec_ng"    -> (PipelineOps.decontaminateNgram _),
     "dup_spans"      -> (PipelineOps.dupSpans _),
     "lm_score"       -> (TextOps.lmScore _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
@@ -127,7 +127,7 @@ object SparkEntry {
     "imp_sample"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
     "cohort"       -> (EventOps.cohortRetention _),
-    "range_frame"     -> (EventOps.windowRangeFrame _),
+    "rframe"     -> (EventOps.windowRangeFrame _),
     "gapfill"             -> (TimeSeriesOps.tsGapfill _),
     "scd2"             -> (TimeSeriesOps.scd2Build _),
     // Entity resolution & regression
@@ -142,14 +142,14 @@ object SparkEntry {
     // Profiling / data-quality / graph
     "profile"     -> (QualityOps.profileTable _),
     "prof_apx" -> (QualityOps.profileApprox _),
-    "checksum"    -> (QualityOps.tableChecksum _),
+    "cksum"    -> (QualityOps.tableChecksum _),
     "dq"         -> (QualityOps.dqChecks _),
     "pagerank"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
     "win_value"         -> (RelationalOps.windowValueFuncs _),
     "incr_agg"          -> (RelationalOps.incrAgg _),
-    "array_funcs"       -> (TextOps.arrayFuncs _),
-    "map_funcs"         -> (TextOps.mapFuncs _),
+    "arrf"       -> (TextOps.arrayFuncs _),
+    "mapf"         -> (TextOps.mapFuncs _),
     "outliers"          -> (StatOps.outliers _),
     // Training-data shaping: windowed chunking + lexical retrieval
     "chunks"            -> (TextOps.docChunks _),
@@ -655,7 +655,7 @@ object SparkEntry {
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
          FROM orders ORDER BY o_custkey, o_orderkey""",
-    "window_lag" ->
+    "wlag" ->
       """SELECT o_custkey, o_orderkey,
          CAST(datediff('day',
            CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
@@ -675,7 +675,7 @@ object SparkEntry {
          FROM (SELECT b0 AS window_start, value FROM b
                UNION ALL SELECT b0 - 300, value FROM b) t
          GROUP BY 1 ORDER BY 1""",
-    "sessionize" ->
+    "sess" ->
       """WITH e AS (SELECT user_id, event_id, ts,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events),
          l AS (SELECT *, lag(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -695,7 +695,7 @@ object SparkEntry {
          FROM events ORDER BY 1""",
     // EventOps.jsonFuncs: both engines print compact JSON with
     // explicit nulls, so the round-trip strings compare byte-for-byte.
-    "json_funcs" ->
+    "jsonf" ->
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_str,
          CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
@@ -768,7 +768,7 @@ object SparkEntry {
                     ORDER BY COUNT(*) DESC, p_type) AS rk
            FROM part GROUP BY p_brand, p_type) t
          WHERE rk = 1 ORDER BY p_brand""",
-    "pivot_wide" ->
+    "pivot" ->
       """SELECT l_returnflag,
          CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
                        AS DECIMAL(18,2))) AS DOUBLE) AS F,
@@ -849,7 +849,7 @@ object SparkEntry {
                 round((sx2 - sx * sx / n) / (n - 1), 0) AS variance,
                 round(sqrt((sx2 - sx * sx / n) / (n - 1)), 4) AS stddev
          FROM s ORDER BY l_returnflag""",
-    "quantiles" ->
+    "quant" ->
       """SELECT p_brand,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25) AS p25,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5) AS p50,
@@ -859,7 +859,7 @@ object SparkEntry {
     "histo" ->
       """SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
-    "salted_agg" ->
+    "salted" ->
       """SELECT l_returnflag, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
@@ -1035,7 +1035,7 @@ object SparkEntry {
                  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
                  CAST(dup_bigram_n AS DOUBLE) / n_bigrams AS dup_bigram_frac
           FROM a ORDER BY doc_id""",
-    "dedup_text" ->
+    "dtext" ->
       """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
          MIN(doc_id) AS first_doc
          FROM documents GROUP BY 1 ORDER BY 1""",
@@ -1266,7 +1266,7 @@ object SparkEntry {
     // algebraically-equal formulas differently (1-ulp divergence
     // observed at sf0.1), while this explicit form is the same IEEE
     // ops on both engines.
-    "winsorize" ->
+    "winsor" ->
       """WITH r AS (SELECT p_type, p_retailprice AS v,
                 CAST(row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice)
                      AS BIGINT) - 1 AS rn
@@ -1303,7 +1303,7 @@ object SparkEntry {
     // PipelineOps.decontaminateNgram: drop train docs sharing any word
     // 8-gram with the eval split. The gram-concat expression is built
     // from the same DecontamK constant as the operator (anti-drift).
-    "decon_ngram" -> {
+    "dec_ng" -> {
       val k = PipelineOps.DecontamK
       val parts = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -1417,7 +1417,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // EventOps.windowRangeFrame: time-RANGE frame (peers-by-value),
     // exact decimal sum cast back to double.
-    "range_frame" ->
+    "rframe" ->
       """WITH e AS (SELECT event_id, event_type,
                   CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
          SELECT event_id, event_type, es,
@@ -1616,7 +1616,7 @@ object SparkEntry {
     // (XOR + exact decimal sum of 60-bit row hashes). Both engines sum
     // as DECIMAL(38,0) — DuckDB's HUGEINT would be value-identical but
     // degrades to float through the compare harness's pandas bridge.
-    "checksum" ->
+    "cksum" ->
       """WITH h AS (SELECT l_returnflag,
                       CAST(('0x' || substring(md5(concat_ws('|',
                         l_orderkey, l_partkey, l_suppkey,
@@ -1692,7 +1692,7 @@ object SparkEntry {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1 ORDER BY 1""",
     // TextOps.arrayFuncs: HOF lambda surface vs DuckDB list functions.
-    "array_funcs" ->
+    "arrf" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
                      WHERE text IS NOT NULL)
           SELECT doc_id,
@@ -1709,7 +1709,7 @@ object SparkEntry {
     // same distinct-token set (semantic parity of VALUES; map-order
     // effects never reach the hash). struct_nk is the struct
     // field-access path; data_len pins element_at's NULL-on-missing.
-    "map_funcs" ->
+    "mapf" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
                      WHERE text IS NOT NULL),
           k AS (SELECT doc_id, toks, list_distinct(toks) AS ks FROM t)

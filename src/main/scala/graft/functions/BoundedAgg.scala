@@ -236,10 +236,18 @@ object BoundedAgg {
     * capacity (exact mode). Single-sourced here so the batch set-ops
     * gate, the streaming sketch, and any future consumer share ONE
     * estimator definition.
+    *
+    * Clamped to Double.MinPositiveValue: a retained hash of exactly
+    * Long.MinValue maps to kmvNorm = 0.0 (probability ~2^-63 per
+    * sketch), and a zero theta would turn every downstream (k−1)/θ
+    * estimate into Infinity and silently fail the tolerance gates —
+    * the guard is one `greatest`, so pay it rather than document the
+    * exclusion.
     */
   def kmvTheta(sketch: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    when(size(sketch) < k, lit(1.0)).otherwise(kmvNorm(element_at(sketch, k)))
+    when(size(sketch) < k, lit(1.0))
+      .otherwise(greatest(kmvNorm(element_at(sketch, k)), lit(java.lang.Double.MIN_VALUE)))
   }
 
   /** The KMV cardinality estimate: (k−1)/θ when the sketch is

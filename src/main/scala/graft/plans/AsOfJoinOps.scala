@@ -71,6 +71,18 @@ object AsOfJoinOps {
     * merge (like a MERGE join hint). Broadcast is worth it exactly
     * when the right side is small relative to the left (the left then
     * never shuffles); for comparably-sized sides the merge form wins.
+    *
+    * MIGRATION NOTE (round 12): the default changed from the forced
+    * merge form to [[AsOfHint.Auto]]. A caller whose right side's
+    * size-only logical stats fall under `autoBroadcastJoinThreshold`
+    * now has that side COLLECTED TO THE DRIVER without any code
+    * change — the same driver-memory exposure Spark's own
+    * JoinSelection carries for equi-joins near the threshold
+    * (size-only stats under-count wide/boxed rows). Callers near the
+    * threshold who relied on the old never-broadcast behavior should
+    * pin [[AsOfHint.Merge]] explicitly; `threshold = -1` on the
+    * session disables auto-broadcast globally. This trade is the
+    * intended JoinSelection-parity design, not an accident.
     */
   def asof(left: DataFrame, right: DataFrame,
            leftKeys: Seq[Column], rightKeys: Seq[Column],

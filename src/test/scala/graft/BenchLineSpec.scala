@@ -19,7 +19,7 @@ class BenchLineSpec extends AnyFunSuite {
     // worst case ("99" everywhere, total "99999.999"). `failures`
     // lives on the detail line; `sf` is the directory basename.
     val queries = names.map(n => s""""$n":99""").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"queries":$queries,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999,"queries":$queries,"sf":"sf0.1"}"""
     assert(line.length <= graft.Bench.LineBudget,
       s"compact bench line is ${line.length} chars (> ${graft.Bench.LineBudget}) " +
         "even at 2-char fallback widths: shorten query names or move fields " +
@@ -29,10 +29,29 @@ class BenchLineSpec extends AnyFunSuite {
     // if this trips, reclaim width (shorter names) NOW, because every
     // bench run after this point silently loses sub-second precision.
     val precise = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
-    val line3 = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"queries":$precise,"sf":"sf0.1"}"""
+    val line3 = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999,"queries":$precise,"sf":"sf0.1"}"""
     assert(line3.length <= graft.Bench.LineBudget,
       s"3-char bench line is ${line3.length} chars (> ${graft.Bench.LineBudget}): " +
         "the next bench run will emit integer-second fallback values — " +
         "shorten query names to restore precision")
+  }
+
+  test("scripts/renames.json bridges every renamed key to a live registry key") {
+    // round-over-round artifact tooling (BENCH_r*/CORRECTNESS_r* key
+    // diffs) bridges old names through this map; a stale entry — a
+    // `new` name that no longer exists, or an `old` name that came
+    // back — would silently corrupt the bridge
+    val src = scala.io.Source.fromFile("scripts/renames.json")
+    val text = try src.mkString finally src.close()
+    val pairs = """"([a-z0-9_]+)":\s*\{"new":\s*"([a-z0-9_]+)"""".r
+      .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toSeq
+    assert(pairs.nonEmpty, "renames.json parsed to zero entries")
+    val live = SparkEntry.queries.keySet
+    pairs.foreach { case (old, nw) =>
+      assert(live.contains(nw) || pairs.exists(_._1 == nw),
+        s"renames.json maps $old -> $nw but $nw is neither a live key nor further renamed")
+      assert(!live.contains(old),
+        s"renames.json lists $old as renamed but it is back in the registry")
+    }
   }
 }

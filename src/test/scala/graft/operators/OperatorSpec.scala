@@ -526,6 +526,17 @@ class OperatorSpec extends AnyFunSuite {
       .filter(col("a.flag") === fa && col("b.flag") === fb).count().toDouble
     assert(math.abs(estInter - exactInter) <= 0.25 * exactInter,
       s"KMV intersection estimate off: est=$estInter exact=$exactInter")
+    // degenerate-hash guard: a retained hash of exactly Long.MinValue
+    // maps to kmvNorm = 0.0; kmvTheta must clamp it to a positive
+    // floor so (k−1)/θ stays finite (unclamped, k=1 yields 0/0 = NaN)
+    val degen = spark.range(1)
+      .select(typedLit(Array(Long.MinValue)).as("hs"))
+      .select(graft.functions.BoundedAgg.kmvTheta(col("hs"), 1).as("th"),
+        graft.functions.BoundedAgg.kmvEstimate(col("hs"), 1).as("est"))
+      .head()
+    assert(degen.getDouble(0) > 0.0, "theta not clamped above zero")
+    assert(!degen.getDouble(1).isNaN && !degen.getDouble(1).isInfinite,
+      s"estimate not finite under degenerate theta: ${degen.getDouble(1)}")
     // and the shipped gate rows are all-TRUE with nontrivial exacts
     val rows = StatOps.thetaSetOps(spark, sf).collect()
     assert(rows.length === 3)
