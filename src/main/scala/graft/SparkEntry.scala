@@ -74,6 +74,8 @@ object SparkEntry {
     "histo"              -> (StatOps.histogram _),
     "salted"             -> (StatOps.saltedAgg _),
     "join_range"             -> (StatOps.joinRange _),
+    "rj_bin"                 -> (StatOps.rangeBinIncidents _),
+    "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
@@ -870,6 +872,27 @@ object SparkEntry {
            ('gold', 5000.0, 20000.0), ('platinum', 20000.0, 1e12))
            t(tier, lo, hi)
            ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+         GROUP BY 1 ORDER BY 1""",
+    "rj_bin" ->
+      """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+                      FROM events WHERE event_type = 'error' AND value >= 150),
+              p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+         SELECT inc.lo, inc.hi, COUNT(*) AS n_purch,
+                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                TRUE AS rj_binned
+         FROM p JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
+         GROUP BY 1, 2 ORDER BY 1""",
+    "rj_ov" ->
+      """WITH a AS (SELECT ts AS elo, ts + INTERVAL 5 MINUTE AS ehi
+                    FROM events WHERE event_type = 'error'),
+              b AS (SELECT ts AS clo, ts + INTERVAL 3 MINUTE AS chi
+                    FROM events WHERE event_type = 'click')
+         SELECT strftime(date_trunc('day', greatest(a.elo, b.clo)), '%Y-%m-%d') AS day,
+                COUNT(*) AS n_pairs,
+                COUNT(DISTINCT a.elo) AS n_err,
+                COUNT(DISTINCT b.clo) AS n_clk,
+                TRUE AS rj_binned
+         FROM a JOIN b ON a.elo < b.chi AND b.clo < a.ehi
          GROUP BY 1 ORDER BY 1""",
     "asof_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned range joins — the scale path for the join shapes Spark's
+  * planner can only express as BroadcastNestedLoopJoin / CartesianProduct.
+  *
+  * A point-in-interval join (`p.t BETWEEN i.lo AND i.hi`) or an
+  * interval-overlap join (`a.lo < b.hi AND b.lo < a.hi`) has no
+  * equi-key, so Catalyst plans a nested loop: O(|L|·|R|) comparisons
+  * and, at 100 TB, a broadcast of whichever side is smaller — or a
+  * cartesian. The classic fix (public technique: bin/bucket range
+  * partitioning, as in interval-join literature and the range-join
+  * binning production engines ship) is to OVERLAY A GRID: every
+  * interval registers in each bin of width `w` it overlaps
+  * (`floor(lo/w) .. floor(hi/w)`, an `explode(sequence(...))`), every
+  * point registers in exactly one bin, and the join becomes an
+  * EQUI-join on the bin id followed by a cheap residual predicate.
+  * Catalyst then plans the shuffle/broadcast hash or sort-merge join
+  * it would pick for any equi-join — partial aggregation, AQE skew
+  * splitting, and bucketed layouts all compose for free.
+  *
+  * Cost model (document, don't hide): the exploded side grows by
+  * `len/w + 1` rows per interval, and every candidate pair inside a
+  * bin pays the residual filter. Pick `w` near the TYPICAL interval
+  * length: too small explodes the build side, too large degenerates
+  * toward one giant bin (the nested loop again, now with a shuffle in
+  * front). A runaway interval (open-ended `hi`) would explode into
+  * millions of rows SILENTLY, so `maxBinsPerInterval` fails the query
+  * instead — raise `binWidth` or cap the interval, don't raise the
+  * guard blindly.
+  *
+  * Null semantics are SQL's: a null point time or null interval bound
+  * bins to null, and the equi-join on the bin id drops it — exactly
+  * what the nested-loop form's `t >= lo` predicate would do.
+  *
+  * Numeric domains bin as `floor(x / w)`; TIMESTAMP columns cast to
+  * DOUBLE epoch seconds first (Spark's timestamp→double cast keeps
+  * the fractional part, so sub-second points bin consistently with
+  * their residual comparison). Bin ids are exact for |x/w| < 2^53.
+  */
+object RangeJoinOps {
+
+  private val BinCol = "__graft_bin"
+  private val LBin0 = "__graft_lbin0"
+  private val RBin0 = "__graft_rbin0"
+
+  /** Double view of a bin-domain column: numerics cast directly;
+    * TIMESTAMP/TIMESTAMP_NTZ/DATE go through timestamp_ltz (a no-op
+    * for LTZ; wall-clock-in-session-tz for NTZ/DATE — GraftSession
+    * pins UTC) because Spark 4 refuses TIMESTAMP_NTZ→DOUBLE. Both
+    * join sides pass through the SAME transform, and the residual
+    * predicate compares the ORIGINAL columns, so the only requirement
+    * on this view is monotonicity — which the chain preserves.
+    */
+  private def asDouble(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType =>
+        col(name).cast("timestamp_ltz").cast("double")
+      case _ => col(name).cast("double")
+    }
+
+  /** floor(x/w) — monotone, floor (not truncate) for negatives. */
+  private[graft] def binOf(df: DataFrame, name: String, w: Double): Column =
+    floor(asDouble(df, name) / lit(w)).cast("long")
+
+  /** Bins covered by [lo, hi] with the explosion guard applied. */
+  private def binsOf(df: DataFrame, loCol: String, hiCol: String,
+      w: Double, maxBins: Int): Column = {
+    val b0 = binOf(df, loCol, w)
+    val b1 = binOf(df, hiCol, w)
+    val guarded = when(b1 - b0 >= lit(maxBins.toLong),
+      raise_error(concat(
+        lit("binned range join: one interval covers "),
+        (b1 - b0 + lit(1L)).cast("string"),
+        lit(s" bins (max $maxBins) — raise binWidth or bound the interval"))))
+      .otherwise(b1)
+    sequence(b0, guarded)
+  }
+
+  /** Point-in-interval join, binned: every `points` row joined to every
+    * `intervals` row whose HALF-OPEN window `[loCol, hiCol)` contains
+    * `pointCol`, optionally ALSO equi-keyed on `keys` (left name →
+    * right name). Output columns = points' ++ intervals' (names must
+    * be disjoint apart from the key columns, which keep both sides).
+    *
+    * The physical plan is whatever Catalyst picks for an equi-join on
+    * (keys :+ bin) — at 1000 executors that is a co-partitioned
+    * shuffle join, never a nested loop. Residual containment runs
+    * post-match, so binning never changes results (spec-pinned ≡ the
+    * naive non-equi form, boundary rows included).
+    */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double,
+      keys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Int = 1000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn(BinCol, binOf(points, pointCol, binWidth))
+    val i = intervals.withColumn(BinCol,
+      explode(binsOf(intervals, loCol, hiCol, binWidth, maxBinsPerInterval)))
+    val cond = keys.foldLeft(
+      p(BinCol) === i(BinCol) &&
+        p(pointCol) >= i(loCol) && p(pointCol) < i(hiCol)) {
+      case (c, (lk, rk)) => c && p(lk) === i(rk)
+    }
+    p.join(i, cond).drop(p(BinCol)).drop(i(BinCol))
+  }
+
+  /** Interval-overlap join, binned: every `left` row whose half-open
+    * window `[lloCol, lhiCol)` overlaps a `right` row's
+    * `[rloCol, rhiCol)` (i.e. `llo < rhi && rlo < lhi`), optionally
+    * equi-keyed. A pair of long intervals shares MANY bins, so the
+    * naive bin-equi-join would emit it once per shared bin; instead of
+    * a `distinct` (a second full shuffle at scale), each pair is
+    * emitted ONLY in its canonical bin — the first grid cell where
+    * both intervals are present, `max(bin(llo), bin(rlo))` — the
+    * standard duplicate-free grid-join trick. Dedup-by-construction is
+    * spec-pinned against the naive form on intervals spanning many bins.
+    */
+  def intervalOverlap(
+      left: DataFrame, lloCol: String, lhiCol: String,
+      right: DataFrame, rloCol: String, rhiCol: String,
+      binWidth: Double,
+      keys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Int = 1000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val l = left
+      .withColumn(LBin0, binOf(left, lloCol, binWidth))
+      .withColumn(BinCol,
+        explode(binsOf(left, lloCol, lhiCol, binWidth, maxBinsPerInterval)))
+    val r = right
+      .withColumn(RBin0, binOf(right, rloCol, binWidth))
+      .withColumn(BinCol,
+        explode(binsOf(right, rloCol, rhiCol, binWidth, maxBinsPerInterval)))
+    val cond = keys.foldLeft(
+      l(BinCol) === r(BinCol) &&
+        l(BinCol) === greatest(l(LBin0), r(RBin0)) && // canonical bin: no dup pairs
+        l(lloCol) < r(rhiCol) && r(rloCol) < l(lhiCol)) {
+      case (c, (lk, rk)) => c && l(lk) === r(rk)
+    }
+    l.join(r, cond)
+      .drop(l(BinCol)).drop(r(BinCol)).drop(l(LBin0)).drop(r(RBin0))
+  }
+}

@@ -231,6 +231,66 @@ object StatOps {
       .orderBy("tier")
   }
 
+  /** Binned point-in-interval join gate: purchases landing inside
+    * 15-minute "incident windows" opened by high-value error events —
+    * the unkeyed containment join `joinRange` can only afford while
+    * one side broadcasts. Here NEITHER side needs to be small: the
+    * grid turns it into an equi-join on the bin id (bin width = the
+    * window length, so every interval covers ≤ 2 bins), and the
+    * `rj_binned` claim ships in-row — TRUE only if the executed plan
+    * holds no BroadcastNestedLoopJoin/CartesianProduct. The oracle
+    * computes the same aggregate from the naive non-equi form, so
+    * result preservation and plan shape land in one hash gate.
+    */
+  def rangeBinIncidents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val inc = ev.filter(col("event_type") === "error" && col("value") >= 150)
+      .select(col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("value"))
+    val joined = RangeJoinOps.pointInInterval(p, "ts", inc, "lo", "hi",
+      binWidth = 900.0)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val binned = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    joined.groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n_purch"),
+        graft.util.Num.moneySum(col("value")).as("rev"))
+      .withColumn("rj_binned", lit(binned))
+      .orderBy("lo")
+  }
+
+  /** Binned interval-overlap join gate: 5-minute error windows
+    * overlapping 3-minute click windows, counted per day — the
+    * `a.lo < b.hi AND b.lo < a.hi` shape with NO equi-key at all,
+    * a pure nested loop to the planner. The canonical-bin trick keeps
+    * every overlapping pair exactly once without a distinct; the
+    * in-row claim pins the nested-loop-free plan, the oracle pins the
+    * pair-exact result against DuckDB's native IEJoin.
+    */
+  def rangeOverlapBursts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("ts").as("elo"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("ehi"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("ts").as("clo"),
+        (col("ts") + expr("INTERVAL 3 MINUTES")).as("chi"))
+    val joined = RangeJoinOps.intervalOverlap(
+      err, "elo", "ehi", clk, "clo", "chi", binWidth = 300.0)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val binned = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    joined.groupBy(
+        date_format(greatest(col("elo"), col("clo")), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("elo")).as("n_err"),
+        countDistinct(col("clo")).as("n_clk"))
+      .withColumn("rj_binned", lit(binned))
+      .orderBy("day")
+  }
+
   /** As-of join: for every purchase event, the same user's most recent
     * signup at-or-before it. Implemented as a RANGE window over the
     * unioned/tagged stream — one shuffle on user_id, one sort, no
