@@ -25,6 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PruneAsOfJoinColumns)
     ext.injectOptimizerRule(_ => graft.plans.PushLeftFilterThroughAsOfJoin)
+    // /*+ RANGE_BIN(w[, maxBins]) */ — rewrite inner band joins
+    // (point-in-interval / interval-overlap predicates) into the
+    // binned equi-join form. Injected into the MAIN resolution batch,
+    // not injectHintResolutionRule: the "Hints" batch runs before any
+    // attribute resolution, so a rule there never sees the resolved
+    // child it needs to classify the band predicate's sides — inside
+    // the resolution fixed point the child resolves first while the
+    // unrecognized hint node is still present (RemoveAllHints only
+    // runs in a later batch).
+    ext.injectResolutionRule(_ => graft.plans.BinRangeJoinHint)
     // SQL surface for the native as-of join:
     //   SELECT * FROM asof_join('left', 'right', 'key[:rkey]',
     //                           'left_time', 'right_time'[, tolerance])

@@ -13,6 +13,15 @@ import org.apache.spark.sql.SparkSession
   *   on a real cluster this is AQE-coalesced anyway.
   * - AQE on: runtime re-planning (skew joins, partition coalescing)
   *   is part of the 100 TB story.
+  * - GraftExtensions installed at build time — the cluster deployment
+  *   path (`spark.sql.extensions=graft.GraftExtensions`): custom SQL
+  *   functions, the as-of TVF/strategy/rules, and the RANGE_BIN hint
+  *   rule are live in every session (and every `newSession()` child)
+  *   with zero per-session registration. Note getOrCreate reuses an
+  *   existing session and IGNORES withExtensions — in-process callers
+  *   after a foreign builder won't get the analyzer hint rule (the
+  *   runtime-registration paths in AsOfJoinOps/VectorExprs still
+  *   cover the rest).
   */
 object GraftSession {
   def build(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
@@ -24,6 +33,7 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -76,6 +76,7 @@ object SparkEntry {
     "join_range"             -> (StatOps.joinRange _),
     "rj_bin"                 -> (StatOps.rangeBinIncidents _),
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
+    "rj_sql"                 -> (StatOps.rangeBinIncidentsSql _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
@@ -874,6 +875,17 @@ object SparkEntry {
            ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
          GROUP BY 1 ORDER BY 1""",
     "rj_bin" ->
+      """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+                      FROM events WHERE event_type = 'error' AND value >= 150),
+              p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+         SELECT inc.lo, inc.hi, COUNT(*) AS n_purch,
+                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                TRUE AS rj_binned
+         FROM p JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
+         GROUP BY 1, 2 ORDER BY 1""",
+    // the SQL-hint surface must agree with the DataFrame form AND the
+    // oracle — same SQL text as rj_bin, byte-identical on purpose
+    "rj_sql" ->
       """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
                       FROM events WHERE event_type = 'error' AND value >= 150),
               p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')

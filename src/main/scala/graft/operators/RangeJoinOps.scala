@@ -63,15 +63,20 @@ object RangeJoinOps {
       case _ => col(name).cast("double")
     }
 
+  /** floor(x/w) on an already-double column — monotone, floor (not
+    * truncate) for negatives.
+    */
+  private[graft] def binOfD(cD: Column, w: Double): Column =
+    floor(cD / lit(w)).cast("long")
+
   /** floor(x/w) — monotone, floor (not truncate) for negatives. */
   private[graft] def binOf(df: DataFrame, name: String, w: Double): Column =
-    floor(asDouble(df, name) / lit(w)).cast("long")
+    binOfD(asDouble(df, name), w)
 
-  /** Bins covered by [lo, hi] with the explosion guard applied. */
-  private def binsOf(df: DataFrame, loCol: String, hiCol: String,
-      w: Double, maxBins: Int): Column = {
-    val b0 = binOf(df, loCol, w)
-    val b1 = binOf(df, hiCol, w)
+  /** Bins covered by [lo, hi] (double view) with the explosion guard. */
+  private def binsOfD(loD: Column, hiD: Column, w: Double, maxBins: Int): Column = {
+    val b0 = binOfD(loD, w)
+    val b1 = binOfD(hiD, w)
     val guarded = when(b1 - b0 >= lit(maxBins.toLong),
       raise_error(concat(
         lit("binned range join: one interval covers "),
@@ -79,6 +84,45 @@ object RangeJoinOps {
         lit(s" bins (max $maxBins) — raise binWidth or bound the interval"))))
       .otherwise(b1)
     sequence(b0, guarded)
+  }
+
+  /** Bins covered by [lo, hi] with the explosion guard applied. */
+  private def binsOf(df: DataFrame, loCol: String, hiCol: String,
+      w: Double, maxBins: Int): Column =
+    binsOfD(asDouble(df, loCol), asDouble(df, hiCol), w, maxBins)
+
+  /** The shared core the `RANGE_BIN` hint rule drives: both sides
+    * carry a derived interval as MONOTONE DOUBLE columns (the rule
+    * builds them from the band predicate's bound expressions, a
+    * degenerate [t, t] for the point side), candidate pairs are the
+    * ones sharing a grid cell — each emitted once via the canonical
+    * bin — and `residual` is the ORIGINAL join predicate, so the
+    * rewrite is an execution-strategy change only. A side whose lo/hi
+    * are the same expression skips the explode entirely (one bin per
+    * row, the pointInInterval shape).
+    */
+  private[graft] def binnedIntervalJoinD(
+      left: DataFrame, lloD: Column, lhiD: Column,
+      right: DataFrame, rloD: Column, rhiD: Column,
+      binWidth: Double, residual: Column,
+      maxBinsPerInterval: Int = 1000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // `eq` is the contract: a caller signaling a degenerate [t, t]
+    // side passes the SAME Column instance for lo and hi (structural
+    // semanticEquals on un-analyzed Column trees is not reliable —
+    // Spark 4 Column nodes round-trip through stubs)
+    def sameExpr(a: Column, b: Column): Boolean = a eq b
+    def side(df: DataFrame, loD: Column, hiD: Column, bin0: String): DataFrame =
+      if (sameExpr(loD, hiD))
+        df.withColumn(bin0, binOfD(loD, binWidth)).withColumn(BinCol, col(bin0))
+      else df.withColumn(bin0, binOfD(loD, binWidth))
+        .withColumn(BinCol, explode(binsOfD(loD, hiD, binWidth, maxBinsPerInterval)))
+    val l = side(left, lloD, lhiD, LBin0)
+    val r = side(right, rloD, rhiD, RBin0)
+    val cond = l(BinCol) === r(BinCol) &&
+      l(BinCol) === greatest(l(LBin0), r(RBin0)) && residual
+    l.join(r, cond)
+      .drop(l(BinCol)).drop(r(BinCol)).drop(l(LBin0)).drop(r(RBin0))
   }
 
   /** Point-in-interval join, binned: every `points` row joined to every

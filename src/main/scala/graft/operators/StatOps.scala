@@ -803,6 +803,40 @@ object StatOps {
          ORDER BY event_id""")
   }
 
+  /** [[rangeBinIncidents]] from PURE SQL via the `RANGE_BIN(w)` hint
+    * (plans/BinRangeJoinHint, installed by GraftExtensions at session
+    * build): the user keeps writing the natural band predicate
+    * `p.ts >= i.lo AND p.ts < i.hi` and the analyzer rewrites it into
+    * the binned equi-join — no query surgery, exactly how Spark's own
+    * BROADCAST/MERGE hints steer join strategy. The rewrite claim
+    * ships in-row (`rj_binned`: executed plan free of
+    * BroadcastNestedLoopJoin/CartesianProduct — which the un-hinted
+    * form of this very query plans), and the oracle is byte-identical
+    * to `rj_bin`'s, pinning hint ≡ DataFrame API ≡ DuckDB.
+    */
+  def rangeBinIncidentsSql(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "error" && col("value") >= 150)
+      .select(col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+      .createOrReplaceTempView("graft_rj_inc")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("value"))
+      .createOrReplaceTempView("graft_rj_p")
+    val joined = spark.sql(
+      """SELECT /*+ RANGE_BIN(900) */ i.lo, i.hi, p.value
+         FROM graft_rj_p p JOIN graft_rj_inc i
+           ON p.ts >= i.lo AND p.ts < i.hi""")
+    val plan = joined.queryExecution.executedPlan.toString()
+    val binned = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    joined.groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n_purch"),
+        graft.util.Num.moneySum(col("value")).as("rev"))
+      .withColumn("rj_binned", lit(binned))
+      .orderBy("lo")
+  }
+
   /** [[asofJoinNative]] on the BROADCAST physical form
     * (plans/BroadcastAsOfJoinExec): the signup history is small
     * relative to the purchase stream, so instead of co-partitioning

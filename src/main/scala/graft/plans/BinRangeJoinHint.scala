@@ -1,0 +1,170 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, UnresolvedHint}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.functions.{greatest, least}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** `/*+ RANGE_BIN(w[, maxBins]) */` — hint-driven binned range joins
+  * from pure SQL.
+  *
+  * A band predicate (`p.ts >= i.lo AND p.ts < i.hi`, or the overlap
+  * form `a.lo < b.hi AND b.lo < a.hi`) has no equi-key, so Catalyst
+  * can only plan BroadcastNestedLoopJoin/CartesianProduct — O(|L|·|R|)
+  * and driver-bound at scale. This analyzer rule (registered through
+  * `SparkSessionExtensions.injectHintResolutionRule`, the same slot
+  * Spark's own join-strategy hints use) rewrites every INNER band join
+  * under the hint into `RangeJoinOps`' grid form: each side derives an
+  * interval from its bound expressions (a degenerate `[t, t]` for the
+  * point side, which skips the explode), candidates meet in width-`w`
+  * grid cells through an ordinary equi-join on the bin id, each pair
+  * surfaces exactly once (canonical bin), and the ORIGINAL predicate
+  * runs as the residual — semantics preserved by construction, only
+  * the execution strategy changes.
+  *
+  * The rule deliberately declines (leaves the join alone) when:
+  *  - the join also has a cross-side EQUI conjunct — Catalyst already
+  *    plans a hash join on it, binning would only add explode cost;
+  *  - the band bounds are not numeric/timestamp/date typed;
+  *  - the condition is non-deterministic (a rewrite would change how
+  *    many times the expression evaluates);
+  *  - fewer than one lower and one upper cross-side bound exist.
+  * An unmatched hint is dropped with a warning, like Spark's own
+  * unrecognized-hint path. A malformed width fails analysis loudly —
+  * a silently-ignored tuning knob is how 10-hour jobs happen.
+  */
+object BinRangeJoinHint extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val HintName = "RANGE_BIN"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case UnresolvedHint(name, params, child)
+        if name.equalsIgnoreCase(HintName) && child.resolved =>
+      val (w, maxBins) = parseParams(params)
+      var applied = 0
+      val out = child.transformUp {
+        case j: Join =>
+          bandRewrite(j, w, maxBins) match {
+            case Some(p) => applied += 1; p
+            case None => j
+          }
+      }
+      if (applied == 0) {
+        logWarning(s"$HintName($w): no eligible band join under the hint; dropped")
+        child
+      } else out
+  }
+
+  private def parseParams(params: Seq[Any]): (Double, Int) = {
+    def num(a: Any): Double = a match {
+      case Literal(v, _: NumericType) => v match {
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case d: Double => d
+        case f: Float => f.toDouble
+        case s: Short => s.toDouble
+        case b: Byte => b.toDouble
+        case d: Decimal => d.toDouble
+        case other => fail(s"unsupported numeric literal $other")
+      }
+      case other => fail(s"expected a numeric literal, got $other")
+    }
+    val (w, maxBins) = params match {
+      case Seq(a) => (num(a), 1000)
+      case Seq(a, b) => (num(a), num(b).toInt)
+      case _ => fail(s"expected RANGE_BIN(width[, maxBinsPerInterval]), got ${params.length} args")
+    }
+    if (w <= 0) fail(s"width must be positive, got $w")
+    if (maxBins <= 0) fail(s"maxBinsPerInterval must be positive, got $maxBins")
+    (w, maxBins)
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"$HintName hint: $msg")
+
+  private def binnable(dt: DataType): Boolean = dt match {
+    case _: NumericType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  /** Monotone double view, same transform as RangeJoinOps.asDouble. */
+  private def asDoubleCol(e: Expression): Column = {
+    val c = Bridge.column(e)
+    e.dataType match {
+      case TimestampType | TimestampNTZType | DateType =>
+        c.cast("timestamp_ltz").cast("double")
+      case _ => c.cast("double")
+    }
+  }
+
+  private def bandRewrite(j: Join, w: Double, maxBins: Int): Option[LogicalPlan] =
+    j match {
+      case Join(left, right, Inner, Some(cond), _) if cond.deterministic =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        def sideOf(e: Expression): Option[Boolean] = {
+          val refs = e.references
+          if (refs.isEmpty) None
+          else if (refs.subsetOf(left.outputSet)) Some(true)
+          else if (refs.subsetOf(right.outputSet)) Some(false)
+          else None
+        }
+        // normalize every cross-side comparison to (leftExpr, rightExpr,
+        // isUpper) with isUpper ⇔ leftExpr ≤/< rightExpr
+        var equi = false
+        val bounds = conjuncts.flatMap {
+          case cmp: BinaryComparison =>
+            (sideOf(cmp.left), sideOf(cmp.right)) match {
+              case (Some(true), Some(false)) => cmp match {
+                case _: EqualTo | _: EqualNullSafe => equi = true; None
+                case _: LessThan | _: LessThanOrEqual => Some((cmp.left, cmp.right, true))
+                case _: GreaterThan | _: GreaterThanOrEqual => Some((cmp.left, cmp.right, false))
+                case _ => None
+              }
+              case (Some(false), Some(true)) => cmp match {
+                case _: EqualTo | _: EqualNullSafe => equi = true; None
+                case _: LessThan | _: LessThanOrEqual => Some((cmp.right, cmp.left, false))
+                case _: GreaterThan | _: GreaterThanOrEqual => Some((cmp.right, cmp.left, true))
+                case _ => None
+              }
+              case _ => None
+            }
+          case _ => None
+        }
+        val uppers = bounds.filter(_._3)
+        val lowers = bounds.filterNot(_._3)
+        if (equi || uppers.isEmpty || lowers.isEmpty) return None
+        val (aL, bR, _) = uppers.head // aL ≤ bR
+        val (cL, dR, _) = lowers.head // cL ≥ dR
+        if (!Seq(aL, bR, cL, dR).forall(e => binnable(e.dataType))) return None
+        // cond ⇒ [min(aL,cL), max(aL,cL)] overlaps [min(dR,bR), max(dR,bR)]:
+        // aL ≤ bR ≤ rHi and cL ≥ dR ≥ rLo, so lLo ≤ rHi ∧ rLo ≤ lHi.
+        // least/greatest keep the derived intervals well-formed even
+        // when the two bounds aren't ordered for some row; the residual
+        // (the ORIGINAL cond) makes the final answer exact regardless.
+        val spark = SparkSession.active
+        val lDF = Bridge.ofRows(spark, left)
+        val rDF = Bridge.ofRows(spark, right)
+        // a degenerate [t, t] side passes the SAME Column instance
+        // twice — binnedIntervalJoinD's `eq` contract for skipping the
+        // explode on the point side
+        val (lLo, lHi) =
+          if (aL.semanticEquals(cL)) { val d = asDoubleCol(aL); (d, d) }
+          else (least(asDoubleCol(aL), asDoubleCol(cL)),
+            greatest(asDoubleCol(aL), asDoubleCol(cL)))
+        val (rLo, rHi) =
+          if (dR.semanticEquals(bR)) { val d = asDoubleCol(dR); (d, d) }
+          else (least(asDoubleCol(dR), asDoubleCol(bR)),
+            greatest(asDoubleCol(dR), asDoubleCol(bR)))
+        val joined = graft.operators.RangeJoinOps.binnedIntervalJoinD(
+          lDF, lLo, lHi, rDF, rLo, rHi, w,
+          residual = Bridge.column(cond), maxBinsPerInterval = maxBins)
+        val projected = joined.select(j.output.map(Bridge.column): _*)
+        Some(projected.queryExecution.analyzed)
+      case _ => None
+    }
+}

@@ -1,0 +1,122 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RANGE_BIN hint: pure-SQL access to the binned range join. The
+  * rule lives in the analyzer's hint-resolution slot, so these pins
+  * run on a GraftSession (extensions installed at build time) and
+  * assert through the EXECUTED plan — rewrite evidence is the absence
+  * of BroadcastNestedLoopJoin on a query whose un-hinted twin plans
+  * exactly that.
+  */
+class BinRangeJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.GraftSession.build("bin-range-hint-spec", "4")
+  val sf = "/root/testdata/sf0.001"
+
+  private def prepViews(): Unit = {
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.filter(col("event_type") === "error")
+      .select(col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"),
+        col("event_id").as("inc_id"))
+      .createOrReplaceTempView("brj_inc")
+    ev.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("event_id").as("p_id"))
+      .createOrReplaceTempView("brj_p")
+  }
+
+  test("hinted band join ≡ un-hinted, and escapes the nested loop") {
+    prepViews()
+    val hinted = spark.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val naive = spark.sql(
+      """SELECT p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val hp = hinted.queryExecution.executedPlan.toString()
+    val np = naive.queryExecution.executedPlan.toString()
+    assert(!hp.contains("BroadcastNestedLoopJoin") && !hp.contains("CartesianProduct"),
+      s"hint did not rewrite the band join:\n$hp")
+    assert(np.contains("BroadcastNestedLoopJoin") || np.contains("CartesianProduct"),
+      s"negative control: un-hinted band join should be a nested loop:\n$np")
+    assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+      "hint changed the result")
+    assert(hinted.count() > 0, "fixture produced no pairs")
+    // point side must not pay a Generate (degenerate [t, t] interval)
+    assert(hp.sliding("Generate".length).count(_ == "Generate") >= 1)
+    val analyzedGenerates = hinted.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(analyzedGenerates.length === 1,
+      s"expected exactly one explode (intervals side only): $analyzedGenerates")
+  }
+
+  test("overlap-shaped hint rewrites and matches the naive overlap join") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    ev.filter(col("event_type") === "error")
+      .select(col("ts").as("elo"),
+        (col("ts") + expr("INTERVAL 5 MINUTES")).as("ehi"),
+        col("event_id").as("eid"))
+      .createOrReplaceTempView("brj_e")
+    ev.filter(col("event_type") === "click")
+      .select(col("ts").as("clo"),
+        (col("ts") + expr("INTERVAL 3 MINUTES")).as("chi"),
+        col("event_id").as("cid"))
+      .createOrReplaceTempView("brj_c")
+    val hinted = spark.sql(
+      """SELECT /*+ RANGE_BIN(300) */ eid, cid
+         FROM brj_e e JOIN brj_c c ON e.elo < c.chi AND c.clo < e.ehi""")
+    val naive = spark.sql(
+      """SELECT eid, cid
+         FROM brj_e e JOIN brj_c c ON e.elo < c.chi AND c.clo < e.ehi""")
+    val hp = hinted.queryExecution.executedPlan.toString()
+    assert(!hp.contains("BroadcastNestedLoopJoin") && !hp.contains("CartesianProduct"),
+      s"hint did not rewrite the overlap join:\n$hp")
+    assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+      "hint changed the overlap result")
+    assert(hinted.count() > 0, "fixture produced no overlaps")
+  }
+
+  test("rule declines equi-joins and hint drops with the join untouched") {
+    prepViews()
+    // a cross-side equi conjunct → hash join already; rewrite declined
+    val equi = spark.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts = i.lo AND p.ts < i.hi""")
+    val ep = equi.queryExecution.executedPlan.toString()
+    assert(!ep.contains("__graft_bin"), s"equi-join was rewritten:\n$ep")
+    // no join at all → hint dropped with a warning, query still runs
+    val nojoin = spark.sql("SELECT /*+ RANGE_BIN(900) */ count(*) AS n FROM brj_p")
+    assert(nojoin.head().getLong(0) > 0)
+  }
+
+  test("malformed width fails analysis loudly") {
+    prepViews()
+    val e = intercept[Exception] {
+      spark.sql(
+        """SELECT /*+ RANGE_BIN(0) */ p_id, inc_id
+           FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("width must be positive")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
+  test("numeric-domain band join through the hint, DataFrame-registered views") {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("pid", "t")
+      .createOrReplaceTempView("brj_np")
+    Seq((100L, 10.0, 20.0), (200L, 14.0, 16.0)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("brj_ni")
+    val got = spark.sql(
+      """SELECT /*+ RANGE_BIN(5) */ pid, iid
+         FROM brj_np p JOIN brj_ni i ON p.t >= i.lo AND p.t < i.hi""")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 100L), (3L, 100L), (3L, 200L)),
+      s"numeric hint join wrong: $got")
+  }
+}
