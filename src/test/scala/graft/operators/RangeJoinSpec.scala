@@ -130,6 +130,39 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("property: binned ≡ naive across random intervals, widths, and signs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (1 to 4).foreach { trial =>
+      // intervals with wildly mixed lengths (0.1 .. ~60 units) on a
+      // signed domain, so single-bin, many-bin, and negative cases mix
+      val ivs = (1 to 60).map { i =>
+        val lo = rnd.nextDouble() * 200 - 100
+        (i.toLong, lo, lo + math.pow(10, rnd.nextDouble() * 3 - 1) * 0.6)
+      }.toDF("iid", "lo", "hi")
+      val pts = (1 to 150).map(i => (i.toLong, rnd.nextDouble() * 220 - 110))
+        .toDF("pid", "t")
+      val w = Seq(0.5, 3.0, 25.0, 500.0)(trial - 1) // tiny .. one-giant-bin
+      val b = RangeJoinOps.pointInInterval(pts, "t", ivs, "lo", "hi", w,
+        maxBinsPerInterval = 100000).select("pid", "iid")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val n = pts.join(ivs, pts("t") >= ivs("lo") && pts("t") < ivs("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(b === n, s"trial $trial (w=$w): point-in-interval diverged")
+      val ivs2 = (1 to 50).map { i =>
+        val lo = rnd.nextDouble() * 200 - 100
+        (i.toLong, lo, lo + math.pow(10, rnd.nextDouble() * 3 - 1) * 0.6)
+      }.toDF("bid", "blo", "bhi")
+      val a2 = ivs.select(col("iid").as("aid"), col("lo").as("alo"), col("hi").as("ahi"))
+      val b2 = RangeJoinOps.intervalOverlap(a2, "alo", "ahi", ivs2, "blo", "bhi", w,
+        maxBinsPerInterval = 100000).select("aid", "bid")
+        .as[(Long, Long)].collect().sorted.toSeq
+      val n2 = a2.join(ivs2, a2("alo") < ivs2("bhi") && ivs2("blo") < a2("ahi"))
+        .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+      assert(b2 === n2, s"trial $trial (w=$w): interval-overlap diverged")
+    }
+  }
+
   test("plan shape: equi-join on the bin id, never a nested loop") {
     // default session: whatever Catalyst picks must not be BNLJ/cartesian
     val inc = events.filter(col("event_type") === "error")
