@@ -105,7 +105,18 @@ object BinRangeJoinHint extends Rule[LogicalPlan] with PredicateHelper {
   private def bandRewrite(j: Join, w: Double, maxBins: Int): Option[LogicalPlan] =
     j match {
       case Join(left, right, Inner, Some(cond), _) if cond.deterministic =>
-        val conjuncts = splitConjunctivePredicates(cond)
+        // BETWEEN stays a single RuntimeReplaceable `Between` node at
+        // analysis time (only the optimizer's ReplaceExpressions
+        // expands it), and its built-in `replacement` routes the input
+        // through CommonExpressionRef nodes whose `references` are
+        // EMPTY — invisible to the side classifier. Expand it to the
+        // plain two-bound form by hand (classification only; the
+        // residual keeps the original cond).
+        val normalized = cond.transform {
+          case Between(input, lower, upper, _) =>
+            And(GreaterThanOrEqual(input, lower), LessThanOrEqual(input, upper))
+        }
+        val conjuncts = splitConjunctivePredicates(normalized)
         def sideOf(e: Expression): Option[Boolean] = {
           val refs = e.references
           if (refs.isEmpty) None

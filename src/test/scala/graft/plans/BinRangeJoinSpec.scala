@@ -106,6 +106,21 @@ class BinRangeJoinSpec extends AnyFunSuite {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("BETWEEN surface rewrites too (parser lowers it to the two conjuncts)") {
+    prepViews()
+    val hinted = spark.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts BETWEEN i.lo AND i.hi""")
+    val naive = spark.sql(
+      """SELECT p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts BETWEEN i.lo AND i.hi""")
+    val hp = hinted.queryExecution.executedPlan.toString()
+    assert(!hp.contains("BroadcastNestedLoopJoin") && !hp.contains("CartesianProduct"),
+      s"BETWEEN band join not rewritten:\n$hp")
+    assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+      "BETWEEN rewrite changed the result")
+  }
+
   test("numeric-domain band join through the hint, DataFrame-registered views") {
     import spark.implicits._
     Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("pid", "t")
