@@ -34,7 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the resolution fixed point the child resolves first while the
     // unrecognized hint node is still present (RemoveAllHints only
     // runs in a later batch).
-    ext.injectResolutionRule(_ => graft.plans.BinRangeJoinHint)
+    // per-session instance: the rule re-analyzes its rewrite through a
+    // DataFrame build, which must run against the session that owns
+    // the plan, not whatever session happens to be thread-active
+    ext.injectResolutionRule(session => new graft.plans.BinRangeJoinHint(session))
     // SQL surface for the native as-of join:
     //   SELECT * FROM asof_join('left', 'right', 'key[:rkey]',
     //                           'left_time', 'right_time'[, tolerance])

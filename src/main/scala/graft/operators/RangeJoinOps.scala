@@ -46,6 +46,19 @@ object RangeJoinOps {
   private val LBin0 = "__graft_lbin0"
   private val RBin0 = "__graft_rbin0"
 
+  /** The bin machinery claims the `__graft_` name prefix via
+    * `withColumn`, which would SILENTLY replace a same-named user
+    * column and then surface as a confusing unresolved-attribute
+    * error in the hint path's final re-projection. Fail fast with the
+    * actual contract instead (r13 advice).
+    */
+  private def requireNoReserved(df: DataFrame, side: String): Unit = {
+    val clash = df.columns.filter(_.startsWith("__graft_"))
+    require(clash.isEmpty,
+      s"range join: $side input already has column(s) ${clash.mkString(", ")} — " +
+        "the __graft_ prefix is reserved for the bin machinery; rename them first")
+  }
+
   /** Double view of a bin-domain column: numerics cast directly;
     * TIMESTAMP/TIMESTAMP_NTZ/DATE go through timestamp_ltz (a no-op
     * for LTZ; wall-clock-in-session-tz for NTZ/DATE — GraftSession
@@ -73,14 +86,21 @@ object RangeJoinOps {
   private[graft] def binOf(df: DataFrame, name: String, w: Double): Column =
     binOfD(asDouble(df, name), w)
 
-  /** Bins covered by [lo, hi] (double view) with the explosion guard. */
+  /** Bins covered by [lo, hi] (double view) with the explosion guard.
+    * The span is computed in DOUBLE, not from the long bin ids: an
+    * extreme bound saturates the long cast at ±Long.MaxValue, so a
+    * long-domain subtraction can overflow NEGATIVE, slip past the
+    * guard, and fail later with Spark's generic "sequence too long"
+    * (r13 advice). Doubles never wrap — a huge span stays huge.
+    */
   private def binsOfD(loD: Column, hiD: Column, w: Double, maxBins: Int): Column = {
     val b0 = binOfD(loD, w)
     val b1 = binOfD(hiD, w)
-    val guarded = when(b1 - b0 >= lit(maxBins.toLong),
+    val spanD = floor(hiD / lit(w)) - floor(loD / lit(w))
+    val guarded = when(spanD >= lit(maxBins.toDouble),
       raise_error(concat(
         lit("binned range join: one interval covers "),
-        (b1 - b0 + lit(1L)).cast("string"),
+        (spanD + lit(1.0)).cast("string"),
         lit(s" bins (max $maxBins) — raise binWidth or bound the interval"))))
       .otherwise(b1)
     sequence(b0, guarded)
@@ -107,6 +127,8 @@ object RangeJoinOps {
       binWidth: Double, residual: Column,
       maxBinsPerInterval: Int = 1000): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
     // `eq` is the contract: a caller signaling a degenerate [t, t]
     // side passes the SAME Column instance for lo and hi (structural
     // semanticEquals on un-analyzed Column trees is not reliable —
@@ -144,6 +166,8 @@ object RangeJoinOps {
       keys: Seq[(String, String)] = Nil,
       maxBinsPerInterval: Int = 1000): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoReserved(points, "points")
+    requireNoReserved(intervals, "intervals")
     val p = points.withColumn(BinCol, binOf(points, pointCol, binWidth))
     val i = intervals.withColumn(BinCol,
       explode(binsOf(intervals, loCol, hiCol, binWidth, maxBinsPerInterval)))
@@ -173,6 +197,8 @@ object RangeJoinOps {
       keys: Seq[(String, String)] = Nil,
       maxBinsPerInterval: Int = 1000): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
     val l = left
       .withColumn(LBin0, binOf(left, lloCol, binWidth))
       .withColumn(BinCol,

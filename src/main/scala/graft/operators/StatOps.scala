@@ -803,6 +803,15 @@ object StatOps {
          ORDER BY event_id""")
   }
 
+  /** Monotone source for collision-free temp-view names: a library
+    * operator registering catalog state must neither clobber a user
+    * view of the same name nor leak its own across queries (r13
+    * advice) — so every invocation gets fresh names AND drops them
+    * once the plan is built (analysis resolves views into the plan;
+    * the catalog entry is only needed during `spark.sql`).
+    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** [[rangeBinIncidents]] from PURE SQL via the `RANGE_BIN(w)` hint
     * (plans/BinRangeJoinHint, installed by GraftExtensions at session
     * build): the user keeps writing the natural band predicate
@@ -813,20 +822,36 @@ object StatOps {
     * BroadcastNestedLoopJoin/CartesianProduct — which the un-hinted
     * form of this very query plans), and the oracle is byte-identical
     * to `rj_bin`'s, pinning hint ≡ DataFrame API ≡ DuckDB.
+    *
+    * Runs on a `newSession()` child with the broadcast threshold
+    * dialed OFF: the hint PICKS by stats (small side under the
+    * threshold → the plain broadcast nested loop is the cheaper plan,
+    * see [[rangeBinIncidentsAuto]] for the gate on that choice), and
+    * at testdata scale the incident side is broadcast-sized — this
+    * key demonstrates the REWRITE, so it pins the 100 TB shape where
+    * no side broadcasts, exactly like a user forcing the grid form on
+    * a big-big join. Temp views live on the child, so the caller's
+    * catalog is untouched.
     */
   def rangeBinIncidentsSql(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val n = viewSeq.incrementAndGet()
+    val (vInc, vP) = (s"graft_rj_inc_$n", s"graft_rj_p_$n")
+    val ev = Tables.events(child, dir)
     ev.filter(col("event_type") === "error" && col("value") >= 150)
       .select(col("ts").as("lo"),
         (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
-      .createOrReplaceTempView("graft_rj_inc")
+      .createOrReplaceTempView(vInc)
     ev.filter(col("event_type") === "purchase")
       .select(col("ts"), col("value"))
-      .createOrReplaceTempView("graft_rj_p")
-    val joined = spark.sql(
-      """SELECT /*+ RANGE_BIN(900) */ i.lo, i.hi, p.value
-         FROM graft_rj_p p JOIN graft_rj_inc i
+      .createOrReplaceTempView(vP)
+    val joined = child.sql(
+      s"""SELECT /*+ RANGE_BIN(900) */ i.lo, i.hi, p.value
+         FROM $vP p JOIN $vInc i
            ON p.ts >= i.lo AND p.ts < i.hi""")
+    child.catalog.dropTempView(vInc)
+    child.catalog.dropTempView(vP)
     val plan = joined.queryExecution.executedPlan.toString()
     val binned = !plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct")

@@ -17,8 +17,10 @@ import org.apache.spark.sql.types._
   * form `a.lo < b.hi AND b.lo < a.hi`) has no equi-key, so Catalyst
   * can only plan BroadcastNestedLoopJoin/CartesianProduct — O(|L|·|R|)
   * and driver-bound at scale. This analyzer rule (registered through
-  * `SparkSessionExtensions.injectHintResolutionRule`, the same slot
-  * Spark's own join-strategy hints use) rewrites every INNER band join
+  * `SparkSessionExtensions.injectResolutionRule`, NOT the dedicated
+  * hint slot: the "Hints" batch runs before attribute resolution, so
+  * a rule there never sees the resolved child it must classify — see
+  * GraftExtensions) rewrites every INNER band join
   * under the hint into `RangeJoinOps`' grid form: each side derives an
   * interval from its bound expressions (a degenerate `[t, t]` for the
   * point side, which skips the explode), candidates meet in width-`w`
@@ -38,7 +40,8 @@ import org.apache.spark.sql.types._
   * unrecognized-hint path. A malformed width fails analysis loudly —
   * a silently-ignored tuning knob is how 10-hour jobs happen.
   */
-object BinRangeJoinHint extends Rule[LogicalPlan] with PredicateHelper {
+class BinRangeJoinHint(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
 
   private val HintName = "RANGE_BIN"
 
@@ -157,7 +160,12 @@ object BinRangeJoinHint extends Rule[LogicalPlan] with PredicateHelper {
         // least/greatest keep the derived intervals well-formed even
         // when the two bounds aren't ordered for some row; the residual
         // (the ORIGINAL cond) makes the final answer exact regardless.
-        val spark = SparkSession.active
+        // the injecting session, NOT SparkSession.active: in a
+        // multi-session app sharing the extensions, analysis can run
+        // on a thread whose active session differs from the one that
+        // owns this plan — the nested re-analysis below must use the
+        // owner's state/conf (r13 advice)
+        val spark = session
         val lDF = Bridge.ofRows(spark, left)
         val rDF = Bridge.ofRows(spark, right)
         // a degenerate [t, t] side passes the SAME Column instance
