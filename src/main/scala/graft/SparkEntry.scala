@@ -67,7 +67,7 @@ object SparkEntry {
     "rank_dense"      -> (StatOps.windowRankDense _),
     "pct_rank"    -> (StatOps.windowPercentRank _),
     "csort"     -> (StatOps.aggCollectSorted _),
-    "collect_cap"     -> (StatOps.aggCollectCapped _),
+    "ccap"     -> (StatOps.aggCollectCapped _),
     "ntile"        -> (StatOps.ntileQuartiles _),
     "corr_grp"          -> (StatOps.corrByGroup _),
     "quant"     -> (StatOps.quantilesByGroup _),
@@ -77,6 +77,8 @@ object SparkEntry {
     "rj_bin"                 -> (StatOps.rangeBinIncidents _),
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
     "rj_sql"                 -> (StatOps.rangeBinIncidentsSql _),
+    "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
+    "rj_auto"                -> (StatOps.rangeBinIncidentsAuto _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
@@ -86,12 +88,12 @@ object SparkEntry {
     "asof_auto"              -> (StatOps.asofJoinAuto _),
     "asof_near"              -> (StatOps.asofJoinNearest _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
-    "text_tokens"            -> (TextOps.textTokens _),
+    "toks"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
     "quality"           -> (TextOps.textQuality _),
-    "text_langid"            -> (TextOps.textLangId _),
+    "langid"            -> (TextOps.textLangId _),
     "text_fp"       -> (TextOps.textFingerprint _),
-    "text_reps"       -> (TextOps.textRepSignals _),
+    "reps"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
     "dtext"       -> (DedupOps.dedupExactText _),
     "jaccard"    -> (DedupOps.dedupNgramJaccard _),
@@ -127,7 +129,7 @@ object SparkEntry {
     "corpus"         -> (PipelineOps.corpusPipeline _),
     "clusters"         -> (DedupOps.dedupClusters _),
     "quota"    -> (PipelineOps.sampleSourceQuota _),
-    "imp_sample"      -> (PipelineOps.sampleImportance _),
+    "imps"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
     "cohort"       -> (EventOps.cohortRetention _),
     "rframe"     -> (EventOps.windowRangeFrame _),
@@ -814,7 +816,7 @@ object SparkEntry {
     // StatOps.aggCollectCapped: the bounded MinKStrings aggregate ≡
     // first k of the sorted multiset (binary order matches DuckDB's
     // default collation on this ASCII column).
-    "collect_cap" ->
+    "ccap" ->
       s"""SELECT p_brand,
           array_to_string(list_slice(list_sort(list(p_type)), 1, ${StatOps.CollectCap}), '|')
             AS types_cat,
@@ -892,6 +894,30 @@ object SparkEntry {
          SELECT inc.lo, inc.hi, COUNT(*) AS n_purch,
                 CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
                 TRUE AS rj_binned
+         FROM p JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
+         GROUP BY 1, 2 ORDER BY 1""",
+    // keyed (equi + band): the hint composes the user key with the bin
+    "rj_key" ->
+      """WITH inc AS (SELECT user_id AS i_uid, ts AS lo,
+                             ts + INTERVAL 2 HOUR AS hi
+                      FROM events WHERE event_type = 'error'),
+              p AS (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase')
+         SELECT p.user_id, COUNT(*) AS n_hits,
+                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                TRUE AS rj_keyed_bin
+         FROM p JOIN inc
+           ON p.user_id = inc.i_uid AND p.ts >= inc.lo AND p.ts < inc.hi
+         GROUP BY 1 ORDER BY 1""",
+    // the stats-driven pick: same result as rj_bin, claim pins the
+    // DECLINE (broadcast-sized side → nested loop kept, no explode)
+    "rj_auto" ->
+      """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+                      FROM events WHERE event_type = 'error' AND value >= 150),
+              p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
+         SELECT inc.lo, inc.hi, COUNT(*) AS n_purch,
+                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                TRUE AS rj_auto_bnlj
          FROM p JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
          GROUP BY 1, 2 ORDER BY 1""",
     "rj_ov" ->
@@ -1014,7 +1040,7 @@ object SparkEntry {
          FROM e p WHERE p.event_type = 'purchase'
          ORDER BY p.event_id"""
     },
-    "text_tokens" ->
+    "toks" ->
       s"""SELECT doc_id,
           CAST(len($toksSql) AS BIGINT) AS n_tokens,
           CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq_tokens,
@@ -1047,14 +1073,14 @@ object SparkEntry {
             AS quality_score
           FROM t ORDER BY doc_id"""
     },
-    "text_langid" -> langIdSql,
+    "langid" -> langIdSql,
     "text_fp" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
     // TextOps.textRepSignals: Gopher-family repetition signals over
     // token bigrams; fractions are a single long→double division so
     // both engines agree bitwise. Docs with <2 tokens have no bigrams
     // and drop out on both sides.
-    "text_reps" ->
+    "reps" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           bg AS (SELECT doc_id,
                    unnest(list_transform(range(1, len(toks)),
@@ -1434,7 +1460,7 @@ object SparkEntry {
     // PipelineOps.sampleImportance: keep-probability ∝ min(1,
     // n_chars/2000), decided by integer compare of a salted-md5 hash
     // slice against an integer threshold — exact on both engines.
-    "imp_sample" ->
+    "imps" ->
       """SELECT doc_id, n_chars,
          LEAST(65536, n_chars * 65536 // 2000) AS thr
          FROM documents

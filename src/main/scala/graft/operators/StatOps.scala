@@ -862,6 +862,87 @@ object StatOps {
       .orderBy("lo")
   }
 
+  /** KEYED (equi + band) binned range join from pure SQL — the
+    * dominant production shape: purchases matched to incident windows
+    * OF THE SAME USER. A hash join on `user_id` alone degenerates to
+    * a quadratic per-key nested loop on low-cardinality or hot keys
+    * (every purchase × every window of that user before the range
+    * residual); under `RANGE_BIN` the rewrite keeps the equality in
+    * the residual, where ExtractEquiJoinKeys lifts it into the join
+    * keys NEXT TO the bin id — the physical join co-partitions on
+    * `(user_id, bin)`, so a hot user's candidates split across its
+    * time bins instead of piling into one task. The in-row claim
+    * pins exactly that: no nested loop AND the bin id participates in
+    * the executed join. Child session with the broadcast threshold
+    * off, same rationale as [[rangeBinIncidentsSql]].
+    */
+  def rangeBinIncidentsKeyed(spark: SparkSession, dir: String): DataFrame = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val n = viewSeq.incrementAndGet()
+    val (vInc, vP) = (s"graft_rjk_inc_$n", s"graft_rjk_p_$n")
+    val ev = Tables.events(child, dir)
+    ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("i_uid"), col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("hi"))
+      .createOrReplaceTempView(vInc)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .createOrReplaceTempView(vP)
+    val joined = child.sql(
+      s"""SELECT /*+ RANGE_BIN(7200) */ p.user_id, i.lo, i.hi, p.value
+         FROM $vP p JOIN $vInc i
+           ON p.user_id = i.i_uid AND p.ts >= i.lo AND p.ts < i.hi""")
+    child.catalog.dropTempView(vInc)
+    child.catalog.dropTempView(vP)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val keyedBin = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") && plan.contains("__graft_bin")
+    joined.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hits"),
+        graft.util.Num.moneySum(col("value")).as("rev"))
+      .withColumn("rj_keyed_bin", lit(keyedBin))
+      .orderBy("user_id")
+  }
+
+  /** The stats-driven pick itself, gated at testdata scale: the SAME
+    * hinted band query as [[rangeBinIncidentsSql]] but on the
+    * caller's session with its REAL broadcast threshold, where the
+    * incident side is broadcast-sized — so the correct choice is to
+    * DECLINE the rewrite and keep Catalyst's broadcast nested loop
+    * (zero shuffle, no explode; see BinRangeJoinHint's cost note).
+    * The in-row claim pins the choice: the executed plan carries the
+    * nested loop and NO bin column. The as-of analog is `asof_auto`
+    * pinning BroadcastAsOfJoin; the spec dials the threshold the
+    * other way.
+    */
+  def rangeBinIncidentsAuto(spark: SparkSession, dir: String): DataFrame = {
+    val n = viewSeq.incrementAndGet()
+    val (vInc, vP) = (s"graft_rja_inc_$n", s"graft_rja_p_$n")
+    val ev = Tables.events(spark, dir)
+    ev.filter(col("event_type") === "error" && col("value") >= 150)
+      .select(col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+      .createOrReplaceTempView(vInc)
+    ev.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("value"))
+      .createOrReplaceTempView(vP)
+    val joined = spark.sql(
+      s"""SELECT /*+ RANGE_BIN(900) */ i.lo, i.hi, p.value
+         FROM $vP p JOIN $vInc i
+           ON p.ts >= i.lo AND p.ts < i.hi""")
+    spark.catalog.dropTempView(vInc)
+    spark.catalog.dropTempView(vP)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val declined = plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("__graft_bin")
+    joined.groupBy("lo", "hi")
+      .agg(count(lit(1)).as("n_purch"),
+        graft.util.Num.moneySum(col("value")).as("rev"))
+      .withColumn("rj_auto_bnlj", lit(declined))
+      .orderBy("lo")
+  }
+
   /** [[asofJoinNative]] on the BROADCAST physical form
     * (plans/BroadcastAsOfJoinExec): the signup history is small
     * relative to the purchase stream, so instead of co-partitioning

@@ -113,6 +113,36 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got2.toSeq === Seq(1L), "key restriction lost on intervalOverlap")
   }
 
+  test("keyed hot key: candidates split across bins instead of a per-key quadratic") {
+    import spark.implicits._
+    // ONE key owns every row — the shape where a hash join on the key
+    // alone degenerates: every point × every interval of that key
+    // meets in a single task before the range filter (n² candidates).
+    // Joining on (key, bin) caps candidates at pairs SHARING A GRID
+    // CELL: same result, ~n·(len/w+1) candidate pairs spread over the
+    // key's time bins.
+    val n = 400
+    val pts = (0 until n).map(i => ("hot", i * 10.0 + 0.5, i.toLong)).toDF("pu", "t", "pid")
+    val ivs = (0 until n).map(i => ("hot", i * 10.0, i * 10.0 + 10.0, i.toLong))
+      .toDF("iu", "lo", "hi", "iid")
+    val keyed = RangeJoinOps.pointInInterval(pts, "t", ivs, "lo", "hi", 10.0,
+      keys = Seq("pu" -> "iu"))
+    val got = keyed.select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    // every point lands in exactly its own interval
+    assert(got === (0L until n.toLong).map(i => (i, i)),
+      "keyed binned join lost or invented matches")
+    // candidate-count evidence: key-only equi join = n² pre-residual
+    // pairs; (key, bin) equi join = one bin probe per point. The 100×+
+    // gap is what the rewrite buys on a hot key.
+    val naiveCand = pts.join(ivs, pts("pu") === ivs("iu")).count()
+    val binnedCand = pts.withColumn("b", floor(col("t") / 10.0))
+      .join(ivs.withColumn("b", floor(col("lo") / 10.0)), Seq("b"))
+      .where(col("pu") === col("iu")).count()
+    assert(naiveCand === n.toLong * n, s"fixture drifted: $naiveCand")
+    assert(binnedCand <= 2L * n,
+      s"binned candidate set should be ~n, got $binnedCand vs naive $naiveCand")
+  }
+
   test("runaway-interval guard fails the query instead of exploding") {
     import spark.implicits._
     val pts = Seq((1L, 5.0)).toDF("pid", "t")

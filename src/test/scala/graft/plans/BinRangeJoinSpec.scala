@@ -5,35 +5,49 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The RANGE_BIN hint: pure-SQL access to the binned range join. The
-  * rule lives in the analyzer's hint-resolution slot, so these pins
-  * run on a GraftSession (extensions installed at build time) and
-  * assert through the EXECUTED plan — rewrite evidence is the absence
-  * of BroadcastNestedLoopJoin on a query whose un-hinted twin plans
+  * rule lives in the analyzer's resolution slot, so these pins run on
+  * a GraftSession (extensions installed at build time) and assert
+  * through the EXECUTED plan — rewrite evidence is the absence of
+  * BroadcastNestedLoopJoin on a query whose un-hinted twin plans
   * exactly that.
+  *
+  * The hint PICKS by stats (a broadcast-sized side keeps the nested
+  * loop — no explode needed when the scan side is small), so the
+  * rewrite pins run on a CHILD session with
+  * `autoBroadcastJoinThreshold=-1` (the big-big shape, where the grid
+  * form is the only non-quadratic plan); the pick itself is dialed
+  * both ways in its own test. Child sessions also keep the shared
+  * test-JVM session's conf untouched.
   */
 class BinRangeJoinSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = graft.GraftSession.build("bin-range-hint-spec", "4")
+  /** Big-big shape: no side broadcastable, the rewrite always fires. */
+  lazy val forced: SparkSession = {
+    val c = spark.newSession()
+    c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c
+  }
   val sf = "/root/testdata/sf0.001"
 
-  private def prepViews(): Unit = {
-    val ev = graft.sources.Tables.events(spark, sf)
+  private def prepViews(s: SparkSession): Unit = {
+    val ev = graft.sources.Tables.events(s, sf)
     ev.filter(col("event_type") === "error")
       .select(col("ts").as("lo"),
         (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"),
-        col("event_id").as("inc_id"))
+        col("event_id").as("inc_id"), col("user_id").as("i_uid"))
       .createOrReplaceTempView("brj_inc")
     ev.filter(col("event_type") === "purchase")
-      .select(col("ts"), col("event_id").as("p_id"))
+      .select(col("ts"), col("event_id").as("p_id"), col("user_id"))
       .createOrReplaceTempView("brj_p")
   }
 
   test("hinted band join ≡ un-hinted, and escapes the nested loop") {
-    prepViews()
-    val hinted = spark.sql(
+    prepViews(forced)
+    val hinted = forced.sql(
       """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
          FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
-    val naive = spark.sql(
+    val naive = forced.sql(
       """SELECT p_id, inc_id
          FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
     val hp = hinted.queryExecution.executedPlan.toString()
@@ -55,7 +69,7 @@ class BinRangeJoinSpec extends AnyFunSuite {
   }
 
   test("overlap-shaped hint rewrites and matches the naive overlap join") {
-    val ev = graft.sources.Tables.events(spark, sf)
+    val ev = graft.sources.Tables.events(forced, sf)
     ev.filter(col("event_type") === "error")
       .select(col("ts").as("elo"),
         (col("ts") + expr("INTERVAL 5 MINUTES")).as("ehi"),
@@ -66,10 +80,10 @@ class BinRangeJoinSpec extends AnyFunSuite {
         (col("ts") + expr("INTERVAL 3 MINUTES")).as("chi"),
         col("event_id").as("cid"))
       .createOrReplaceTempView("brj_c")
-    val hinted = spark.sql(
+    val hinted = forced.sql(
       """SELECT /*+ RANGE_BIN(300) */ eid, cid
          FROM brj_e e JOIN brj_c c ON e.elo < c.chi AND c.clo < e.ehi""")
-    val naive = spark.sql(
+    val naive = forced.sql(
       """SELECT eid, cid
          FROM brj_e e JOIN brj_c c ON e.elo < c.chi AND c.clo < e.ehi""")
     val hp = hinted.queryExecution.executedPlan.toString()
@@ -80,23 +94,78 @@ class BinRangeJoinSpec extends AnyFunSuite {
     assert(hinted.count() > 0, "fixture produced no overlaps")
   }
 
-  test("rule declines equi-joins and hint drops with the join untouched") {
-    prepViews()
-    // a cross-side equi conjunct → hash join already; rewrite declined
-    val equi = spark.sql(
+  test("keyed band join composes the equi key WITH the bin id") {
+    prepViews(forced)
+    val hinted = forced.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i
+           ON p.user_id = i.i_uid AND p.ts >= i.lo AND p.ts < i.hi""")
+    val naive = forced.sql(
+      """SELECT p_id, inc_id
+         FROM brj_p p JOIN brj_inc i
+           ON p.user_id = i.i_uid AND p.ts >= i.lo AND p.ts < i.hi""")
+    val hp = hinted.queryExecution.executedPlan.toString()
+    assert(!hp.contains("BroadcastNestedLoopJoin") && !hp.contains("CartesianProduct"),
+      s"keyed band join not rewritten:\n$hp")
+    assert(hp.contains("__graft_bin"), s"bin id not in the executed join:\n$hp")
+    // the equi key must ride NEXT TO the bin in the hash/merge join
+    // keys — ExtractEquiJoinKeys lifts it from the residual. The plan
+    // prints join keys as [user_id#… , __graft_bin#…]; both names
+    // must appear inside the same join operator line.
+    val joinLine = hp.linesIterator.find(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joinLine.exists(l => l.contains("user_id") && l.contains("__graft_bin")),
+      s"equi key and bin id not co-located in the join keys:\n$hp")
+    assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+      "keyed rewrite changed the result")
+    assert(hinted.count() > 0, "keyed fixture produced no pairs")
+  }
+
+  test("stats-driven pick: broadcast-sized side declines, dialing the threshold forces") {
+    // same query, two child sessions, only the threshold differs —
+    // the asof_auto discipline applied to the range-join hint
+    val keep = spark.newSession()
+    keep.conf.set("spark.sql.autoBroadcastJoinThreshold", (512L << 20).toString)
+    prepViews(keep)
+    val kept = keep.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val kp = kept.queryExecution.executedPlan.toString()
+    assert(kp.contains("BroadcastNestedLoopJoin") && !kp.contains("__graft_bin"),
+      s"broadcast-sized side should keep the nested loop (no explode):\n$kp")
+    prepViews(forced)
+    val rewritten = forced.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val rp = rewritten.queryExecution.executedPlan.toString()
+    assert(rp.contains("__graft_bin") && !rp.contains("BroadcastNestedLoopJoin"),
+      s"threshold=-1 must force the grid form:\n$rp")
+    // the pick never changes results (collect both — the frames live
+    // on different sessions, so no cross-session plan combination)
+    val a = kept.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b, "stats pick changed the result")
+  }
+
+  test("band with an equality but no lower bound still declines (not a band)") {
+    prepViews(forced)
+    // p.ts = i.lo is an equi conjunct (a join KEY, not a bound); the
+    // remaining p.ts < i.hi gives an upper bound only → no band → the
+    // join is left alone (and the equi key already hash-joins fine)
+    val equi = forced.sql(
       """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
          FROM brj_p p JOIN brj_inc i ON p.ts = i.lo AND p.ts < i.hi""")
     val ep = equi.queryExecution.executedPlan.toString()
-    assert(!ep.contains("__graft_bin"), s"equi-join was rewritten:\n$ep")
+    assert(!ep.contains("__graft_bin"), s"half-band was rewritten:\n$ep")
     // no join at all → hint dropped with a warning, query still runs
-    val nojoin = spark.sql("SELECT /*+ RANGE_BIN(900) */ count(*) AS n FROM brj_p")
+    val nojoin = forced.sql("SELECT /*+ RANGE_BIN(900) */ count(*) AS n FROM brj_p")
     assert(nojoin.head().getLong(0) > 0)
   }
 
   test("malformed width fails analysis loudly") {
-    prepViews()
+    prepViews(forced)
     val e = intercept[Exception] {
-      spark.sql(
+      forced.sql(
         """SELECT /*+ RANGE_BIN(0) */ p_id, inc_id
            FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""").collect()
     }
@@ -107,11 +176,11 @@ class BinRangeJoinSpec extends AnyFunSuite {
   }
 
   test("BETWEEN surface rewrites too (parser lowers it to the two conjuncts)") {
-    prepViews()
-    val hinted = spark.sql(
+    prepViews(forced)
+    val hinted = forced.sql(
       """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
          FROM brj_p p JOIN brj_inc i ON p.ts BETWEEN i.lo AND i.hi""")
-    val naive = spark.sql(
+    val naive = forced.sql(
       """SELECT p_id, inc_id
          FROM brj_p p JOIN brj_inc i ON p.ts BETWEEN i.lo AND i.hi""")
     val hp = hinted.queryExecution.executedPlan.toString()
@@ -122,12 +191,12 @@ class BinRangeJoinSpec extends AnyFunSuite {
   }
 
   test("numeric-domain band join through the hint, DataFrame-registered views") {
-    import spark.implicits._
+    import forced.implicits._
     Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("pid", "t")
       .createOrReplaceTempView("brj_np")
     Seq((100L, 10.0, 20.0), (200L, 14.0, 16.0)).toDF("iid", "lo", "hi")
       .createOrReplaceTempView("brj_ni")
-    val got = spark.sql(
+    val got = forced.sql(
       """SELECT /*+ RANGE_BIN(5) */ pid, iid
          FROM brj_np p JOIN brj_ni i ON p.t >= i.lo AND p.t < i.hi""")
       .as[(Long, Long)].collect().sorted.toSeq
