@@ -78,6 +78,7 @@ object SparkEntry {
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
     "rj_sql"                 -> (StatOps.rangeBinIncidentsSql _),
     "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
+    "rj_outer"               -> (StatOps.rangeBinPurchasesOuter _),
     "rj_auto"                -> (StatOps.rangeBinIncidentsAuto _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
@@ -908,6 +909,16 @@ object SparkEntry {
                 TRUE AS rj_keyed_bin
          FROM p JOIN inc
            ON p.user_id = inc.i_uid AND p.ts >= inc.lo AND p.ts < inc.hi
+         GROUP BY 1 ORDER BY 1""",
+    // LEFT OUTER: every purchase row survives; n_win=0 rows pin the
+    // null-emission side of the contract
+    "rj_outer" ->
+      """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+                      FROM events WHERE event_type = 'error' AND value >= 150),
+              p AS (SELECT event_id, ts FROM events
+                    WHERE event_type = 'purchase')
+         SELECT p.event_id, COUNT(inc.lo) AS n_win, TRUE AS rj_outer_bin
+         FROM p LEFT JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
          GROUP BY 1 ORDER BY 1""",
     // the stats-driven pick: same result as rj_bin, claim pins the
     // DECLINE (broadcast-sized side → nested loop kept, no explode)

@@ -45,6 +45,7 @@ object RangeJoinOps {
   private val BinCol = "__graft_bin"
   private val LBin0 = "__graft_lbin0"
   private val RBin0 = "__graft_rbin0"
+  private val RowIdCol = "__graft_rowid"
 
   /** The bin machinery claims the `__graft_` name prefix via
     * `withColumn`, which would SILENTLY replace a same-named user
@@ -179,6 +180,43 @@ object RangeJoinOps {
     p.join(i, cond).drop(p(BinCol)).drop(i(BinCol))
   }
 
+  /** LEFT OUTER [[pointInInterval]]: every point row survives — with
+    * one output row per covering interval, or ONE null-extended row
+    * when no interval covers it ("events with no window" is a
+    * first-page question, and the un-binned `LEFT JOIN ON t >= lo AND
+    * t < hi` is the same nested loop as the inner form).
+    *
+    * The grid join IS the outer join here, directly: the point side
+    * never explodes (exactly one bin per row), so `LEFT OUTER` on the
+    * binned equi-join preserves each point exactly once — no row-id
+    * bookkeeping, no add-back pass, and Catalyst plans the same
+    * shuffle/broadcast hash join as the inner form (outer hash joins
+    * keep unmatched probe rows for free). A null point time bins to
+    * null, matches nothing, and surfaces null-extended — exactly
+    * SQL's `LEFT JOIN` on the band predicate. Contrast
+    * [[intervalOverlapOuter]], where the exploded left side forces an
+    * add-back pass.
+    */
+  def pointInIntervalOuter(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double,
+      keys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Int = 1000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoReserved(points, "points")
+    requireNoReserved(intervals, "intervals")
+    val p = points.withColumn(BinCol, binOf(points, pointCol, binWidth))
+    val i = intervals.withColumn(BinCol,
+      explode(binsOf(intervals, loCol, hiCol, binWidth, maxBinsPerInterval)))
+    val cond = keys.foldLeft(
+      p(BinCol) === i(BinCol) &&
+        p(pointCol) >= i(loCol) && p(pointCol) < i(hiCol)) {
+      case (c, (lk, rk)) => c && p(lk) === i(rk)
+    }
+    p.join(i, cond, "left_outer").drop(p(BinCol)).drop(i(BinCol))
+  }
+
   /** Interval-overlap join, binned: every `left` row whose half-open
     * window `[lloCol, lhiCol)` overlaps a `right` row's
     * `[rloCol, rhiCol)` (i.e. `llo < rhi && rlo < lhi`), optionally
@@ -199,6 +237,19 @@ object RangeJoinOps {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     requireNoReserved(left, "left")
     requireNoReserved(right, "right")
+    overlapCore(left, lloCol, lhiCol, right, rloCol, rhiCol,
+      binWidth, keys, maxBinsPerInterval)
+  }
+
+  /** [[intervalOverlap]] body without the reserved-name validation, so
+    * the outer form can pass a left side that already carries the
+    * internal row id.
+    */
+  private def overlapCore(
+      left: DataFrame, lloCol: String, lhiCol: String,
+      right: DataFrame, rloCol: String, rhiCol: String,
+      binWidth: Double, keys: Seq[(String, String)],
+      maxBinsPerInterval: Int): DataFrame = {
     val l = left
       .withColumn(LBin0, binOf(left, lloCol, binWidth))
       .withColumn(BinCol,
@@ -215,5 +266,53 @@ object RangeJoinOps {
     }
     l.join(r, cond)
       .drop(l(BinCol)).drop(r(BinCol)).drop(l(LBin0)).drop(r(RBin0))
+  }
+
+  /** LEFT OUTER [[intervalOverlap]]: every left interval survives —
+    * with one row per overlapping right interval, or one
+    * null-extended row when nothing overlaps.
+    *
+    * Unlike [[pointInIntervalOuter]], a naive LEFT OUTER on the grid
+    * join would be WRONG here: the left side explodes into one copy
+    * per covered bin, so an unmatched interval would surface
+    * `len/w+1` null rows, and an interval matched in one bin would
+    * ALSO emit spurious null rows from its other bins. Instead:
+    * grid-join INNER (canonical-bin dedup as usual), then anti-join
+    * the unmatched left rows back in, null-extended — identified by a
+    * transient per-row id. The id frame is persisted
+    * (OpCaches.track) before branching: `monotonically_increasing_id`
+    * assigns ids by (partition, position), and a re-execution of a
+    * plan containing a hash shuffle does not replay reduce-side row
+    * order — materializing once is what makes the two branches see
+    * the SAME ids. The add-back is an id-equi anti-join on a set that
+    * only shrinks the left side — no second pass over the right.
+    *
+    * Left and right column names must be fully disjoint (the
+    * null-extension reconstructs the right columns by name).
+    */
+  def intervalOverlapOuter(
+      left: DataFrame, lloCol: String, lhiCol: String,
+      right: DataFrame, rloCol: String, rhiCol: String,
+      binWidth: Double,
+      keys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Int = 1000): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
+    val overlapNames = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlapNames.isEmpty,
+      s"intervalOverlapOuter: column name(s) ${overlapNames.mkString(", ")} exist " +
+        "on both sides — the outer form needs fully disjoint names")
+    val lid = OpCaches.track(
+      left.withColumn(RowIdCol, monotonically_increasing_id()))
+    val inner = overlapCore(lid, lloCol, lhiCol, right, rloCol, rhiCol,
+      binWidth, keys, maxBinsPerInterval)
+    val unmatched = lid.join(
+        inner.select(col(RowIdCol)).distinct(), Seq(RowIdCol), "left_anti")
+    val nullRight = right.schema.fields.toSeq.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    val addBack = unmatched.select(
+      lid.columns.map(col).toSeq ++ nullRight: _*)
+    inner.unionByName(addBack).drop(RowIdCol)
   }
 }

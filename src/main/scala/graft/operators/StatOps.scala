@@ -905,6 +905,34 @@ object StatOps {
       .orderBy("user_id")
   }
 
+  /** LEFT OUTER binned point-in-interval gate: EVERY purchase, with
+    * the count of incident windows covering it — zero for the
+    * windowless majority, which is the whole point of the outer form
+    * ("events with NO covering window" can't be asked of an inner
+    * join). The point side never explodes, so the outer grid join is
+    * a plain LEFT OUTER hash join on the bin id (see
+    * RangeJoinOps.pointInIntervalOuter); the in-row claim pins the
+    * nested-loop-free plan and the oracle's LEFT JOIN pins
+    * null-emission row-for-row (n_win = 0 rows hash-compared too).
+    */
+  def rangeBinPurchasesOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val inc = ev.filter(col("event_type") === "error" && col("value") >= 150)
+      .select(col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val joined = RangeJoinOps.pointInIntervalOuter(p, "ts", inc, "lo", "hi",
+      binWidth = 900.0)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val binned = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    joined.groupBy("event_id")
+      .agg(count(col("lo")).as("n_win"))
+      .withColumn("rj_outer_bin", lit(binned))
+      .orderBy("event_id")
+  }
+
   /** The stats-driven pick itself, gated at testdata scale: the SAME
     * hinted band query as [[rangeBinIncidentsSql]] but on the
     * caller's session with its REAL broadcast threshold, where the

@@ -113,6 +113,61 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got2.toSeq === Seq(1L), "key restriction lost on intervalOverlap")
   }
 
+  test("pointInIntervalOuter: null-emission pinned both ways") {
+    import spark.implicits._
+    val pts = Seq((1L, 10.0), (2L, 50.0), (3L, 15.0)).toDF("pid", "t")
+    val ivs = Seq((100L, 10.0, 20.0), (200L, 14.0, 16.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoinOps.pointInIntervalOuter(pts, "t", ivs, "lo", "hi", 7.0)
+      .select(col("pid"), col("iid"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    // pid=2 has NO covering interval → exactly ONE null row; pid=3 is
+    // covered twice → two rows and NO null row; pid=1 once
+    assert(got === Seq((1L, Some(100L)), (2L, None),
+      (3L, Some(100L)), (3L, Some(200L))),
+      s"outer point-in-interval semantics broken: $got")
+    // and ≡ the naive LEFT OUTER band join on the events fixture
+    val inc = events.filter(col("event_type") === "error")
+      .select(col("ts").as("lo"),
+        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"),
+        col("event_id").as("inc_id"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("ts"), col("event_id").as("p_id"))
+    val binned = RangeJoinOps.pointInIntervalOuter(p, "ts", inc, "lo", "hi", 900.0)
+      .select("p_id", "inc_id")
+    val naive = p.join(inc, p("ts") >= inc("lo") && p("ts") < inc("hi"), "left_outer")
+      .select("p_id", "inc_id")
+    assert(binned.where(col("inc_id").isNull).count() > 0,
+      "fixture has no windowless purchases — outer case not exercised")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty,
+      "binned outer point-in-interval diverged from the naive LEFT JOIN")
+    // the outer form must still be nested-loop-free
+    val plan = binned.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"outer grid join planned a nested loop:\n$plan")
+  }
+
+  test("intervalOverlapOuter: unmatched left intervals add back exactly once") {
+    import spark.implicits._
+    // [0,100) spans 25 bins at w=4 — a naive LEFT OUTER grid join
+    // would emit ~25 null rows for it were it unmatched, and spurious
+    // null rows even when matched; the add-back must emit exactly one
+    val a = Seq((1L, 0.0, 100.0), (2L, 160.0, 170.0), (3L, 200.0, 300.0))
+      .toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 50.0, 150.0), (13L, 299.0, 310.0)).toDF("bid", "blo", "bhi")
+    val got = RangeJoinOps.intervalOverlapOuter(a, "alo", "ahi", b, "blo", "bhi", 4.0)
+      .select(col("aid"), col("bid"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    // aid=1 overlaps 10 (once, despite ~13 shared bins); aid=2
+    // overlaps nothing → one null row; aid=3 overlaps 13
+    assert(got === Seq((1L, Some(10L)), (2L, None), (3L, Some(13L))),
+      s"outer overlap semantics broken: $got")
+    val naive = a.join(b, a("alo") < b("bhi") && b("blo") < a("ahi"), "left_outer")
+      .select(col("aid"), col("bid"))
+      .as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(got === naive, "outer overlap diverged from the naive LEFT JOIN")
+    graft.operators.DedupOps.releaseTransients(spark)
+  }
+
   test("keyed hot key: candidates split across bins instead of a per-key quadratic") {
     import spark.implicits._
     // ONE key owns every row — the shape where a hash join on the key
