@@ -406,6 +406,56 @@ class PlanSpec extends AnyFunSuite {
       "skew-split run diverged from the unsplit run")
   }
 
+  test("binned range join: AQE skew split composes with the bin equi-join") {
+    // An incident storm piles intervals into a few grid cells — after
+    // the bin rewrite the hot BIN is an ordinary hot join key, so the
+    // claim "binning turns the nested loop into a join AQE can
+    // re-balance" must be pinned the same way skew_join pins SMJ:
+    // hot-bin fixture, byte-scale thresholds on a child session,
+    // skew=true in the final adaptive plan, results preserved.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 85% of points and intervals land in bin 0 at w=10; multi-file
+    // writes give the skew splitter map outputs to slice
+    val hotDir = java.nio.file.Files.createTempDirectory("graft_rjskew").toString
+    (1 to 4000).map { i =>
+      val t = if (i % 20 < 17) rnd.nextDouble() * 10
+              else 10.0 + rnd.nextDouble() * 400
+      (i.toLong, t)
+    }.toDF("pid", "t").repartition(8)
+      .write.mode("overwrite").parquet(s"$hotDir/pts.parquet")
+    (1 to 400).map { i =>
+      val lo = if (i % 20 < 17) rnd.nextDouble() * 8
+               else 10.0 + rnd.nextDouble() * 390
+      (i.toLong, lo, lo + 2.0)
+    }.toDF("iid", "lo", "hi").repartition(8)
+      .write.mode("overwrite").parquet(s"$hotDir/ivs.parquet")
+    // baseline: shared session, untouched confs
+    val plain = RangeJoinOps.pointInInterval(
+        spark.read.parquet(s"$hotDir/pts.parquet"), "t",
+        spark.read.parquet(s"$hotDir/ivs.parquet"), "lo", "hi", 10.0)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    // byte-scale skew thresholds on a private child session; SMJ
+    // forced via the broadcast threshold (the 100 TB shape)
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256")
+    child.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256")
+    val df = RangeJoinOps.pointInInterval(
+        child.read.parquet(s"$hotDir/pts.parquet"), "t",
+        child.read.parquet(s"$hotDir/ivs.parquet"), "lo", "hi", 10.0)
+      .select("pid", "iid")
+    // collect df ITSELF (not a derived .as[] twin): AQE finalizes —
+    // and marks skew on — the exact plan that executes
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val s = planString(df)
+    assert(s.contains("skew=true"),
+      s"expected AQE to mark the hot-bin SMJ skew=true:\n$s")
+    assert(rows.nonEmpty && rows === plain,
+      "skew-split binned join diverged from the default-config run")
+  }
+
   test("CBO join reorder: statistics move the selective dim ahead of the big fact") {
     // Every small-side join in the engine is manually broadcast()- or
     // merge-hinted; at 100 TB the optimizer must also be able to pick
