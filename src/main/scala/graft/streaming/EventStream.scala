@@ -168,6 +168,35 @@ object EventStream {
       .select(col("purchase_id"), col("p_user").as("user_id"))
   }
 
+  /** Streaming twin of the KEYED binned point-in-interval range join
+    * (RangeJoinOps.pointInInterval with keys — the `rj_key` gate):
+    * each purchase matched to the SAME USER's incident windows
+    * `[error_time, error_time + windowSec)`. In the stream rendering
+    * the window's hi bound is DERIVED (`i_lo + windowSec`), which is
+    * what makes the join state evictable: the condition bounds
+    * `p_time` on both sides of `i_lo`, so with watermarks on both
+    * streams the symmetric hash join drops interval state as soon as
+    * the point-side watermark passes `i_lo + windowSec` — the
+    * streaming analog of "candidates only meet inside a grid cell";
+    * neither the batch grid join nor this holds unbounded state.
+    * Inner semantics (matches the inner batch form); StreamingSpec
+    * pins stream ≡ batch on the events fixture.
+    */
+  def incidentWindowMatches(purchases: DataFrame, incidents: DataFrame,
+      windowSec: Long): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "30 minutes")
+    val i = incidents.filter(col("event_type") === "error")
+      .select(col("user_id").as("i_user"), col("event_time").as("i_lo"))
+      .withWatermark("i_lo", "30 minutes")
+    p.join(i, expr(
+        "p_user = i_user AND p_time >= i_lo AND " +
+          s"p_time < i_lo + INTERVAL $windowSec SECONDS"))
+      .select(col("p_id"), col("p_user").as("user_id"), col("i_lo"))
+  }
+
   /** The LEFT OUTER face of [[clickAttribution]]: every purchase
     * emits — matched pairs eagerly like the inner join, and an
     * unmatched purchase emits ONE null-click row only once the

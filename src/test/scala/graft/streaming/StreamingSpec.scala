@@ -119,6 +119,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming twin: keyed window containment ≡ batch binned point-in-interval") {
+    val joined = EventStream.incidentWindowMatches(
+      EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf), 900L)
+    runToCompletion(joined, "rj_stream", "append")
+    val streamed = spark.table("rj_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000)).toSet
+    // batch side: the SAME containment through the grid join, on the
+    // second-truncated time domain readEvents normalizes to
+    val ev = graft.sources.Tables.events(spark, sf)
+    val pts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        graft.operators.TimeSeriesOps.epochSecExpr("ts").as("es"))
+    val ivs = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("i_user"),
+        graft.operators.TimeSeriesOps.epochSecExpr("ts").as("lo"))
+      .withColumn("hi", col("lo") + 900L)
+    val batch = graft.operators.RangeJoinOps.pointInInterval(
+        pts, "es", ivs, "lo", "hi", 900.0, keys = Seq("p_user" -> "i_user"))
+      .select(col("p_id"), col("p_user"), col("lo"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "fixture produced no in-window matches")
+    assert(streamed === batch,
+      s"stream diverged from the batch grid join: " +
+        s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
+
   test("outer interval join: unmatched purchases emit nulls only after the watermark") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_outer_join").toString
