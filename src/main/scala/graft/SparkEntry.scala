@@ -1993,4 +1993,49 @@ object SparkEntry {
          CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents""",
   )
+
+  /** old→new key bridge parsed from `scripts/renames.json` (the
+    * spec-pinned rename ledger, chains allowed). Empty when the file
+    * is not reachable from the working directory — the bridge is a
+    * caller convenience; the live registry stays authoritative.
+    */
+  private lazy val legacyRenames: Map[String, String] = {
+    val p = java.nio.file.Paths.get("scripts/renames.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      """"([a-z0-9_]+)":\s*\{"new":\s*"([a-z0-9_]+)"""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
+
+  /** Resolve a possibly-legacy registry key to its live name: a name
+    * missing from [[queries]] is bridged through the rename ledger
+    * (following chains, e.g. `agg_collect_sorted` → `collect_sort` →
+    * `csort`) with a stderr deprecation note, so an external caller
+    * invoking SparkEntry by a pre-rename key keeps working instead of
+    * erroring (r13 advice). `None` means the name never existed.
+    */
+  def resolveName(name: String): Option[String] = {
+    @annotation.tailrec
+    def follow(n: String, hops: Int): Option[String] =
+      if (queries.contains(n)) Some(n)
+      else if (hops > 10) None // ledger corruption guard, not a real path
+      else legacyRenames.get(n) match {
+        case Some(nw) => follow(nw, hops + 1)
+        case None => None
+      }
+    val r = follow(name, 0)
+    r.filter(_ != name).foreach { live =>
+      System.err.println(s"[graft] deprecated query key '$name' - resolved " +
+        s"to '$live' via scripts/renames.json; update the caller")
+    }
+    r
+  }
+
+  /** [[queries]] lookup with legacy-name bridging — the entry point
+    * external tooling should prefer over raw map access.
+    */
+  def query(name: String): Option[(SparkSession, String) => DataFrame] =
+    resolveName(name).map(queries)
 }

@@ -14,7 +14,10 @@ package graft
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq.empty
+    // resolve legacy names up front so the stage warm-up check below
+    // sees live keys
+    val names = (if (args.length > 1) args.drop(1).toSeq else Seq.empty)
+      .map(n => SparkEntry.resolveName(n).getOrElse(n))
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     val spark = GraftSession.build("graft-time-query")
     // only pre-build the (expensive) pinned stage frames when a
@@ -29,7 +32,8 @@ object TimeQuery {
       System.err.println(s"[time] substrate skipped: ${e.getMessage}")
     }
     names.foreach { n =>
-      val fn = SparkEntry.queries(n)
+      val fn = SparkEntry.query(n).getOrElse(
+        sys.error(s"unknown query '$n' (not a live key and not in scripts/renames.json)"))
       val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()

@@ -13,7 +13,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    val only = args.drop(2).toSet
+    // legacy key names bridge through scripts/renames.json (stderr
+    // notes which); results dump under the LIVE name either way
+    val only = args.drop(2).toSet.map((n: String) =>
+      SparkEntry.resolveName(n).getOrElse(n))
     // fail fast on a typo'd query name: an empty selection would dump
     // nothing and write an empty oracle_sql.json — a dev iteration that
     // "passes" on zero checks

@@ -36,6 +36,20 @@ class BenchLineSpec extends AnyFunSuite {
         "shorten query names to restore precision")
   }
 
+  test("legacy key names resolve through the rename ledger, garbage does not") {
+    // chained: agg_collect_sorted -> collect_sort -> csort (r7, r11)
+    assert(SparkEntry.resolveName("agg_collect_sorted") === Some("csort"))
+    // single hop from the current round's renames
+    assert(SparkEntry.resolveName("collect_cap") === Some("ccap"))
+    // live names pass through silently
+    assert(SparkEntry.resolveName("q1") === Some("q1"))
+    // a name that never existed resolves to nothing (Verify/TimeQuery
+    // keep their fail-fast behavior for typos)
+    assert(SparkEntry.resolveName("no_such_query") === None)
+    // and the bridged lookup returns a runnable function
+    assert(SparkEntry.query("window_lag").isDefined)
+  }
+
   test("scripts/renames.json bridges every renamed key to a live registry key") {
     // round-over-round artifact tooling (BENCH_r*/CORRECTNESS_r* key
     // diffs) bridges old names through this map; a stale entry — a
