@@ -79,7 +79,7 @@ object SparkEntry {
     "rj_sql"                 -> (StatOps.rangeBinIncidentsSql _),
     "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
     "rj_outer"               -> (StatOps.rangeBinPurchasesOuter _),
-    "rj_auto"                -> (StatOps.rangeBinIncidentsAuto _),
+    "rj_auto"                -> (StatOps.rangeBinTiersAuto _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
@@ -920,17 +920,20 @@ object SparkEntry {
          SELECT p.event_id, COUNT(inc.lo) AS n_win, TRUE AS rj_outer_bin
          FROM p LEFT JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
          GROUP BY 1 ORDER BY 1""",
-    // the stats-driven pick: same result as rj_bin, claim pins the
-    // DECLINE (broadcast-sized side → nested loop kept, no explode)
+    // the stats-driven pick: band join against a 4-row inline tier
+    // dim under the hint — the claim pins the DECLINE (genuinely tiny
+    // side → nested loop kept, no explode); constant-size dim keeps
+    // the choice deterministic at every SF
     "rj_auto" ->
-      """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
-                      FROM events WHERE event_type = 'error' AND value >= 150),
-              p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
-         SELECT inc.lo, inc.hi, COUNT(*) AS n_purch,
+      """WITH p AS (SELECT value FROM events WHERE event_type = 'purchase')
+         SELECT t.tier, COUNT(*) AS n,
                 CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
                 TRUE AS rj_auto_bnlj
-         FROM p JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
-         GROUP BY 1, 2 ORDER BY 1""",
+         FROM p JOIN (VALUES ('bronze', 0.0, 100.0),
+             ('silver', 100.0, 300.0), ('gold', 300.0, 1e12))
+           t(tier, lo, hi)
+           ON p.value >= t.lo AND p.value < t.hi
+         GROUP BY 1 ORDER BY 1""",
     "rj_ov" ->
       """WITH a AS (SELECT ts AS elo, ts + INTERVAL 5 MINUTE AS ehi
                     FROM events WHERE event_type = 'error'),

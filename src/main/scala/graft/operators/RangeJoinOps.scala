@@ -126,7 +126,8 @@ object RangeJoinOps {
       left: DataFrame, lloD: Column, lhiD: Column,
       right: DataFrame, rloD: Column, rhiD: Column,
       binWidth: Double, residual: Column,
-      maxBinsPerInterval: Int = 1000): DataFrame = {
+      maxBinsPerInterval: Int = 1000,
+      joinType: String = "inner"): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     requireNoReserved(left, "left")
     requireNoReserved(right, "right")
@@ -135,6 +136,15 @@ object RangeJoinOps {
     // semanticEquals on un-analyzed Column trees is not reliable —
     // Spark 4 Column nodes round-trip through stubs)
     def sameExpr(a: Column, b: Column): Boolean = a eq b
+    // left_outer is sound ONLY when the left side never explodes
+    // (degenerate interval = exactly one bin per row, so the outer
+    // join preserves each unmatched row exactly once — the
+    // pointInIntervalOuter argument); an exploded left would emit one
+    // null row per covered bin
+    require(joinType == "inner" ||
+      (joinType == "left_outer" && sameExpr(lloD, lhiD)),
+      s"binnedIntervalJoinD: joinType=$joinType requires a degenerate " +
+        "(point-shaped) left side")
     def side(df: DataFrame, loD: Column, hiD: Column, bin0: String): DataFrame =
       if (sameExpr(loD, hiD))
         df.withColumn(bin0, binOfD(loD, binWidth)).withColumn(BinCol, col(bin0))
@@ -144,7 +154,7 @@ object RangeJoinOps {
     val r = side(right, rloD, rhiD, RBin0)
     val cond = l(BinCol) === r(BinCol) &&
       l(BinCol) === greatest(l(LBin0), r(RBin0)) && residual
-    l.join(r, cond)
+    l.join(r, cond, joinType)
       .drop(l(BinCol)).drop(r(BinCol)).drop(l(LBin0)).drop(r(RBin0))
   }
 

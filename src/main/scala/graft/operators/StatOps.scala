@@ -826,7 +826,7 @@ object StatOps {
     * Runs on a `newSession()` child with the broadcast threshold
     * dialed OFF: the hint PICKS by stats (small side under the
     * threshold → the plain broadcast nested loop is the cheaper plan,
-    * see [[rangeBinIncidentsAuto]] for the gate on that choice), and
+    * see [[rangeBinTiersAuto]] for the gate on that choice), and
     * at testdata scale the incident side is broadcast-sized — this
     * key demonstrates the REWRITE, so it pins the 100 TB shape where
     * no side broadcasts, exactly like a user forcing the grid form on
@@ -933,42 +933,45 @@ object StatOps {
       .orderBy("event_id")
   }
 
-  /** The stats-driven pick itself, gated at testdata scale: the SAME
-    * hinted band query as [[rangeBinIncidentsSql]] but on the
-    * caller's session with its REAL broadcast threshold, where the
-    * incident side is broadcast-sized — so the correct choice is to
-    * DECLINE the rewrite and keep Catalyst's broadcast nested loop
-    * (zero shuffle, no explode; see BinRangeJoinHint's cost note).
-    * The in-row claim pins the choice: the executed plan carries the
-    * nested loop and NO bin column. The as-of analog is `asof_auto`
-    * pinning BroadcastAsOfJoin; the spec dials the threshold the
-    * other way.
+  /** The stats-driven pick itself, gated at every scale: a band
+    * classification join against a FOUR-ROW inline tier dimension —
+    * the canonical shape where the broadcast nested loop genuinely IS
+    * the right plan (per probe row: four comparisons; binning a
+    * 4-row VALUES is pure overhead) — runs under the RANGE_BIN hint
+    * on the caller's session with real thresholds, and the rule must
+    * DECLINE. The in-row claim pins the choice: the executed plan
+    * carries the nested loop and NO bin column. Deterministic at any
+    * SF because the dim side is constant-size (an earlier version
+    * gated the decline on the ~MB incident side and the sf1 bench
+    * caught the nested loop at 10.2 s vs 0.6 s binned — that
+    * measurement is why the decline bound is now
+    * min(autoBroadcastJoinThreshold, spark.graft.rangeBin
+    * .bnlThreshold); see BinRangeJoinHint). The as-of analog is
+    * `asof_auto` pinning BroadcastAsOfJoin; BinRangeJoinSpec dials
+    * the thresholds the other way.
     */
-  def rangeBinIncidentsAuto(spark: SparkSession, dir: String): DataFrame = {
+  def rangeBinTiersAuto(spark: SparkSession, dir: String): DataFrame = {
     val n = viewSeq.incrementAndGet()
-    val (vInc, vP) = (s"graft_rja_inc_$n", s"graft_rja_p_$n")
-    val ev = Tables.events(spark, dir)
-    ev.filter(col("event_type") === "error" && col("value") >= 150)
-      .select(col("ts").as("lo"),
-        (col("ts") + expr("INTERVAL 15 MINUTES")).as("hi"))
-      .createOrReplaceTempView(vInc)
-    ev.filter(col("event_type") === "purchase")
-      .select(col("ts"), col("value"))
+    val vP = s"graft_rjt_p_$n"
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("value"))
       .createOrReplaceTempView(vP)
     val joined = spark.sql(
-      s"""SELECT /*+ RANGE_BIN(900) */ i.lo, i.hi, p.value
-         FROM $vP p JOIN $vInc i
-           ON p.ts >= i.lo AND p.ts < i.hi""")
-    spark.catalog.dropTempView(vInc)
+      s"""SELECT /*+ RANGE_BIN(100) */ t.tier, p.value
+         FROM $vP p JOIN (VALUES ('bronze', 0.0, 100.0),
+             ('silver', 100.0, 300.0), ('gold', 300.0, 1e12))
+           t(tier, lo, hi)
+           ON p.value >= t.lo AND p.value < t.hi""")
     spark.catalog.dropTempView(vP)
     val plan = joined.queryExecution.executedPlan.toString()
     val declined = plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("__graft_bin")
-    joined.groupBy("lo", "hi")
-      .agg(count(lit(1)).as("n_purch"),
+    joined.groupBy("tier")
+      .agg(count(lit(1)).as("n"),
         graft.util.Num.moneySum(col("value")).as("rev"))
       .withColumn("rj_auto_bnlj", lit(declined))
-      .orderBy("lo")
+      .orderBy("tier")
   }
 
   /** [[asofJoinNative]] on the BROADCAST physical form

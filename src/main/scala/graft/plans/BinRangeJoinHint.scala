@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, UnresolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{greatest, least}
@@ -20,8 +20,11 @@ import org.apache.spark.sql.types._
   * `SparkSessionExtensions.injectResolutionRule`, NOT the dedicated
   * hint slot: the "Hints" batch runs before attribute resolution, so
   * a rule there never sees the resolved child it must classify — see
-  * GraftExtensions) rewrites every INNER band join
-  * under the hint into `RangeJoinOps`' grid form: each side derives an
+  * GraftExtensions) rewrites every INNER band join — and every LEFT
+  * OUTER band join in the point-in-interval orientation (degenerate,
+  * never-exploding left side; `p LEFT JOIN i ON p.ts >= i.lo AND
+  * p.ts < i.hi` keeps its windowless rows null-extended exactly once)
+  * — under the hint into `RangeJoinOps`' grid form: each side derives an
   * interval from its bound expressions (a degenerate `[t, t]` for the
   * point side, which skips the explode), candidates meet in width-`w`
   * grid cells through an ordinary equi-join on the bin id, each pair
@@ -41,18 +44,20 @@ import org.apache.spark.sql.types._
   * cluster wants.
   *
   * The rule PICKS the physical strategy by stats rather than forcing
-  * the rewrite (the same discipline as AsOfJoinStrategy's Auto path):
-  * when either side's `stats.sizeInBytes` fits under
-  * `spark.sql.autoBroadcastJoinThreshold`, the plain
-  * BroadcastNestedLoopJoin Catalyst plans anyway is already
-  * shuffle-free and skips the explode entirely — per probe row it
-  * scans the (small) broadcast side once, which beats paying
-  * `len/w+1` build rows per interval on a side with only thousands of
-  * rows (the 4-row VALUES dimension of a tier join is the canonical
-  * case: binning it is pure overhead). The rewrite is reserved for
-  * the big-big shape where the alternative is a broadcast that does
-  * not fit or a cartesian. Dial the threshold to `-1` to force the
-  * grid form.
+  * the rewrite (the same discipline as AsOfJoinStrategy's Auto path).
+  * The decline bound is NOT the broadcast threshold alone: that
+  * threshold bounds shuffle avoidance, but a nested loop's cost is
+  * |L|·|R| predicate evaluations — measured at sf1, a ~7 MB interval
+  * side that "fits the broadcast threshold" cost 10.2 s as a declined
+  * BroadcastNestedLoopJoin vs 0.6 s binned, and the gap is quadratic
+  * in scale. So the rule keeps the nested loop only when the small
+  * side is under BOTH `spark.sql.autoBroadcastJoinThreshold` AND
+  * `spark.graft.rangeBin.bnlThreshold` (default 64 KB — a genuinely
+  * tiny dimension, e.g. the 4-row VALUES tier table of a band
+  * classification join, where per-probe scan cost is trivially small
+  * and binning is pure overhead). Dial the broadcast threshold to
+  * `-1` to force the grid form unconditionally; raise the bnl
+  * threshold to prefer the nested loop for larger dimensions.
   *
   * The rule declines (leaves the join alone) when:
   *  - a side fits the broadcast threshold (see above — the nested
@@ -134,7 +139,8 @@ class BinRangeJoinHint(session: SparkSession)
 
   private def bandRewrite(j: Join, w: Double, maxBins: Int): Option[LogicalPlan] =
     j match {
-      case Join(left, right, Inner, Some(cond), _) if cond.deterministic =>
+      case Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _)
+          if cond.deterministic =>
         // BETWEEN stays a single RuntimeReplaceable `Between` node at
         // analysis time (only the optimizer's ReplaceExpressions
         // expands it), and its built-in `replacement` routes the input
@@ -179,16 +185,25 @@ class BinRangeJoinHint(session: SparkSession)
         val uppers = bounds.filter(_._3)
         val lowers = bounds.filterNot(_._3)
         if (uppers.isEmpty || lowers.isEmpty) return None
-        // stats-driven pick (not force): a broadcast-sized side makes
-        // the plain BNLJ the cheaper plan — zero shuffle, no explode,
-        // and its per-row scan is bounded by the small side's size.
-        // Same source of truth JoinSelection uses for BHJ.
+        // stats-driven pick (not force): a TINY side makes the plain
+        // BNLJ the cheaper plan — zero shuffle, no explode, and a
+        // trivially small per-probe scan. The bound is min(broadcast
+        // threshold, bnlThreshold): nested-loop work is |L|·|R|, so
+        // "fits in a broadcast" (10 MB default ≈ 10⁵ rows) is NOT
+        // small enough — see the scaladoc's sf1 measurement. For a
+        // LEFT OUTER join only the RIGHT side can be the BNLJ build
+        // side, so only its size counts.
         val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
-        if (threshold >= 0 &&
-            left.stats.sizeInBytes.min(right.stats.sizeInBytes) <= threshold) {
-          logInfo(s"$HintName: a join side fits the broadcast threshold " +
-            s"($threshold B) — keeping the nested-loop plan (no explode); " +
-            "set spark.sql.autoBroadcastJoinThreshold=-1 to force the grid form")
+        val bnlCap = session.sessionState.conf
+          .getConfString("spark.graft.rangeBin.bnlThreshold", "65536").toLong
+        val smallSide =
+          if (jt == LeftOuter) right.stats.sizeInBytes
+          else left.stats.sizeInBytes.min(right.stats.sizeInBytes)
+        if (threshold >= 0 && smallSide <= threshold.min(bnlCap)) {
+          logInfo(s"$HintName: a join side is tiny (${smallSide} B <= " +
+            s"min(broadcast=$threshold, bnl=$bnlCap)) — keeping the " +
+            "nested-loop plan (no explode); set " +
+            "spark.sql.autoBroadcastJoinThreshold=-1 to force the grid form")
           return None
         }
         val (aL, bR, _) = uppers.head // aL ≤ bR
@@ -218,9 +233,22 @@ class BinRangeJoinHint(session: SparkSession)
           if (dR.semanticEquals(bR)) { val d = asDoubleCol(dR); (d, d) }
           else (least(asDoubleCol(dR), asDoubleCol(bR)),
             greatest(asDoubleCol(dR), asDoubleCol(bR)))
+        // LEFT OUTER is rewritable only in the point-in-interval
+        // orientation (degenerate LEFT side — it never explodes, so
+        // the outer grid join preserves unmatched rows exactly once;
+        // see RangeJoinOps.pointInIntervalOuter). An interval-shaped
+        // left under LEFT OUTER would need the add-back pass, which
+        // an analyzer rewrite must not hide behind a hint — decline.
+        if (jt == LeftOuter && !(lLo eq lHi)) {
+          logInfo(s"$HintName: LEFT OUTER band join with an " +
+            "interval-shaped left side — not rewritable in place " +
+            "(use RangeJoinOps.intervalOverlapOuter); left alone")
+          return None
+        }
         val joined = graft.operators.RangeJoinOps.binnedIntervalJoinD(
           lDF, lLo, lHi, rDF, rLo, rHi, w,
-          residual = Bridge.column(cond), maxBinsPerInterval = maxBins)
+          residual = Bridge.column(cond), maxBinsPerInterval = maxBins,
+          joinType = if (jt == LeftOuter) "left_outer" else "inner")
         val projected = joined.select(j.output.map(Bridge.column): _*)
         Some(projected.queryExecution.analyzed)
       case _ => None

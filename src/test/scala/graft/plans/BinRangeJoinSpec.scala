@@ -38,7 +38,7 @@ class BinRangeJoinSpec extends AnyFunSuite {
         col("event_id").as("inc_id"), col("user_id").as("i_uid"))
       .createOrReplaceTempView("brj_inc")
     ev.filter(col("event_type") === "purchase")
-      .select(col("ts"), col("event_id").as("p_id"), col("user_id"))
+      .select(col("ts"), col("event_id").as("p_id"), col("user_id"), col("value"))
       .createOrReplaceTempView("brj_p")
   }
 
@@ -121,18 +121,51 @@ class BinRangeJoinSpec extends AnyFunSuite {
     assert(hinted.count() > 0, "keyed fixture produced no pairs")
   }
 
-  test("stats-driven pick: broadcast-sized side declines, dialing the threshold forces") {
-    // same query, two child sessions, only the threshold differs —
-    // the asof_auto discipline applied to the range-join hint
+  test("stats-driven pick: tiny side declines, bnl cap bounds it, threshold=-1 forces") {
+    // 1) a genuinely tiny side (4-row VALUES dim) under DEFAULT confs
+    //    → decline: the nested loop's per-probe scan is 4 comparisons
     val keep = spark.newSession()
-    keep.conf.set("spark.sql.autoBroadcastJoinThreshold", (512L << 20).toString)
     prepViews(keep)
+    val tiers = """(VALUES ('lo', 0.0, 100.0), ('hi', 100.0, 1e12)) t(tier, lo, hi)"""
     val kept = keep.sql(
-      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
-         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+      s"""SELECT /*+ RANGE_BIN(100) */ p_id, t.tier
+         FROM brj_p p JOIN $tiers ON p.value >= t.lo AND p.value < t.hi""")
     val kp = kept.queryExecution.executedPlan.toString()
     assert(kp.contains("BroadcastNestedLoopJoin") && !kp.contains("__graft_bin"),
-      s"broadcast-sized side should keep the nested loop (no explode):\n$kp")
+      s"tiny dim side should keep the nested loop (no explode):\n$kp")
+    val keptRows = kept.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val naiveRows = keep.sql(
+      s"""SELECT p_id, t.tier
+         FROM brj_p p JOIN $tiers ON p.value >= t.lo AND p.value < t.hi""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(keptRows.nonEmpty && keptRows === naiveRows, "decline changed the result")
+    // 2) the bnl cap — not the broadcast threshold — is the binding
+    //    bound: the fixture's interval side fits the 10 MB broadcast
+    //    threshold comfortably, but nested-loop work is |L|·|R|
+    //    (measured 10.2 s BNLJ vs 0.6 s binned at sf1), so once the
+    //    side exceeds the cap the hint must rewrite even though a
+    //    broadcast would fit. Dialed by shrinking the cap below the
+    //    fixture side's size.
+    val capDown = spark.newSession()
+    capDown.conf.set("spark.graft.rangeBin.bnlThreshold", "1024")
+    prepViews(capDown)
+    val mbSide = capDown.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val mp = mbSide.queryExecution.executedPlan.toString()
+    assert(mp.contains("__graft_bin") && !mp.contains("BroadcastNestedLoopJoin"),
+      s"a fits-in-broadcast side above the bnl cap must still bin:\n$mp")
+    // ...unless the user raises the cap and opts into the nested loop
+    val capUp = spark.newSession()
+    capUp.conf.set("spark.graft.rangeBin.bnlThreshold", (1L << 30).toString)
+    prepViews(capUp)
+    val opted = capUp.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val op = opted.queryExecution.executedPlan.toString()
+    assert(op.contains("BroadcastNestedLoopJoin") && !op.contains("__graft_bin"),
+      s"raised bnl cap should keep the nested loop:\n$op")
+    // 3) threshold=-1 forces the grid regardless (the big-big shape)
     prepViews(forced)
     val rewritten = forced.sql(
       """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
@@ -140,11 +173,48 @@ class BinRangeJoinSpec extends AnyFunSuite {
     val rp = rewritten.queryExecution.executedPlan.toString()
     assert(rp.contains("__graft_bin") && !rp.contains("BroadcastNestedLoopJoin"),
       s"threshold=-1 must force the grid form:\n$rp")
-    // the pick never changes results (collect both — the frames live
-    // on different sessions, so no cross-session plan combination)
-    val a = kept.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // and the pick never changes results across the dial positions
+    val a = opted.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     val b = rewritten.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a === b, "stats pick changed the result")
+  }
+
+  test("LEFT OUTER band join rewrites in the point orientation, declines interval-left") {
+    prepViews(forced)
+    val hinted = forced.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p LEFT JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val naive = forced.sql(
+      """SELECT p_id, inc_id
+         FROM brj_p p LEFT JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    val hp = hinted.queryExecution.executedPlan.toString()
+    assert(hp.contains("__graft_bin") && !hp.contains("BroadcastNestedLoopJoin"),
+      s"LEFT OUTER point-orientation band join not rewritten:\n$hp")
+    assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+      "LEFT OUTER rewrite changed the result")
+    // the outer contract itself: windowless purchases survive as nulls
+    assert(hinted.filter(col("inc_id").isNull).count() > 0,
+      "fixture has no windowless purchases — outer case not exercised")
+    // keyed LEFT OUTER composes too
+    val keyed = forced.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p LEFT JOIN brj_inc i
+           ON p.user_id = i.i_uid AND p.ts >= i.lo AND p.ts < i.hi""")
+    val keyedNaive = forced.sql(
+      """SELECT p_id, inc_id
+         FROM brj_p p LEFT JOIN brj_inc i
+           ON p.user_id = i.i_uid AND p.ts >= i.lo AND p.ts < i.hi""")
+    assert(keyed.queryExecution.executedPlan.toString().contains("__graft_bin"),
+      "keyed LEFT OUTER band join not rewritten")
+    assert(keyed.exceptAll(keyedNaive).isEmpty && keyedNaive.exceptAll(keyed).isEmpty,
+      "keyed LEFT OUTER rewrite changed the result")
+    // interval-shaped LEFT side under LEFT OUTER → not rewritable in
+    // place (the add-back pass can't hide behind an analyzer hint)
+    val intervalLeft = forced.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_inc i LEFT JOIN brj_p p ON p.ts >= i.lo AND p.ts < i.hi""")
+    assert(!intervalLeft.queryExecution.executedPlan.toString().contains("__graft_bin"),
+      "interval-left LEFT OUTER must decline the rewrite")
   }
 
   test("band with an equality but no lower bound still declines (not a band)") {
