@@ -87,6 +87,31 @@ object RangeJoinOps {
   private[graft] def binOf(df: DataFrame, name: String, w: Double): Column =
     binOfD(asDouble(df, name), w)
 
+  /** PUBLIC bin id for a point column — the layout building block: a
+    * point table persisted with this column and BUCKETED by it joins
+    * any same-width binned interval layout with ZERO Exchange (the
+    * bin equi-join's ClusteredDistribution is satisfied by the
+    * bucketing, exactly like any bucketed equi join). Must use the
+    * SAME `w` as the interval side's [[binsFor]].
+    */
+  def binFor(df: DataFrame, pointCol: String, w: Double): Column = {
+    require(w > 0, s"binWidth must be positive, got $w")
+    binOf(df, pointCol, w)
+  }
+
+  /** PUBLIC bins array for an interval `[loCol, hiCol]` — explode this
+    * into a `bin` column and bucket the written table by it to build
+    * the reusable zero-shuffle side of a binned range join (validity
+    * periods, incident windows — interval tables reused across many
+    * queries are worth one layout write). Carries the same
+    * `maxBinsPerInterval` runaway guard as the join itself.
+    */
+  def binsFor(df: DataFrame, loCol: String, hiCol: String, w: Double,
+      maxBinsPerInterval: Int = 1000): Column = {
+    require(w > 0, s"binWidth must be positive, got $w")
+    binsOf(df, loCol, hiCol, w, maxBinsPerInterval)
+  }
+
   /** Bins covered by [lo, hi] (double view) with the explosion guard.
     * The span is computed in DOUBLE, not from the long bin ids: an
     * extreme bound saturates the long cast at ±Long.MaxValue, so a

@@ -456,6 +456,52 @@ class PlanSpec extends AnyFunSuite {
       "skew-split binned join diverged from the default-config run")
   }
 
+  test("binned range join over a bucketed bin layout joins with zero Exchange") {
+    // The repeated-range-join amortization: an interval table reused
+    // across many queries (validity periods, incident windows) is
+    // written ONCE pre-exploded into its bins and bucketed by the bin
+    // id; the point stream is bucketed by its (single) bin the same
+    // way. Every later width-w range join between them is then a
+    // plain co-located SMJ on the bin — zero Exchange on either side,
+    // the same layout economics LayoutOps.bucketedJoin pins for equi
+    // keys. RangeJoinOps.binFor/binsFor are the public building
+    // blocks (same floor(x/w) grid and runaway guard as the join).
+    val w = 900.0
+    val base = java.nio.file.Files.createTempDirectory("graft_rjbkt").toString
+    val ev = graft.sources.Tables.events(spark, sf)
+    val inc = ev.filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .select(org.apache.spark.sql.functions.col("ts").as("lo"),
+        (org.apache.spark.sql.functions.col("ts") +
+          org.apache.spark.sql.functions.expr("INTERVAL 15 MINUTES")).as("hi"))
+    val p = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select(org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id").as("p_id"))
+    spark.sql("DROP TABLE IF EXISTS graft_rj_pts_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_rj_inc_bkt")
+    p.withColumn("bin", RangeJoinOps.binFor(p, "ts", w))
+      .write.mode("overwrite").option("path", s"$base/pts")
+      .bucketBy(8, "bin").sortBy("bin").saveAsTable("graft_rj_pts_bkt")
+    inc.withColumn("bin", org.apache.spark.sql.functions.explode(
+        RangeJoinOps.binsFor(inc, "lo", "hi", w)))
+      .write.mode("overwrite").option("path", s"$base/inc")
+      .bucketBy(8, "bin").sortBy("bin").saveAsTable("graft_rj_inc_bkt")
+    val pb = spark.table("graft_rj_pts_bkt")
+    val ib = spark.table("graft_rj_inc_bkt")
+    val joined = pb.hint("merge").join(ib,
+      pb("bin") === ib("bin") && pb("ts") >= ib("lo") && pb("ts") < ib("hi"))
+    val s = planString(joined)
+    assert(s.contains("SortMergeJoin") && !s.contains("Exchange"),
+      s"bucketed bin layout should join with zero Exchange:\n$s")
+    // layout never changes results: ≡ the direct grid join
+    val got = joined.select(pb("p_id"), ib("lo")).collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)))).sorted.toSeq
+    val want = RangeJoinOps.pointInInterval(p, "ts", inc, "lo", "hi", w)
+      .select("p_id", "lo").collect()
+      .map(r => (r.getLong(0), String.valueOf(r.get(1)))).sorted.toSeq
+    assert(got.nonEmpty && got === want,
+      "bucketed-layout range join diverged from the direct grid join")
+  }
+
   test("CBO join reorder: statistics move the selective dim ahead of the big fact") {
     // Every small-side join in the engine is manually broadcast()- or
     // merge-hinted; at 100 TB the optimizer must also be able to pick
