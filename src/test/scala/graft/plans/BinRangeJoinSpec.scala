@@ -260,6 +260,42 @@ class BinRangeJoinSpec extends AnyFunSuite {
       "BETWEEN rewrite changed the result")
   }
 
+  test("property: hint ≡ naive across operators, orientations, keys, and join types") {
+    import forced.implicits._
+    val rnd = new scala.util.Random(41)
+    val users = Seq("u1", "u2", "u3")
+    val pts = (1 to 120).map(i =>
+      (i.toLong, users(rnd.nextInt(3)), rnd.nextDouble() * 200 - 100))
+      .toDF("pid", "pu", "t")
+    val ivs = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      (100L + i, users(rnd.nextInt(3)), lo, lo + rnd.nextDouble() * 30)
+    }.toDF("iid", "iu", "lo", "hi")
+    pts.createOrReplaceTempView("brj_pp")
+    ivs.createOrReplaceTempView("brj_pi")
+    // every combination of: bound strictness, operand orientation
+    // (point side written left or right of each comparison), equi key
+    // present or not, INNER or LEFT JOIN — the classifier must
+    // normalize all of them to the same band
+    val conds = Seq(
+      "p.t >= i.lo AND p.t < i.hi",
+      "i.lo <= p.t AND i.hi > p.t",
+      "p.t > i.lo AND p.t <= i.hi",
+      "p.t BETWEEN i.lo AND i.hi")
+    for (cond <- conds; keyed <- Seq(false, true); outer <- Seq(false, true)) {
+      val key = if (keyed) "p.pu = i.iu AND " else ""
+      val jt = if (outer) "LEFT JOIN" else "JOIN"
+      val q = s"FROM brj_pp p $jt brj_pi i ON $key$cond"
+      val hinted = forced.sql(s"SELECT /*+ RANGE_BIN(7) */ pid, iid $q")
+      val naive = forced.sql(s"SELECT pid, iid $q")
+      val label = s"cond='$cond' keyed=$keyed outer=$outer"
+      assert(hinted.queryExecution.executedPlan.toString().contains("__graft_bin"),
+        s"$label: hint did not rewrite")
+      assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+        s"$label: hint changed the result")
+    }
+  }
+
   test("numeric-domain band join through the hint, DataFrame-registered views") {
     import forced.implicits._
     Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("pid", "t")
