@@ -43,7 +43,7 @@ object SparkEntry {
     "isect"          -> (RelationalOps.setIntersect _),
     "set_except"             -> (RelationalOps.setExcept _),
     "agg_rollup"             -> (RelationalOps.aggRollup _),
-    "topk_group"  -> (RelationalOps.windowTopKPerGroup _),
+    "topkg"  -> (RelationalOps.windowTopKPerGroup _),
     "run_sum"     -> (RelationalOps.windowRunningSum _),
     "wlag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
@@ -73,12 +73,13 @@ object SparkEntry {
     "quant"     -> (StatOps.quantilesByGroup _),
     "histo"              -> (StatOps.histogram _),
     "salted"             -> (StatOps.saltedAgg _),
-    "join_range"             -> (StatOps.joinRange _),
+    "jrange"             -> (StatOps.joinRange _),
     "rj_bin"                 -> (StatOps.rangeBinIncidents _),
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
     "rj_sql"                 -> (StatOps.rangeBinIncidentsSql _),
     "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
     "rj_outer"               -> (StatOps.rangeBinPurchasesOuter _),
+    "rj_box"                 -> (StatOps.rangeBinBoxes _),
     "rj_auto"                -> (StatOps.rangeBinTiersAuto _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
@@ -648,7 +649,7 @@ object SparkEntry {
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "topk_group" ->
+    "topkg" ->
       """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_retailprice,
                   CAST(row_number() OVER (PARTITION BY p_brand
@@ -869,7 +870,7 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "join_range" ->
+    "jrange" ->
       """SELECT t.tier, COUNT(*) AS n
          FROM orders o JOIN (VALUES
            ('bronze', 0.0, 1000.0), ('silver', 1000.0, 5000.0),
@@ -910,6 +911,21 @@ object SparkEntry {
          FROM p JOIN inc
            ON p.user_id = inc.i_uid AND p.ts >= inc.lo AND p.ts < inc.hi
          GROUP BY 1 ORDER BY 1""",
+    // 2-D point-in-box: the double band predicate (four inequalities,
+    // no equi-keys) against the naive DuckDB join
+    "rj_box" ->
+      """WITH b AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS xlo,
+                           CAST(floor(epoch(ts)) AS BIGINT) + 900 AS xhi,
+                           value - 75.0 AS ylo, value + 75.0 AS yhi
+                    FROM events WHERE event_type = 'error' AND value >= 150),
+              p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT b.xlo, b.ylo, COUNT(*) AS n_purch,
+                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                TRUE AS rj_box_bin
+         FROM p JOIN b ON p.es >= b.xlo AND p.es < b.xhi
+                      AND p.value >= b.ylo AND p.value < b.yhi
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // LEFT OUTER: every purchase row survives; n_win=0 rows pin the
     // null-emission side of the contract
     "rj_outer" ->

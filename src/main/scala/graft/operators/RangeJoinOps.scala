@@ -215,6 +215,52 @@ object RangeJoinOps {
     p.join(i, cond).drop(p(BinCol)).drop(i(BinCol))
   }
 
+  /** 2-D binned point-in-box join — the spatial/bivariate face of the
+    * same grid idea: every `points` row joined to every `boxes` row
+    * whose half-open box `[xlo, xhi) × [ylo, yhi)` contains
+    * `(xCol, yCol)`, optionally equi-keyed. Each box registers in the
+    * grid CELLS it overlaps (the cross product of its x-bins and
+    * y-bins — two chained explodes, so a box costs
+    * `(dx/wx+1)·(dy/wy+1)` build rows; pick widths near typical box
+    * extents and mind the per-dimension `maxBinsPerDim` guard), each
+    * point lands in exactly one cell, and the join is an ordinary
+    * equi-join on `(keys…, bx, by)` with the original containment as
+    * residual. Geo dedup ("same place, same magnitude"), time×value
+    * bands, lat/lon tiling — all the shapes that otherwise nested-loop.
+    * Points bin once per row, so no dedup pass is needed (contrast the
+    * canonical-bin trick interval-overlap requires).
+    */
+  def pointInBox(
+      points: DataFrame, xCol: String, yCol: String,
+      boxes: DataFrame, xloCol: String, xhiCol: String,
+      yloCol: String, yhiCol: String,
+      binWidthX: Double, binWidthY: Double,
+      keys: Seq[(String, String)] = Nil,
+      maxBinsPerDim: Int = 100): DataFrame = {
+    require(binWidthX > 0 && binWidthY > 0,
+      s"bin widths must be positive, got ($binWidthX, $binWidthY)")
+    requireNoReserved(points, "points")
+    requireNoReserved(boxes, "boxes")
+    val BxCol = "__graft_bx"
+    val ByCol = "__graft_by"
+    val p = points
+      .withColumn(BxCol, binOf(points, xCol, binWidthX))
+      .withColumn(ByCol, binOf(points, yCol, binWidthY))
+    val b = boxes
+      .withColumn(BxCol,
+        explode(binsOf(boxes, xloCol, xhiCol, binWidthX, maxBinsPerDim)))
+      .withColumn(ByCol,
+        explode(binsOf(boxes, yloCol, yhiCol, binWidthY, maxBinsPerDim)))
+    val cond = keys.foldLeft(
+      p(BxCol) === b(BxCol) && p(ByCol) === b(ByCol) &&
+        p(xCol) >= b(xloCol) && p(xCol) < b(xhiCol) &&
+        p(yCol) >= b(yloCol) && p(yCol) < b(yhiCol)) {
+      case (c, (lk, rk)) => c && p(lk) === b(rk)
+    }
+    p.join(b, cond)
+      .drop(p(BxCol)).drop(b(BxCol)).drop(p(ByCol)).drop(b(ByCol))
+  }
+
   /** LEFT OUTER [[pointInInterval]]: every point row survives — with
     * one output row per covering interval, or ONE null-extended row
     * when no interval covers it ("events with no window" is a

@@ -862,6 +862,38 @@ object StatOps {
       .orderBy("lo")
   }
 
+  /** 2-D binned point-in-box gate: purchases landing inside the
+    * 15-minute × ±75-value box opened by each high-severity error —
+    * "similar-magnitude activity right after an incident", the
+    * time×value band shape whose naive form is a DOUBLE band
+    * predicate (four inequalities, zero equi-keys: the worst
+    * nested-loop case). The grid turns it into an equi-join on the
+    * (bx, by) cell pair; box widths match the box extents, so each
+    * box registers in ≤ 4 cells. Claim in-row as usual; the oracle is
+    * the naive four-inequality join in DuckDB.
+    */
+  def rangeBinBoxes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val boxes = ev.filter(col("event_type") === "error" && col("value") >= 150)
+      .select(TimeSeriesOps.epochSecExpr("ts").as("xlo"),
+        (TimeSeriesOps.epochSecExpr("ts") + 900L).as("xhi"),
+        (col("value") - 75.0).as("ylo"),
+        (col("value") + 75.0).as("yhi"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(TimeSeriesOps.epochSecExpr("ts").as("es"), col("value"))
+    val joined = RangeJoinOps.pointInBox(p, "es", "value",
+      boxes, "xlo", "xhi", "ylo", "yhi",
+      binWidthX = 900.0, binWidthY = 150.0)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val binned = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    joined.groupBy("xlo", "ylo")
+      .agg(count(lit(1)).as("n_purch"),
+        graft.util.Num.moneySum(col("value")).as("rev"))
+      .withColumn("rj_box_bin", lit(binned))
+      .orderBy("xlo", "ylo")
+  }
+
   /** KEYED (equi + band) binned range join from pure SQL — the
     * dominant production shape: purchases matched to incident windows
     * OF THE SAME USER. A hash join on `user_id` alone degenerates to

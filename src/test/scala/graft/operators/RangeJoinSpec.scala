@@ -198,6 +198,41 @@ class RangeJoinSpec extends AnyFunSuite {
       s"binned candidate set should be ~n, got $binnedCand vs naive $naiveCand")
   }
 
+  test("pointInBox ≡ naive 2-D containment join, plan stays an equi-join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 200 - 100, rnd.nextDouble() * 200 - 100))
+      .toDF("pid", "x", "y")
+    val boxes = (1 to 60).map { i =>
+      val (xlo, ylo) = (rnd.nextDouble() * 180 - 100, rnd.nextDouble() * 180 - 100)
+      (1000L + i, xlo, xlo + rnd.nextDouble() * 40,
+        ylo, ylo + rnd.nextDouble() * 40)
+    }.toDF("bid", "xlo", "xhi", "ylo", "yhi")
+    val binned = RangeJoinOps.pointInBox(pts, "x", "y",
+        boxes, "xlo", "xhi", "ylo", "yhi", 25.0, 25.0)
+      .select("pid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    val naive = pts.join(boxes,
+        pts("x") >= boxes("xlo") && pts("x") < boxes("xhi") &&
+          pts("y") >= boxes("ylo") && pts("y") < boxes("yhi"))
+      .select("pid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    assert(binned.nonEmpty, "fixture produced no containments")
+    assert(binned === naive, "2-D binned join diverged from the naive box join")
+    // plan: equi-join on the (bx, by) cell, never a nested loop
+    val plan = RangeJoinOps.pointInBox(pts, "x", "y",
+        boxes, "xlo", "xhi", "ylo", "yhi", 25.0, 25.0)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"2-D binned join planned a nested loop:\n$plan")
+    // keyed restriction composes in 2-D as well
+    val kp = Seq(("a", 5.0, 5.0, 1L), ("b", 5.0, 5.0, 2L)).toDF("pu", "x", "y", "pid")
+    val kb = Seq(("a", 0.0, 10.0, 0.0, 10.0, 9L)).toDF("bu", "xlo", "xhi", "ylo", "yhi", "bid")
+    val got = RangeJoinOps.pointInBox(kp, "x", "y", kb,
+        "xlo", "xhi", "ylo", "yhi", 10.0, 10.0, keys = Seq("pu" -> "bu"))
+      .select("pid").as[Long].collect().toSeq
+    assert(got === Seq(1L), "key restriction lost on pointInBox")
+  }
+
   test("runaway-interval guard fails the query instead of exploding") {
     import spark.implicits._
     val pts = Seq((1L, 5.0)).toDF("pid", "t")
