@@ -236,7 +236,33 @@ object RangeJoinOps {
       yloCol: String, yhiCol: String,
       binWidthX: Double, binWidthY: Double,
       keys: Seq[(String, String)] = Nil,
-      maxBinsPerDim: Int = 100): DataFrame = {
+      maxBinsPerDim: Int = 100): DataFrame =
+    boxJoin(points, xCol, yCol, boxes, xloCol, xhiCol, yloCol, yhiCol,
+      binWidthX, binWidthY, keys, maxBinsPerDim, "inner")
+
+  /** LEFT OUTER [[pointInBox]]: every point survives — one row per
+    * containing box, or one null-extended row when nothing contains
+    * it. Sound for the same reason as [[pointInIntervalOuter]]: the
+    * point side occupies exactly ONE grid cell, so the outer grid
+    * join preserves each unmatched point exactly once.
+    */
+  def pointInBoxOuter(
+      points: DataFrame, xCol: String, yCol: String,
+      boxes: DataFrame, xloCol: String, xhiCol: String,
+      yloCol: String, yhiCol: String,
+      binWidthX: Double, binWidthY: Double,
+      keys: Seq[(String, String)] = Nil,
+      maxBinsPerDim: Int = 100): DataFrame =
+    boxJoin(points, xCol, yCol, boxes, xloCol, xhiCol, yloCol, yhiCol,
+      binWidthX, binWidthY, keys, maxBinsPerDim, "left_outer")
+
+  private def boxJoin(
+      points: DataFrame, xCol: String, yCol: String,
+      boxes: DataFrame, xloCol: String, xhiCol: String,
+      yloCol: String, yhiCol: String,
+      binWidthX: Double, binWidthY: Double,
+      keys: Seq[(String, String)],
+      maxBinsPerDim: Int, joinType: String): DataFrame = {
     require(binWidthX > 0 && binWidthY > 0,
       s"bin widths must be positive, got ($binWidthX, $binWidthY)")
     requireNoReserved(points, "points")
@@ -257,7 +283,7 @@ object RangeJoinOps {
         p(yCol) >= b(yloCol) && p(yCol) < b(yhiCol)) {
       case (c, (lk, rk)) => c && p(lk) === b(rk)
     }
-    p.join(b, cond)
+    p.join(b, cond, joinType)
       .drop(p(BxCol)).drop(b(BxCol)).drop(p(ByCol)).drop(b(ByCol))
   }
 

@@ -231,6 +231,16 @@ class RangeJoinSpec extends AnyFunSuite {
         "xlo", "xhi", "ylo", "yhi", 10.0, 10.0, keys = Seq("pu" -> "bu"))
       .select("pid").as[Long].collect().toSeq
     assert(got === Seq(1L), "key restriction lost on pointInBox")
+    // LEFT OUTER: uncontained points surface exactly once, nulls in
+    val outer = RangeJoinOps.pointInBoxOuter(pts, "x", "y",
+        boxes, "xlo", "xhi", "ylo", "yhi", 25.0, 25.0)
+      .select("pid", "bid").as[(Long, Option[Long])].collect().sorted.toSeq
+    val naiveOuter = pts.join(boxes,
+        pts("x") >= boxes("xlo") && pts("x") < boxes("xhi") &&
+          pts("y") >= boxes("ylo") && pts("y") < boxes("yhi"), "left_outer")
+      .select("pid", "bid").as[(Long, Option[Long])].collect().sorted.toSeq
+    assert(outer.exists(_._2.isEmpty), "fixture has no uncontained points")
+    assert(outer === naiveOuter, "outer 2-D join diverged from the naive LEFT JOIN")
   }
 
   test("runaway-interval guard fails the query instead of exploding") {
