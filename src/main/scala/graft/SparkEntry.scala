@@ -915,9 +915,9 @@ object SparkEntry {
     // no equi-keys) against the naive DuckDB join
     "rj_box" ->
       """WITH b AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS xlo,
-                           CAST(floor(epoch(ts)) AS BIGINT) + 900 AS xhi,
-                           value - 75.0 AS ylo, value + 75.0 AS yhi
-                    FROM events WHERE event_type = 'error' AND value >= 150),
+                           CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS xhi,
+                           value - 200.0 AS ylo, value + 200.0 AS yhi
+                    FROM events WHERE event_type = 'error' AND value >= 100),
               p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value
                     FROM events WHERE event_type = 'purchase')
          SELECT b.xlo, b.ylo, COUNT(*) AS n_purch,

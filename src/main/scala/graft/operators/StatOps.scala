@@ -863,7 +863,7 @@ object StatOps {
   }
 
   /** 2-D binned point-in-box gate: purchases landing inside the
-    * 15-minute × ±75-value box opened by each high-severity error —
+    * two-hour × ±200-value box opened by each high-severity error —
     * "similar-magnitude activity right after an incident", the
     * time×value band shape whose naive form is a DOUBLE band
     * predicate (four inequalities, zero equi-keys: the worst
@@ -874,16 +874,16 @@ object StatOps {
     */
   def rangeBinBoxes(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val boxes = ev.filter(col("event_type") === "error" && col("value") >= 150)
+    val boxes = ev.filter(col("event_type") === "error" && col("value") >= 100)
       .select(TimeSeriesOps.epochSecExpr("ts").as("xlo"),
-        (TimeSeriesOps.epochSecExpr("ts") + 900L).as("xhi"),
-        (col("value") - 75.0).as("ylo"),
-        (col("value") + 75.0).as("yhi"))
+        (TimeSeriesOps.epochSecExpr("ts") + 7200L).as("xhi"),
+        (col("value") - 200.0).as("ylo"),
+        (col("value") + 200.0).as("yhi"))
     val p = ev.filter(col("event_type") === "purchase")
       .select(TimeSeriesOps.epochSecExpr("ts").as("es"), col("value"))
     val joined = RangeJoinOps.pointInBox(p, "es", "value",
       boxes, "xlo", "xhi", "ylo", "yhi",
-      binWidthX = 900.0, binWidthY = 150.0)
+      binWidthX = 7200.0, binWidthY = 400.0)
     val plan = joined.queryExecution.executedPlan.toString()
     val binned = !plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct")
