@@ -386,13 +386,16 @@ object RangeJoinOps {
     * ALSO emit spurious null rows from its other bins. Instead:
     * grid-join INNER (canonical-bin dedup as usual), then anti-join
     * the unmatched left rows back in, null-extended — identified by a
-    * transient per-row id. The id frame is persisted
-    * (OpCaches.track) before branching: `monotonically_increasing_id`
-    * assigns ids by (partition, position), and a re-execution of a
-    * plan containing a hash shuffle does not replay reduce-side row
-    * order — materializing once is what makes the two branches see
-    * the SAME ids. The add-back is an id-equi anti-join on a set that
-    * only shrinks the left side — no second pass over the right.
+    * transient per-row id. The id frame is EAGERLY localCheckpointed
+    * (OpCaches.localCheckpointTracked) before branching:
+    * `monotonically_increasing_id` assigns ids by (partition,
+    * position), a re-execution of a plan containing a hash shuffle
+    * does not replay reduce-side row order, and a lazy persist does
+    * not survive recomputation (executor loss / eviction / two stages
+    * racing an uncached partition) — only the checkpoint's
+    * materialized blocks guarantee both branches see the SAME ids.
+    * The add-back is an id-equi anti-join on a set that only shrinks
+    * the left side — no second pass over the right.
     *
     * Left and right column names must be fully disjoint (the
     * null-extension reconstructs the right columns by name).
@@ -410,7 +413,7 @@ object RangeJoinOps {
     require(overlapNames.isEmpty,
       s"intervalOverlapOuter: column name(s) ${overlapNames.mkString(", ")} exist " +
         "on both sides — the outer form needs fully disjoint names")
-    val lid = OpCaches.track(
+    val lid = OpCaches.localCheckpointTracked(
       left.withColumn(RowIdCol, monotonically_increasing_id()))
     val inner = overlapCore(lid, lloCol, lhiCol, right, rloCol, rhiCol,
       binWidth, keys, maxBinsPerInterval)

@@ -141,6 +141,13 @@ class BinRangeJoinHint(session: SparkSession)
     j match {
       case Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _)
           if cond.deterministic =>
+        // never re-enter an ALREADY-rewritten grid join (nested hints,
+        // or a hinted query over a view built from RangeJoinOps
+        // output): its children expose __graft_ bin columns, and
+        // handing them back to binnedIntervalJoinD would abort the
+        // whole analysis on requireNoReserved instead of declining
+        if ((left.output ++ right.output).exists(_.name.startsWith("__graft_")))
+          return None
         // BETWEEN stays a single RuntimeReplaceable `Between` node at
         // analysis time (only the optimizer's ReplaceExpressions
         // expands it), and its built-in `replacement` routes the input
@@ -194,8 +201,15 @@ class BinRangeJoinHint(session: SparkSession)
         // LEFT OUTER join only the RIGHT side can be the BNLJ build
         // side, so only its size counts.
         val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
-        val bnlCap = session.sessionState.conf
-          .getConfString("spark.graft.rangeBin.bnlThreshold", "65536").toLong
+        // size-suffixed values ("128KB") parse like Spark's own byte
+        // confs; a bad value fails loudly WITH the conf name
+        val bnlRaw = session.sessionState.conf
+          .getConfString("spark.graft.rangeBin.bnlThreshold", "65536")
+        val bnlCap =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bnlRaw)
+          catch { case e: NumberFormatException =>
+            fail(s"spark.graft.rangeBin.bnlThreshold='$bnlRaw' is not a byte size: ${e.getMessage}")
+          }
         val smallSide =
           if (jt == LeftOuter) right.stats.sizeInBytes
           else left.stats.sizeInBytes.min(right.stats.sizeInBytes)

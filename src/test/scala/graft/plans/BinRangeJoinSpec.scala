@@ -296,6 +296,52 @@ class BinRangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("a reserved __graft_ column on a side declines instead of aborting analysis") {
+    import forced.implicits._
+    // a view that ALREADY carries a __graft_ column (nested hint, or a
+    // query over RangeJoinOps output that kept its working columns):
+    // handing it to binnedIntervalJoinD would abort the whole analysis
+    // on requireNoReserved — the hint must decline and leave the plain
+    // join, which still answers correctly
+    Seq((1L, 10.0, 5L), (2L, 99.0, 6L)).toDF("pid", "t", "__graft_bin")
+      .createOrReplaceTempView("brj_rp")
+    Seq((100L, 0.0, 20.0)).toDF("iid", "lo", "hi")
+      .createOrReplaceTempView("brj_ri")
+    val df = forced.sql(
+      """SELECT /*+ RANGE_BIN(5) */ pid, iid
+         FROM brj_rp p JOIN brj_ri i ON p.t >= i.lo AND p.t < i.hi""")
+    // one Generate would mean the rewrite fired on reserved input
+    assert(!df.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Generate]),
+      "hint must decline when a side exposes __graft_ columns")
+    assert(df.as[(Long, Long)].collect().toSeq === Seq((1L, 100L)))
+  }
+
+  test("bnlThreshold takes byte-suffixed values; garbage fails with the conf name") {
+    val kb = spark.newSession()
+    kb.conf.set("spark.graft.rangeBin.bnlThreshold", "1KB")
+    prepViews(kb)
+    val df = kb.sql(
+      """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+         FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""")
+    // "1KB" = 1024 — same dial position as the numeric capDown test,
+    // so the fixture side is over the cap and the rewrite fires
+    assert(df.queryExecution.executedPlan.toString().contains("__graft_bin"),
+      "byte-suffixed bnlThreshold did not parse to its numeric twin")
+    val bad = spark.newSession()
+    bad.conf.set("spark.graft.rangeBin.bnlThreshold", "lots")
+    prepViews(bad)
+    val e = intercept[Exception] {
+      bad.sql(
+        """SELECT /*+ RANGE_BIN(900) */ p_id, inc_id
+           FROM brj_p p JOIN brj_inc i ON p.ts >= i.lo AND p.ts < i.hi""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("spark.graft.rangeBin.bnlThreshold")
+      && m.contains("lots")), s"unexpected error: ${e.getMessage}")
+  }
+
   test("numeric-domain band join through the hint, DataFrame-registered views") {
     import forced.implicits._
     Seq((1L, 10.0), (2L, 20.0), (3L, 15.0)).toDF("pid", "t")
