@@ -29,7 +29,7 @@ object SparkEntry {
     "q5"      -> (SalesAnalytics.q5SalesByMonth _),
     // Operator inventory (SURVEY.md §2.2-2.8)
     "dexact"            -> (RelationalOps.dedupExact _),
-    "median_grp"        -> (RelationalOps.medianByGroup _),
+    "medgrp"        -> (RelationalOps.medianByGroup _),
     "imp_med"    -> (RelationalOps.imputeGroupMedian _),
     "scalars"           -> (RelationalOps.scalarFuncs _),
     "dates"             -> (RelationalOps.dateFuncs _),
@@ -64,7 +64,7 @@ object SparkEntry {
     "agg_cube"               -> (StatOps.aggCube _),
     "gsets"      -> (StatOps.aggGroupingSets _),
     "agg_cdist"     -> (StatOps.aggCountDistinct _),
-    "rank_dense"      -> (StatOps.windowRankDense _),
+    "rankd"      -> (StatOps.windowRankDense _),
     "pct_rank"    -> (StatOps.windowPercentRank _),
     "csort"     -> (StatOps.aggCollectSorted _),
     "ccap"     -> (StatOps.aggCollectCapped _),
@@ -112,12 +112,12 @@ object SparkEntry {
     "ann_recall"             -> (EmbeddingOps.annRecall _),
     "ann_rcl"   -> (EmbeddingOps.annRecallClustered _),
     "ivf_train"       -> (EmbeddingOps.annRecallTrained _),
-    "emb_neardup"      -> (EmbeddingOps.embNeardupPairs _),
+    "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
     "mm_decode"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
-    "pii_redact"        -> (PipelineOps.piiRedact _),
+    "pii"        -> (PipelineOps.piiRedact _),
     "strat"      -> (PipelineOps.sampleStratified _),
     "tfidf"        -> (PipelineOps.tfidfTopK _),
     "funnel"          -> (PipelineOps.eventsFunnel _),
@@ -130,6 +130,8 @@ object SparkEntry {
     "lm_score"       -> (TextOps.lmScore _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
     "clusters"         -> (DedupOps.dedupClusters _),
+    "dkeep"               -> (DedupOps.dedupKeep _),
+    "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
     "quota"    -> (PipelineOps.sampleSourceQuota _),
     "imps"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
@@ -569,7 +571,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "dexact" ->
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
-    "median_grp" ->
+    "medgrp" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
          FROM part GROUP BY 1 ORDER BY 1""",
     "imp_med" ->
@@ -798,7 +800,7 @@ object SparkEntry {
          COUNT(DISTINCT l_suppkey) AS n_supps,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "rank_dense" ->
+    "rankd" ->
       """SELECT p_brand, p_partkey, p_retailprice,
          CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS rnk,
          CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS drnk
@@ -1157,6 +1159,41 @@ object SparkEntry {
                 SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id)
           SELECT id AS doc_id, min(lbl) AS cluster FROM r
           GROUP BY 1 ORDER BY 1""",
+    // DedupOps.dedupKeep: clusters + quality composed into the
+    // per-document retention verdict — keep the highest-quality member
+    // of each near-dup cluster (ties → min doc_id), singletons keep.
+    "dkeep" -> {
+      val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
+      s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          r AS (SELECT id, id AS lbl FROM n
+                UNION
+                SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM r GROUP BY 1),
+          qt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          qs AS (SELECT doc_id,
+                   least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+                     (CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE)
+                       / NULLIF(len(toks), 0)) * 0.5 AS quality_score
+                 FROM qt),
+          a AS (SELECT qs.doc_id, COALESCE(cl.cluster, qs.doc_id) AS cluster,
+                       qs.quality_score
+                FROM qs LEFT JOIN cl ON qs.doc_id = cl.doc_id)
+          SELECT doc_id, cluster, quality_score,
+            (row_number() OVER wq = 1) AS keep,
+            first_value(doc_id) OVER
+              (PARTITION BY cluster
+               ORDER BY quality_score DESC NULLS LAST, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS kept_doc,
+            count(*) OVER (PARTITION BY cluster) AS n_members
+          FROM a
+          WINDOW wq AS (PARTITION BY cluster
+                        ORDER BY quality_score DESC NULLS LAST, doc_id)
+          ORDER BY doc_id"""
+    },
     "simhash" ->
       s"""$simhashSql
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
@@ -1197,7 +1234,7 @@ object SparkEntry {
                  TRUE AS recall_ok"""
     }),
     "ivf_train" -> annRecallTrainedSql(clusteredCorpusCtes),
-    "emb_neardup" -> {
+    "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics
       val bands = (0 until EmbeddingOps.NeardupBands).map { t =>
@@ -1258,7 +1295,7 @@ object SparkEntry {
     // same three RE2/Java-compatible patterns, same redaction order
     // (emails, then IPs, then phones). Patterns are derived from the
     // one Scala constant set so the two engines cannot drift.
-    "pii_redact" -> {
+    "pii" -> {
       val email = PipelineOps.EmailRe
       val ipv4 = PipelineOps.Ipv4Re
       val phone = PipelineOps.PhoneRe
@@ -1284,6 +1321,18 @@ object SparkEntry {
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
                < (CASE WHEN lang = 'en' THEN '1a' ELSE '80' END)
          ORDER BY doc_id""",
+    // PipelineOps.splitCorpus: seeded hash split — the assignment is a
+    // pure function of (seed, doc_id), so both engines deal the same
+    // train/val/test partition by construction.
+    "split" ->
+      """SELECT doc_id, lang,
+           substr(md5('graft:v1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5('graft:v1:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                WHEN substr(md5('graft:v1:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
     // PipelineOps.tfidfTopK: score = tf * (N / df) uses only
     // correctly-rounded IEEE ops (÷ then ×), so the doubles — and the
     // rank order they induce — are bitwise identical on both engines.

@@ -120,7 +120,7 @@ object DedupOps {
     "minhash_cand"     -> Set("minhash", "clusters", "cand_work"),
     "simhash_sig"      -> Set("simhash", "sim_pairs", "cand_work"),
     "jaccard_md5_cand" -> Set("cand_work"),
-    "neardup_cand"     -> Set("emb_neardup", "cand_work"))
+    "neardup_cand"     -> Set("endup", "cand_work"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -443,6 +443,48 @@ object DedupOps {
     // register the converged frame so releaseTransients reclaims it
     OpCaches.track(labels)
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup RETENTION — the end of the dedup story: [[dedupClusters]]
+    * labels the transitive near-dup groups, this picks each group's
+    * survivor and verdicts every document. Policy: keep the
+    * highest-quality member (TextOps.textQuality's composite score —
+    * the standard "keep the cleanest copy" rule; min-doc_id is a
+    * tie-break, NOT the policy, because templated spam often makes the
+    * lowest id the worst copy). Unclustered documents are their own
+    * singleton cluster and always keep.
+    *
+    * Output is the per-document verdict table a pipeline filters on:
+    * `keep` (this row survives), `kept_doc` (the group's survivor —
+    * the redirect target for provenance), `n_members`. Scale: the
+    * cluster labels and quality scores are both per-row frames; the
+    * verdict is one hash-shuffle on `cluster` feeding two window
+    * functions over the SAME (cluster, score, id) sort — one exchange,
+    * one sort, no driver state. Cluster sizes bound the window
+    * partitions, and near-dup clusters are small by construction
+    * (pathological mega-clusters are exactly what [[dedupClusters]]'s
+    * pointer-doubling already tolerates; the window here sorts each
+    * cluster once more).
+    */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, dir)
+    val scored = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val assigned = scored.join(clusters, Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    // null scores sort LAST explicitly: Spark's desc() default happens
+    // to match DuckDB's, but the gate must not hinge on two defaults
+    val byQuality = Window.partitionBy("cluster")
+      .orderBy(desc_nulls_last("quality_score"), asc("doc_id"))
+    val wholeCluster = byQuality
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    assigned
+      .withColumn("keep", row_number().over(byQuality) === 1)
+      .withColumn("kept_doc", first(col("doc_id")).over(wholeCluster))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
       .orderBy("doc_id")
   }
 

@@ -82,6 +82,38 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic seeded train/val/test split — the corpus staple
+    * that `sample`/`randomSplit` cannot be at scale: those draw from a
+    * partition-order-dependent RNG stream, so adding one file (or
+    * letting AQE re-split an input) silently reassigns documents
+    * across sets — train/test leakage by infrastructure. Here the
+    * assignment is a pure function of `(seed, doc_id)` via md5:
+    *  - disjoint + exhaustive by construction (every row lands in
+    *    exactly one named set);
+    *  - shard-stable (no partition/order/cluster-size dependence —
+    *    the same doc gets the same set on 1 executor or 1000);
+    *  - reproducible AND re-rollable (a new seed re-deals every
+    *    assignment; the old seed replays the old split forever);
+    *  - independent of every feature column, so each stratum inherits
+    *    the global ratios in expectation (no per-lang skew).
+    * The first two hex chars give 256 buckets: train < 0xcc (204/256
+    * ≈ 79.7%), val < 0xe6 (26/256 ≈ 10.2%), else test — ratios are
+    * byte-resolution by design; callers needing finer cuts take more
+    * hex chars. One narrow projection, no shuffle, no state.
+    */
+  def splitCorpus(spark: SparkSession, dir: String,
+      seed: String = "graft:v1"): DataFrame = {
+    val bucket = substring(
+      md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        when(bucket < "cc", "train")
+          .when(bucket < "e6", "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   // ---- salient terms (tf-idf-shaped, oracle-exact) ---------------------
 
   /** Top-3 salient terms per document, scored tf · (N / df). The

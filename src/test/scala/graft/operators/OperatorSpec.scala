@@ -19,7 +19,7 @@ class OperatorSpec extends AnyFunSuite {
       val n = fn(spark, sf).count()
       if (n == 0 && !Set("join_anti", "set_except", "jaccard",
         "minhash", "sim_pairs", "clusters",
-        "emb_neardup").contains(name))
+        "endup").contains(name))
         Some(name -> n)
       else None
     }
@@ -142,6 +142,43 @@ class OperatorSpec extends AnyFunSuite {
     }
     val expected = parent.keys.map(x => x -> find(x)).toMap
     assert(cluster === expected)
+  }
+
+  test("dedupKeep: one survivor per cluster, best quality wins, singletons keep") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = DedupOps.dedupKeep(spark, dir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    assert(rows.length.toLong === nDocs, "every document must get a verdict")
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    val clustered = DedupOps.dedupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (c, members) =>
+      val keepers = members.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length === 1, s"cluster $c has ${keepers.length} keepers")
+      val kept = keepers.head
+      // every member redirects to the one survivor, and counts agree
+      members.foreach { m =>
+        assert(m.getAs[Long]("kept_doc") === kept.getAs[Long]("doc_id"))
+        assert(m.getAs[Long]("n_members") === members.length.toLong)
+      }
+      // the survivor's quality dominates (nulls lose; ties → min id)
+      def q(r: org.apache.spark.sql.Row): Double =
+        if (r.isNullAt(r.fieldIndex("quality_score"))) Double.NegativeInfinity
+        else r.getAs[Double]("quality_score")
+      members.foreach { m =>
+        assert(q(kept) >= q(m), s"cluster $c kept a lower-quality doc")
+        if (q(kept) == q(m))
+          assert(kept.getAs[Long]("doc_id") <= m.getAs[Long]("doc_id"))
+      }
+    }
+    // docs outside the pair graph are singleton clusters that keep
+    rows.filterNot(r => clustered.contains(r.getAs[Long]("doc_id"))).foreach { r =>
+      assert(r.getAs[Boolean]("keep") && r.getAs[Long]("n_members") === 1L
+        && r.getAs[Long]("cluster") === r.getAs[Long]("doc_id"))
+    }
+    // and the near-dup clusters actually shrink the corpus
+    assert(rows.count(!_.getAs[Boolean]("keep")) > 0,
+      "fixture has near-dup clusters; some docs must be dropped")
   }
 
   test("label propagation: O(log n) rounds on an adversarial 64-doc chain") {

@@ -45,6 +45,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(otherRate > 0.35 && otherRate < 0.65, s"other rate $otherRate should be ~0.50")
   }
 
+  test("splitCorpus: disjoint+exhaustive, shard-stable, seed re-deals") {
+    val dir = "/root/testdata/sf0.01" // 500 docs — fractions are tight
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val a = PipelineOps.splitCorpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // exhaustive (one verdict per doc) + disjoint (a Map can't double-assign)
+    assert(a.size.toLong === docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ratios near 204/26/26 out of 256 (binomial noise at n=500)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size.toDouble / a.size)
+    assert(frac("train") > 0.72 && frac("train") < 0.87, s"train=${frac("train")}")
+    assert(frac("val") > 0.04 && frac("val") < 0.18, s"val=${frac("val")}")
+    assert(frac("test") > 0.04 && frac("test") < 0.18, s"test=${frac("test")}")
+    // shard-stability: the assignment is a pure function of doc_id —
+    // recomputing over a repartitioned/reordered view changes nothing
+    val reshuffled = PipelineOps.splitCorpus(spark, dir)
+    val b = reshuffled.repartition(7).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(b === a, "split must not depend on partitioning or row order")
+    // a new seed re-deals assignments without touching the ratios
+    val c = PipelineOps.splitCorpus(spark, dir, seed = "graft:v2").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(c.keySet === a.keySet)
+    assert(a.count { case (k, v) => c(k) != v } > a.size / 10,
+      "a different seed must reassign a substantial share")
+  }
+
   test("eventsFunnel: stage populations are monotone non-increasing") {
     val stages = PipelineOps.eventsFunnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
