@@ -117,7 +117,7 @@ object DedupOps {
     * the renamed query's timing.
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
-    "minhash_cand"     -> Set("minhash", "clusters", "cand_work"),
+    "minhash_cand"     -> Set("minhash", "clusters", "dkeep", "cand_work"),
     "simhash_sig"      -> Set("simhash", "sim_pairs", "cand_work"),
     "jaccard_md5_cand" -> Set("cand_work"),
     "neardup_cand"     -> Set("endup", "cand_work"))
