@@ -37,11 +37,11 @@ object SparkEntry {
     "join_semi"              -> (RelationalOps.joinSemi _),
     "join_anti"              -> (RelationalOps.joinAnti _),
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
-    "join_full"        -> (RelationalOps.joinFullOuter _),
+    "jfull"        -> (RelationalOps.joinFullOuter _),
     "topk_o"            -> (RelationalOps.topKOrders _),
     "pushdown"        -> (RelationalOps.filterPushdown _),
     "isect"          -> (RelationalOps.setIntersect _),
-    "set_except"             -> (RelationalOps.setExcept _),
+    "sexc"             -> (RelationalOps.setExcept _),
     "agg_rollup"             -> (RelationalOps.aggRollup _),
     "topkg"  -> (RelationalOps.windowTopKPerGroup _),
     "run_sum"     -> (RelationalOps.windowRunningSum _),
@@ -80,6 +80,7 @@ object SparkEntry {
     "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
     "rj_outer"               -> (StatOps.rangeBinPurchasesOuter _),
     "rj_box"                 -> (StatOps.rangeBinBoxes _),
+    "rj2d"                   -> (StatOps.rangeBinBoxesSql _),
     "rj_auto"                -> (StatOps.rangeBinTiersAuto _),
     "asof_join"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
@@ -629,7 +630,7 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_orderpriority = '1-URGENT')""",
-    "join_full" ->
+    "jfull" ->
       """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
          FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
          ORDER BY n.n_nationkey, s.s_suppkey""",
@@ -643,7 +644,7 @@ object SparkEntry {
     "isect" ->
       """SELECT c_nationkey AS nationkey FROM customer
          INTERSECT SELECT s_nationkey FROM supplier ORDER BY 1""",
-    "set_except" ->
+    "sexc" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""",
     "agg_rollup" ->
@@ -925,6 +926,21 @@ object SparkEntry {
          SELECT b.xlo, b.ylo, COUNT(*) AS n_purch,
                 CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
                 TRUE AS rj_box_bin
+         FROM p JOIN b ON p.es >= b.xlo AND p.es < b.xhi
+                      AND p.value >= b.ylo AND p.value < b.yhi
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the same box fixture through the SQL hint: RANGE_BIN2 ≡
+    // pointInBox ≡ the naive DuckDB join
+    "rj2d" ->
+      """WITH b AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS xlo,
+                           CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS xhi,
+                           value - 200.0 AS ylo, value + 200.0 AS yhi
+                    FROM events WHERE event_type = 'error' AND value >= 100),
+              p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+                    FROM events WHERE event_type = 'purchase')
+         SELECT b.xlo, b.ylo, COUNT(*) AS n_purch,
+                CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+                TRUE AS rj2d_bin
          FROM p JOIN b ON p.es >= b.xlo AND p.es < b.xhi
                       AND p.value >= b.ylo AND p.value < b.yhi
          GROUP BY 1, 2 ORDER BY 1, 2""",

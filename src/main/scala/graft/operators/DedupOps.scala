@@ -118,6 +118,7 @@ object DedupOps {
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
     "minhash_cand"     -> Set("minhash", "clusters", "dkeep", "cand_work"),
+    "cluster_labels"   -> Set("clusters", "dkeep"),
     "simhash_sig"      -> Set("simhash", "sim_pairs", "cand_work"),
     "jaccard_md5_cand" -> Set("cand_work"),
     "neardup_cand"     -> Set("endup", "cand_work"))
@@ -151,8 +152,12 @@ object DedupOps {
     * the shingle substrate — call after materializeSubstrate.
     */
   def materializePinnedStages(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    // cluster_labels AFTER minhash_cand: it consumes the candidate
+    // memo, so building in this order keeps each stage's timing its
+    // own (the labels entry prices propagation, not candidate gen)
     val stages = Seq(
       "minhash_cand" -> minhashCandidates(spark, dir),
+      "cluster_labels" -> clusterLabels(spark, dir),
       "simhash_sig" -> simhashSignatures(spark, dir),
       "jaccard_md5_cand" -> jaccardMd5Candidates(spark, dir),
       "neardup_cand" -> EmbeddingOps.neardupCandidates(spark, dir))
@@ -424,27 +429,43 @@ object DedupOps {
     * is the standard iterative-relational CC shape (GraphX Pregel has
     * the same plan underneath, minus the shortcut).
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
-    // localCheckpoint (eager), not persist: the loop below self-joins
-    // edges against frames DERIVED from edges, and Spark's cache
-    // substitution does not reliably match the re-aliased subtrees —
-    // measured as the whole minhash pipeline re-running EVERY round.
-    // Checkpointing physically truncates the lineage, so every round's
-    // plan starts from the materialized edge blocks no matter how the
-    // analyzer rewrites the self-join. On a cluster the same call is
-    // `checkpoint()` against reliable storage — the standard prelude
-    // to iterative dataflow (Pregel does exactly this).
-    val edges = OpCaches.localCheckpointTracked(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    val (labels, _) = propagateLabels(edges)
-    // register the converged frame so releaseTransients reclaims it
-    OpCaches.track(labels)
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterLabels(spark, dir)
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
       .orderBy("doc_id")
-  }
+
+  /** Converged (id, lbl) cluster map as a pinned MEMO STAGE — the
+    * fixpoint is deterministic (unique min-reachable-id per node) and
+    * now has two registered consumers (`clusters`, `dkeep`), so
+    * re-running the propagation loop per consumer per iteration is
+    * pure waste; Bench prices the one-time build inside `_substrate`
+    * like every other shared stage.
+    *
+    * localCheckpoint (eager), not persist, for the LOOP internals: it
+    * self-joins edges against frames DERIVED from edges, and Spark's
+    * cache substitution does not reliably match the re-aliased
+    * subtrees — measured as the whole minhash pipeline re-running
+    * EVERY round. Checkpointing physically truncates the lineage, so
+    * every round's plan starts from the materialized edge blocks no
+    * matter how the analyzer rewrites the self-join. On a cluster the
+    * same call is `checkpoint()` against reliable storage — the
+    * standard prelude to iterative dataflow (Pregel does exactly
+    * this). The converged frame's lineage bottoms out in those
+    * TRANSIENT checkpoint blocks, which releaseTransients frees — the
+    * standard memo-stage lifecycle covers this: the first consumer's
+    * (or materializePinnedStages') full action fills the pinned cache
+    * before any releaseTransients runs, and later consumers read the
+    * cache without recomputing through freed blocks.
+    */
+  private[operators] def clusterLabels(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "cluster_labels") {
+      val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+      val edges = OpCaches.localCheckpointTracked(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      val (labels, _) = propagateLabels(edges)
+      labels
+    }
 
   /** Near-dup RETENTION — the end of the dedup story: [[dedupClusters]]
     * labels the transitive near-dup groups, this picks each group's

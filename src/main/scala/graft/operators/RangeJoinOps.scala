@@ -183,6 +183,61 @@ object RangeJoinOps {
       .drop(l(BinCol)).drop(r(BinCol)).drop(l(LBin0)).drop(r(RBin0))
   }
 
+  /** The 2-D core the `RANGE_BIN2` hint drives — [[binnedIntervalJoinD]]
+    * with a second independent dimension: both sides carry a derived
+    * RECTANGLE as monotone double columns (degenerate per dim for
+    * point-shaped sides, signaled by passing the SAME Column instance
+    * — the `eq` contract), candidates meet in (wx × wy) grid CELLS
+    * through an equi-join on the (bx, by) pair, and the ORIGINAL
+    * predicate runs as the residual. Each pair surfaces exactly once:
+    * the per-dim canonical-bin conditions compose — the canonical cell
+    * `(max(bx(lxlo), bx(rxlo)), max(by(lylo), by(rylo)))` is the
+    * bottom-left cell of the rectangles' intersection, which exists
+    * whenever the residual holds, and a degenerate dim's condition is
+    * vacuously true (the point's only bin IS the max, residual
+    * permitting). So the core is general rectangle-overlap; point-in-
+    * box is the both-dims-degenerate-left special case.
+    */
+  private[graft] def binnedBoxJoinD(
+      left: DataFrame, lxLoD: Column, lxHiD: Column,
+      lyLoD: Column, lyHiD: Column,
+      right: DataFrame, rxLoD: Column, rxHiD: Column,
+      ryLoD: Column, ryHiD: Column,
+      binWidthX: Double, binWidthY: Double, residual: Column,
+      maxBinsPerDim: Int = 100,
+      joinType: String = "inner"): DataFrame = {
+    require(binWidthX > 0 && binWidthY > 0,
+      s"bin widths must be positive, got ($binWidthX, $binWidthY)")
+    requireNoReserved(left, "left")
+    requireNoReserved(right, "right")
+    def sameExpr(a: Column, b: Column): Boolean = a eq b
+    // left_outer soundness needs a left side that never explodes —
+    // degenerate in BOTH dims (the pointInBoxOuter argument)
+    require(joinType == "inner" ||
+      (joinType == "left_outer" && sameExpr(lxLoD, lxHiD) && sameExpr(lyLoD, lyHiD)),
+      s"binnedBoxJoinD: joinType=$joinType requires a left side degenerate in both dims")
+    val (bxCol, lbx0, rbx0) = ("__graft_bx", "__graft_lbx0", "__graft_rbx0")
+    val (byCol, lby0, rby0) = ("__graft_by", "__graft_lby0", "__graft_rby0")
+    def side(df: DataFrame, xLo: Column, xHi: Column, yLo: Column, yHi: Column,
+        bx0: String, by0: String): DataFrame = {
+      def dim(d: DataFrame, lo: Column, hi: Column, w: Double,
+          b0: String, b: String): DataFrame =
+        if (sameExpr(lo, hi))
+          d.withColumn(b0, binOfD(lo, w)).withColumn(b, col(b0))
+        else d.withColumn(b0, binOfD(lo, w))
+          .withColumn(b, explode(binsOfD(lo, hi, w, maxBinsPerDim)))
+      dim(dim(df, xLo, xHi, binWidthX, bx0, bxCol), yLo, yHi, binWidthY, by0, byCol)
+    }
+    val l = side(left, lxLoD, lxHiD, lyLoD, lyHiD, lbx0, lby0)
+    val r = side(right, rxLoD, rxHiD, ryLoD, ryHiD, rbx0, rby0)
+    val cond = l(bxCol) === r(bxCol) && l(byCol) === r(byCol) &&
+      l(bxCol) === greatest(l(lbx0), r(rbx0)) &&
+      l(byCol) === greatest(l(lby0), r(rby0)) && residual
+    l.join(r, cond, joinType)
+      .drop(l(bxCol)).drop(r(bxCol)).drop(l(byCol)).drop(r(byCol))
+      .drop(l(lbx0)).drop(r(rbx0)).drop(l(lby0)).drop(r(rby0))
+  }
+
   /** Point-in-interval join, binned: every `points` row joined to every
     * `intervals` row whose HALF-OPEN window `[loCol, hiCol)` contains
     * `pointCol`, optionally ALSO equi-keyed on `keys` (left name →

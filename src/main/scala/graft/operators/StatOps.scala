@@ -862,6 +862,49 @@ object StatOps {
       .orderBy("lo")
   }
 
+  /** 2-D point-in-box from PURE SQL — [[rangeBinBoxes]]'s fixture
+    * through the `RANGE_BIN2(wx, wy)` hint: the analyzer classifies
+    * the four-inequality condition into two point-keyed dimensions
+    * and rewrites to the (bx, by) grid-cell equi-join, exactly what
+    * the DataFrame `pointInBox` builds. The claim ships in-row
+    * (`rj2d_bin`: executed plan free of nested loops — which the
+    * un-hinted form plans, having zero equi conjuncts). Child session
+    * with the broadcast threshold off, same rationale as
+    * [[rangeBinIncidentsSql]]: this key pins the big-big REWRITE;
+    * the stats-pick decline is gated separately by `rj_auto`.
+    */
+  def rangeBinBoxesSql(spark: SparkSession, dir: String): DataFrame = {
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val n = viewSeq.incrementAndGet()
+    val (vB, vP) = (s"graft_rj2_b_$n", s"graft_rj2_p_$n")
+    val ev = Tables.events(child, dir)
+    ev.filter(col("event_type") === "error" && col("value") >= 100)
+      .select(TimeSeriesOps.epochSecExpr("ts").as("xlo"),
+        (TimeSeriesOps.epochSecExpr("ts") + 7200L).as("xhi"),
+        (col("value") - 200.0).as("ylo"),
+        (col("value") + 200.0).as("yhi"))
+      .createOrReplaceTempView(vB)
+    ev.filter(col("event_type") === "purchase")
+      .select(TimeSeriesOps.epochSecExpr("ts").as("es"), col("value"))
+      .createOrReplaceTempView(vP)
+    val joined = child.sql(
+      s"""SELECT /*+ RANGE_BIN2(7200, 400) */ b.xlo, b.ylo, p.value
+         FROM $vP p JOIN $vB b
+           ON p.es >= b.xlo AND p.es < b.xhi
+          AND p.value >= b.ylo AND p.value < b.yhi""")
+    child.catalog.dropTempView(vB)
+    child.catalog.dropTempView(vP)
+    val plan = joined.queryExecution.executedPlan.toString()
+    val binned = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct")
+    joined.groupBy("xlo", "ylo")
+      .agg(count(lit(1)).as("n_purch"),
+        graft.util.Num.moneySum(col("value")).as("rev"))
+      .withColumn("rj2d_bin", lit(binned))
+      .orderBy("xlo", "ylo")
+  }
+
   /** 2-D binned point-in-box gate: purchases landing inside the
     * two-hour × ±200-value box opened by each high-severity error —
     * "similar-magnitude activity right after an incident", the

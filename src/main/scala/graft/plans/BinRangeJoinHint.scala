@@ -11,7 +11,14 @@ import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** `/*+ RANGE_BIN(w[, maxBins]) */` — hint-driven binned range joins
-  * from pure SQL.
+  * from pure SQL — and `/*+ RANGE_BIN2(wx, wy[, maxBinsPerDim]) */`,
+  * its 2-D sibling for box predicates (four inequalities over two
+  * point-keyed dimensions → an equi-join on the (bx, by) grid cell,
+  * see [[boxRewrite]]). No STREAMING twin exists for the 2-D form by
+  * design: a stream-stream join can only evict state through a
+  * time-interval condition on watermarked event time, and the second
+  * (value) dimension carries no watermark — the 1-D twin
+  * (EventStream.incidentWindowMatches) is the stream-safe shape.
   *
   * A band predicate (`p.ts >= i.lo AND p.ts < i.hi`, or the overlap
   * form `a.lo < b.hi AND b.lo < a.hi`) has no equi-key, so Catalyst
@@ -74,6 +81,7 @@ class BinRangeJoinHint(session: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   private val HintName = "RANGE_BIN"
+  private val HintName2 = "RANGE_BIN2"
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case UnresolvedHint(name, params, child)
@@ -91,6 +99,23 @@ class BinRangeJoinHint(session: SparkSession)
         logWarning(s"$HintName($w): no band join rewritten under the hint " +
           "(none eligible, or every candidate had a broadcast-sized side — " +
           "see the stats-pick log lines); hint dropped")
+        child
+      } else out
+    case UnresolvedHint(name, params, child)
+        if name.equalsIgnoreCase(HintName2) && child.resolved =>
+      val (wx, wy, maxBins) = parseParams2(params)
+      var applied = 0
+      val out = child.transformUp {
+        case j: Join =>
+          boxRewrite(j, wx, wy, maxBins) match {
+            case Some(p) => applied += 1; p
+            case None => j
+          }
+      }
+      if (applied == 0) {
+        logWarning(s"$HintName2($wx, $wy): no 2-D band join rewritten under " +
+          "the hint (needs two point-keyed dimensions — see scaladoc; or " +
+          "every candidate had a tiny side); hint dropped")
         child
       } else out
   }
@@ -119,6 +144,34 @@ class BinRangeJoinHint(session: SparkSession)
     (w, maxBins)
   }
 
+  /** RANGE_BIN2(wx, wy[, maxBinsPerDim]) — per-dimension widths; the
+    * first-appearing point expression in the condition gets `wx`, the
+    * second `wy`. Default per-dim guard matches pointInBox's 100.
+    */
+  private def parseParams2(params: Seq[Any]): (Double, Double, Int) = {
+    def num(a: Any): Double = a match {
+      case Literal(v, _: NumericType) => v match {
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case d: Double => d
+        case f: Float => f.toDouble
+        case s: Short => s.toDouble
+        case b: Byte => b.toDouble
+        case d: Decimal => d.toDouble
+        case other => fail(s"unsupported numeric literal $other")
+      }
+      case other => fail(s"expected a numeric literal, got $other")
+    }
+    val (wx, wy, maxBins) = params match {
+      case Seq(a, b) => (num(a), num(b), 100)
+      case Seq(a, b, c) => (num(a), num(b), num(c).toInt)
+      case _ => fail(s"expected RANGE_BIN2(wx, wy[, maxBinsPerDim]), got ${params.length} args")
+    }
+    if (wx <= 0 || wy <= 0) fail(s"widths must be positive, got ($wx, $wy)")
+    if (maxBins <= 0) fail(s"maxBinsPerDim must be positive, got $maxBins")
+    (wx, wy, maxBins)
+  }
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"$HintName hint: $msg")
 
@@ -137,89 +190,102 @@ class BinRangeJoinHint(session: SparkSession)
     }
   }
 
+  /** Never re-enter an ALREADY-rewritten grid join (nested hints, or
+    * a hinted query over a view built from RangeJoinOps output): its
+    * children expose __graft_ bin columns, and handing them back to
+    * the bin cores would abort the whole analysis on requireNoReserved
+    * instead of declining.
+    */
+  private def reservedInputs(left: LogicalPlan, right: LogicalPlan): Boolean =
+    (left.output ++ right.output).exists(_.name.startsWith("__graft_"))
+
+  /** Every cross-side comparison as (leftExpr, rightExpr, isUpper)
+    * with isUpper ⇔ leftExpr ≤/< rightExpr. Cross-side EQUALITIES are
+    * NOT bounds and NOT a reason to decline: they ride inside the
+    * residual, where ExtractEquiJoinKeys picks them up as join keys
+    * alongside the bin id(s). BETWEEN stays a single RuntimeReplaceable
+    * `Between` node at analysis time (only the optimizer's
+    * ReplaceExpressions expands it), and its built-in `replacement`
+    * routes the input through CommonExpressionRef nodes whose
+    * `references` are EMPTY — invisible to the side classifier — so it
+    * is expanded to the plain two-bound form by hand (classification
+    * only; the residual keeps the original cond).
+    */
+  private def crossBounds(left: LogicalPlan, right: LogicalPlan,
+      cond: Expression): Seq[(Expression, Expression, Boolean)] = {
+    val normalized = cond.transform {
+      case Between(input, lower, upper, _) =>
+        And(GreaterThanOrEqual(input, lower), LessThanOrEqual(input, upper))
+    }
+    def sideOf(e: Expression): Option[Boolean] = {
+      val refs = e.references
+      if (refs.isEmpty) None
+      else if (refs.subsetOf(left.outputSet)) Some(true)
+      else if (refs.subsetOf(right.outputSet)) Some(false)
+      else None
+    }
+    splitConjunctivePredicates(normalized).flatMap {
+      case cmp: BinaryComparison =>
+        (sideOf(cmp.left), sideOf(cmp.right)) match {
+          case (Some(true), Some(false)) => cmp match {
+            case _: LessThan | _: LessThanOrEqual => Some((cmp.left, cmp.right, true))
+            case _: GreaterThan | _: GreaterThanOrEqual => Some((cmp.left, cmp.right, false))
+            case _ => None
+          }
+          case (Some(false), Some(true)) => cmp match {
+            case _: LessThan | _: LessThanOrEqual => Some((cmp.right, cmp.left, false))
+            case _: GreaterThan | _: GreaterThanOrEqual => Some((cmp.right, cmp.left, true))
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Stats-driven pick (not force): a TINY side makes the plain BNLJ
+    * the cheaper plan — zero shuffle, no explode, and a trivially
+    * small per-probe scan. The bound is min(broadcast threshold,
+    * bnlThreshold): nested-loop work is |L|·|R|, so "fits in a
+    * broadcast" (10 MB default ≈ 10⁵ rows) is NOT small enough — see
+    * the class scaladoc's sf1 measurement. For a LEFT OUTER join only
+    * the RIGHT side can be the BNLJ build side, so only its size
+    * counts. Returns true when the join should be left alone.
+    */
+  private def tinyDecline(left: LogicalPlan, right: LogicalPlan,
+      jt: org.apache.spark.sql.catalyst.plans.JoinType, hint: String): Boolean = {
+    val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
+    // size-suffixed values ("128KB") parse like Spark's own byte
+    // confs; a bad value fails loudly WITH the conf name
+    val bnlRaw = session.sessionState.conf
+      .getConfString("spark.graft.rangeBin.bnlThreshold", "65536")
+    val bnlCap =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bnlRaw)
+      catch { case e: NumberFormatException =>
+        fail(s"spark.graft.rangeBin.bnlThreshold='$bnlRaw' is not a byte size: ${e.getMessage}")
+      }
+    val smallSide =
+      if (jt == LeftOuter) right.stats.sizeInBytes
+      else left.stats.sizeInBytes.min(right.stats.sizeInBytes)
+    val decline = threshold >= 0 && smallSide <= threshold.min(bnlCap)
+    if (decline)
+      logInfo(s"$hint: a join side is tiny (${smallSide} B <= " +
+        s"min(broadcast=$threshold, bnl=$bnlCap)) — keeping the " +
+        "nested-loop plan (no explode); set " +
+        "spark.sql.autoBroadcastJoinThreshold=-1 to force the grid form")
+    decline
+  }
+
   private def bandRewrite(j: Join, w: Double, maxBins: Int): Option[LogicalPlan] =
     j match {
       case Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _)
           if cond.deterministic =>
-        // never re-enter an ALREADY-rewritten grid join (nested hints,
-        // or a hinted query over a view built from RangeJoinOps
-        // output): its children expose __graft_ bin columns, and
-        // handing them back to binnedIntervalJoinD would abort the
-        // whole analysis on requireNoReserved instead of declining
-        if ((left.output ++ right.output).exists(_.name.startsWith("__graft_")))
-          return None
-        // BETWEEN stays a single RuntimeReplaceable `Between` node at
-        // analysis time (only the optimizer's ReplaceExpressions
-        // expands it), and its built-in `replacement` routes the input
-        // through CommonExpressionRef nodes whose `references` are
-        // EMPTY — invisible to the side classifier. Expand it to the
-        // plain two-bound form by hand (classification only; the
-        // residual keeps the original cond).
-        val normalized = cond.transform {
-          case Between(input, lower, upper, _) =>
-            And(GreaterThanOrEqual(input, lower), LessThanOrEqual(input, upper))
-        }
-        val conjuncts = splitConjunctivePredicates(normalized)
-        def sideOf(e: Expression): Option[Boolean] = {
-          val refs = e.references
-          if (refs.isEmpty) None
-          else if (refs.subsetOf(left.outputSet)) Some(true)
-          else if (refs.subsetOf(right.outputSet)) Some(false)
-          else None
-        }
-        // normalize every cross-side comparison to (leftExpr, rightExpr,
-        // isUpper) with isUpper ⇔ leftExpr ≤/< rightExpr. Cross-side
-        // EQUALITIES are NOT bounds and NOT a reason to decline: they
-        // ride inside the residual, where ExtractEquiJoinKeys picks
-        // them up as join keys alongside the bin id.
-        val bounds = conjuncts.flatMap {
-          case cmp: BinaryComparison =>
-            (sideOf(cmp.left), sideOf(cmp.right)) match {
-              case (Some(true), Some(false)) => cmp match {
-                case _: LessThan | _: LessThanOrEqual => Some((cmp.left, cmp.right, true))
-                case _: GreaterThan | _: GreaterThanOrEqual => Some((cmp.left, cmp.right, false))
-                case _ => None
-              }
-              case (Some(false), Some(true)) => cmp match {
-                case _: LessThan | _: LessThanOrEqual => Some((cmp.right, cmp.left, false))
-                case _: GreaterThan | _: GreaterThanOrEqual => Some((cmp.right, cmp.left, true))
-                case _ => None
-              }
-              case _ => None
-            }
-          case _ => None
-        }
+        if (reservedInputs(left, right)) return None
+        val bounds = crossBounds(left, right, cond)
         val uppers = bounds.filter(_._3)
         val lowers = bounds.filterNot(_._3)
         if (uppers.isEmpty || lowers.isEmpty) return None
-        // stats-driven pick (not force): a TINY side makes the plain
-        // BNLJ the cheaper plan — zero shuffle, no explode, and a
-        // trivially small per-probe scan. The bound is min(broadcast
-        // threshold, bnlThreshold): nested-loop work is |L|·|R|, so
-        // "fits in a broadcast" (10 MB default ≈ 10⁵ rows) is NOT
-        // small enough — see the scaladoc's sf1 measurement. For a
-        // LEFT OUTER join only the RIGHT side can be the BNLJ build
-        // side, so only its size counts.
-        val threshold = session.sessionState.conf.autoBroadcastJoinThreshold
-        // size-suffixed values ("128KB") parse like Spark's own byte
-        // confs; a bad value fails loudly WITH the conf name
-        val bnlRaw = session.sessionState.conf
-          .getConfString("spark.graft.rangeBin.bnlThreshold", "65536")
-        val bnlCap =
-          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(bnlRaw)
-          catch { case e: NumberFormatException =>
-            fail(s"spark.graft.rangeBin.bnlThreshold='$bnlRaw' is not a byte size: ${e.getMessage}")
-          }
-        val smallSide =
-          if (jt == LeftOuter) right.stats.sizeInBytes
-          else left.stats.sizeInBytes.min(right.stats.sizeInBytes)
-        if (threshold >= 0 && smallSide <= threshold.min(bnlCap)) {
-          logInfo(s"$HintName: a join side is tiny (${smallSide} B <= " +
-            s"min(broadcast=$threshold, bnl=$bnlCap)) — keeping the " +
-            "nested-loop plan (no explode); set " +
-            "spark.sql.autoBroadcastJoinThreshold=-1 to force the grid form")
-          return None
-        }
+        if (tinyDecline(left, right, jt, HintName)) return None
         val (aL, bR, _) = uppers.head // aL ≤ bR
         val (cL, dR, _) = lowers.head // cL ≥ dR
         if (!Seq(aL, bR, cL, dR).forall(e => binnable(e.dataType))) return None
@@ -263,6 +329,95 @@ class BinRangeJoinHint(session: SparkSession)
           lDF, lLo, lHi, rDF, rLo, rHi, w,
           residual = Bridge.column(cond), maxBinsPerInterval = maxBins,
           joinType = if (jt == LeftOuter) "left_outer" else "inner")
+        val projected = joined.select(j.output.map(Bridge.column): _*)
+        Some(projected.queryExecution.analyzed)
+      case _ => None
+    }
+
+  /** RANGE_BIN2: the 2-D rewrite. Eligible when the condition carries
+    * TWO independent point-keyed dimensions — groups of cross-side
+    * bounds sharing one POINT expression on the same side, each group
+    * contributing at least one upper and one lower bound (the
+    * `p.x >= b.xlo AND p.x < b.xhi AND p.y >= b.ylo AND p.y < b.yhi`
+    * box shape; extra conjuncts, including equalities, stay in the
+    * residual). The point side may sit LEFT (LEFT OUTER allowed — it
+    * never explodes) or RIGHT (inner only). General interval×interval
+    * 2-D overlap has no unambiguous dimension pairing from a flat
+    * conjunction, so anything else declines — the 1-D RANGE_BIN still
+    * applies to such conditions by binning one dimension and leaving
+    * the rest in the residual.
+    */
+  private def boxRewrite(j: Join, wx: Double, wy: Double,
+      maxBins: Int): Option[LogicalPlan] =
+    j match {
+      case Join(left, right, jt @ (Inner | LeftOuter), Some(cond), _)
+          if cond.deterministic =>
+        if (reservedInputs(left, right)) return None
+        val bounds = crossBounds(left, right, cond)
+        // dims keyed by a shared point expression on `byLeft` side:
+        // (pointExpr, intervalLo, intervalHi), first-appearance order.
+        // byLeft: point ∈ left — upper (e ≤ bR) gives the interval hi,
+        // lower (e ≥ dR) the lo. byRight: point ∈ right — upper
+        // (aL ≤ f) means aL is the interval LO, lower (cL ≥ f) the hi.
+        def dims(byLeft: Boolean): Seq[(Expression, Expression, Expression)] = {
+          def keyOf(b: (Expression, Expression, Boolean)) =
+            (if (byLeft) b._1 else b._2).canonicalized
+          val grouped = bounds.groupBy(keyOf)
+          bounds.map(keyOf).distinct.flatMap { k =>
+            val g = grouped(k)
+            val ups = g.filter(_._3)
+            val los = g.filterNot(_._3)
+            if (ups.isEmpty || los.isEmpty) None
+            else if (byLeft) Some((ups.head._1, los.head._2, ups.head._2))
+            else Some((ups.head._2, ups.head._1, los.head._1))
+          }
+        }
+        val (pointOnLeft, dd) = {
+          val l = dims(byLeft = true)
+          if (l.length >= 2) (true, l)
+          else (false, dims(byLeft = false))
+        }
+        if (dd.length < 2) return None
+        // LEFT OUTER is sound only when the LEFT side never explodes —
+        // i.e. the point side is the left one (pointInBoxOuter).
+        if (jt == LeftOuter && !pointOnLeft) {
+          logInfo(s"$HintName2: LEFT OUTER 2-D band join with an " +
+            "interval-shaped left side — not rewritable in place " +
+            "(use RangeJoinOps API forms); left alone")
+          return None
+        }
+        val (px, xLo, xHi) = dd(0)
+        val (py, yLo, yHi) = dd(1)
+        if (!Seq(px, xLo, xHi, py, yLo, yHi).forall(e => binnable(e.dataType)))
+          return None
+        if (tinyDecline(left, right, jt, HintName2)) return None
+        val spark = session
+        val lDF = Bridge.ofRows(spark, left)
+        val rDF = Bridge.ofRows(spark, right)
+        // degenerate dims pass the SAME Column instance twice (the
+        // `eq` no-explode contract); interval bounds go through
+        // least/greatest like the 1-D rewrite so a mis-ordered pair
+        // still yields a well-formed interval (residual keeps exact)
+        def interval(lo: Expression, hi: Expression): (Column, Column) =
+          if (lo.semanticEquals(hi)) { val d = asDoubleCol(lo); (d, d) }
+          else (least(asDoubleCol(lo), asDoubleCol(hi)),
+            greatest(asDoubleCol(lo), asDoubleCol(hi)))
+        val pxD = asDoubleCol(px)
+        val pyD = asDoubleCol(py)
+        val (ixLo, ixHi) = interval(xLo, xHi)
+        val (iyLo, iyHi) = interval(yLo, yHi)
+        val joined =
+          if (pointOnLeft)
+            graft.operators.RangeJoinOps.binnedBoxJoinD(
+              lDF, pxD, pxD, pyD, pyD, rDF, ixLo, ixHi, iyLo, iyHi,
+              wx, wy, residual = Bridge.column(cond),
+              maxBinsPerDim = maxBins,
+              joinType = if (jt == LeftOuter) "left_outer" else "inner")
+          else
+            graft.operators.RangeJoinOps.binnedBoxJoinD(
+              lDF, ixLo, ixHi, iyLo, iyHi, rDF, pxD, pxD, pyD, pyD,
+              wx, wy, residual = Bridge.column(cond),
+              maxBinsPerDim = maxBins, joinType = "inner")
         val projected = joined.select(j.output.map(Bridge.column): _*)
         Some(projected.queryExecution.analyzed)
       case _ => None

@@ -296,6 +296,79 @@ class BinRangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("RANGE_BIN2: 2-D box join rewrites to the (bx, by) grid, both orientations") {
+    import forced.implicits._
+    val rnd = new scala.util.Random(43)
+    (1 to 150).map(i =>
+      (i.toLong, rnd.nextDouble() * 1000, rnd.nextDouble() * 400 - 200))
+      .toDF("pid", "x", "y").createOrReplaceTempView("brj2_p")
+    (1 to 40).map { i =>
+      val (xlo, ylo) = (rnd.nextDouble() * 1000, rnd.nextDouble() * 400 - 200)
+      (1000L + i, xlo, xlo + 80, ylo, ylo + 40)
+    }.toDF("bid", "xlo", "xhi", "ylo", "yhi").createOrReplaceTempView("brj2_b")
+    val cond = "p.x >= b.xlo AND p.x < b.xhi AND p.y >= b.ylo AND p.y < b.yhi"
+    val hinted = forced.sql(
+      s"SELECT /*+ RANGE_BIN2(80, 40) */ pid, bid FROM brj2_p p JOIN brj2_b b ON $cond")
+    val naive = forced.sql(s"SELECT pid, bid FROM brj2_p p JOIN brj2_b b ON $cond")
+    val hp = hinted.queryExecution.executedPlan.toString()
+    val np = naive.queryExecution.executedPlan.toString()
+    assert(hp.contains("__graft_bx") && hp.contains("__graft_by") &&
+      !hp.contains("BroadcastNestedLoopJoin") && !hp.contains("CartesianProduct"),
+      s"RANGE_BIN2 did not rewrite to the 2-D grid:\n$hp")
+    assert(np.contains("BroadcastNestedLoopJoin") || np.contains("CartesianProduct"),
+      s"negative control: un-hinted box join should nested-loop:\n$np")
+    assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+      "RANGE_BIN2 changed the result")
+    assert(hinted.count() > 0, "box fixture produced no matches")
+    // ≡ the DataFrame API
+    val api = graft.operators.RangeJoinOps.pointInBox(
+      forced.table("brj2_p"), "x", "y",
+      forced.table("brj2_b"), "xlo", "xhi", "ylo", "yhi", 80.0, 40.0)
+      .select("pid", "bid")
+    assert(hinted.exceptAll(api).isEmpty && api.exceptAll(hinted).isEmpty,
+      "hint and pointInBox disagree")
+    // point side written on the RIGHT of the join still classifies
+    val flipped = forced.sql(
+      s"SELECT /*+ RANGE_BIN2(80, 40) */ pid, bid FROM brj2_b b JOIN brj2_p p ON $cond")
+    assert(flipped.queryExecution.executedPlan.toString().contains("__graft_bx"),
+      "point-on-right orientation not rewritten")
+    assert(flipped.exceptAll(naive).isEmpty && naive.exceptAll(flipped).isEmpty,
+      "flipped orientation changed the result")
+    // LEFT OUTER: point-left rewrites and keeps boxless points; the
+    // interval-shaped left declines (no add-back behind a hint)
+    val outer = forced.sql(
+      s"SELECT /*+ RANGE_BIN2(80, 40) */ pid, bid FROM brj2_p p LEFT JOIN brj2_b b ON $cond")
+    val outerNaive = forced.sql(
+      s"SELECT pid, bid FROM brj2_p p LEFT JOIN brj2_b b ON $cond")
+    assert(outer.queryExecution.executedPlan.toString().contains("__graft_bx"),
+      "LEFT OUTER point-left 2-D join not rewritten")
+    assert(outer.exceptAll(outerNaive).isEmpty && outerNaive.exceptAll(outer).isEmpty,
+      "LEFT OUTER 2-D rewrite changed the result")
+    assert(outer.filter(col("bid").isNull).count() > 0,
+      "fixture has no boxless points — outer case not exercised")
+    val outerFlipped = forced.sql(
+      s"SELECT /*+ RANGE_BIN2(80, 40) */ pid, bid FROM brj2_b b LEFT JOIN brj2_p p ON $cond")
+    assert(!outerFlipped.queryExecution.executedPlan.toString().contains("__graft_bx"),
+      "interval-left LEFT OUTER must decline the 2-D rewrite")
+    // a 1-D condition under RANGE_BIN2 declines (hint dropped, query runs)
+    val oneDim = forced.sql(
+      """SELECT /*+ RANGE_BIN2(80, 40) */ pid, bid
+         FROM brj2_p p JOIN brj2_b b ON p.x >= b.xlo AND p.x < b.xhi""")
+    assert(!oneDim.queryExecution.executedPlan.toString().contains("__graft_bx"),
+      "single-dim condition must decline RANGE_BIN2")
+    assert(oneDim.count() > 0)
+    // malformed arity fails analysis loudly
+    val e = intercept[Exception] {
+      forced.sql(
+        s"SELECT /*+ RANGE_BIN2(80) */ pid, bid FROM brj2_p p JOIN brj2_b b ON $cond")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("RANGE_BIN2(wx, wy")),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("a reserved __graft_ column on a side declines instead of aborting analysis") {
     import forced.implicits._
     // a view that ALREADY carries a __graft_ column (nested hint, or a
