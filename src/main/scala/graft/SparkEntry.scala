@@ -59,7 +59,7 @@ object SparkEntry {
     "unpivot"           -> (RelationalOps.unpivotLong _),
     "mode_grp"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
-    "agg_moments"            -> (StatOps.aggMoments _),
+    "amoms"            -> (StatOps.aggMoments _),
     "pivot"             -> (StatOps.pivotWide _),
     "agg_cube"               -> (StatOps.aggCube _),
     "gsets"      -> (StatOps.aggGroupingSets _),
@@ -110,9 +110,9 @@ object SparkEntry {
     "ann_lsh"         -> (EmbeddingOps.annLshBucket _),
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
     "ann_ivf_p2"         -> (EmbeddingOps.annIvfProbe2 _),
-    "ann_recall"             -> (EmbeddingOps.annRecall _),
+    "anrcl"             -> (EmbeddingOps.annRecall _),
     "ann_rcl"   -> (EmbeddingOps.annRecallClustered _),
-    "ivf_train"       -> (EmbeddingOps.annRecallTrained _),
+    "ivft"       -> (EmbeddingOps.annRecallTrained _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
@@ -133,6 +133,7 @@ object SparkEntry {
     "clusters"         -> (DedupOps.dedupClusters _),
     "dkeep"               -> (DedupOps.dedupKeep _),
     "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
+    "tmix"     -> ((s: SparkSession, d: String) => PipelineOps.sampleTemperature(s, d)),
     "quota"    -> (PipelineOps.sampleSourceQuota _),
     "imps"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
@@ -848,7 +849,7 @@ object SparkEntry {
                 round((n * sxy - sx * sy) /
                   (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)), 9) AS corr
          FROM s ORDER BY l_returnflag""",
-    "agg_moments" ->
+    "amoms" ->
       """WITH s AS (
            SELECT l_returnflag, COUNT(*) AS n,
                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -1235,7 +1236,7 @@ object SparkEntry {
     "ann_ivf_p2" -> ivfSql(nprobe = 2),
     // EmbeddingOps.annRecall: engine-parity recall gate on the RAW
     // (uniform-random, so near-chance-recall) corpus.
-    "ann_recall" -> annRecallSql(rawCorpusCtes),
+    "anrcl" -> annRecallSql(rawCorpusCtes),
     // EmbeddingOps.annRecallClustered: the DISCRIMINATING quality
     // gate on the planted-cluster corpus view — the oracle recomputes
     // recall identically and expects every floor gate TRUE, so a
@@ -1249,7 +1250,7 @@ object SparkEntry {
                  CASE $floorCase END AS recall_floor,
                  TRUE AS recall_ok"""
     }),
-    "ivf_train" -> annRecallTrainedSql(clusteredCorpusCtes),
+    "ivft" -> annRecallTrainedSql(clusteredCorpusCtes),
     "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics
@@ -1349,6 +1350,23 @@ object SparkEntry {
                   THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // PipelineOps.sampleTemperature: shares/rates are sqrt + one
+    // division + one multiplication chain — every op correctly-rounded
+    // IEEE, so the doubles AND the floor'd thresholds agree bitwise.
+    "tmix" ->
+      """WITH s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
+                    FROM documents GROUP BY 1),
+          t AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS n_total FROM s),
+          r1 AS (SELECT lang, n_docs, sqrt(n_docs) / z AS share, n_total
+                 FROM s, t),
+          r AS (SELECT lang, share,
+                       least(1.0, share * 0.4 * n_total / n_docs) AS rate
+                FROM r1)
+         SELECT d.doc_id, d.lang, r.share, r.rate
+         FROM documents d JOIN r USING (lang)
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+               < CAST(floor(r.rate * 65536) AS BIGINT)
+         ORDER BY d.doc_id""",
     // PipelineOps.tfidfTopK: score = tf * (N / df) uses only
     // correctly-rounded IEEE ops (÷ then ×), so the doubles — and the
     // rank order they induce — are bitwise identical on both engines.

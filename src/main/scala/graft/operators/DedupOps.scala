@@ -152,15 +152,21 @@ object DedupOps {
     * the shingle substrate — call after materializeSubstrate.
     */
   def materializePinnedStages(spark: SparkSession, dir: String): Seq[(String, Double)] = {
-    // cluster_labels AFTER minhash_cand: it consumes the candidate
-    // memo, so building in this order keeps each stage's timing its
-    // own (the labels entry prices propagation, not candidate gen)
-    val stages = Seq(
-      "minhash_cand" -> minhashCandidates(spark, dir),
-      "cluster_labels" -> clusterLabels(spark, dir),
-      "simhash_sig" -> simhashSignatures(spark, dir),
-      "jaccard_md5_cand" -> jaccardMd5Candidates(spark, dir),
-      "neardup_cand" -> EmbeddingOps.neardupCandidates(spark, dir))
+    // THUNKS, not frames: a memoStage call BUILDS on first invocation,
+    // and cluster_labels' build runs a driver loop with per-round
+    // actions — constructing the frame while assembling this list
+    // would do that work BEFORE the timed loop below (measured:
+    // minhash_cand "cost" 0.07 s because the loop had already built
+    // it), silently under-reporting _substrate. cluster_labels AFTER
+    // minhash_cand: it consumes the candidate memo, so this order
+    // keeps each stage's timing its own (the labels entry prices
+    // propagation, not candidate gen).
+    val stages = Seq[(String, () => DataFrame)](
+      "minhash_cand" -> (() => minhashCandidates(spark, dir)),
+      "cluster_labels" -> (() => clusterLabels(spark, dir)),
+      "simhash_sig" -> (() => simhashSignatures(spark, dir)),
+      "jaccard_md5_cand" -> (() => jaccardMd5Candidates(spark, dir)),
+      "neardup_cand" -> (() => EmbeddingOps.neardupCandidates(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute
@@ -168,13 +174,14 @@ object DedupOps {
     require(stages.map(_._1).toSet == StageConsumers.keySet,
       s"pinned stages ${stages.map(_._1)} drifted from StageConsumers " +
         s"${StageConsumers.keySet}")
-    stages.map { case (name, df) =>
+    stages.map { case (name, mk) =>
       // per-stage timings RETURNED so Bench can put the attribution
       // in the detail JSON (r13 judge: _substrate's aggregate cost
       // was only decomposable via stderr scrollback); the stderr echo
-      // stays for interactive runs
+      // stays for interactive runs. The thunk runs INSIDE the timer so
+      // driver-side build work (iterative stages) is priced too.
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      mk().write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] pinned stage $name: $sec%.2f s")
       name -> sec

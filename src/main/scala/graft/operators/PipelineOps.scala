@@ -114,6 +114,46 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled corpus mixing — the GPT-3/Pile data-recipe
+    * staple: sources (languages here) contribute to the training mix
+    * by SOFTENED share `sqrt(n_s) / Σ sqrt(n_t)` (temperature 2, the
+    * common choice — exponent 0.5 is `sqrt`, which is IEEE
+    * correctly-rounded and therefore engine-exact, unlike a general
+    * `pow`), so small sources are up-weighted relative to raw
+    * proportions without an arbitrary hand-set rate per source
+    * (contrast `sampleStratified`, where rates are constants, and
+    * `sampleSourceQuota`, which caps counts). Each source's keep-rate
+    * is `min(1, share · budget · N / n_s)` — derived FROM the data —
+    * and membership is the same deterministic md5-bucket test the
+    * other samplers use (16-bit buckets compared as INTEGERS: a
+    * rate of 1.0 maps to threshold 65536, which no 4-hex bucket
+    * reaches lexicographically — hex-STRING comparison breaks there).
+    *
+    * Plan: one tiny per-source aggregate, broadcast back, one
+    * map-side filter — no shuffle of the corpus itself. At 100 TB the
+    * source stats are a dozen rows; the scan stays a single pass.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String,
+      budgetFrac: Double = 0.4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sizes = docs.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val tot = sizes.agg(sum(sqrt(col("n_docs"))).as("z"),
+      sum(col("n_docs")).as("n_total"))
+    val rates = sizes.crossJoin(broadcast(tot))
+      .withColumn("share", sqrt(col("n_docs")) / col("z"))
+      .withColumn("rate", least(lit(1.0),
+        col("share") * lit(budgetFrac) * col("n_total") / col("n_docs")))
+      .select(col("lang"), col("share"), col("rate"))
+    val bucket = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(bucket < floor(col("rate") * 65536).cast("long"))
+      .select(col("doc_id"), col("lang"), col("share"), col("rate"))
+      .orderBy("doc_id")
+  }
+
   // ---- salient terms (tf-idf-shaped, oracle-exact) ---------------------
 
   /** Top-3 salient terms per document, scored tf · (N / df). The

@@ -72,6 +72,46 @@ class PipelineOpsSpec extends AnyFunSuite {
       "a different seed must reassign a substantial share")
   }
 
+  test("sampleTemperature: data-derived softened rates, small sources up-weighted") {
+    val dir = "/root/testdata/sf0.01"
+    val sizes = graft.sources.Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = PipelineOps.sampleTemperature(spark, dir).collect()
+    val again = PipelineOps.sampleTemperature(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "membership must be a pure function of the rows")
+    // emitted shares/rates must equal the driver-side reference math
+    val z = sizes.values.map(n => math.sqrt(n.toDouble)).sum
+    val nTotal = sizes.values.sum.toDouble
+    val byLang = rows.groupBy(_.getString(1))
+    sizes.foreach { case (l, n) =>
+      val share = math.sqrt(n.toDouble) / z
+      val rate = math.min(1.0, share * 0.4 * nTotal / n)
+      val kept = byLang.getOrElse(l, Array.empty)
+      kept.headOption.foreach { r =>
+        assert(math.abs(r.getDouble(2) - share) < 1e-12, s"$l share drift")
+        assert(math.abs(r.getDouble(3) - rate) < 1e-12, s"$l rate drift")
+      }
+      // kept fraction tracks the derived rate (16-bit bucket noise)
+      assert(math.abs(kept.size.toDouble / n - rate) < 0.15,
+        s"$l kept ${kept.size} of $n vs rate $rate")
+      // softened share sits between uniform and proportional
+      val prop = n.toDouble / nTotal
+      val unif = 1.0 / sizes.size
+      assert(share >= math.min(prop, unif) - 1e-12 &&
+        share <= math.max(prop, unif) + 1e-12,
+        s"$l share $share outside [$prop, $unif]")
+    }
+    // up-weighting: strictly smaller sources never get a smaller rate
+    val rate = sizes.map { case (l, n) =>
+      val s = math.sqrt(n.toDouble) / z
+      l -> math.min(1.0, s * 0.4 * nTotal / n)
+    }
+    for (a <- sizes.keys; b <- sizes.keys if sizes(a) < sizes(b))
+      assert(rate(a) >= rate(b) - 1e-12, s"$a (smaller) rate below $b's")
+  }
+
   test("eventsFunnel: stage populations are monotone non-increasing") {
     val stages = PipelineOps.eventsFunnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
