@@ -103,15 +103,29 @@ object PipelineOps {
     */
   def splitCorpus(spark: SparkSession, dir: String,
       seed: String = "graft:v1"): DataFrame = {
+    val (bucket, split) = splitAssignment(seed)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        split.as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** The (bucket, split) assignment columns behind [[splitCorpus]] —
+    * pure row-local functions of (seed, doc_id) with no state, no
+    * shuffle, and no clock, which is what makes the split twin-able:
+    * DocStream.splitDocs applies the SAME columns to an unbounded
+    * stream and StreamingSpec pins stream ≡ batch (a randomSplit-style
+    * RNG assignment has no streaming twin at all — each micro-batch
+    * would re-deal).
+    */
+  def splitAssignment(seed: String): (Column, Column) = {
     val bucket = substring(
       md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))
         .cast("binary")), 1, 2)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
-        when(bucket < "cc", "train")
-          .when(bucket < "e6", "val")
-          .otherwise("test").as("split"))
-      .orderBy("doc_id")
+    val split = when(bucket < "cc", "train")
+      .when(bucket < "e6", "val")
+      .otherwise("test")
+    (bucket, split)
   }
 
   /** Temperature-scaled corpus mixing — the GPT-3/Pile data-recipe

@@ -71,6 +71,22 @@ object DocStream {
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("n_tokens"), col("fp"))
 
+  /** Streaming twin of PipelineOps.splitCorpus: train/val/test
+    * assignment over an unbounded document stream. The assignment is
+    * a pure row-local function of (seed, doc_id) — no state, no
+    * watermark, no shuffle — so the SAME columns apply verbatim and
+    * every document gets the batch run's exact set no matter when it
+    * arrives or how micro-batches slice the stream (StreamingSpec pins
+    * stream ≡ batch). This row-locality is the point of the seeded
+    * design: a randomSplit-style RNG draw cannot be twinned at all.
+    * docs: streaming frame with at least (doc_id LONG, lang STRING).
+    */
+  def splitDocs(docs: DataFrame, seed: String = "graft:v1"): DataFrame = {
+    val (bucket, split) = graft.operators.PipelineOps.splitAssignment(seed)
+    docs.select(col("doc_id"), col("lang"),
+      bucket.as("bucket"), split.as("split"))
+  }
+
   /** The full streaming composite. docs: streaming frame with (doc_id
     * LONG, source STRING, lang STRING, text STRING, ingest_time
     * TIMESTAMP); evalFps: STATIC frame with the benchmark-set

@@ -456,6 +456,53 @@ class PlanSpec extends AnyFunSuite {
       "skew-split binned join diverged from the default-config run")
   }
 
+  test("2-D box join: AQE skew split composes with the (bx, by) cell equi-join") {
+    // The 2-D twin of the hot-bin pin above: a geographic/temporal
+    // hotspot piles points AND boxes into one grid CELL — after the
+    // box rewrite the hot (bx, by) pair is an ordinary hot composite
+    // join key, so AQE must re-balance it exactly like any skewed SMJ.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val hotDir = java.nio.file.Files.createTempDirectory("graft_rj2skew").toString
+    (1 to 4000).map { i =>
+      val hot = i % 20 < 17 // 85% in cell (0, 0) at widths (10, 10)
+      val (x, y) = if (hot) (rnd.nextDouble() * 10, rnd.nextDouble() * 10)
+                   else (10 + rnd.nextDouble() * 400, 10 + rnd.nextDouble() * 400)
+      (i.toLong, x, y)
+    }.toDF("pid", "x", "y").repartition(8)
+      .write.mode("overwrite").parquet(s"$hotDir/pts.parquet")
+    (1 to 400).map { i =>
+      val hot = i % 20 < 17
+      val (xlo, ylo) = if (hot) (rnd.nextDouble() * 7, rnd.nextDouble() * 7)
+                       else (10 + rnd.nextDouble() * 390, 10 + rnd.nextDouble() * 390)
+      (i.toLong, xlo, xlo + 2.0, ylo, ylo + 2.0)
+    }.toDF("bid", "xlo", "xhi", "ylo", "yhi").repartition(8)
+      .write.mode("overwrite").parquet(s"$hotDir/boxes.parquet")
+    val plain = RangeJoinOps.pointInBox(
+        spark.read.parquet(s"$hotDir/pts.parquet"), "x", "y",
+        spark.read.parquet(s"$hotDir/boxes.parquet"),
+        "xlo", "xhi", "ylo", "yhi", 10.0, 10.0)
+      .select("pid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    val child = spark.newSession()
+    child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    child.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256")
+    child.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256")
+    val df = RangeJoinOps.pointInBox(
+        child.read.parquet(s"$hotDir/pts.parquet"), "x", "y",
+        child.read.parquet(s"$hotDir/boxes.parquet"),
+        "xlo", "xhi", "ylo", "yhi", 10.0, 10.0)
+      .select("pid", "bid")
+    // collect df ITSELF (not a derived twin): AQE finalizes — and
+    // marks skew on — the exact plan that executes
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val s = planString(df)
+    assert(s.contains("skew=true"),
+      s"expected AQE to mark the hot-cell SMJ skew=true:\n$s")
+    assert(rows.nonEmpty && rows === plain,
+      "skew-split 2-D box join diverged from the default-config run")
+  }
+
   test("binned range join over a bucketed bin layout joins with zero Exchange") {
     // The repeated-range-join amortization: an interval table reused
     // across many queries (validity periods, incident windows) is

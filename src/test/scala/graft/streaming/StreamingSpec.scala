@@ -107,6 +107,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("streaming split twin ≡ batch splitCorpus, row for row") {
+    val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    runToCompletion(DocStream.splitDocs(stream), "split_stream", "append")
+    val streamed = spark.table("split_stream").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val batch = graft.operators.PipelineOps.splitCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(streamed.nonEmpty && streamed === batch,
+      "stream and batch split assignments diverged")
+    // and a different seed re-deals on the stream exactly as in batch
+    runToCompletion(DocStream.splitDocs(stream, seed = "graft:v2"),
+      "split_stream2", "append")
+    val streamed2 = spark.table("split_stream2").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val batch2 = graft.operators.PipelineOps.splitCorpus(spark, sf, seed = "graft:v2")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(streamed2 === batch2)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val joined = EventStream.clickAttribution(
       EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
