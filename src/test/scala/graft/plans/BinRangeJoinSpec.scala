@@ -369,6 +369,37 @@ class BinRangeJoinSpec extends AnyFunSuite {
       s"unexpected error: ${e.getMessage}")
   }
 
+  test("property: RANGE_BIN2 ≡ naive across strictness, keys, and join types") {
+    import forced.implicits._
+    val rnd = new scala.util.Random(47)
+    val users = Seq("u1", "u2", "u3")
+    (1 to 120).map(i => (i.toLong, users(rnd.nextInt(3)),
+        rnd.nextDouble() * 300, rnd.nextDouble() * 100 - 50))
+      .toDF("pid", "pu", "x", "y").createOrReplaceTempView("brj2p_p")
+    (1 to 30).map { i =>
+      val (xlo, ylo) = (rnd.nextDouble() * 300, rnd.nextDouble() * 100 - 50)
+      (500L + i, users(rnd.nextInt(3)), xlo, xlo + 40, ylo, ylo + 15)
+    }.toDF("bid", "bu", "xlo", "xhi", "ylo", "yhi")
+      .createOrReplaceTempView("brj2p_b")
+    val xConds = Seq(
+      "p.x >= b.xlo AND p.x < b.xhi",
+      "b.xlo <= p.x AND b.xhi > p.x",
+      "p.x BETWEEN b.xlo AND b.xhi")
+    val yCond = "p.y >= b.ylo AND p.y <= b.yhi"
+    for (xc <- xConds; keyed <- Seq(false, true); outer <- Seq(false, true)) {
+      val key = if (keyed) "p.pu = b.bu AND " else ""
+      val jt = if (outer) "LEFT JOIN" else "JOIN"
+      val q = s"FROM brj2p_p p $jt brj2p_b b ON $key$xc AND $yCond"
+      val hinted = forced.sql(s"SELECT /*+ RANGE_BIN2(40, 15) */ pid, bid $q")
+      val naive = forced.sql(s"SELECT pid, bid $q")
+      val label = s"x='$xc' keyed=$keyed outer=$outer"
+      assert(hinted.queryExecution.executedPlan.toString().contains("__graft_bx"),
+        s"$label: RANGE_BIN2 did not rewrite")
+      assert(hinted.exceptAll(naive).isEmpty && naive.exceptAll(hinted).isEmpty,
+        s"$label: RANGE_BIN2 changed the result")
+    }
+  }
+
   test("a reserved __graft_ column on a side declines instead of aborting analysis") {
     import forced.implicits._
     // a view that ALREADY carries a __graft_ column (nested hint, or a
