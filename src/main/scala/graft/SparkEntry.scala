@@ -42,7 +42,7 @@ object SparkEntry {
     "pushdown"        -> (RelationalOps.filterPushdown _),
     "isect"          -> (RelationalOps.setIntersect _),
     "sexc"             -> (RelationalOps.setExcept _),
-    "agg_rollup"             -> (RelationalOps.aggRollup _),
+    "rollup"             -> (RelationalOps.aggRollup _),
     "topkg"  -> (RelationalOps.windowTopKPerGroup _),
     "run_sum"     -> (RelationalOps.windowRunningSum _),
     "wlag"             -> (RelationalOps.windowLag _),
@@ -101,12 +101,13 @@ object SparkEntry {
     "dtext"       -> (DedupOps.dedupExactText _),
     "jaccard"    -> (DedupOps.dedupNgramJaccard _),
     "minhash"      -> (DedupOps.dedupMinhashLsh _),
+    "dinc"          -> (DedupOps.dedupDelta _),
     "simhash"           -> (DedupOps.textSimhash _),
     "sim_pairs"    -> (DedupOps.dedupSimhashPairs _),
     "cand_work"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
     "ann_brute"         -> (EmbeddingOps.annBruteTopK _),
-    "ann_native"  -> (EmbeddingOps.annBruteTopKNative _),
+    "annat"  -> (EmbeddingOps.annBruteTopKNative _),
     "ann_lsh"         -> (EmbeddingOps.annLshBucket _),
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
     "ann_ivf_p2"         -> (EmbeddingOps.annIvfProbe2 _),
@@ -648,7 +649,7 @@ object SparkEntry {
     "sexc" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""",
-    "agg_rollup" ->
+    "rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -1160,6 +1161,14 @@ object SparkEntry {
     "minhash" ->
       s"""$minhashPairsSql
           SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
+    // DedupOps.dedupDelta: the incremental probe must find EXACTLY the
+    // full pair query's delta-touching pairs — probe-vs-index ≡
+    // all-pairs restricted to the delta, by LSH symmetry.
+    "dinc" ->
+      s"""$minhashPairsSql
+          SELECT doc_a, doc_b, jaccard FROM pairs
+          WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+          ORDER BY doc_a, doc_b""",
     "cand_work" -> candWorkSql,
     // DedupOps.dedupClusters: connected components over the verified
     // MinHash-LSH pair graph — every clustered doc labeled with its
@@ -1230,7 +1239,7 @@ object SparkEntry {
           ORDER BY doc_a, doc_b"""
     },
     "ann_brute" -> bruteAnnSql(),
-    "ann_native" -> bruteAnnSql(),
+    "annat" -> bruteAnnSql(),
     "ann_lsh" -> lshAnnSql(),
     "ann_ivf" -> ivfSql(nprobe = 1),
     "ann_ivf_p2" -> ivfSql(nprobe = 2),

@@ -397,6 +397,20 @@ object DedupOps {
     memoStage(spark, dir, "minhash_cand")(minhashCandidatesBuild(spark, dir))
 
   private def minhashCandidatesBuild(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedRows(spark, dir)
+    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** One (doc_id, band, bh) row per band per document — the LSH
+    * index's content. Shared by the full self-join candidate stage and
+    * the incremental delta probe ([[dedupDelta]]); at 100 TB this
+    * frame IS the thing a production pipeline keeps as a bucketed
+    * table keyed on (band, bh).
+    */
+  private[operators] def bandedRows(spark: SparkSession, dir: String): DataFrame = {
     val rows = shingleRowsCached(spark, dir)
     val sig = minhashSignatures(rows)
     val rowsPerBand = MinhashSeeds / MinhashBands
@@ -404,13 +418,49 @@ object DedupOps {
       val parts = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
       struct(lit(bd).as("band"), md5(concat(parts: _*)).as("bh"))
     }
-    val banded = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded.as("x").join(banded.as("y"), Seq("band", "bh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
   }
+
+  /** The delta-doc predicate [[dedupDelta]] demos with — deterministic
+    * so the DuckDB oracle can replay the split. In production the
+    * delta is "today's shard"; here it is every fifth document.
+    */
+  private[operators] val DeltaPred: Column = col("doc_id") % 5 === 0
+
+  /** INCREMENTAL near-dedup: every verified near-dup pair touching the
+    * DELTA (new shard) — the production shape for a corpus that grows
+    * daily. The full pair query re-self-joins the whole band index
+    * every run (all-corpus × all-corpus candidate space); here the
+    * probe side is the DELTA's bands only, joined against the full
+    * index — candidate work scales with |delta|, not |corpus|, which
+    * is the only viable refresh plan at 100 TB (the index side is the
+    * bucketed (band, bh) table [[bandedRows]] describes; a daily run
+    * reads it, never rebuilds it). Emits pairs in the canonical
+    * doc_a < doc_b orientation: delta↔base and delta↔delta pairs both
+    * surface (a new shard can contain its own dups), base↔base pairs
+    * by definition do not — they were found when THOSE docs were the
+    * delta. Verification stays exact-Jaccard on candidates only, same
+    * as the full query; the spec pins the probe containment (delta
+    * candidates ⊂ full candidates, every one touching the delta) and
+    * the oracle pins pair-set equality with the full query filtered to
+    * delta-touching pairs.
+    */
+  def dedupDelta(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedRows(spark, dir)
+    val cand = deltaCandidates(banded)
+    verifyJaccard(cand, shingleRowsCached(spark, dir), 0.5)
+  }
+
+  /** [[dedupDelta]]'s candidate stage, exposed for the probe-scaling
+    * spec: delta bands ⋈ full index, canonical orientation, distinct.
+    */
+  private[operators] def deltaCandidates(banded: DataFrame): DataFrame =
+    banded.filter(DeltaPred).as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
 
   /** Connected-component canonicalization over the verified MinHash-LSH
     * near-dup pair graph — the step that turns pairwise dedup output

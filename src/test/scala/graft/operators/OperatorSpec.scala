@@ -144,6 +144,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(cluster === expected)
   }
 
+  test("dedupDelta: probe work scales with the delta, pairs ≡ full query filtered") {
+    val dir = "/root/testdata/sf0.01"
+    import org.apache.spark.sql.functions.col
+    // pair-set equality: incremental probe ≡ all-pairs restricted to
+    // pairs touching the delta (LSH symmetry makes these identical)
+    val full = DedupOps.dedupMinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0).toSet
+    val got = DedupOps.dedupDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected, "delta probe diverged from the filtered full query")
+    assert(got.nonEmpty, "fixture has no delta-touching pairs")
+    // probe scaling: the delta candidate set is a strict subset of the
+    // full candidate set, and every candidate touches the delta — the
+    // machine-checkable face of 'work ∝ |delta|, not |corpus|'
+    val banded = DedupOps.bandedRows(spark, dir)
+    val deltaCand = DedupOps.deltaCandidates(banded).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullCand = DedupOps.minhashCandidates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupOps.releaseTransients(spark)
+    assert(deltaCand.subsetOf(fullCand), "delta candidates outside the full set")
+    assert(deltaCand.size < fullCand.size,
+      "delta probe did not shrink the candidate space")
+    assert(deltaCand.forall(p => p._1 % 5 == 0 || p._2 % 5 == 0),
+      "a delta candidate touches no delta doc")
+  }
+
   test("dedupKeep: one survivor per cluster, best quality wins, singletons keep") {
     val dir = "/root/testdata/sf0.01"
     val rows = DedupOps.dedupKeep(spark, dir).collect()
