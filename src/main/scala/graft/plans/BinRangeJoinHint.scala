@@ -173,7 +173,7 @@ class BinRangeJoinHint(session: SparkSession)
   }
 
   private def fail(msg: String): Nothing =
-    throw new IllegalArgumentException(s"$HintName hint: $msg")
+    throw new IllegalArgumentException(s"$HintName/$HintName2 hint: $msg")
 
   private def binnable(dt: DataType): Boolean = dt match {
     case _: NumericType | TimestampType | TimestampNTZType | DateType => true
