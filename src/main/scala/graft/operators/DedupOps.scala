@@ -410,7 +410,7 @@ object DedupOps {
     * frame IS the thing a production pipeline keeps as a bucketed
     * table keyed on (band, bh).
     */
-  private[operators] def bandedRows(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandedRows(spark: SparkSession, dir: String): DataFrame = {
     val rows = shingleRowsCached(spark, dir)
     val sig = minhashSignatures(rows)
     val rowsPerBand = MinhashSeeds / MinhashBands
@@ -421,6 +421,18 @@ object DedupOps {
     sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
   }
+
+  /** Per-document (shingle-hash set, n) arrays over the full corpus —
+    * the verification side of the LSH index. verifyJaccard builds a
+    * candidate-pruned version of this inline; the streaming delta twin
+    * joins arriving docs against this full static form instead (every
+    * index doc is a potential match when the probe is unbounded).
+    */
+  private[graft] def shingleHashArrays(spark: SparkSession, dir: String): DataFrame =
+    shingleRowsCached(spark, dir)
+      .select(col("doc_id"), xxhash64(col("sh")).as("s"), col("n"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("s")).as("ss"), first(col("n")).as("n"))
 
   /** The delta-doc predicate [[dedupDelta]] demos with — deterministic
     * so the DuckDB oracle can replay the split. In production the

@@ -87,6 +87,64 @@ object DocStream {
       bucket.as("bucket"), split.as("split"))
   }
 
+  /** Streaming twin of DedupOps.dedupDelta — near-dup detection of an
+    * ARRIVING shard against the standing corpus, which is incremental
+    * dedup's native shape: each streamed document's shingles,
+    * MinHash signature, band hashes, and shingle-hash set are all
+    * ROW-LOCAL array expressions (exactly the batch derivations:
+    * min(md5(seed|shingle)) per seed, md5(concat(band rows)) per
+    * band, xxhash64 per shingle), so the probe is two stream-STATIC
+    * joins — bands against the standing (band, bh) index, then the
+    * matched doc's verification arrays — plus a row-local exact
+    * Jaccard. No shuffle of the stream, no state except the final
+    * pair dedup (a doc pair sharing several bands surfaces once per
+    * shared band; `dropDuplicates` collapses them — in production,
+    * bound that state by watermarking on ingest time, the same
+    * recipe cleanDocs uses). StreamingSpec pins stream ≡ batch
+    * dedupDelta pair-for-pair including the jaccard doubles.
+    * docs: streaming frame with at least (doc_id LONG, text STRING).
+    */
+  def deltaNearDups(spark: SparkSession, docs: DataFrame, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.operators.DedupOps
+    val rowsPerBand = DedupOps.MinhashSeeds / DedupOps.MinhashBands
+    val hs = (0 until DedupOps.MinhashSeeds).map { s =>
+      array_min(transform(col("shs"),
+        x => md5(concat_ws("|", lit(s.toString), x)))).as(s"h$s")
+    }
+    val bandCols = (0 until DedupOps.MinhashBands).map { bd =>
+      val parts = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
+      struct(lit(bd).as("band"), md5(concat(parts: _*)).as("bh"))
+    }
+    val probe = docs
+      .select(col("doc_id").as("p_doc"), DedupOps.shingles(col("text")).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select((Seq(col("p_doc"),
+        transform(col("shs"), x => xxhash64(x)).as("p_ss"),
+        size(col("shs")).cast("long").as("p_n")) ++ hs): _*)
+      .select(col("p_doc"), col("p_ss"), col("p_n"),
+        explode(array(bandCols: _*)).as("b"))
+      .select(col("p_doc"), col("p_ss"), col("p_n"),
+        col("b.band").as("band"), col("b.bh").as("bh"))
+    val index = DedupOps.bandedRows(spark, dir)
+      .select(col("doc_id").as("i_doc"), col("band"), col("bh"))
+    val arrs = DedupOps.shingleHashArrays(spark, dir)
+      .select(col("doc_id").as("i_doc"), col("ss").as("i_ss"),
+        col("n").as("i_n"))
+    probe.join(index, Seq("band", "bh"))
+      .filter(col("p_doc") =!= col("i_doc"))
+      .join(arrs, Seq("i_doc"))
+      .withColumn("c",
+        size(array_intersect(col("p_ss"), col("i_ss"))).cast("long"))
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("p_n") + col("i_n") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("p_doc"), col("i_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("i_doc")).as("doc_b"),
+        col("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** The full streaming composite. docs: streaming frame with (doc_id
     * LONG, source STRING, lang STRING, text STRING, ingest_time
     * TIMESTAMP); evalFps: STATIC frame with the benchmark-set

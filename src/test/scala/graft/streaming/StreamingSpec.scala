@@ -133,6 +133,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed2 === batch2)
   }
 
+  test("streaming delta-dedup twin ≡ batch dedupDelta, jaccard doubles included") {
+    // sf0.01: the smallest SF where minhash emits pairs. The arriving
+    // shard (every fifth doc — dedupDelta's demo predicate) streams
+    // against the standing index; pairs AND their exact-Jaccard values
+    // must match the batch probe bitwise (same row-local derivations).
+    val dir = "/root/testdata/sf0.01"
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+    runToCompletion(DocStream.deltaNearDups(spark, stream, dir),
+      "delta_stream", "append")
+    val streamed = spark.table("delta_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.operators.DedupOps.dedupDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed.nonEmpty && streamed === batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val joined = EventStream.clickAttribution(
       EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
