@@ -260,6 +260,31 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("reversed intervals (lo > hi) match nothing — no descending bins, no raise") {
+    import spark.implicits._
+    // a mildly reversed interval, an EXTREME reversed bound (would be a
+    // giant descending sequence without the guard — Spark's generic
+    // "sequence too long" instead of zero rows), and a healthy control.
+    // The guard must neither raise nor multiply candidate work: reversed
+    // rows register in NO bins (naive semantics: they match nothing).
+    val pts = Seq((1L, 5.0), (2L, 50.0)).toDF("pid", "t")
+    val ivs = Seq(
+      (9L, 10.0, 0.0),      // reversed: would cover bins 10..0 descending
+      (8L, 1e12, -1e12),    // extreme reversed: huge negative span
+      (7L, 0.0, 100.0))     // control: matches both points
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoinOps.pointInInterval(pts, "t", ivs, "lo", "hi", 1.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 7L), (2L, 7L)),
+      s"reversed-interval rows leaked or control lost: $got")
+    // same guard on the overlap form (both sides explode there)
+    val left = Seq((1L, 0.0, 10.0)).toDF("alo_id", "alo", "ahi")
+    val rev = Seq((2L, 1e12, -1e12), (3L, 5.0, 6.0)).toDF("bid", "blo", "bhi")
+    val ov = RangeJoinOps.intervalOverlap(left, "alo", "ahi", rev, "blo", "bhi", 2.0)
+      .select("bid").as[Long].collect().toSeq
+    assert(ov === Seq(3L), s"reversed interval leaked through overlap: $ov")
+  }
+
   test("property: binned ≡ naive across random intervals, widths, and signs") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
