@@ -1362,11 +1362,16 @@ object SparkEntry {
     // PipelineOps.sampleTemperature: shares/rates are sqrt + one
     // division + one multiplication chain — every op correctly-rounded
     // IEEE, so the doubles AND the floor'd thresholds agree bitwise.
+    // z sums 6-digit-rounded sqrt terms as DECIMAL (exact, order-
+    // independent) — a float sum's merge order is engine- and
+    // run-dependent (r14 advice).
     "tmix" ->
       """WITH s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
                     FROM documents GROUP BY 1),
-          t AS (SELECT sum(sqrt(n_docs)) AS z, sum(n_docs) AS n_total FROM s),
-          r1 AS (SELECT lang, n_docs, sqrt(n_docs) / z AS share, n_total
+          t AS (SELECT CAST(sum(CAST(round(sqrt(n_docs), 6) AS DECIMAL(28,6)))
+                            AS DOUBLE) AS z,
+                       sum(n_docs) AS n_total FROM s),
+          r1 AS (SELECT lang, n_docs, round(sqrt(n_docs), 6) / z AS share, n_total
                  FROM s, t),
           r AS (SELECT lang, share,
                        least(1.0, share * 0.4 * n_total / n_docs) AS rate
@@ -2106,17 +2111,37 @@ object SparkEntry {
   )
 
   /** old→new key bridge parsed from `scripts/renames.json` (the
-    * spec-pinned rename ledger, chains allowed). Empty when the file
-    * is not reachable from the working directory — the bridge is a
-    * caller convenience; the live registry stays authoritative.
+    * spec-pinned rename ledger, chains allowed). The ledger is looked
+    * up under the repo root named by the `graft.repo.root` system
+    * property or `GRAFT_REPO_ROOT` env var, falling back to the
+    * working directory — a caller running from elsewhere would
+    * otherwise silently get an empty bridge and a confusing
+    * "unknown query" on a legacy key (r14 advice). Parsed with the
+    * Jackson that ships in Spark, not a regex, so formatting drift
+    * (whitespace, extra fields) can't silently drop entries. Empty —
+    * with a stderr note — when the file is absent; the bridge is a
+    * caller convenience, the live registry stays authoritative.
     */
   private lazy val legacyRenames: Map[String, String] = {
-    val p = java.nio.file.Paths.get("scripts/renames.json")
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else {
-      val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      """"([a-z0-9_]+)":\s*\{"new":\s*"([a-z0-9_]+)"""".r
-        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toMap
+    val root = sys.props.get("graft.repo.root")
+      .orElse(sys.env.get("GRAFT_REPO_ROOT"))
+      .getOrElse(".")
+    val p = java.nio.file.Paths.get(root, "scripts", "renames.json")
+    if (!java.nio.file.Files.exists(p)) {
+      System.err.println(s"[graft] rename ledger not found at $p - legacy " +
+        "query keys will not resolve (set -Dgraft.repo.root or GRAFT_REPO_ROOT)")
+      Map.empty
+    } else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val renames = mapper.readTree(p.toFile).path("renames")
+      val it = renames.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        val nw = e.getValue.path("new").asText("")
+        if (nw.nonEmpty) b += e.getKey -> nw
+      }
+      b.result()
     }
   }
 

@@ -143,6 +143,15 @@ object PipelineOps {
     * rate of 1.0 maps to threshold 65536, which no 4-hex bucket
     * reaches lexicographically — hex-STRING comparison breaks there).
     *
+    * The normalizer `z = Σ sqrt(n_s)` is summed as a DECIMAL of the
+    * 6-digit-rounded sqrt terms, NOT as a float sum: Spark merges
+    * partial float sums in shuffle-block arrival order, which is
+    * neither run-stable nor DuckDB's accumulation order, and an ulp
+    * difference in z flips membership whenever `rate·65536` sits on
+    * an integer boundary (r14 advice). Decimal sums are exact and
+    * order-independent in both engines; the 6-digit grid loses
+    * nothing a sampling share cares about.
+    *
     * Plan: one tiny per-source aggregate, broadcast back, one
     * map-side filter — no shuffle of the corpus itself. At 100 TB the
     * source stats are a dozen rows; the scan stays a single pass.
@@ -152,10 +161,12 @@ object PipelineOps {
     val docs = Tables.documents(spark, dir)
     val sizes = docs.groupBy("lang")
       .agg(count(lit(1)).cast("double").as("n_docs"))
-    val tot = sizes.agg(sum(sqrt(col("n_docs"))).as("z"),
+    val sqrt6 = round(sqrt(col("n_docs")), 6)
+    val tot = sizes.agg(
+      sum(sqrt6.cast("decimal(28,6)")).cast("double").as("z"),
       sum(col("n_docs")).as("n_total"))
     val rates = sizes.crossJoin(broadcast(tot))
-      .withColumn("share", sqrt(col("n_docs")) / col("z"))
+      .withColumn("share", sqrt6 / col("z"))
       .withColumn("rate", least(lit(1.0),
         col("share") * lit(budgetFrac) * col("n_total") / col("n_docs")))
       .select(col("lang"), col("share"), col("rate"))

@@ -1032,13 +1032,17 @@ object StatOps {
       .filter(col("event_type") === "purchase")
       .select(col("value"))
       .createOrReplaceTempView(vP)
-    val joined = spark.sql(
-      s"""SELECT /*+ RANGE_BIN(100) */ t.tier, p.value
-         FROM $vP p JOIN (VALUES ('bronze', 0.0, 100.0),
-             ('silver', 100.0, 300.0), ('gold', 300.0, 1e12))
-           t(tier, lo, hi)
-           ON p.value >= t.lo AND p.value < t.hi""")
-    spark.catalog.dropTempView(vP)
+    // this runs on the CALLER's session — drop in a finally so an
+    // analysis-time throw can't leak graft_rjt_p_N into the user's
+    // catalog (r14 advice; the child-session variants are immune)
+    val joined = try {
+      spark.sql(
+        s"""SELECT /*+ RANGE_BIN(100) */ t.tier, p.value
+           FROM $vP p JOIN (VALUES ('bronze', 0.0, 100.0),
+               ('silver', 100.0, 300.0), ('gold', 300.0, 1e12))
+             t(tier, lo, hi)
+             ON p.value >= t.lo AND p.value < t.hi""")
+    } finally spark.catalog.dropTempView(vP)
     val plan = joined.queryExecution.executedPlan.toString()
     val declined = plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("__graft_bin")

@@ -102,6 +102,18 @@ object DocStream {
     * bound that state by watermarking on ingest time, the same
     * recipe cleanDocs uses). StreamingSpec pins stream ≡ batch
     * dedupDelta pair-for-pair including the jaccard doubles.
+    *
+    * CAVEAT — within-delta pairs: a stream-static join only sees the
+    * STANDING index, so two near-dup documents that arrive in the
+    * same in-flight shard are matched only if the shard has already
+    * been appended to the index the stream probes (the fixture's
+    * shape, and the batch-append-then-probe production cadence). In
+    * a strictly probe-before-append deployment, delta↔delta pairs
+    * within one refresh are missed — append each micro-batch to the
+    * index before the next probes (batch `dedupDelta` sees them for
+    * exactly this reason: its delta is already part of the banded
+    * index it probes), or union a probe-self band join for the
+    * in-flight shard at refresh time.
     * docs: streaming frame with at least (doc_id LONG, text STRING).
     */
   def deltaNearDups(spark: SparkSession, docs: DataFrame, dir: String,

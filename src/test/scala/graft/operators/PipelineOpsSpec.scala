@@ -81,12 +81,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val again = PipelineOps.sampleTemperature(spark, dir).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
       "membership must be a pure function of the rows")
-    // emitted shares/rates must equal the driver-side reference math
-    val z = sizes.values.map(n => math.sqrt(n.toDouble)).sum
+    // emitted shares/rates must equal the driver-side reference math:
+    // sqrt terms rounded to the 6-digit grid and summed exactly (the
+    // order-independent z the operator defines — see sampleTemperature)
+    def sqrt6(n: Long): Double =
+      BigDecimal(math.sqrt(n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = sizes.values.toSeq.map(n => BigDecimal(sqrt6(n)))
+      .sum.toDouble
     val nTotal = sizes.values.sum.toDouble
     val byLang = rows.groupBy(_.getString(1))
     sizes.foreach { case (l, n) =>
-      val share = math.sqrt(n.toDouble) / z
+      val share = sqrt6(n) / z
       val rate = math.min(1.0, share * 0.4 * nTotal / n)
       val kept = byLang.getOrElse(l, Array.empty)
       kept.headOption.foreach { r =>
