@@ -34,8 +34,8 @@ object SparkEntry {
     "scalars"           -> (RelationalOps.scalarFuncs _),
     "dates"             -> (RelationalOps.dateFuncs _),
     "enrich"       -> (RelationalOps.joinLeftEnrich _),
-    "join_semi"              -> (RelationalOps.joinSemi _),
-    "join_anti"              -> (RelationalOps.joinAnti _),
+    "jsemi"              -> (RelationalOps.joinSemi _),
+    "janti"              -> (RelationalOps.joinAnti _),
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
     "jfull"        -> (RelationalOps.joinFullOuter _),
     "topk_o"            -> (RelationalOps.topKOrders _),
@@ -44,11 +44,11 @@ object SparkEntry {
     "sexc"             -> (RelationalOps.setExcept _),
     "rollup"             -> (RelationalOps.aggRollup _),
     "topkg"  -> (RelationalOps.windowTopKPerGroup _),
-    "run_sum"     -> (RelationalOps.windowRunningSum _),
+    "rsum"     -> (RelationalOps.windowRunningSum _),
     "wlag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
     "tumbling"        -> (EventOps.tumblingWindow _),
-    "sliding"         -> (EventOps.slidingWindow _),
+    "slide"         -> (EventOps.slidingWindow _),
     "sess"      -> (EventOps.sessionize _),
     "ev_json"            -> (EventOps.jsonExtract _),
     "jsonf"             -> (EventOps.jsonFuncs _),
@@ -57,22 +57,22 @@ object SparkEntry {
     "strings"           -> (RelationalOps.stringFuncs _),
     "cond_agg"               -> (RelationalOps.condAgg _),
     "unpivot"           -> (RelationalOps.unpivotLong _),
-    "mode_grp"          -> (RelationalOps.modeByGroup _),
+    "modeg"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "amoms"            -> (StatOps.aggMoments _),
     "pivot"             -> (StatOps.pivotWide _),
     "agg_cube"               -> (StatOps.aggCube _),
     "gsets"      -> (StatOps.aggGroupingSets _),
-    "agg_cdist"     -> (StatOps.aggCountDistinct _),
+    "cdist"     -> (StatOps.aggCountDistinct _),
     "rankd"      -> (StatOps.windowRankDense _),
-    "pct_rank"    -> (StatOps.windowPercentRank _),
+    "pctrk"    -> (StatOps.windowPercentRank _),
     "csort"     -> (StatOps.aggCollectSorted _),
     "ccap"     -> (StatOps.aggCollectCapped _),
     "ntile"        -> (StatOps.ntileQuartiles _),
-    "corr_grp"          -> (StatOps.corrByGroup _),
+    "corrg"          -> (StatOps.corrByGroup _),
     "quant"     -> (StatOps.quantilesByGroup _),
     "histo"              -> (StatOps.histogram _),
-    "salted"             -> (StatOps.saltedAgg _),
+    "salt"             -> (StatOps.saltedAgg _),
     "jrange"             -> (StatOps.joinRange _),
     "rj_bin"                 -> (StatOps.rangeBinIncidents _),
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
@@ -82,14 +82,14 @@ object SparkEntry {
     "rj_box"                 -> (StatOps.rangeBinBoxes _),
     "rj2d"                   -> (StatOps.rangeBinBoxesSql _),
     "rj_auto"                -> (StatOps.rangeBinTiersAuto _),
-    "asof_join"              -> (StatOps.asofJoin _),
+    "asofj"              -> (StatOps.asofJoin _),
     "asof_nat"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
-    "asof_tol"               -> (StatOps.asofJoinTolerance _),
-    "asof_sql"               -> (StatOps.asofJoinSql _),
+    "asoft"               -> (StatOps.asofJoinTolerance _),
+    "asofs"               -> (StatOps.asofJoinSql _),
     "asof_bc"                -> (StatOps.asofJoinBroadcast _),
-    "asof_auto"              -> (StatOps.asofJoinAuto _),
-    "asof_near"              -> (StatOps.asofJoinNearest _),
+    "asofa"              -> (StatOps.asofJoinAuto _),
+    "asofn"              -> (StatOps.asofJoinNearest _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "toks"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
@@ -104,20 +104,20 @@ object SparkEntry {
     "dinc"          -> (DedupOps.dedupDelta _),
     "simhash"           -> (DedupOps.textSimhash _),
     "sim_pairs"    -> (DedupOps.dedupSimhashPairs _),
-    "cand_work"        -> (DedupOps.candidateGates _),
+    "cwork"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
-    "ann_brute"         -> (EmbeddingOps.annBruteTopK _),
+    "brute"         -> (EmbeddingOps.annBruteTopK _),
     "annat"  -> (EmbeddingOps.annBruteTopKNative _),
     "ann_lsh"         -> (EmbeddingOps.annLshBucket _),
     "ann_ivf"                -> (EmbeddingOps.annIvf _),
-    "ann_ivf_p2"         -> (EmbeddingOps.annIvfProbe2 _),
+    "ivfp2"         -> (EmbeddingOps.annIvfProbe2 _),
     "anrcl"             -> (EmbeddingOps.annRecall _),
     "ann_rcl"   -> (EmbeddingOps.annRecallClustered _),
     "ivft"       -> (EmbeddingOps.annRecallTrained _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
-    "mm_decode"     -> (MultimodalOps.mmDecodeFeatures _),
+    "mmdec"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "pii"        -> (PipelineOps.piiRedact _),
     "strat"      -> (PipelineOps.sampleStratified _),
@@ -128,7 +128,7 @@ object SparkEntry {
     "winsor"     -> (PipelineOps.winsorizeByGroup _),
     "decon"          -> (PipelineOps.decontaminate _),
     "dec_ng"    -> (PipelineOps.decontaminateNgram _),
-    "dup_spans"      -> (PipelineOps.dupSpans _),
+    "spans"      -> (PipelineOps.dupSpans _),
     "lm_score"       -> (TextOps.lmScore _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
     "clusters"         -> (DedupOps.dedupClusters _),
@@ -140,7 +140,7 @@ object SparkEntry {
     // Time-series shaping & SCD2 history
     "cohort"       -> (EventOps.cohortRetention _),
     "rframe"     -> (EventOps.windowRangeFrame _),
-    "gapfill"             -> (TimeSeriesOps.tsGapfill _),
+    "gapf"             -> (TimeSeriesOps.tsGapfill _),
     "scd2"             -> (TimeSeriesOps.scd2Build _),
     // Entity resolution & regression
     "fuzzy"        -> (RelationalOps.joinFuzzyEdit _),
@@ -150,19 +150,19 @@ object SparkEntry {
     "sk_quant"   -> (StatOps.sketchQuantileGate _),
     "theta"         -> (StatOps.thetaSetOps _),
     "sk_merge"      -> (StatOps.sketchMergeGate _),
-    "skew_join"     -> (StatOps.skewJoin _),
+    "skewj"     -> (StatOps.skewJoin _),
     // Profiling / data-quality / graph
-    "profile"     -> (QualityOps.profileTable _),
+    "prof"     -> (QualityOps.profileTable _),
     "prof_apx" -> (QualityOps.profileApprox _),
     "cksum"    -> (QualityOps.tableChecksum _),
     "dq"         -> (QualityOps.dqChecks _),
-    "pagerank"          -> (GraphOps.pageRank _),
+    "prank"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
     "win_value"         -> (RelationalOps.windowValueFuncs _),
-    "incr_agg"          -> (RelationalOps.incrAgg _),
+    "iagg"          -> (RelationalOps.incrAgg _),
     "arrf"       -> (TextOps.arrayFuncs _),
     "mapf"         -> (TextOps.mapFuncs _),
-    "outliers"          -> (StatOps.outliers _),
+    "outl"          -> (StatOps.outliers _),
     // Training-data shaping: windowed chunking + lexical retrieval
     "chunks"            -> (TextOps.docChunks _),
     "bm25"              -> (TextOps.bm25Search _),
@@ -170,7 +170,7 @@ object SparkEntry {
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zorder"            -> (LayoutOps.zorderKeys _),
     "bkt_join"          -> (LayoutOps.bucketedJoin _),
-    "rt_bloom"          -> (LayoutOps.runtimeBloomJoin _),
+    "rbloom"          -> (LayoutOps.runtimeBloomJoin _),
     "xreuse"        -> (LayoutOps.exchangeReuse _),
     "obs"       -> (PipelineOps.observedMetrics _),
   )
@@ -613,11 +613,11 @@ object SparkEntry {
          l.l_partkey, p.p_type, p.p_brand
          FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
          ORDER BY l.l_orderkey, l_linenumber""",
-    "join_semi" ->
+    "jsemi" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY c_custkey""",
-    "join_anti" ->
+    "janti" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY c_custkey""",
@@ -661,7 +661,7 @@ object SparkEntry {
                     ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rk
            FROM part) t
          WHERE rk <= 3 ORDER BY p_brand, rk""",
-    "run_sum" ->
+    "rsum" ->
       """SELECT o_custkey, o_orderkey,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -679,7 +679,7 @@ object SparkEntry {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "sliding" ->
+    "slide" ->
       """WITH b AS (SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b0, value
                     FROM events)
          SELECT window_start, COUNT(*) AS n,
@@ -773,7 +773,7 @@ object SparkEntry {
            UNION ALL
            SELECT p_partkey, 'retailprice', p_retailprice FROM part) t
          ORDER BY p_partkey, metric""",
-    "mode_grp" ->
+    "modeg" ->
       """SELECT p_brand, mode_type, n FROM (
            SELECT p_brand, p_type AS mode_type, COUNT(*) AS n,
                   row_number() OVER (PARTITION BY p_brand
@@ -797,7 +797,7 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "agg_cdist" ->
+    "cdist" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps,
@@ -808,7 +808,7 @@ object SparkEntry {
          CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS rnk,
          CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS drnk
          FROM part ORDER BY p_brand, p_partkey""",
-    "pct_rank" ->
+    "pctrk" ->
       """SELECT p_brand, p_partkey,
          percent_rank() OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS pct_rank,
@@ -834,7 +834,7 @@ object SparkEntry {
          CAST(ntile(4) OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
          FROM part ORDER BY p_brand, p_partkey""",
-    "corr_grp" ->
+    "corrg" ->
       """WITH s AS (
            SELECT l_returnflag, COUNT(*) AS n,
                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -871,7 +871,7 @@ object SparkEntry {
     "histo" ->
       """SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
-    "salted" ->
+    "salt" ->
       """SELECT l_returnflag, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
@@ -982,7 +982,7 @@ object SparkEntry {
                 TRUE AS rj_binned
          FROM a JOIN b ON a.elo < b.chi AND b.clo < a.ehi
          GROUP BY 1 ORDER BY 1""",
-    "asof_join" ->
+    "asofj" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -1021,7 +1021,7 @@ object SparkEntry {
     // StatOps.asofJoinSql: the same contract reached through the
     // asof_join table-valued function — the SQL surface itself under
     // the hash gate (oracle shared with asof_join/asof_nat)
-    "asof_sql" ->
+    "asofs" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -1047,7 +1047,7 @@ object SparkEntry {
     // choice itself under the hash gate: auto_broadcast must be TRUE
     // (the planner noticed the small right side and chose the
     // zero-shuffle broadcast probe on its own, like JoinSelection)
-    "asof_auto" ->
+    "asofa" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -1063,7 +1063,7 @@ object SparkEntry {
     // (ORDER BY abs(Δ), s.es ASC pins the same rule in the oracle);
     // the payload is the matched time itself, so equal-time right
     // rows cannot make the hash flap
-    "asof_near" -> {
+    "asofn" -> {
       val tol = graft.operators.StatOps.AsofToleranceSec
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
@@ -1079,7 +1079,7 @@ object SparkEntry {
     // StatOps.asofJoinTolerance: the gap-bounded variant — for a
     // MAX-es payload, "latest within [es-tol, es]" is the same row as
     // "latest at-or-before, nulled when older than tol"
-    "asof_tol" -> {
+    "asoft" -> {
       val tol = graft.operators.StatOps.AsofToleranceSec
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
@@ -1169,7 +1169,7 @@ object SparkEntry {
           SELECT doc_a, doc_b, jaccard FROM pairs
           WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
           ORDER BY doc_a, doc_b""",
-    "cand_work" -> candWorkSql,
+    "cwork" -> candWorkSql,
     // DedupOps.dedupClusters: connected components over the verified
     // MinHash-LSH pair graph — every clustered doc labeled with its
     // component's min doc_id. The oracle computes reachability closure
@@ -1238,11 +1238,11 @@ object SparkEntry {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
           ORDER BY doc_a, doc_b"""
     },
-    "ann_brute" -> bruteAnnSql(),
+    "brute" -> bruteAnnSql(),
     "annat" -> bruteAnnSql(),
     "ann_lsh" -> lshAnnSql(),
     "ann_ivf" -> ivfSql(nprobe = 1),
-    "ann_ivf_p2" -> ivfSql(nprobe = 2),
+    "ivfp2" -> ivfSql(nprobe = 2),
     // EmbeddingOps.annRecall: engine-parity recall gate on the RAW
     // (uniform-random, so near-chance-recall) corpus.
     "anrcl" -> annRecallSql(rawCorpusCtes),
@@ -1299,7 +1299,7 @@ object SparkEntry {
     // is NULL on the stub path by contract. The real decode paths
     // (PNG pixel decode, WAV PCM decode) are gated by constructed
     // fixtures in MultimodalSpec.
-    "mm_decode" ->
+    "mmdec" ->
       """WITH d AS (SELECT doc_id,
                       octet_length(CAST(text AS BLOB)) AS n,
                       hex(CAST(text AS BLOB)) AS hx
@@ -1511,7 +1511,7 @@ object SparkEntry {
     // PipelineOps.dupSpans: same gram CTE as decon_ngram (same
     // DecontamK constant), distinct per doc, gram doc-frequency,
     // per-doc dup counts. Integer counts — exact on both engines.
-    "dup_spans" -> {
+    "spans" -> {
       val k = PipelineOps.DecontamK
       val parts = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -1616,7 +1616,7 @@ object SparkEntry {
          FROM e ORDER BY event_id""",
     // TimeSeriesOps.tsGapfill: dense calendar spine per priority,
     // zero-fill counts, forward-fill revenue.
-    "gapfill" ->
+    "gapf" ->
       """WITH d AS (SELECT o_orderpriority,
                   CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day,
                   COUNT(*) AS n,
@@ -1747,7 +1747,7 @@ object SparkEntry {
     // StatOps.skewJoin: the hot-key fold is a deterministic
     // expression, so the oracle reproduces the same skewed join and
     // the AQE skew-split's result-preservation claim is hash-checked.
-    "skew_join" ->
+    "skewj" ->
       """WITH e AS (SELECT CASE WHEN user_id % 10 < 5 THEN 0
                                 ELSE user_id END AS jk,
                           value FROM events)
@@ -1757,7 +1757,7 @@ object SparkEntry {
          FROM e JOIN customer c ON c.c_custkey = e.jk
          GROUP BY 1 ORDER BY 1""",
     // QualityOps.profileTable: one-scan long-format column profile.
-    "profile" -> {
+    "prof" -> {
       val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
       val str = Seq("o_orderstatus", "o_orderpriority")
       val rows = (num ++ str).map { c =>
@@ -1839,7 +1839,7 @@ object SparkEntry {
     // DECIMAL, which would silently switch the arithmetic), and
     // per-step contributions floored to 1e15-scaled longs so the only
     // order-sensitive reduction is an exact integer sum.
-    "pagerank" -> {
+    "prank" -> {
       val step = (i: Int, j: Int) =>
         s"""c$j AS (SELECT e.b AS node, CAST(floor(r.rank/d.deg*1e15) AS BIGINT) AS c
                FROM r$i r JOIN d ON r.node=d.a JOIN e ON r.node=e.a),
@@ -1875,7 +1875,7 @@ object SparkEntry {
          ORDER BY o_orderkey""",
     // RelationalOps.incrAgg: the oracle recomputes from scratch —
     // merge-of-partials must equal the full recompute exactly.
-    "incr_agg" ->
+    "iagg" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY 1 ORDER BY 1""",
@@ -1920,7 +1920,7 @@ object SparkEntry {
     // decimal sums, z as the identical IEEE op chain on both engines.
     // floor-scaled to 6dp (fractional round() is engine-divergent
     // within an ULP of a decimal grid boundary; floor is not).
-    "outliers" ->
+    "outl" ->
       """WITH s AS (SELECT event_type, COUNT(*) AS n,
                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
                   CAST(SUM(CAST(value AS DECIMAL(18,2)) *
@@ -2076,7 +2076,7 @@ object SparkEntry {
     // computed Spark-side from the optimized plan (TRUE only if the
     // bloom_filter_might_contain probe was injected); the oracle
     // expects the claim to hold.
-    "rt_bloom" ->
+    "rbloom" ->
       """SELECT COUNT(*) AS n_rows,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          TRUE AS bloom_injected

@@ -117,11 +117,11 @@ object DedupOps {
     * the renamed query's timing.
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
-    "minhash_cand"     -> Set("minhash", "clusters", "dkeep", "cand_work"),
+    "minhash_cand"     -> Set("minhash", "clusters", "dkeep", "cwork"),
     "cluster_labels"   -> Set("clusters", "dkeep"),
-    "simhash_sig"      -> Set("simhash", "sim_pairs", "cand_work"),
-    "jaccard_md5_cand" -> Set("cand_work"),
-    "neardup_cand"     -> Set("endup", "cand_work"))
+    "simhash_sig"      -> Set("simhash", "sim_pairs", "cwork"),
+    "jaccard_md5_cand" -> Set("cwork"),
+    "neardup_cand"     -> Set("endup", "cwork"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed

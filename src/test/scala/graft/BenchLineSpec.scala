@@ -18,8 +18,13 @@ class BenchLineSpec extends AnyFunSuite {
     // the GUARANTEE that must hold at any registry size is the 2-char
     // worst case ("99" everywhere, total "99999.999"). `failures`
     // lives on the detail line; `sf` is the directory basename.
+    // worst-case substrate attribution: the three LONGEST compact
+    // labels at 3-char values — `sub` rides on every tier above the
+    // last-resort one, so the budget must hold with it in place
+    val subWorst = graft.Bench.SubLabel.values.toSeq.sortBy(-_.length).take(3)
+      .map(l => s""""$l":9.9""").mkString(""","sub":{""", ",", "}")
     val queries = names.map(n => s""""$n":99""").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999,"queries":$queries,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999$subWorst,"queries":$queries,"sf":"sf0.1"}"""
     assert(line.length <= graft.Bench.LineBudget,
       s"compact bench line is ${line.length} chars (> ${graft.Bench.LineBudget}) " +
         "even at 2-char fallback widths: shorten query names or move fields " +
@@ -29,7 +34,7 @@ class BenchLineSpec extends AnyFunSuite {
     // if this trips, reclaim width (shorter names) NOW, because every
     // bench run after this point silently loses sub-second precision.
     val precise = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
-    val line3 = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999,"queries":$precise,"sf":"sf0.1"}"""
+    val line3 = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999$subWorst,"queries":$precise,"sf":"sf0.1"}"""
     assert(line3.length <= graft.Bench.LineBudget,
       s"3-char bench line is ${line3.length} chars (> ${graft.Bench.LineBudget}): " +
         "the next bench run will emit integer-second fallback values — " +

@@ -27,16 +27,16 @@ class EmptyInputSpec extends AnyFunSuite {
   // is the correct behavior: a profiler must report its columns with
   // n=0, a DQ suite must report every check passing — vanishing would
   // be the bug. Their row counts are pinned below instead.
-  private val fixedShape = Map("profile" -> 6L, "prof_apx" -> 6L, "dq" -> 7L,
+  private val fixedShape = Map("prof" -> 6L, "prof_apx" -> 6L, "dq" -> 7L,
     // one-row global gates: a grand aggregate emits one row on empty
     // input in both engines (n=0 / NULL metrics / vacuous-TRUE bounds)
     "bloom" -> 1L, "sk_merge" -> 1L, "bm25_ln" -> 1L,
     // rt_bloom/obs: grand aggregates over the (empty) join / scan —
     // one row of zero-counts is the correct report, same as above
-    "rt_bloom" -> 1L, "obs" -> 1L,
+    "rbloom" -> 1L, "obs" -> 1L,
     // one gate row per candidate stage: 0 candidates of 0 pairs, subq
     // vacuously TRUE — the work-metric report must not vanish
-    "cand_work" -> 4L)
+    "cwork" -> 4L)
 
   test("every registered query runs on empty tables and yields zero rows") {
     DedupOps.clearCaches(spark) // don't serve another suite's substrate

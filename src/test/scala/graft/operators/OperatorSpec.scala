@@ -17,7 +17,7 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and yields rows on sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
-      if (n == 0 && !Set("join_anti", "sexc", "jaccard",
+      if (n == 0 && !Set("janti", "sexc", "jaccard",
         "minhash", "sim_pairs", "clusters",
         "endup").contains(name))
         Some(name -> n)
