@@ -134,6 +134,7 @@ object SparkEntry {
     "clusters"         -> (DedupOps.dedupClusters _),
     "dkeep"               -> (DedupOps.dedupKeep _),
     "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
+    "eshuf"    -> ((s: SparkSession, d: String) => PipelineOps.epochShuffle(s, d)),
     "tmix"     -> ((s: SparkSession, d: String) => PipelineOps.sampleTemperature(s, d)),
     "quota"    -> (PipelineOps.sampleSourceQuota _),
     "imps"      -> (PipelineOps.sampleImportance _),
@@ -1359,6 +1360,16 @@ object SparkEntry {
                   THEN 'val'
                 ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // PipelineOps.epochShuffle: the position is the global rank of
+    // md5(seed:epoch:doc_id) with a doc_id tie-break — a total order
+    // both engines compute identically; the oracle's one window IS
+    // the naive form of the operator's offset+local-index plan.
+    "eshuf" ->
+      """WITH k AS (SELECT doc_id, lang,
+           md5('graft:v1:0:' || CAST(doc_id AS VARCHAR)) AS ek FROM documents)
+         SELECT doc_id, lang, ek,
+           CAST(row_number() OVER (ORDER BY ek, doc_id) AS BIGINT) AS pos
+         FROM k ORDER BY doc_id""",
     // PipelineOps.sampleTemperature: shares/rates are sqrt + one
     // division + one multiplication chain — every op correctly-rounded
     // IEEE, so the doubles AND the floor'd thresholds agree bitwise.

@@ -179,6 +179,65 @@ object PipelineOps {
       .orderBy("doc_id")
   }
 
+  /** Seeded EPOCH SHUFFLE — the deterministic training-order
+    * permutation every epoch of a training run needs: position =
+    * global rank of `md5(seed:epoch:doc_id)` (doc_id tie-break, so
+    * the order is total even across md5 collisions). A pure function
+    * of (seed, epoch, doc_id), like [[splitCorpus]]'s assignment —
+    * shard-stable where an `orderBy(rand(seed))` re-deals under any
+    * layout change (input splits, partition count, speculative
+    * retries: training-order nondeterminism by infrastructure), and
+    * re-dealt ONLY by an explicit epoch or seed change.
+    *
+    * Plan — ONE shuffle of the corpus, no global window: range-
+    * repartition on the shuffle key (the sort), sort within
+    * partitions, then global position = per-partition offset + local
+    * index. The local index derives from `monotonically_increasing_id`
+    * stamped AFTER the sort (row order under a unique total key is
+    * deterministic), normalized per partition via min(mid); offsets
+    * are a running sum over the per-partition counts — a
+    * numShufflePartitions-row frame (the single-partition window over
+    * it is deliberate and tiny) broadcast back. The id-stamped frame
+    * is eagerly localCheckpointed before branching: the offsets agg
+    * and the final join must see the SAME partition boundaries and
+    * ids, and two executions of a range exchange re-sample boundaries
+    * independently (same discipline as intervalOverlapOuter's row-id
+    * frame). At 100 TB this is one materialized pass — exactly the
+    * shuffle the permutation itself requires, nothing extra.
+    */
+  def epochShuffle(spark: SparkSession, dir: String, epoch: Int = 0,
+      seed: String = "graft:v1"): DataFrame =
+    epochShuffleOf(Tables.documents(spark, dir), epoch, seed)
+      .orderBy("doc_id")
+
+  /** [[epochShuffle]] over an explicit frame — the spec surface for
+    * the layout-independence pin. docs needs (doc_id LONG, lang
+    * STRING); emits (doc_id, lang, ek, pos) with pos a 1-based
+    * permutation of 1..N.
+    */
+  def epochShuffleOf(docs: DataFrame, epoch: Int, seed: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val ek = md5(concat_ws(":", lit(seed), lit(epoch.toString),
+      col("doc_id").cast("string")).cast("binary"))
+    val n = spark.sessionState.conf.numShufflePartitions
+    val parted = docs.select(col("doc_id"), col("lang"), ek.as("ek"))
+      .repartitionByRange(n, col("ek"), col("doc_id"))
+      .sortWithinPartitions("ek", "doc_id")
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val cp = OpCaches.localCheckpointTracked(parted)
+    val offs = cp.groupBy("__pid")
+      .agg(count(lit(1)).as("__cnt"), min("__mid").as("__mid0"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__mid0", "__off")
+    cp.join(broadcast(offs), Seq("__pid"))
+      .withColumn("pos", col("__off") + (col("__mid") - col("__mid0")) + lit(1L))
+      .select("doc_id", "lang", "ek", "pos")
+  }
+
   // ---- salient terms (tf-idf-shaped, oracle-exact) ---------------------
 
   /** Top-3 salient terms per document, scored tf · (N / df). The

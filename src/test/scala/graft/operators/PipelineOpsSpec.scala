@@ -12,6 +12,31 @@ class PipelineOpsSpec extends AnyFunSuite {
   lazy val spark = graft.GraftSession.build("pipeline-ops-spec", "4")
   val sf = "/root/testdata/sf0.001"
 
+  test("epochShuffle: layout-independent permutation, re-dealt only by epoch/seed") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"))
+    def posMap(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      PipelineOps.epochShuffleOf(df, epoch, "graft:v1")
+        .select("doc_id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    val base = posMap(docs, 0)
+    // a permutation of 1..N
+    assert(base.size.toLong === n)
+    assert(base.values.toSeq.sorted === (1L to n).toSeq,
+      "positions are not a permutation of 1..N")
+    // SHARD-STABLE: radically different input layouts, same positions —
+    // the property orderBy(rand(seed)) does NOT have
+    assert(posMap(docs.repartition(7), 0) === base, "7-partition layout drifted")
+    assert(posMap(docs.repartition(1), 0) === base, "1-partition layout drifted")
+    // an epoch change re-deals into a DIFFERENT permutation
+    val e1 = posMap(docs, 1)
+    assert(e1.values.toSeq.sorted === (1L to n).toSeq)
+    assert(e1 !== base, "epoch 1 must re-deal the order")
+    // and replaying the same epoch replays the same order
+    assert(posMap(docs, 1) === e1, "same epoch+seed must be deterministic")
+  }
+
   test("piiRedact: redacted text carries no residual PII matches") {
     val rows = PipelineOps.piiRedact(spark, sf).collect()
     assert(rows.nonEmpty)
