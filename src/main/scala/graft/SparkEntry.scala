@@ -920,18 +920,20 @@ object SparkEntry {
     // 2-D point-in-box: the double band predicate (four inequalities,
     // no equi-keys) against the naive DuckDB join
     "rj_box" ->
-      """WITH b AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS xlo,
-                           CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS xhi,
-                           value - 200.0 AS ylo, value + 200.0 AS yhi
-                    FROM events WHERE event_type = 'error' AND value >= 100),
-              p AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      """WITH b AS (SELECT user_id AS b_uid,
+                           CAST(floor(epoch(ts)) AS BIGINT) AS xlo,
+                           CAST(floor(epoch(ts)) AS BIGINT) + 28800 AS xhi,
+                           value - 300.0 AS ylo, value + 300.0 AS yhi
+                    FROM events WHERE event_type = 'error'),
+              p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
                     FROM events WHERE event_type = 'purchase')
-         SELECT b.xlo, b.ylo, COUNT(*) AS n_purch,
+         SELECT p.user_id, COUNT(*) AS n_hits,
                 CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
-                TRUE AS rj_box_bin
-         FROM p JOIN b ON p.es >= b.xlo AND p.es < b.xhi
+                TRUE AS rj_boxk_bin
+         FROM p JOIN b ON p.user_id = b.b_uid
+                      AND p.es >= b.xlo AND p.es < b.xhi
                       AND p.value >= b.ylo AND p.value < b.yhi
-         GROUP BY 1, 2 ORDER BY 1, 2""",
+         GROUP BY 1 ORDER BY 1""",
     // the same box fixture through the SQL hint: RANGE_BIN2 ≡
     // pointInBox ≡ the naive DuckDB join
     "rj2d" ->

@@ -905,36 +905,46 @@ object StatOps {
       .orderBy("xlo", "ylo")
   }
 
-  /** 2-D binned point-in-box gate: purchases landing inside the
-    * two-hour × ±200-value box opened by each high-severity error —
-    * "similar-magnitude activity right after an incident", the
-    * time×value band shape whose naive form is a DOUBLE band
-    * predicate (four inequalities, zero equi-keys: the worst
-    * nested-loop case). The grid turns it into an equi-join on the
-    * (bx, by) cell pair; box widths match the box extents, so each
-    * box registers in ≤ 4 cells. Claim in-row as usual; the oracle is
-    * the naive four-inequality join in DuckDB.
+  /** KEYED 2-D binned point-in-box gate — the full composition the
+    * grid classifier claims: equi key + two band dimensions in ONE
+    * join. Purchases matched to the eight-hour × ±300-value box
+    * opened by each error OF THE SAME USER ("did this user's own
+    * incident precede similar-magnitude spend"). The key equality
+    * rides in the residual, where ExtractEquiJoinKeys lifts it beside
+    * the two cell ids — the physical join co-partitions on
+    * `(user_id, bx, by)`, so a hot user's candidates split across its
+    * grid cells exactly like the 1-D keyed form (`rj_key`), now in
+    * two dimensions. The in-row claim pins that composition: no
+    * nested loop AND both cell ids participate in the executed plan.
+    * Box widths match the box extents, so each box registers in ≤ 4
+    * cells; the un-keyed named-column form stays pinned against the
+    * naive join in RangeJoinSpec, and the un-keyed SQL-hint rewrite
+    * is `rj2d`. Oracle: the naive one-equality-four-inequality join.
     */
   def rangeBinBoxes(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val boxes = ev.filter(col("event_type") === "error" && col("value") >= 100)
-      .select(TimeSeriesOps.epochSecExpr("ts").as("xlo"),
-        (TimeSeriesOps.epochSecExpr("ts") + 7200L).as("xhi"),
-        (col("value") - 200.0).as("ylo"),
-        (col("value") + 200.0).as("yhi"))
+    val boxes = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("b_uid"),
+        TimeSeriesOps.epochSecExpr("ts").as("xlo"),
+        (TimeSeriesOps.epochSecExpr("ts") + 28800L).as("xhi"),
+        (col("value") - 300.0).as("ylo"),
+        (col("value") + 300.0).as("yhi"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(TimeSeriesOps.epochSecExpr("ts").as("es"), col("value"))
+      .select(col("user_id"), TimeSeriesOps.epochSecExpr("ts").as("es"),
+        col("value"))
     val joined = RangeJoinOps.pointInBox(p, "es", "value",
       boxes, "xlo", "xhi", "ylo", "yhi",
-      binWidthX = 7200.0, binWidthY = 400.0)
+      binWidthX = 28800.0, binWidthY = 600.0,
+      keys = Seq("user_id" -> "b_uid"))
     val plan = joined.queryExecution.executedPlan.toString()
-    val binned = !plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct")
-    joined.groupBy("xlo", "ylo")
-      .agg(count(lit(1)).as("n_purch"),
+    val keyedCell = !plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") &&
+      plan.contains("__graft_bx") && plan.contains("__graft_by")
+    joined.groupBy("user_id")
+      .agg(count(lit(1)).as("n_hits"),
         graft.util.Num.moneySum(col("value")).as("rev"))
-      .withColumn("rj_box_bin", lit(binned))
-      .orderBy("xlo", "ylo")
+      .withColumn("rj_boxk_bin", lit(keyedCell))
+      .orderBy("user_id")
   }
 
   /** KEYED (equi + band) binned range join from pure SQL — the
