@@ -91,6 +91,8 @@ object Bench {
     "gram_memo"        -> "gram",
     "minhash_cand"     -> "mhcand",
     "cluster_labels"   -> "labels",
+    "base_labels"      -> "blabels",
+    "base_keep"        -> "bkeep",
     "simhash_sig"      -> "simsig",
     "jaccard_md5_cand" -> "md5cand",
     "neardup_cand"     -> "ndcand")

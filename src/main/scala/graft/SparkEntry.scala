@@ -133,6 +133,7 @@ object SparkEntry {
     "corpus"         -> (PipelineOps.corpusPipeline _),
     "clusters"         -> (DedupOps.dedupClusters _),
     "dkeep"               -> (DedupOps.dedupKeep _),
+    "linc"                -> (DedupOps.dedupKeepIncremental _),
     "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
     "eshuf"    -> ((s: SparkSession, d: String) => PipelineOps.epochShuffle(s, d)),
     "tmix"     -> ((s: SparkSession, d: String) => PipelineOps.sampleTemperature(s, d)),
@@ -1218,6 +1219,50 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
               AS kept_doc,
             count(*) OVER (PARTITION BY cluster) AS n_members
+          FROM a
+          WINDOW wq AS (PARTITION BY cluster
+                        ORDER BY quality_score DESC NULLS LAST, doc_id)
+          ORDER BY doc_id"""
+    },
+    // DedupOps.dedupKeepIncremental: standing verdicts + delta pairs
+    // assembled incrementally must equal the from-scratch chain. The
+    // oracle recomputes everything from scratch AND derives `reelected`
+    // independently (a cluster is touched iff it contains a delta-pair
+    // node), so the hash gate pins that the incremental path
+    // re-elected exactly the touched clusters and carried every other
+    // row bit-identical from the standing table.
+    "linc" -> {
+      val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
+      s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+          n AS (SELECT DISTINCT src AS id FROM e),
+          r AS (SELECT id, id AS lbl FROM n
+                UNION
+                SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id),
+          cl AS (SELECT id AS doc_id, min(lbl) AS cluster FROM r GROUP BY 1),
+          dp AS (SELECT doc_a AS d FROM pairs WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+                 UNION
+                 SELECT doc_b FROM pairs WHERE doc_a % 5 = 0 OR doc_b % 5 = 0),
+          tc AS (SELECT DISTINCT cl.cluster FROM cl JOIN dp ON cl.doc_id = dp.d),
+          qt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          qs AS (SELECT doc_id,
+                   least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.5 +
+                     (CAST(len(list_filter(toks, x -> x IN ($stops))) AS DOUBLE)
+                       / NULLIF(len(toks), 0)) * 0.5 AS quality_score
+                 FROM qt),
+          a AS (SELECT qs.doc_id, COALESCE(cl.cluster, qs.doc_id) AS cluster,
+                       qs.quality_score
+                FROM qs LEFT JOIN cl ON qs.doc_id = cl.doc_id)
+          SELECT doc_id, cluster, quality_score,
+            (row_number() OVER wq = 1) AS keep,
+            first_value(doc_id) OVER
+              (PARTITION BY cluster
+               ORDER BY quality_score DESC NULLS LAST, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS kept_doc,
+            count(*) OVER (PARTITION BY cluster) AS n_members,
+            (a.cluster IN (SELECT cluster FROM tc)) AS reelected
           FROM a
           WINDOW wq AS (PARTITION BY cluster
                         ORDER BY quality_score DESC NULLS LAST, doc_id)

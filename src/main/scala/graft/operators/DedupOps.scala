@@ -117,8 +117,10 @@ object DedupOps {
     * the renamed query's timing.
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
-    "minhash_cand"     -> Set("minhash", "clusters", "dkeep", "cwork"),
+    "minhash_cand"     -> Set("minhash", "clusters", "dkeep", "cwork", "linc"),
     "cluster_labels"   -> Set("clusters", "dkeep"),
+    "base_labels"      -> Set("linc"),
+    "base_keep"        -> Set("linc"),
     "simhash_sig"      -> Set("simhash", "sim_pairs", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"))
@@ -164,6 +166,11 @@ object DedupOps {
     val stages = Seq[(String, () => DataFrame)](
       "minhash_cand" -> (() => minhashCandidates(spark, dir)),
       "cluster_labels" -> (() => clusterLabels(spark, dir)),
+      // base_* after minhash_cand (both read the verified-pair path
+      // through the candidate memo) and base_keep after base_labels,
+      // so each entry prices only its own construction
+      "base_labels" -> (() => baseLabels(spark, dir)),
+      "base_keep" -> (() => baseKeep(spark, dir)),
       "simhash_sig" -> (() => simhashSignatures(spark, dir)),
       "jaccard_md5_cand" -> (() => jaccardMd5Candidates(spark, dir)),
       "neardup_cand" -> (() => EmbeddingOps.neardupCandidates(spark, dir)))
@@ -437,8 +444,11 @@ object DedupOps {
   /** The delta-doc predicate [[dedupDelta]] demos with — deterministic
     * so the DuckDB oracle can replay the split. In production the
     * delta is "today's shard"; here it is every fifth document.
+    * [[deltaPredOn]] is the same predicate over an arbitrary id
+    * column (the base-pair filter needs it on doc_a AND doc_b).
     */
-  private[operators] val DeltaPred: Column = col("doc_id") % 5 === 0
+  private[operators] def deltaPredOn(c: Column): Column = c % 5 === 0
+  private[operators] val DeltaPred: Column = deltaPredOn(col("doc_id"))
 
   /** INCREMENTAL near-dedup: every verified near-dup pair touching the
     * DELTA (new shard) — the production shape for a corpus that grows
@@ -558,10 +568,22 @@ object DedupOps {
     * cluster once more).
     */
   def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val clusters = dedupClusters(spark, dir)
     val scored = TextOps.textQuality(spark, dir)
       .select(col("doc_id"), col("quality_score"))
+    keepVerdicts(clusters, scored).orderBy("doc_id")
+  }
+
+  /** [[dedupKeep]]'s verdict chain over explicit inputs — shared by
+    * the from-scratch query, the STANDING base table, and the
+    * incremental path's touched-cluster re-election, so the election
+    * policy lives once. clusters: (doc_id, cluster); scored: (doc_id,
+    * quality_score); docs absent from `clusters` are their own
+    * singleton cluster. One cluster-shuffle feeds both windows over
+    * the same sort.
+    */
+  private def keepVerdicts(clusters: DataFrame, scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val assigned = scored.join(clusters, Seq("doc_id"), "left_outer")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
     // null scores sort LAST explicitly: Spark's desc() default happens
@@ -575,6 +597,134 @@ object DedupOps {
       .withColumn("kept_doc", first(col("doc_id")).over(wholeCluster))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster")))
+  }
+
+  // ---- incremental label + retention maintenance ------------------------
+
+  /** STANDING cluster labels — the converged (id, lbl) frame over the
+    * BASE corpus only (every pair with neither endpoint in the delta):
+    * the state a daily-refresh pipeline persists between runs, pinned
+    * as a memo stage like the standing (band, bh) index [[bandedRows]]
+    * describes. [[labelsIncremental]] merges each refresh's delta
+    * pairs into this frame instead of re-running the fixpoint over the
+    * whole corpus.
+    */
+  private[operators] def baseLabels(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "base_labels") {
+      val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
+        .filter(!deltaPredOn(col("doc_a")) && !deltaPredOn(col("doc_b")))
+      val edges = OpCaches.localCheckpointTracked(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+      propagateLabels(edges)._1
+    }
+
+  /** STANDING retention verdicts under [[baseLabels]] — yesterday's
+    * [[dedupKeep]] output, the second half of the persisted refresh
+    * state (the incremental path carries untouched clusters' rows
+    * from here verbatim).
+    */
+  private[operators] def baseKeep(spark: SparkSession, dir: String): DataFrame =
+    memoStage(spark, dir, "base_keep") {
+      keepVerdicts(
+        baseLabels(spark, dir)
+          .select(col("id").as("doc_id"), col("lbl").as("cluster")),
+        TextOps.textQuality(spark, dir)
+          .select(col("doc_id"), col("quality_score")))
+    }
+
+  /** The touched-component label mapping — the heart of incremental
+    * maintenance. Each delta pair's endpoints are SUBSTITUTED by their
+    * standing label (their own id when unlabeled: new docs, standing
+    * singletons), giving a graph over COMPONENT REPRESENTATIVES whose
+    * size is ∝ |delta pairs|, not |corpus| — a converged component is
+    * safely contracted to its min-id label because internal structure
+    * cannot change the min of a merged union. Converging THIS tiny
+    * graph (same [[propagateLabels]] loop) yields (touched standing
+    * label or new node) → (merged component's global min id): the
+    * iterative work of the refresh runs entirely at delta scale, and
+    * the corpus is touched only by one mapping join in
+    * [[labelsIncremental]]. Rows: every standing label of a component
+    * incident to a delta pair, plus every previously-unlabeled
+    * delta-pair node.
+    */
+  private[operators] def labelMapping(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseLabels(spark, dir)
+    val dp = dedupDelta(spark, dir).select("doc_a", "doc_b")
+    val sub = dp
+      .join(base.select(col("id").as("doc_a"), col("lbl").as("la")),
+        Seq("doc_a"), "left_outer")
+      .join(base.select(col("id").as("doc_b"), col("lbl").as("lb")),
+        Seq("doc_b"), "left_outer")
+      .select(coalesce(col("la"), col("doc_a")).as("src"),
+        coalesce(col("lb"), col("doc_b")).as("dst"))
+    val lg = OpCaches.localCheckpointTracked(
+      sub.unionAll(sub.select(col("dst").as("src"), col("src").as("dst"))))
+    propagateLabels(lg)._1
+  }
+
+  /** INCREMENTAL [[clusterLabels]]: standing labels + delta pairs →
+    * the full corpus' converged labels WITHOUT re-running the
+    * fixpoint over the corpus. The iteration ran on the contracted
+    * label graph ([[labelMapping]]); applying it is one join of the
+    * standing frame against the (small, AQE-broadcast) mapping plus
+    * the mapping's previously-unlabeled nodes appended. Spec-pinned
+    * frame-equal to the from-scratch [[clusterLabels]]; the `linc`
+    * oracle pins the verdicts built on top.
+    */
+  def labelsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = baseLabels(spark, dir)
+    val m = labelMapping(spark, dir)
+    val relabeled = base
+      .join(m.select(col("id").as("lbl"), col("lbl").as("__nl")),
+        Seq("lbl"), "left_outer")
+      .select(col("id"), coalesce(col("__nl"), col("lbl")).as("lbl"))
+    // mapping nodes not in the standing frame = docs first labeled by
+    // this refresh (delta docs, standing singletons joining a cluster)
+    val newNodes = m.join(base.select("id"), Seq("id"), "left_anti")
+    relabeled.unionByName(newNodes)
+  }
+
+  /** INCREMENTAL [[dedupKeep]] — the daily-refresh retention plan:
+    * survivors are re-elected ONLY in clusters whose membership this
+    * refresh changed; every other cluster's verdict rows are carried
+    * from the standing table verbatim (their membership and scores
+    * are untouched, so their election cannot change). A standing
+    * cluster is touched iff its id is a [[labelMapping]] node — the
+    * mapping covers exactly the standing labels (and new nodes) of
+    * components incident to a delta pair, and delta pairs are the
+    * only possible bridges between standing components. Work:
+    * carrying untouched rows is one anti-join against the small
+    * mapping (no window); the re-election window runs over
+    * delta-touched clusters only (join work ∝ touched docs, pinned in
+    * spec). Emits `reelected` in-row; the oracle derives the same
+    * flag independently (full cluster contains a delta-pair node), so
+    * the hash gate pins that the incremental path re-elected EXACTLY
+    * the touched clusters and carried everything else bit-identical.
+    *
+    * Fixture note: the demo delta is a subset of the corpus, so new
+    * docs already have standing singleton rows; in production, brand-
+    * new pairless docs append as keep=true singletons — no election
+    * needed either way.
+    */
+  def dedupKeepIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val m = labelMapping(spark, dir)
+    val standing = baseKeep(spark, dir)
+    val untouched = standing
+      .join(m.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
+      .withColumn("reelected", lit(false))
+    val inc = labelsIncremental(spark, dir)
+    val touchedDocs = inc
+      .join(m.select("lbl").distinct(), Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    val scoredTouched = TextOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+      .join(touchedDocs.select("doc_id"), Seq("doc_id"))
+    val reElect = keepVerdicts(touchedDocs, scoredTouched)
+      .withColumn("reelected", lit(true))
+    untouched.unionByName(reElect)
+      .select(col("doc_id"), col("cluster"), col("quality_score"),
+        col("keep"), col("kept_doc"), col("n_members"), col("reelected"))
       .orderBy("doc_id")
   }
 

@@ -172,6 +172,58 @@ class OperatorSpec extends AnyFunSuite {
       "a delta candidate touches no delta doc")
   }
 
+  test("labelsIncremental: merged labels ≡ from-scratch fixpoint, iteration at delta scale") {
+    val dir = "/root/testdata/sf0.01"
+    // exact frame equality: standing labels + delta mapping must land
+    // on the same (id, lbl) fixpoint the full-corpus loop converges to
+    val full = DedupOps.dedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc = DedupOps.labelsIncremental(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full, "incremental labels diverged from the from-scratch fixpoint")
+    // the refresh's ITERATIVE work runs on the contracted label graph:
+    // its node count is bounded by the delta-pair endpoints (≤ 2·|dp|)
+    // and is a strict fraction of the labeled corpus — the
+    // machine-checkable face of 'fixpoint ∝ delta, not corpus'
+    val nDeltaPairs = DedupOps.dedupDelta(spark, dir).count()
+    val mapping = DedupOps.labelMapping(spark, dir).collect()
+    assert(mapping.nonEmpty, "fixture has no touched components")
+    assert(mapping.length <= 2 * nDeltaPairs,
+      s"label graph (${mapping.length}) exceeds delta-pair endpoints (2x$nDeltaPairs)")
+    assert(mapping.length < full.size,
+      "label graph did not contract below the labeled corpus")
+    DedupOps.releaseTransients(spark)
+  }
+
+  test("dedupKeepIncremental: re-elects only delta-touched clusters, verdicts ≡ from-scratch") {
+    val dir = "/root/testdata/sf0.01"
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("kept_doc"), r.getAs[Long]("n_members"))
+    val fromScratch = DedupOps.dedupKeep(spark, dir).collect().map(key).toMap
+    val inc = DedupOps.dedupKeepIncremental(spark, dir).collect()
+    assert(inc.map(key).toMap === fromScratch,
+      "incremental verdicts diverged from the from-scratch chain")
+    // per-refresh election work ∝ touched clusters: the re-elected rows
+    // are a strict minority, every one sits in a cluster containing a
+    // delta-pair node, and every untouched row rode in from standing
+    val deltaNodes = DedupOps.dedupDelta(spark, dir).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val byCluster = inc.groupBy(_.getAs[Long]("cluster"))
+    inc.foreach { r =>
+      val touched = byCluster(r.getAs[Long]("cluster"))
+        .exists(m => deltaNodes(m.getAs[Long]("doc_id")))
+      assert(r.getAs[Boolean]("reelected") === touched,
+        s"doc ${r.getAs[Long]("doc_id")}: reelected=${r.getAs[Boolean]("reelected")} " +
+          s"but cluster touched=$touched")
+    }
+    val reelected = inc.count(_.getAs[Boolean]("reelected"))
+    assert(reelected > 0, "fixture re-elected nothing")
+    assert(reelected < inc.length / 2,
+      s"re-elected $reelected of ${inc.length} rows — election did not stay at delta scale")
+    DedupOps.releaseTransients(spark)
+  }
+
   test("dedupKeep: one survivor per cluster, best quality wins, singletons keep") {
     val dir = "/root/testdata/sf0.01"
     val rows = DedupOps.dedupKeep(spark, dir).collect()
