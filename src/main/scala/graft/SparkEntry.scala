@@ -114,6 +114,7 @@ object SparkEntry {
     "anrcl"             -> (EmbeddingOps.annRecall _),
     "ann_rcl"   -> (EmbeddingOps.annRecallClustered _),
     "ivft"       -> (EmbeddingOps.annRecallTrained _),
+    "ivfpq"     -> (EmbeddingOps.annRecallPq _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
@@ -518,6 +519,91 @@ object SparkEntry {
                CASE $floorCase END AS recall_floor,
                TRUE AS recall_ok
         FROM h, d WHERE n_brute > 0 ORDER BY method"""
+  }
+
+  /** IVF-PQ recall oracle — replicates EmbeddingOps.annRecallPq over
+    * the clustered corpus: coarse seed-centroid assignment with
+    * residuals, the seed-residual codebook, L2 min-id encoding, ADC
+    * cosine against the reconstruction (per-sub-space terms folded in
+    * j ORDER — list_sum over an ORDER BY j list, matching the Spark
+    * side's sort-collect fold; a bare SUM's accumulation order is
+    * engine-dependent), top-k, recall vs brute, and the literal floor
+    * + compression claims.
+    */
+  private def ivfPqSql(corpusCtes: String): String = {
+    val m = EmbeddingOps.PqSubspaces
+    val sub = 64 / m
+    val k = EmbeddingOps.PqCodebookK
+    val bytesPq = (m * (64 - java.lang.Long.numberOfLeadingZeros(k - 1L).toInt) + 7) / 8
+    s"""WITH $corpusCtes,
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
+                  ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+                           vec_id
+                  LIMIT ${EmbeddingOps.IvfCentroidK}),
+        rk AS (SELECT c.vec_id, c.v, ct.cent_id, ct.cv,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
+                    (sqrt(list_sum(list_transform(range(1, len(ct.cv) + 1), i -> ct.cv[i] * ct.cv[i]))) *
+                     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i]))))) DESC,
+                   ct.cent_id) AS arank
+               FROM c, cents ct),
+        asg AS (SELECT vec_id, cent_id AS cell,
+                  list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+                FROM rk WHERE arank = 1),
+        cb AS (SELECT vec_id AS code, unnest(range(0, $m)) AS j,
+                 unnest(list_transform(range(0, $m),
+                   jj -> r[jj*$sub+1 : jj*$sub+$sub])) AS sv
+               FROM asg WHERE vec_id < $k),
+        codes AS (SELECT vec_id, cell, j, code FROM (
+            SELECT a.vec_id, a.cell, cb.j, cb.code,
+              row_number() OVER (PARTITION BY a.vec_id, cb.j ORDER BY
+                list_sum(list_transform(range(1, $sub + 1),
+                  i -> (a.r[(cb.j*$sub)+i] - cb.sv[i]) * (a.r[(cb.j*$sub)+i] - cb.sv[i]))),
+                cb.code) AS rnk
+            FROM asg a, cb) WHERE rnk = 1),
+        q AS (SELECT cent_id AS cell, vec_id AS query_id FROM rk
+              WHERE arank <= 2 AND vec_id < ${EmbeddingOps.QueryCount}),
+        qsub AS (SELECT vec_id AS query_id,
+                   sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS qn,
+                   unnest(range(0, $m)) AS j,
+                   unnest(list_transform(range(0, $m),
+                     jj -> v[jj*$sub+1 : jj*$sub+$sub])) AS qvj
+                 FROM rk WHERE arank = 1 AND vec_id < ${EmbeddingOps.QueryCount}),
+        centsub AS (SELECT cent_id AS cell, unnest(range(0, $m)) AS j,
+                      unnest(list_transform(range(0, $m),
+                        jj -> cv[jj*$sub+1 : jj*$sub+$sub])) AS ccv
+                    FROM cents),
+        parts AS (SELECT q.query_id, cd.vec_id, cd.j, qs.qn,
+                    list_sum(list_transform(range(1, $sub + 1),
+                      i -> qs.qvj[i] * (cs.ccv[i] + cb.sv[i]))) AS nj,
+                    list_sum(list_transform(range(1, $sub + 1),
+                      i -> (cs.ccv[i] + cb.sv[i]) * (cs.ccv[i] + cb.sv[i]))) AS dj
+                  FROM q JOIN codes cd ON cd.cell = q.cell AND cd.vec_id <> q.query_id
+                  JOIN cb ON cb.j = cd.j AND cb.code = cd.code
+                  JOIN centsub cs ON cs.cell = cd.cell AND cs.j = cd.j
+                  JOIN qsub qs ON qs.query_id = q.query_id AND qs.j = cd.j),
+        sc AS (SELECT query_id, vec_id AS neighbor_id,
+                 list_sum(list(nj ORDER BY j)) /
+                 (any_value(qn) * sqrt(list_sum(list(dj ORDER BY j)))) AS cos
+               FROM parts GROUP BY 1, 2),
+        pq AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+                FROM sc) WHERE rank <= ${EmbeddingOps.TopK}),
+        brute AS (SELECT query_id, neighbor_id FROM (${bruteAnnSql(corpusCtes)})),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+              FROM pq a JOIN brute b
+                ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
+        braw AS (SELECT CAST(max(len(v)) * 4 AS BIGINT) AS bytes_raw FROM c)
+        SELECT 'ivf_pq' AS method, n_hits, n_brute, bytes_raw,
+               CAST(n_hits AS DOUBLE) / n_brute AS recall,
+               CAST(${EmbeddingOps.PqRecallFloor} AS DOUBLE) AS recall_floor,
+               TRUE AS recall_ok,
+               CAST($bytesPq AS BIGINT) AS bytes_pq,
+               CAST(bytes_raw AS DOUBLE) / $bytesPq AS compression
+        FROM h, d, braw WHERE n_brute > 0"""
   }
 
   private def langIdSql: String = {
@@ -1308,6 +1394,9 @@ object SparkEntry {
                  TRUE AS recall_ok"""
     }),
     "ivft" -> annRecallTrainedSql(clusteredCorpusCtes),
+    // EmbeddingOps.annRecallPq: the memory tier — recall floor plus
+    // the bytes/vector compression claim, both in hash-checked rows.
+    "ivfpq" -> ivfPqSql(clusteredCorpusCtes),
     "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics

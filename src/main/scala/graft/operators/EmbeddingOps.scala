@@ -450,6 +450,136 @@ object EmbeddingOps {
       .orderBy("method")
   }
 
+  // ---- IVF-PQ: the ANN memory tier ---------------------------------
+
+  /** Product-quantization geometry (Jégou et al., the public PQ
+    * construction): the 64-dim vector splits into [[PqSubspaces]]
+    * sub-vectors; each is replaced by the id of its nearest codebook
+    * entry (L2, min-id tie-break), so a stored vector is
+    * 16 codes × log2(32) bits = 10 bytes against 256 raw float bytes
+    * (25.6×) — the compression that lets a 100 TB corpus' vectors
+    * live in cluster RAM. Codebook entries are the residual
+    * sub-vectors of the first [[PqCodebookK]] corpus vectors — the
+    * same deterministic seed-sample device the coarse quantizer uses
+    * (a Lloyd-trained codebook per sub-space is the production
+    * refinement; the seed codebook keeps the oracle exact and already
+    * clears the recall floor).
+    */
+  val PqSubspaces = 16
+  val PqCodebookK = 32
+
+  /** IVF-PQ recall floor on the planted-cluster corpus — above the
+    * sign-LSH floor (0.5), below the measured recall at every test SF
+    * (0.77 / 0.75 / 0.67 at sf0.001/0.01/0.1; deterministic, no
+    * run-to-run noise). PQ trades recall for 25.6× memory against
+    * `ivf_p2`'s raw-vector 0.8 — that gap IS the tier's price, and
+    * the gate pins it from below.
+    */
+  val PqRecallFloor = 0.6
+
+  /** IVF-PQ search, gated on recall like [[annRecallClustered]]:
+    * coarse quantizer (the seed-centroid IVF, nprobe=2) prunes to the
+    * probed cells, then candidates are scored from their CODES alone —
+    * cosine(query, reconstruction), where the reconstruction is
+    * cell centroid + codebook entry per sub-space (asymmetric
+    * distance: the query side stays exact, the corpus side never
+    * touches a raw vector). Encoding residuals (vector − cell
+    * centroid) rather than vectors is the standard IVF-PQ coupling:
+    * within a cell the centroid term is shared, so all ranking signal
+    * must come from the quantized residual.
+    *
+    * Scale shape: encoding is one linear pass (N × m × K sub-vector
+    * L2s, the one-time index build); search joins the probed cells'
+    * code rows (m skinny rows per candidate) against three
+    * BROADCAST side tables (codebook: K×m rows, centroid slices,
+    * query slices) and folds the m per-sub-space terms in index order
+    * (sort-collect fold, not a float `sum` — partial-sum merge order
+    * is engine- and run-dependent; same discipline as
+    * sampleTemperature's z). In-row claims: the recall floor AND the
+    * bytes/vector compression, both oracle-checked.
+    */
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    import org.apache.spark.sql.expressions.Window
+    val m = PqSubspaces
+    val sub = 64 / m
+    def subSlices(c: Column) =
+      array((0 until m).map(j => slice(c, j * sub + 1, sub)): _*)
+    val base = OpCaches.track(clusteredCorpus(spark, dir))
+    val cents = centroidsOn(base)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val ranked = ivfRankedWith(base, cents, 2)
+    // arank=1 assignment with residuals (the encoding input)
+    val asg = OpCaches.track(ranked.filter(col("arank") === 1)
+      .join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("r")))
+    val cb = asg.filter(col("vec_id") < PqCodebookK)
+      .select(col("vec_id").as("code"),
+        posexplode(subSlices(col("r"))).as(Seq("j", "sv")))
+    // encode: nearest codebook entry per (vector, sub-space), L2,
+    // min-id tie-break — N·m·K scored rows, the linear index build
+    val rsub = asg.select(col("vec_id"), col("cell"),
+      posexplode(subSlices(col("r"))).as(Seq("j", "rv")))
+    val wCode = Window.partitionBy("vec_id", "j").orderBy(col("l2"), col("code"))
+    val codes = rsub.join(broadcast(cb), Seq("j"))
+      .withColumn("l2", aggregate(
+        zip_with(col("rv"), col("sv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(wCode))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cell"), col("j"), col("code"))
+    // queries: exact vectors (asymmetric), probing 2 cells
+    val q = ranked.filter(col("arank") <= 2 && col("vec_id") < QueryCount)
+      .select(col("cent_id").as("cell"), col("vec_id").as("query_id"))
+    val qvecs = ranked.filter(col("arank") === 1 && col("vec_id") < QueryCount)
+      .withColumn("qn", sqrt(dotProduct(col("v"), col("v"))))
+      .select(col("vec_id").as("query_id"), col("qn"),
+        posexplode(subSlices(col("v"))).as(Seq("j", "qvj")))
+    val centsub = cents.select(col("cent_id").as("cell"),
+      posexplode(subSlices(col("cv"))).as(Seq("j", "ccv")))
+    // ADC scoring: per sub-space, reconstruction = centroid slice +
+    // codebook entry; numerator/denominator terms folded in j order
+    val parts = q.join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(cb), Seq("j", "code"))
+      .join(broadcast(centsub), Seq("cell", "j"))
+      .join(broadcast(qvecs), Seq("query_id", "j"))
+      .withColumn("xs", zip_with(col("ccv"), col("sv"), (a, b) => a + b))
+      .select(col("query_id"), col("vec_id"), col("j"), col("qn"),
+        dotProduct(col("qvj"), col("xs")).as("nj"),
+        dotProduct(col("xs"), col("xs")).as("dj"))
+    def foldByJ(c: Column) = aggregate(
+      transform(array_sort(c), e => e.getField("t")),
+      lit(0.0), (acc, x) => acc + x)
+    val sc = parts.groupBy("query_id", "vec_id")
+      .agg(collect_list(struct(col("j"), col("nj").as("t"))).as("ns"),
+        collect_list(struct(col("j"), col("dj").as("t"))).as("ds"),
+        first(col("qn")).as("qn"))
+      .withColumn("cos", foldByJ(col("ns")) / (col("qn") * sqrt(foldByJ(col("ds")))))
+    val pqTop = topK(sc)
+    // recall vs the exact reference, floors + compression in-row
+    val brute = OpCaches.track(
+      bruteOn(base).select(col("query_id"), col("neighbor_id")))
+    val denom = brute.agg(count(lit(1)).as("n_brute"))
+    val bytesRaw = base.agg((max(size(col("v"))) * 4).cast("long").as("bytes_raw"))
+    val bytesPq = (m * (64 - java.lang.Long.numberOfLeadingZeros(
+      PqCodebookK - 1L).toInt) + 7) / 8
+    pqTop.select(col("query_id"), col("neighbor_id"))
+      .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit("ivf_pq").as("method"), col("n_hits"))
+      .crossJoin(broadcast(denom))
+      .filter(col("n_brute") > 0)
+      .crossJoin(broadcast(bytesRaw))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_brute"))
+      .withColumn("recall_floor", lit(PqRecallFloor))
+      .withColumn("recall_ok", col("recall") >= col("recall_floor"))
+      .withColumn("bytes_pq", lit(bytesPq.toLong))
+      .withColumn("compression",
+        col("bytes_raw").cast("double") / col("bytes_pq"))
+  }
+
   val NeardupBands = 8
   val NeardupBandBits = 8
 

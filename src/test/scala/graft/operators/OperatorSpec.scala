@@ -224,6 +224,28 @@ class OperatorSpec extends AnyFunSuite {
     DedupOps.releaseTransients(spark)
   }
 
+  test("annRecallPq: memory tier clears its floor at every SF, claims exact") {
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val r = EmbeddingOps.annRecallPq(spark, dir).collect()
+      assert(r.length === 1, s"$dir: expected one gate row")
+      val row = r.head
+      assert(row.getAs[Boolean]("recall_ok"),
+        s"$dir: recall ${row.getAs[Double]("recall")} under floor " +
+          s"${row.getAs[Double]("recall_floor")}")
+      // the tier's price-and-prize, pinned: 10 code bytes against the
+      // raw 64 floats, 25.6x
+      assert(row.getAs[Long]("bytes_pq") === 10L)
+      assert(row.getAs[Long]("bytes_raw") === 256L)
+      assert(row.getAs[Double]("compression") === 25.6)
+      // PQ may trade recall but must stay a real searcher: strictly
+      // above chance (~1/ClusterPlantedK) and above the LSH floor
+      assert(row.getAs[Double]("recall") >
+        EmbeddingOps.ClusterRecallFloors("lsh_bucket"),
+        s"$dir: PQ under the LSH floor")
+      DedupOps.releaseTransients(spark)
+    }
+  }
+
   test("dedupKeep: one survivor per cluster, best quality wins, singletons keep") {
     val dir = "/root/testdata/sf0.01"
     val rows = DedupOps.dedupKeep(spark, dir).collect()
