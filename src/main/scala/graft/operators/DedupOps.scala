@@ -672,9 +672,18 @@ object DedupOps {
     * frame-equal to the from-scratch [[clusterLabels]]; the `linc`
     * oracle pins the verdicts built on top.
     */
-  def labelsIncremental(spark: SparkSession, dir: String): DataFrame = {
+  def labelsIncremental(spark: SparkSession, dir: String): DataFrame =
+    labelsIncrementalFrom(spark, dir, labelMapping(spark, dir))
+
+  /** [[labelsIncremental]] body over an explicit mapping, so a caller
+    * that also needs the mapping itself ([[dedupKeepIncremental]])
+    * builds it ONCE — the mapping construction re-runs the delta
+    * probe and the label-graph fixpoint, the refresh's entire
+    * per-run cost (measured: sharing it halved `linc`).
+    */
+  private def labelsIncrementalFrom(spark: SparkSession, dir: String,
+      m: DataFrame): DataFrame = {
     val base = baseLabels(spark, dir)
-    val m = labelMapping(spark, dir)
     val relabeled = base
       .join(m.select(col("id").as("lbl"), col("lbl").as("__nl")),
         Seq("lbl"), "left_outer")
@@ -708,12 +717,15 @@ object DedupOps {
     * needed either way.
     */
   def dedupKeepIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val m = labelMapping(spark, dir)
+    // the mapping is tiny (∝ touched components) but costs the delta
+    // probe + the label-graph fixpoint to build — compute once,
+    // persist transient, share across the three consumers below
+    val m = OpCaches.track(labelMapping(spark, dir))
     val standing = baseKeep(spark, dir)
     val untouched = standing
       .join(m.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
       .withColumn("reelected", lit(false))
-    val inc = labelsIncremental(spark, dir)
+    val inc = labelsIncrementalFrom(spark, dir, m)
     val touchedDocs = inc
       .join(m.select("lbl").distinct(), Seq("lbl"))
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
