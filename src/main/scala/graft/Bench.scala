@@ -95,7 +95,8 @@ object Bench {
     "base_keep"        -> "bkeep",
     "simhash_sig"      -> "simsig",
     "jaccard_md5_cand" -> "md5cand",
-    "neardup_cand"     -> "ndcand")
+    "neardup_cand"     -> "ndcand",
+    "pq_codes"         -> "pqcodes")
 
   /** Committed-floor per-query minima for this SF
     * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.

@@ -591,19 +591,42 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY query_id
                     ORDER BY cos DESC, neighbor_id) AS rank
                 FROM sc) WHERE rank <= ${EmbeddingOps.TopK}),
+        sl AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+                FROM sc) WHERE rank <= ${EmbeddingOps.PqShortlist}),
+        rrsc AS (SELECT sl.query_id, sl.neighbor_id,
+                   (list_sum(list_transform(range(1, len(x.v) + 1), i -> qq.qv[i] * x.v[i])) /
+                    (sqrt(list_sum(list_transform(range(1, len(qq.qv) + 1), i -> qq.qv[i] * qq.qv[i]))) *
+                     sqrt(list_sum(list_transform(range(1, len(x.v) + 1), i -> x.v[i] * x.v[i]))))) AS cos
+                 FROM sl JOIN c x ON x.vec_id = sl.neighbor_id
+                 JOIN (SELECT vec_id AS query_id, v AS qv FROM c) qq
+                   ON qq.query_id = sl.query_id),
+        rr AS (SELECT query_id, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS rank
+                FROM rrsc) WHERE rank <= ${EmbeddingOps.TopK}),
         brute AS (SELECT query_id, neighbor_id FROM (${bruteAnnSql(corpusCtes)})),
         h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
               FROM pq a JOIN brute b
                 ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+        h2 AS (SELECT CAST(count(*) AS BIGINT) AS n_hits_rr
+               FROM rr a JOIN brute b
+                 ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
         d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
         braw AS (SELECT CAST(max(len(v)) * 4 AS BIGINT) AS bytes_raw FROM c)
-        SELECT 'ivf_pq' AS method, n_hits, n_brute, bytes_raw,
+        SELECT 'ivf_pq' AS method, n_hits, n_hits_rr, n_brute, bytes_raw,
                CAST(n_hits AS DOUBLE) / n_brute AS recall,
                CAST(${EmbeddingOps.PqRecallFloor} AS DOUBLE) AS recall_floor,
                TRUE AS recall_ok,
+               CAST(n_hits_rr AS DOUBLE) / n_brute AS recall_rr,
+               CAST(${EmbeddingOps.PqRerankFloor} AS DOUBLE) AS rr_floor,
+               TRUE AS rr_ok,
                CAST($bytesPq AS BIGINT) AS bytes_pq,
                CAST(bytes_raw AS DOUBLE) / $bytesPq AS compression
-        FROM h, d, braw WHERE n_brute > 0"""
+        FROM h, h2, d, braw WHERE n_brute > 0"""
   }
 
   private def langIdSql: String = {

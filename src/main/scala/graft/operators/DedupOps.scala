@@ -123,7 +123,8 @@ object DedupOps {
     "base_keep"        -> Set("linc"),
     "simhash_sig"      -> Set("simhash", "sim_pairs", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
-    "neardup_cand"     -> Set("endup", "cwork"))
+    "neardup_cand"     -> Set("endup", "cwork"),
+    "pq_codes"         -> Set("ivfpq"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -173,7 +174,8 @@ object DedupOps {
       "base_keep" -> (() => baseKeep(spark, dir)),
       "simhash_sig" -> (() => simhashSignatures(spark, dir)),
       "jaccard_md5_cand" -> (() => jaccardMd5Candidates(spark, dir)),
-      "neardup_cand" -> (() => EmbeddingOps.neardupCandidates(spark, dir)))
+      "neardup_cand" -> (() => EmbeddingOps.neardupCandidates(spark, dir)),
+      "pq_codes" -> (() => EmbeddingOps.pqCodes(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute

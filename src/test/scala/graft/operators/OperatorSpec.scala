@@ -242,6 +242,14 @@ class OperatorSpec extends AnyFunSuite {
       assert(row.getAs[Double]("recall") >
         EmbeddingOps.ClusterRecallFloors("lsh_bucket"),
         s"$dir: PQ under the LSH floor")
+      // the two-stage tier: exact re-rank of the ADC shortlist must
+      // recover raw-vector-class recall — above its own floor AND at
+      // least the code-only recall (the shortlist contains ADC's
+      // top-k, so the exact re-rank can only improve the pick here)
+      assert(row.getAs[Boolean]("rr_ok"),
+        s"$dir: re-rank recall ${row.getAs[Double]("recall_rr")} under floor")
+      assert(row.getAs[Double]("recall_rr") >= row.getAs[Double]("recall"),
+        s"$dir: exact re-rank lost recall vs code-only ADC")
       DedupOps.releaseTransients(spark)
     }
   }
