@@ -586,16 +586,14 @@ object SparkEntry {
                  list_sum(list(nj ORDER BY j)) /
                  (any_value(qn) * sqrt(list_sum(list(dj ORDER BY j)))) AS cos
                FROM parts GROUP BY 1, 2),
-        pq AS (SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, neighbor_id) AS rank
-                FROM sc) WHERE rank <= ${EmbeddingOps.TopK}),
-        sl AS (SELECT query_id, neighbor_id FROM (
-                SELECT query_id, neighbor_id,
-                  row_number() OVER (PARTITION BY query_id
-                    ORDER BY cos DESC, neighbor_id) AS rank
-                FROM sc) WHERE rank <= ${EmbeddingOps.PqShortlist}),
+        ranked AS (SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM sc),
+        pq AS (SELECT query_id, neighbor_id FROM ranked
+               WHERE rank <= ${EmbeddingOps.TopK}),
+        sl AS (SELECT query_id, neighbor_id FROM ranked
+               WHERE rank <= ${EmbeddingOps.PqShortlist}),
         rrsc AS (SELECT sl.query_id, sl.neighbor_id,
                    (list_sum(list_transform(range(1, len(x.v) + 1), i -> qq.qv[i] * x.v[i])) /
                     (sqrt(list_sum(list_transform(range(1, len(qq.qv) + 1), i -> qq.qv[i] * qq.qv[i]))) *
@@ -1532,16 +1530,18 @@ object SparkEntry {
     // PipelineOps.sampleTemperature: shares/rates are sqrt + one
     // division + one multiplication chain — every op correctly-rounded
     // IEEE, so the doubles AND the floor'd thresholds agree bitwise.
-    // z sums 6-digit-rounded sqrt terms as DECIMAL (exact, order-
+    // z sums floor(sqrt·1e6) terms as exact integers (order-
     // independent) — a float sum's merge order is engine- and
-    // run-dependent (r14 advice).
+    // run-dependent (r14 advice), and fractional round(x, 6) is
+    // itself engine-divergent (decimal-repr HALF_UP vs float-space),
+    // so the grid snap is floor over an identical IEEE chain.
     "tmix" ->
       """WITH s AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs
                     FROM documents GROUP BY 1),
-          t AS (SELECT CAST(sum(CAST(round(sqrt(n_docs), 6) AS DECIMAL(28,6)))
+          t AS (SELECT CAST(sum(CAST(floor(sqrt(n_docs) * 1e6) AS BIGINT))
                             AS DOUBLE) AS z,
                        sum(n_docs) AS n_total FROM s),
-          r1 AS (SELECT lang, n_docs, round(sqrt(n_docs), 6) / z AS share, n_total
+          r1 AS (SELECT lang, n_docs, floor(sqrt(n_docs) * 1e6) / z AS share, n_total
                  FROM s, t),
           r AS (SELECT lang, share,
                        least(1.0, share * 0.4 * n_total / n_docs) AS rate

@@ -143,14 +143,19 @@ object PipelineOps {
     * rate of 1.0 maps to threshold 65536, which no 4-hex bucket
     * reaches lexicographically — hex-STRING comparison breaks there).
     *
-    * The normalizer `z = Σ sqrt(n_s)` is summed as a DECIMAL of the
-    * 6-digit-rounded sqrt terms, NOT as a float sum: Spark merges
-    * partial float sums in shuffle-block arrival order, which is
-    * neither run-stable nor DuckDB's accumulation order, and an ulp
+    * The normalizer `z = Σ sqrt(n_s)` is summed as exact LONGs of
+    * `floor(sqrt(n_s)·1e6)`, NOT as a float sum: Spark merges partial
+    * float sums in shuffle-block arrival order, which is neither
+    * run-stable nor DuckDB's accumulation order, and an ulp
     * difference in z flips membership whenever `rate·65536` sits on
-    * an integer boundary (r14 advice). Decimal sums are exact and
-    * order-independent in both engines; the 6-digit grid loses
-    * nothing a sampling share cares about.
+    * an integer boundary (r14 advice). The grid snap is `floor` over
+    * an identical IEEE chain (sqrt and ×1e6 are correctly rounded,
+    * floor is exact) — NOT fractional `round(x, 6)`, whose rounding
+    * algorithm itself is engine-divergent (Spark rounds the shortest
+    * decimal repr HALF_UP; DuckDB rounds in float space), the same
+    * hazard the sum fix removes. Integer sums are exact and
+    * order-independent in both engines; the 1e-6 grid loses nothing
+    * a sampling share cares about.
     *
     * Plan: one tiny per-source aggregate, broadcast back, one
     * map-side filter — no shuffle of the corpus itself. At 100 TB the
@@ -161,9 +166,9 @@ object PipelineOps {
     val docs = Tables.documents(spark, dir)
     val sizes = docs.groupBy("lang")
       .agg(count(lit(1)).cast("double").as("n_docs"))
-    val sqrt6 = round(sqrt(col("n_docs")), 6)
+    val sqrt6 = floor(sqrt(col("n_docs")) * lit(1e6))
     val tot = sizes.agg(
-      sum(sqrt6.cast("decimal(28,6)")).cast("double").as("z"),
+      sum(sqrt6.cast("long")).cast("double").as("z"),
       sum(col("n_docs")).as("n_total"))
     val rates = sizes.crossJoin(broadcast(tot))
       .withColumn("share", sqrt6 / col("z"))

@@ -107,13 +107,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
       "membership must be a pure function of the rows")
     // emitted shares/rates must equal the driver-side reference math:
-    // sqrt terms rounded to the 6-digit grid and summed exactly (the
+    // sqrt terms floored onto the 1e-6 grid and summed exactly (the
     // order-independent z the operator defines — see sampleTemperature)
     def sqrt6(n: Long): Double =
-      BigDecimal(math.sqrt(n.toDouble))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val z = sizes.values.toSeq.map(n => BigDecimal(sqrt6(n)))
-      .sum.toDouble
+      math.floor(math.sqrt(n.toDouble) * 1e6)
+    val z = sizes.values.toSeq.map(n => sqrt6(n).toLong).sum.toDouble
     val nTotal = sizes.values.sum.toDouble
     val byLang = rows.groupBy(_.getString(1))
     sizes.foreach { case (l, n) =>
@@ -136,7 +134,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     // up-weighting: strictly smaller sources never get a smaller rate
     val rate = sizes.map { case (l, n) =>
-      val s = math.sqrt(n.toDouble) / z
+      val s = sqrt6(n) / z
       l -> math.min(1.0, s * 0.4 * nTotal / n)
     }
     for (a <- sizes.keys; b <- sizes.keys if sizes(a) < sizes(b))
