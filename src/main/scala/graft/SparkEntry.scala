@@ -47,7 +47,7 @@ object SparkEntry {
     "rsum"     -> (RelationalOps.windowRunningSum _),
     "wlag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
-    "tumbling"        -> (EventOps.tumblingWindow _),
+    "tumb"            -> (EventOps.tumblingWindow _),
     "slide"         -> (EventOps.slidingWindow _),
     "sess"      -> (EventOps.sessionize _),
     "ev_json"            -> (EventOps.jsonExtract _),
@@ -93,6 +93,7 @@ object SparkEntry {
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "toks"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
+    "bpet"       -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
     "quality"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
     "text_fp"       -> (TextOps.textFingerprint _),
@@ -627,6 +628,46 @@ object SparkEntry {
         FROM h, h2, d, braw WHERE n_brute > 0"""
   }
 
+  /** TextOps.bpeTrain's oracle: the [[TextOps.BpeMergeRounds]] merge
+    * rounds unrolled as chained CTEs (w0 → p1/t1/w1 → … — the same
+    * fixed-iteration unroll device as `ivft`). Each round's top pair
+    * is deterministic (count DESC, lexicographic — binary collation
+    * agrees on ASCII), counts are exact BIGINTs (sum cast down from
+    * DuckDB's HUGEINT), and the merge is the SAME literal
+    * `replace(' a  b ' → ' ab ')` both engines scan left-to-right
+    * non-overlapping (greedy BPE order — see bpeTrain's scaladoc for
+    * why the double-space encoding is what makes adjacency exact).
+    */
+  private def bpeTrainSql: String = {
+    val mark = TextOps.BpeEndMark
+    val rounds = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"""p$r AS (SELECT pr[1] AS sym_a, pr[2] AS sym_b,
+                    CAST(sum(cnt) AS BIGINT) AS pair_n
+                  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                          i -> [syms[i], syms[i+1]])) AS pr, cnt
+                        FROM (SELECT string_split(trim(w), '  ') AS syms, cnt
+                              FROM w${r - 1}))
+                  GROUP BY 1, 2),
+          t$r AS (SELECT sym_a, sym_b, pair_n FROM p$r
+                  ORDER BY pair_n DESC, sym_a, sym_b LIMIT 1),
+          w$r AS (SELECT replace(w, ' ' || sym_a || '  ' || sym_b || ' ',
+                                 ' ' || sym_a || sym_b || ' ') AS w, cnt
+                  FROM w${r - 1}, t$r)"""
+    }.mkString(",\n")
+    val union = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b,
+                 sym_a || sym_b AS merged, pair_n FROM t$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH wc AS (SELECT tok, count(*) AS cnt
+                    FROM (SELECT unnest($toksSql) AS tok FROM documents)
+                    GROUP BY 1),
+        w0 AS (SELECT ' ' || array_to_string(
+                 list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
+                 '  ') || '  $mark ' AS w, cnt FROM wc),
+        $rounds
+        SELECT * FROM ($union) ORDER BY merge_rank"""
+  }
+
   private def langIdSql: String = {
     val hitCols = TextOps.langLexicon.map { case (l, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -783,7 +824,7 @@ object SparkEntry {
              ORDER BY o_orderdate, o_orderkey) AS DATE),
            CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
          FROM orders ORDER BY o_custkey, o_orderkey""",
-    "tumbling" ->
+    "tumb" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -1218,6 +1259,7 @@ object SparkEntry {
             CAST(len(pt) AS DOUBLE) / NULLIF(len(toks), 0) AS fertility
           FROM p ORDER BY doc_id"""
     },
+    "bpet" -> bpeTrainSql,
     "quality" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)

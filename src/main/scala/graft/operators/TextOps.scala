@@ -138,6 +138,97 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---- BPE tokenizer TRAINING --------------------------------------
+
+  /** Merge rounds the trainer runs — fixed so the oracle can unroll
+    * them as chained CTEs (same device as `ivft`'s Lloyd steps).
+    */
+  val BpeMergeRounds = 8
+
+  /** End-of-word marker appended as its own symbol (the classic BPE
+    * device: merges can absorb word endings, so 'low' and 'lowest'
+    * stop sharing a suffix symbol). Safe as a symbol because tokens
+    * are whitespace-split — no token IS the 4-char marker string as a
+    * single character.
+    */
+  val BpeEndMark = "</w>"
+
+  /** Distributed BPE tokenizer TRAINING (the public Sennrich et al.
+    * construction): learn [[BpeMergeRounds]] merge rules by repeatedly
+    * (1) counting adjacent symbol pairs across the word vocabulary,
+    * weighted by word frequency, (2) picking the most frequent pair
+    * (count DESC, then lexicographic — deterministic in both
+    * engines), and (3) merging every left-to-right occurrence of that
+    * pair. Output: one row per learned rule
+    * (merge_rank, sym_a, sym_b, merged, pair_n).
+    *
+    * Scale shape — the reason production trainers (HF tokenizers) are
+    * structured this way: the corpus collapses to WORD COUNTS first
+    * (one groupBy), so every round's pair count is a shuffle over the
+    * VOCABULARY (~10–100 M rows at 100 TB), never the corpus; the
+    * merge step is a narrow map over the same frame; the driver sees
+    * exactly ONE row per round (the argmax — same discipline as the
+    * Lloyd / pagerank loops). The vocabulary frame is eagerly
+    * localCheckpointed once; each round layers one `replace` on it.
+    *
+    * Engine-parity device: a word is a padded string
+    * `' s1  s2  … ' ` — every symbol owns its flanking spaces, so
+    * merging pair (a,b) is literal `replace(w, ' a  b ', ' ab ')`,
+    * and BOTH engines' replace scans left-to-right non-overlapping
+    * with resume-after-replacement — i.e. exactly greedy BPE merge
+    * order, including runs like `a a a` → `aa a`. A single-space join
+    * would break this (adjacent occurrences share the separator, so
+    * the second one's leading space is consumed by the first match).
+    * Symbols never contain spaces (tokens are whitespace-split), so
+    * the encoding is unambiguous.
+    */
+  def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int = BpeMergeRounds): DataFrame =
+    bpeTrainOn(Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt")), rounds)
+
+  /** [[bpeTrain]] over an explicit (tok, cnt) word-count frame — the
+    * spec surface for the greedy-merge and layout-independence pins.
+    */
+  def bpeTrainOn(wc: DataFrame, rounds: Int): DataFrame = {
+    val spark = wc.sparkSession
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    var vocab = OpCaches.localCheckpointTracked(wc.select(
+      concat(lit(" "), array_join(chars, "  "),
+        lit("  " + BpeEndMark + " ")).as("w"),
+      col("cnt")))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val syms = split(trim(col("w")), "  ")
+      val top = vocab
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("sym_a"),
+            element_at(syms, i + 1).as("sym_b")))).as("pr"))
+        .groupBy(col("pr.sym_a").as("sym_a"), col("pr.sym_b").as("sym_b"))
+        .agg(sum("cnt").as("pair_n"))
+        .orderBy(col("pair_n").desc, col("sym_a"), col("sym_b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        r += 1
+        merges += ((r.toLong, a, b, a + b, n))
+        vocab = vocab.withColumn("w",
+          replace(col("w"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+      }
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("merge_rank", "sym_a", "sym_b", "merged", "pair_n")
+      .orderBy("merge_rank")
+  }
+
   /** Content fingerprint: hash of the normalized text — the key for
     * exact dedup at any scale (group-by on the hash is one shuffle of
     * (hash, id) pairs, never of full documents).

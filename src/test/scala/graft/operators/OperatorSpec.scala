@@ -224,6 +224,43 @@ class OperatorSpec extends AnyFunSuite {
     DedupOps.releaseTransients(spark)
   }
 
+  test("bpeTrain: greedy-left merges, monotone counts, layout-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // planted vocab exercising the two hard merge shapes: a RUN of the
+    // chosen pair ('aaa' must merge left-greedily to [aa, a], not
+    // [a, aa] or a double-merge) and ADJACENT occurrences ('abab' must
+    // merge BOTH — the single-space encoding bug would drop the second)
+    val wc = Seq(("aaa", 10L), ("abab", 8L), ("ab", 5L))
+      .toDF("tok", "cnt")
+    val m = TextOps.bpeTrainOn(wc, 3).collect()
+    assert(m.length === 3)
+    // round 1: (a,b) count 8*2 + 5 = 21 beats (a,a) count 10*2 = 20
+    assert((m(0).getString(1), m(0).getString(2), m(0).getLong(4)) ===
+      (("a", "b", 21L)), "round-1 argmax drifted")
+    // round 2: (a,a) scores 2 occurrences × 10 = 20 in 'aaa' (pair
+    // multiplicity is per-occurrence); the greedy-left merge must
+    // yield [aa, a], which round 3's (aa,a)=10 < (ab,</w>)=13 confirms
+    assert((m(1).getString(1), m(1).getString(2), m(1).getLong(4)) ===
+      (("a", "a", 20L)), "run-pair multiplicity drifted")
+    assert((m(2).getString(1), m(2).getString(2), m(2).getLong(4)) ===
+      (("ab", "</w>", 13L)), "round-3 argmax drifted")
+    // chosen-pair counts never increase round over round (a new pair
+    // occurs at most as often as the merge that created it)
+    val ns = m.map(_.getLong(4)).toSeq
+    assert(ns === ns.sorted.reverse, s"pair counts not monotone: $ns")
+    // layout independence: a different partitioning of the SAME word
+    // counts must learn the SAME rules (the argmax is a total order,
+    // the sums exact longs)
+    val m2 = TextOps.bpeTrainOn(wc.repartition(7, col("tok")), 3).collect()
+    assert(m.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq,
+      "merges depend on layout")
+    // and the corpus-backed query yields exactly BpeMergeRounds rules
+    // at the smallest SF (rounds never exhaust on the test corpus)
+    assert(TextOps.bpeTrain(spark, sf).count() ===
+      TextOps.BpeMergeRounds.toLong)
+  }
+
   test("annRecallPq: memory tier clears its floor at every SF, claims exact") {
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
       val r = EmbeddingOps.annRecallPq(spark, dir).collect()
