@@ -1083,8 +1083,8 @@ object SparkEntry {
                       AND p.es >= b.xlo AND p.es < b.xhi
                       AND p.value >= b.ylo AND p.value < b.yhi
          GROUP BY 1 ORDER BY 1""",
-    // the same box fixture through the SQL hint: RANGE_BIN2 ≡
-    // pointInBox ≡ the naive DuckDB join
+    // the un-keyed box fixture (rj_box's pre-r15 shape) through the
+    // SQL hint: RANGE_BIN2 ≡ pointInBox ≡ the naive DuckDB join
     "rj2d" ->
       """WITH b AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS xlo,
                            CAST(floor(epoch(ts)) AS BIGINT) + 7200 AS xhi,
@@ -2334,14 +2334,19 @@ object SparkEntry {
     * with a stderr note — when the file is absent; the bridge is a
     * caller convenience, the live registry stays authoritative.
     */
-  private lazy val legacyRenames: Map[String, String] = {
+  private lazy val renameLedgerPath: java.nio.file.Path = {
     val root = sys.props.get("graft.repo.root")
       .orElse(sys.env.get("GRAFT_REPO_ROOT"))
       .getOrElse(".")
-    val p = java.nio.file.Paths.get(root, "scripts", "renames.json")
+    java.nio.file.Paths.get(root, "scripts", "renames.json")
+  }
+
+  private lazy val legacyRenames: Map[String, String] = {
+    val p = renameLedgerPath
     if (!java.nio.file.Files.exists(p)) {
-      System.err.println(s"[graft] rename ledger not found at $p - legacy " +
-        "query keys will not resolve (set -Dgraft.repo.root or GRAFT_REPO_ROOT)")
+      // silent here: an absent ledger only matters if a legacy key is
+      // actually looked up — resolveName warns at that point (a
+      // jar-only deployment that never uses legacy keys stays quiet)
       Map.empty
     } else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -2371,7 +2376,12 @@ object SparkEntry {
       else if (hops > 10) None // ledger corruption guard, not a real path
       else legacyRenames.get(n) match {
         case Some(nw) => follow(nw, hops + 1)
-        case None => None
+        case None =>
+          if (!java.nio.file.Files.exists(renameLedgerPath))
+            System.err.println(s"[graft] rename ledger not found at " +
+              s"$renameLedgerPath - legacy query keys cannot resolve " +
+              "(set -Dgraft.repo.root or GRAFT_REPO_ROOT)")
+          None
       }
     val r = follow(name, 0)
     r.filter(_ != name).foreach { live =>

@@ -477,27 +477,6 @@ object EmbeddingOps {
     */
   val PqRecallFloor = 0.6
 
-  /** IVF-PQ search, gated on recall like [[annRecallClustered]]:
-    * coarse quantizer (the seed-centroid IVF, nprobe=2) prunes to the
-    * probed cells, then candidates are scored from their CODES alone —
-    * cosine(query, reconstruction), where the reconstruction is
-    * cell centroid + codebook entry per sub-space (asymmetric
-    * distance: the query side stays exact, the corpus side never
-    * touches a raw vector). Encoding residuals (vector − cell
-    * centroid) rather than vectors is the standard IVF-PQ coupling:
-    * within a cell the centroid term is shared, so all ranking signal
-    * must come from the quantized residual.
-    *
-    * Scale shape: encoding is one linear pass (N × m × K sub-vector
-    * L2s, the one-time index build); search joins the probed cells'
-    * code rows (m skinny rows per candidate) against three
-    * BROADCAST side tables (codebook: K×m rows, centroid slices,
-    * query slices) and folds the m per-sub-space terms in index order
-    * (sort-collect fold, not a float `sum` — partial-sum merge order
-    * is engine- and run-dependent; same discipline as
-    * sampleTemperature's z). In-row claims: the recall floor AND the
-    * bytes/vector compression, both oracle-checked.
-    */
   /** ADC shortlist width for the exact re-rank tier: raw vectors are
     * fetched for at most this many candidates per query.
     */
@@ -571,6 +550,27 @@ object EmbeddingOps {
         .select(col("vec_id"), col("cell"), col("j"), col("code"))
     }
 
+  /** IVF-PQ search, gated on recall like [[annRecallClustered]]:
+    * coarse quantizer (the seed-centroid IVF, nprobe=2) prunes to the
+    * probed cells, then candidates are scored from their CODES alone —
+    * cosine(query, reconstruction), where the reconstruction is
+    * cell centroid + codebook entry per sub-space (asymmetric
+    * distance: the query side stays exact, the corpus side never
+    * touches a raw vector). Encoding residuals (vector − cell
+    * centroid) rather than vectors is the standard IVF-PQ coupling:
+    * within a cell the centroid term is shared, so all ranking signal
+    * must come from the quantized residual.
+    *
+    * Scale shape: encoding is one linear pass (N × m × K sub-vector
+    * L2s, the one-time index build); search joins the probed cells'
+    * code rows (m skinny rows per candidate) against three
+    * BROADCAST side tables (codebook: K×m rows, centroid slices,
+    * query slices) and folds the m per-sub-space terms in index order
+    * (sort-collect fold, not a float `sum` — partial-sum merge order
+    * is engine- and run-dependent; same discipline as
+    * sampleTemperature's z). In-row claims: the recall floor AND the
+    * bytes/vector compression, both oracle-checked.
+    */
   def annRecallPq(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
     val m = PqSubspaces

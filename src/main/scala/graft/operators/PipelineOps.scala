@@ -232,8 +232,19 @@ object PipelineOps {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
     val cp = OpCaches.localCheckpointTracked(parted)
+    // monotonically_increasing_id's documented contract is monotonic +
+    // unique; the position math additionally needs CONSECUTIVE ids
+    // within each partition (true of the current implementation:
+    // partitionId << 33 | row index). Guard the assumption — if a
+    // Spark-internal change ever broke it, this would otherwise emit a
+    // silent non-permutation.
     val offs = cp.groupBy("__pid")
-      .agg(count(lit(1)).as("__cnt"), min("__mid").as("__mid0"))
+      .agg(count(lit(1)).as("__cnt"), min("__mid").as("__mid0"),
+        max("__mid").as("__mid1"))
+      .withColumn("__ck", assert_true(
+        col("__mid1") - col("__mid0") + 1 === col("__cnt"),
+        lit("monotonically_increasing_id not consecutive within a partition")))
+      .filter(col("__ck").isNull)
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(Window.orderBy("__pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

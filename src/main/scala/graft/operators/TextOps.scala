@@ -52,9 +52,18 @@ object TextOps {
     * counts, so this relational form is bitwise-identical to a
     * per-row array formulation.
     */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    textQualityOn(Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  /** [[textQuality]] over an explicit (doc_id, text) frame — the
+    * surface the incremental refresh scores NEW docs through (its
+    * input is delta-filtered, so scoring never re-scans the corpus;
+    * see DedupOps.dedupKeepIncremental).
+    */
+  def textQualityOn(docs: DataFrame): DataFrame = {
     val stops = langLexicon.head._2
-    val agg = tokenRows(spark, dir)
+    val agg = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("_n"),
         sum(when(col("tok").isin(stops: _*), 1L).otherwise(0L)).as("_stop"),
@@ -72,7 +81,7 @@ object TextOps {
     val nTokens = when(hasText, coalesce(col("_n"), lit(0L)))
     val stopHits = when(hasText, coalesce(col("_stop"), lit(0L)))
     def perTok(c: Column): Column = when(nTokens > 0, c)
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         nTokens.as("n_tokens"),
@@ -147,9 +156,17 @@ object TextOps {
 
   /** End-of-word marker appended as its own symbol (the classic BPE
     * device: merges can absorb word endings, so 'low' and 'lowest'
-    * stop sharing a suffix symbol). Safe as a symbol because tokens
-    * are whitespace-split — no token IS the 4-char marker string as a
-    * single character.
+    * stop sharing a suffix symbol). Safe as a symbol in round 0
+    * because tokens are whitespace-split — no single CHARACTER is the
+    * 4-char marker string. Caveat (shared with the reference Sennrich
+    * et al. construction, which uses the same printable marker): a
+    * corpus whose tokens contain the literal character run `</w>`
+    * can, after enough merge rounds, synthesize a SYMBOL equal to the
+    * marker, conflating it with end-of-word in later rounds. The
+    * gated fixture's tokens contain no `<`/`>` runs and the trainer
+    * runs 8 rounds, so the conflation is unreachable here; a
+    * production vocabulary would swap in a non-printable sentinel
+    * (e.g. U+0001) that no corpus token can contain.
     */
   val BpeEndMark = "</w>"
 
@@ -169,7 +186,9 @@ object TextOps {
     * merge step is a narrow map over the same frame; the driver sees
     * exactly ONE row per round (the argmax — same discipline as the
     * Lloyd / pagerank loops). The vocabulary frame is eagerly
-    * localCheckpointed once; each round layers one `replace` on it.
+    * localCheckpointed per round, so round r's pair count executes ONE
+    * `replace` over the previous round's materialized vocab, not the
+    * whole chain.
     *
     * Engine-parity device: a word is a padded string
     * `' s1  s2  … ' ` — every symbol owns its flanking spaces, so
@@ -219,8 +238,13 @@ object TextOps {
           top(0).getLong(2))
         r += 1
         merges += ((r.toLong, a, b, a + b, n))
-        vocab = vocab.withColumn("w",
-          replace(col("w"), lit(s" $a  $b "), lit(s" ${a + b} ")))
+        // checkpoint the merged vocab per round (the iterative
+        // self-derived-frame rule — see centroidsTrainedOn): without
+        // truncation round r's pair count re-executes all r replaces
+        // (O(rounds²) narrow work) on an ever-growing lineage — fine
+        // at 8 rounds, quadratic at a production 32k-merge vocabulary
+        vocab = OpCaches.localCheckpointTracked(vocab.withColumn("w",
+          replace(col("w"), lit(s" $a  $b "), lit(s" ${a + b} "))))
       }
     }
     import spark.implicits._

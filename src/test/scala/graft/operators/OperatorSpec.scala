@@ -221,7 +221,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(reelected > 0, "fixture re-elected nothing")
     assert(reelected < inc.length / 2,
       s"re-elected $reelected of ${inc.length} rows — election did not stay at delta scale")
+    // quality comes from the STANDING verdict table (scores are
+    // immutable per doc); the refresh's only text-scan input is delta
+    // docs ABSENT from standing state — empty on this fixture, the
+    // machine-checked face of 'no corpus-scale text pass per refresh'
+    assert(DedupOps.freshQualityInput(spark, dir).count() === 0,
+      "refresh would re-scan text for docs the standing state already scored")
     DedupOps.releaseTransients(spark)
+  }
+
+  test("textQualityOn: explicit-frame scoring ≡ the table-bound form (the new-doc path)") {
+    // the incremental refresh scores genuinely-new docs through
+    // textQualityOn over a delta-filtered frame; the fixture keeps that
+    // branch empty, so pin its semantics directly: scoring any subset
+    // frame must agree row-for-row with the full table-bound scorer
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0)
+      .select("doc_id", "text")
+    val sub = TextOps.textQualityOn(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val full = TextOps.textQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(sub.nonEmpty, "empty subset fixture")
+    sub.foreach { case (id, row) =>
+      assert(row === full(id), s"doc $id: subset scoring diverged from full")
+    }
   }
 
   test("bpeTrain: greedy-left merges, monotone counts, layout-independent") {
