@@ -96,7 +96,9 @@ object Bench {
     "simhash_sig"      -> "simsig",
     "jaccard_md5_cand" -> "md5cand",
     "neardup_cand"     -> "ndcand",
-    "pq_codes"         -> "pqcodes")
+    "pq_codes"         -> "pqcodes",
+    "pq_cbt"           -> "pqcbt",
+    "pq_codes_t"       -> "pqcodet")
 
   /** Committed-floor per-query minima for this SF
     * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.

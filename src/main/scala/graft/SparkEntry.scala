@@ -39,7 +39,7 @@ object SparkEntry {
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
     "jfull"        -> (RelationalOps.joinFullOuter _),
     "topk_o"            -> (RelationalOps.topKOrders _),
-    "pushdown"        -> (RelationalOps.filterPushdown _),
+    "push"        -> (RelationalOps.filterPushdown _),
     "isect"          -> (RelationalOps.setIntersect _),
     "sexc"             -> (RelationalOps.setExcept _),
     "rollup"             -> (RelationalOps.aggRollup _),
@@ -55,13 +55,13 @@ object SparkEntry {
     "variant"          -> (EventOps.variantFuncs _),
     "attrib"     -> (EventOps.clickAttribution _),
     "strings"           -> (RelationalOps.stringFuncs _),
-    "cond_agg"               -> (RelationalOps.condAgg _),
+    "cagg"               -> (RelationalOps.condAgg _),
     "unpivot"           -> (RelationalOps.unpivotLong _),
     "modeg"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "amoms"            -> (StatOps.aggMoments _),
     "pivot"             -> (StatOps.pivotWide _),
-    "agg_cube"               -> (StatOps.aggCube _),
+    "cube"               -> (StatOps.aggCube _),
     "gsets"      -> (StatOps.aggGroupingSets _),
     "cdist"     -> (StatOps.aggCountDistinct _),
     "rankd"      -> (StatOps.windowRankDense _),
@@ -94,6 +94,7 @@ object SparkEntry {
     "toks"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
     "bpet"       -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
+    "bpenc"      -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "quality"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
     "text_fp"       -> (TextOps.textFingerprint _),
@@ -104,7 +105,7 @@ object SparkEntry {
     "minhash"      -> (DedupOps.dedupMinhashLsh _),
     "dinc"          -> (DedupOps.dedupDelta _),
     "simhash"           -> (DedupOps.textSimhash _),
-    "sim_pairs"    -> (DedupOps.dedupSimhashPairs _),
+    "simp"    -> (DedupOps.dedupSimhashPairs _),
     "cwork"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
     "brute"         -> (EmbeddingOps.annBruteTopK _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "ann_rcl"   -> (EmbeddingOps.annRecallClustered _),
     "ivft"       -> (EmbeddingOps.annRecallTrained _),
     "ivfpq"     -> (EmbeddingOps.annRecallPq _),
+    "pqt"       -> (EmbeddingOps.annRecallPqTrained _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
@@ -131,9 +133,9 @@ object SparkEntry {
     "decon"          -> (PipelineOps.decontaminate _),
     "dec_ng"    -> (PipelineOps.decontaminateNgram _),
     "spans"      -> (PipelineOps.dupSpans _),
-    "lm_score"       -> (TextOps.lmScore _),
+    "lms"       -> (TextOps.lmScore _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
-    "clusters"         -> (DedupOps.dedupClusters _),
+    "clus"         -> (DedupOps.dedupClusters _),
     "dkeep"               -> (DedupOps.dedupKeep _),
     "linc"                -> (DedupOps.dedupKeepIncremental _),
     "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
@@ -151,18 +153,18 @@ object SparkEntry {
     "regr"          -> (StatOps.regrByGroup _),
     // Sketch accuracy gates (the 100 TB cardinality/quantile tools)
     "sk_dist"   -> (StatOps.sketchDistinctGate _),
-    "sk_quant"   -> (StatOps.sketchQuantileGate _),
+    "skq"   -> (StatOps.sketchQuantileGate _),
     "theta"         -> (StatOps.thetaSetOps _),
-    "sk_merge"      -> (StatOps.sketchMergeGate _),
+    "skm"      -> (StatOps.sketchMergeGate _),
     "skewj"     -> (StatOps.skewJoin _),
     // Profiling / data-quality / graph
     "prof"     -> (QualityOps.profileTable _),
-    "prof_apx" -> (QualityOps.profileApprox _),
+    "papx" -> (QualityOps.profileApprox _),
     "cksum"    -> (QualityOps.tableChecksum _),
     "dq"         -> (QualityOps.dqChecks _),
     "prank"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
-    "win_value"         -> (RelationalOps.windowValueFuncs _),
+    "winv"         -> (RelationalOps.windowValueFuncs _),
     "iagg"          -> (RelationalOps.incrAgg _),
     "arrf"       -> (TextOps.arrayFuncs _),
     "mapf"         -> (TextOps.mapFuncs _),
@@ -531,12 +533,69 @@ object SparkEntry {
     * engine-dependent), top-k, recall vs brute, and the literal floor
     * + compression claims.
     */
-  private def ivfPqSql(corpusCtes: String): String = {
+  /** The seed codebook CTE (must bind `cb`): residual sub-vectors of
+    * the first PqCodebookK corpus vectors.
+    */
+  private def pqSeedCbCte: String = {
     val m = EmbeddingOps.PqSubspaces
     val sub = 64 / m
-    val k = EmbeddingOps.PqCodebookK
-    val bytesPq = (m * (64 - java.lang.Long.numberOfLeadingZeros(k - 1L).toInt) + 7) / 8
-    s"""WITH $corpusCtes,
+    s"""cb AS (SELECT vec_id AS code, unnest(range(0, $m)) AS j,
+                 unnest(list_transform(range(0, $m),
+                   jj -> r[jj*$sub+1 : jj*$sub+$sub])) AS sv
+               FROM asg WHERE vec_id < ${EmbeddingOps.PqCodebookK})"""
+  }
+
+  /** Lloyd-TRAINED codebook CTE chain (must bind `cb`): the seed
+    * codebook, then PqLloydIters unrolled per-sub-space k-means steps —
+    * assignment is the exact encoding law (L2 min-id over qcb entries),
+    * the update is the exact-integer mean (2²⁴-scaled floored longs,
+    * two IEEE divisions) EmbeddingOps.pqLloydStep computes; the same
+    * unroll device as [[trainedCentCtes]].
+    */
+  private def pqTrainedCbCtes: String = {
+    val m = EmbeddingOps.PqSubspaces
+    val sub = 64 / m
+    val scale = s"${EmbeddingOps.LloydScale.toLong}.0"
+    val rounds = (1 to EmbeddingOps.PqLloydIters).map { n =>
+      s"""qa$n AS (SELECT j, code, rv FROM (
+             SELECT r.vec_id, r.j, r.rv, cb.code,
+               row_number() OVER (PARTITION BY r.vec_id, r.j ORDER BY
+                 list_sum(list_transform(range(1, $sub + 1),
+                   i -> (r.rv[i] - cb.sv[i]) * (r.rv[i] - cb.sv[i]))),
+                 cb.code) AS rnk
+             FROM rsub r JOIN qcb${n - 1} cb ON cb.j = r.j) WHERE rnk = 1),
+          qx$n AS (SELECT j, code, unnest(range(1, $sub + 1)) AS i,
+                     unnest(list_transform(range(1, $sub + 1),
+                       ii -> CAST(floor(rv[ii] * $scale) AS BIGINT))) AS x
+                   FROM qa$n),
+          qcb$n AS (SELECT code, j,
+                      list(CAST(s AS DOUBLE) / n_ / $scale ORDER BY i) AS sv
+                    FROM (SELECT j, code, i, CAST(SUM(x) AS BIGINT) AS s,
+                            COUNT(*) AS n_
+                          FROM qx$n GROUP BY j, code, i)
+                    GROUP BY code, j)"""
+    }.mkString(",\n")
+    s"""qcb0 AS (SELECT vec_id AS code, unnest(range(0, $m)) AS j,
+                   unnest(list_transform(range(0, $m),
+                     jj -> r[jj*$sub+1 : jj*$sub+$sub])) AS sv
+                 FROM asg WHERE vec_id < ${EmbeddingOps.PqCodebookK}),
+        rsub AS (SELECT vec_id, unnest(range(0, $m)) AS j,
+                   unnest(list_transform(range(0, $m),
+                     jj -> r[jj*$sub+1 : jj*$sub+$sub])) AS rv
+                 FROM asg),
+        $rounds,
+        cb AS (SELECT code, j, sv FROM qcb${EmbeddingOps.PqLloydIters})"""
+  }
+
+  /** Shared IVF-PQ oracle prefix — corpus → coarse assignment →
+    * residuals → the given codebook chain → encoding → ADC scoring →
+    * ranking. Both PQ gates (seed `ivfpq`, trained `pqt`) compose it,
+    * so the encoding law and the j-ordered fold live once.
+    */
+  private def pqAdcCtes(corpusCtes: String, cbCtes: String): String = {
+    val m = EmbeddingOps.PqSubspaces
+    val sub = 64 / m
+    s"""$corpusCtes,
         cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
                   ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
                            vec_id
@@ -551,10 +610,7 @@ object SparkEntry {
         asg AS (SELECT vec_id, cent_id AS cell,
                   list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
                 FROM rk WHERE arank = 1),
-        cb AS (SELECT vec_id AS code, unnest(range(0, $m)) AS j,
-                 unnest(list_transform(range(0, $m),
-                   jj -> r[jj*$sub+1 : jj*$sub+$sub])) AS sv
-               FROM asg WHERE vec_id < $k),
+        $cbCtes,
         codes AS (SELECT vec_id, cell, j, code FROM (
             SELECT a.vec_id, a.cell, cb.j, cb.code,
               row_number() OVER (PARTITION BY a.vec_id, cb.j ORDER BY
@@ -592,7 +648,19 @@ object SparkEntry {
                        ORDER BY cos DESC, neighbor_id) AS rank
                    FROM sc),
         pq AS (SELECT query_id, neighbor_id FROM ranked
-               WHERE rank <= ${EmbeddingOps.TopK}),
+               WHERE rank <= ${EmbeddingOps.TopK})"""
+  }
+
+  /** IVF-PQ recall oracle — replicates EmbeddingOps.annRecallPq over
+    * the clustered corpus: [[pqAdcCtes]] with the SEED codebook, the
+    * exact re-rank of the ADC top-PqShortlist, recall vs brute, and
+    * the literal floor + compression claims.
+    */
+  private def ivfPqSql(corpusCtes: String): String = {
+    val m = EmbeddingOps.PqSubspaces
+    val k = EmbeddingOps.PqCodebookK
+    val bytesPq = (m * (64 - java.lang.Long.numberOfLeadingZeros(k - 1L).toInt) + 7) / 8
+    s"""WITH ${pqAdcCtes(corpusCtes, pqSeedCbCte)},
         sl AS (SELECT query_id, neighbor_id FROM ranked
                WHERE rank <= ${EmbeddingOps.PqShortlist}),
         rrsc AS (SELECT sl.query_id, sl.neighbor_id,
@@ -628,6 +696,31 @@ object SparkEntry {
         FROM h, h2, d, braw WHERE n_brute > 0"""
   }
 
+  /** Trained-codebook IVF-PQ oracle (`pqt`) — [[pqAdcCtes]] with the
+    * Lloyd-trained codebook chain, recall vs brute, floor +
+    * compression claims; no re-rank tier (raw-vector re-rank would
+    * mask codebook quality — this gate pins exactly that).
+    */
+  private def ivfPqtSql(corpusCtes: String): String = {
+    val m = EmbeddingOps.PqSubspaces
+    val k = EmbeddingOps.PqCodebookK
+    val bytesPq = (m * (64 - java.lang.Long.numberOfLeadingZeros(k - 1L).toInt) + 7) / 8
+    s"""WITH ${pqAdcCtes(corpusCtes, pqTrainedCbCtes)},
+        brute AS (SELECT query_id, neighbor_id FROM (${bruteAnnSql(corpusCtes)})),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+              FROM pq a JOIN brute b
+                ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
+        braw AS (SELECT CAST(max(len(v)) * 4 AS BIGINT) AS bytes_raw FROM c)
+        SELECT 'ivf_pqt' AS method, n_hits, n_brute, bytes_raw,
+               CAST(n_hits AS DOUBLE) / n_brute AS recall,
+               CAST(${EmbeddingOps.PqtRecallFloor} AS DOUBLE) AS recall_floor,
+               TRUE AS recall_ok,
+               CAST($bytesPq AS BIGINT) AS bytes_pq,
+               CAST(bytes_raw AS DOUBLE) / $bytesPq AS compression
+        FROM h, d, braw WHERE n_brute > 0"""
+  }
+
   /** TextOps.bpeTrain's oracle: the [[TextOps.BpeMergeRounds]] merge
     * rounds unrolled as chained CTEs (w0 → p1/t1/w1 → … — the same
     * fixed-iteration unroll device as `ivft`). Each round's top pair
@@ -638,7 +731,12 @@ object SparkEntry {
     * non-overlapping (greedy BPE order — see bpeTrain's scaladoc for
     * why the double-space encoding is what makes adjacency exact).
     */
-  private def bpeTrainSql: String = {
+  /** The BPE training CTE chain — word counts, round-0 padded vocab,
+    * then one p/t/w CTE triple per merge round (t$r = round r's learned
+    * rule). Shared by the trainer's oracle (`bpet`) and the encoder's
+    * (`bpenc`), so the learned table both gates replay is ONE text.
+    */
+  private def bpeTrainCtes: String = {
     val mark = TextOps.BpeEndMark
     val rounds = (1 to TextOps.BpeMergeRounds).map { r =>
       s"""p$r AS (SELECT pr[1] AS sym_a, pr[2] AS sym_b,
@@ -654,18 +752,58 @@ object SparkEntry {
                                  ' ' || sym_a || sym_b || ' ') AS w, cnt
                   FROM w${r - 1}, t$r)"""
     }.mkString(",\n")
+    s"""wc AS (SELECT tok, count(*) AS cnt
+               FROM (SELECT unnest($toksSql) AS tok FROM documents)
+               GROUP BY 1),
+        w0 AS (SELECT ' ' || array_to_string(
+                 list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
+                 '  ') || '  $mark ' AS w, cnt FROM wc),
+        $rounds"""
+  }
+
+  private def bpeTrainSql: String = {
     val union = (1 to TextOps.BpeMergeRounds).map { r =>
       s"""SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b,
                  sym_a || sym_b AS merged, pair_n FROM t$r"""
     }.mkString(" UNION ALL ")
-    s"""WITH wc AS (SELECT tok, count(*) AS cnt
-                    FROM (SELECT unnest($toksSql) AS tok FROM documents)
-                    GROUP BY 1),
-        w0 AS (SELECT ' ' || array_to_string(
-                 list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
-                 '  ') || '  $mark ' AS w, cnt FROM wc),
-        $rounds
+    s"""WITH $bpeTrainCtes
         SELECT * FROM ($union) ORDER BY merge_rank"""
+  }
+
+  /** TextOps.bpeEncode's oracle: the training chain's learned rules
+    * (t1..tN — the same CTE text `bpet` gates) replayed over every
+    * document word in merge-rank order, then the per-doc counts with
+    * textTokens' NULL/zero contract.
+    */
+  private def bpeEncodeSql: String = {
+    val mark = TextOps.BpeEndMark
+    val chain = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"""e$r AS (SELECT doc_id, s0,
+                    replace(w, ' ' || t.sym_a || '  ' || t.sym_b || ' ',
+                            ' ' || t.sym_a || t.sym_b || ' ') AS w
+                  FROM e${r - 1}, t$r t)"""
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+        dw AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+        e0 AS (SELECT doc_id, CAST(length(tok) + 1 AS BIGINT) AS s0,
+                 ' ' || array_to_string(
+                   list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
+                   '  ') || '  $mark ' AS w
+               FROM dw),
+        $chain,
+        agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_w,
+                  CAST(sum(s0) AS BIGINT) AS n_s0,
+                  CAST(sum(len(string_split(trim(w), '  '))) AS BIGINT) AS n_t
+                FROM e${TextOps.BpeMergeRounds} GROUP BY 1)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NOT NULL
+                    THEN COALESCE(a.n_w, 0) END AS n_words,
+               CASE WHEN d.text IS NOT NULL
+                    THEN COALESCE(a.n_s0, 0) END AS n_syms0,
+               CASE WHEN d.text IS NOT NULL
+                    THEN COALESCE(a.n_t, 0) END AS n_tokens
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
   }
 
   private def langIdSql: String = {
@@ -789,7 +927,7 @@ object SparkEntry {
     "topk_o" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
-    "pushdown" ->
+    "push" ->
       """SELECT l_orderkey, l_partkey, l_quantity, l_discount FROM lineitem
          WHERE l_quantity > 40 AND l_discount >= 0.05 AND l_returnflag <> 'R'
          ORDER BY l_orderkey, l_partkey""",
@@ -909,7 +1047,7 @@ object SparkEntry {
          CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e,
          CAST(levenshtein(p_name, 'widget') AS BIGINT) AS dist
          FROM part ORDER BY p_partkey""",
-    "cond_agg" ->
+    "cagg" ->
       """SELECT l_linestatus, COUNT(*) AS n,
          COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
          CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN l_extendedprice
@@ -937,7 +1075,7 @@ object SparkEntry {
          CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
                        AS DECIMAL(18,2))) AS DOUBLE) AS O
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "agg_cube" ->
+    "cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
@@ -1260,6 +1398,7 @@ object SparkEntry {
           FROM p ORDER BY doc_id"""
     },
     "bpet" -> bpeTrainSql,
+    "bpenc" -> bpeEncodeSql,
     "quality" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -1328,7 +1467,7 @@ object SparkEntry {
     // component's min doc_id. The oracle computes reachability closure
     // with a recursive CTE (min reachable id ≡ the min-label fixpoint
     // the Spark loop converges to).
-    "clusters" ->
+    "clus" ->
       s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
           e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -1420,7 +1559,7 @@ object SparkEntry {
     "simhash" ->
       s"""$simhashSql
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
-    "sim_pairs" -> {
+    "simp" -> {
       val segBits = DedupOps.SimhashBits / DedupOps.SimhashSegments
       val mask = (1L << segBits) - 1
       val segs = (0 until DedupOps.SimhashSegments).map { s =>
@@ -1460,6 +1599,7 @@ object SparkEntry {
     // EmbeddingOps.annRecallPq: the memory tier — recall floor plus
     // the bytes/vector compression claim, both in hash-checked rows.
     "ivfpq" -> ivfPqSql(clusteredCorpusCtes),
+    "pqt" -> ivfPqtSql(clusteredCorpusCtes),
     "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics
@@ -1766,7 +1906,7 @@ object SparkEntry {
     // P floored to 1e12-scaled BIGINTs before summing (order-
     // independent; ln would drift across libms). DuckDB SUM(BIGINT)
     // widens to HUGEINT — cast back before the integer division.
-    "lm_score" ->
+    "lms" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           bg AS (SELECT doc_id,
                    unnest(list_transform(range(0, len(toks) - 1),
@@ -1915,7 +2055,7 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     // StatOps.sketchQuantileGate: GK rank error <= n/accuracy under
     // any merge order, so the 1% gate is deterministic.
-    "sk_quant" ->
+    "skq" ->
       """SELECT l_returnflag, COUNT(*) AS n,
          TRUE AS p50_within_1pct
          FROM lineitem GROUP BY 1 ORDER BY 1""",
@@ -1923,7 +2063,7 @@ object SparkEntry {
     // equal the from-scratch sketch (registers are per-value maxima —
     // deterministic) and land within 5% of exact. Oracle emits the
     // exact count and literal TRUE for both gates.
-    "sk_merge" ->
+    "skm" ->
       """SELECT COUNT(DISTINCT user_id) AS n_exact,
          TRUE AS merge_eq_full,
          TRUE AS merged_within_5pct
@@ -1993,7 +2133,7 @@ object SparkEntry {
     // production plan is the un-expanded one-pass approx aggregation;
     // the exact pass exists as the gate's reference and the emitted
     // n_distinct.)
-    "prof_apx" -> {
+    "papx" -> {
       val num = Seq("o_orderkey", "o_custkey", "o_totalprice", "od_sec")
       val str = Seq("o_orderstatus", "o_orderpriority")
       val rows = (num ++ str).map { c =>
@@ -2075,7 +2215,7 @@ object SparkEntry {
     // unbounded-both-ends frame in both engines (the default frame
     // makes last_value ≡ current row); cume_dist ties are
     // peer-counting, deterministic without a tiebreaker.
-    "win_value" ->
+    "winv" ->
       """SELECT o_orderkey, o_custkey,
          first_value(o_totalprice) OVER w AS first_price,
          last_value(o_totalprice) OVER w AS last_price,

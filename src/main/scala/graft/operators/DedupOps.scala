@@ -117,14 +117,16 @@ object DedupOps {
     * the renamed query's timing.
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
-    "minhash_cand"     -> Set("minhash", "clusters", "dkeep", "cwork", "linc"),
-    "cluster_labels"   -> Set("clusters", "dkeep"),
+    "minhash_cand"     -> Set("minhash", "clus", "dkeep", "cwork", "linc"),
+    "cluster_labels"   -> Set("clus", "dkeep"),
     "base_labels"      -> Set("linc"),
     "base_keep"        -> Set("linc"),
-    "simhash_sig"      -> Set("simhash", "sim_pairs", "cwork"),
+    "simhash_sig"      -> Set("simhash", "simp", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"),
-    "pq_codes"         -> Set("ivfpq"))
+    "pq_codes"         -> Set("ivfpq"),
+    "pq_cbt"           -> Set("pqt"),
+    "pq_codes_t"       -> Set("pqt"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -175,7 +177,12 @@ object DedupOps {
       "simhash_sig" -> (() => simhashSignatures(spark, dir)),
       "jaccard_md5_cand" -> (() => jaccardMd5Candidates(spark, dir)),
       "neardup_cand" -> (() => EmbeddingOps.neardupCandidates(spark, dir)),
-      "pq_codes" -> (() => EmbeddingOps.pqCodes(spark, dir)))
+      "pq_codes" -> (() => EmbeddingOps.pqCodes(spark, dir)),
+      // pq_cbt BEFORE pq_codes_t: the trained index encodes against
+      // the trained codebook, so this order prices training and
+      // re-encoding separately
+      "pq_cbt" -> (() => EmbeddingOps.pqCodebookTrained(spark, dir)),
+      "pq_codes_t" -> (() => EmbeddingOps.pqCodesTrained(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute

@@ -253,6 +253,59 @@ object TextOps {
       .orderBy("merge_rank")
   }
 
+  /** BPE ENCODING with the learned merge table — the trainer's output
+    * applied back to the corpus, composing train → encode end-to-end
+    * (the `bpet` gate pins the rules; this gate pins their
+    * application). Per document: every whitespace word is padded into
+    * the trainer's double-space symbol encoding and the
+    * [[BpeMergeRounds]] learned merges replay IN MERGE-RANK ORDER as a
+    * chain of literal `replace`s — the same left-to-right greedy
+    * semantics training used, so a word that appeared in training
+    * encodes exactly as training left it. Emits per-doc counts:
+    * `n_words`, `n_syms0` (pre-merge symbols = chars + one end-mark
+    * per word) and `n_tokens` (post-merge symbols); n_syms0 − n_tokens
+    * is the number of merge applications, so the pair pins the whole
+    * chain, not just its length.
+    *
+    * Scale shape: the learned table is [[BpeMergeRounds]] rows
+    * (driver-side by construction — same justified collect as the
+    * trainer's per-round argmax); encoding is one narrow codegen'd map
+    * over the corpus with NO shuffle before the per-doc aggregation —
+    * at 100 TB this is the tokenizer pass of a training-data
+    * pipeline, embarrassingly parallel by document. NULL-text docs
+    * emit NULL counts, token-less docs emit zeros (textTokens'
+    * established contract).
+    */
+  def bpeEncode(spark: SparkSession, dir: String,
+      rounds: Int = BpeMergeRounds): DataFrame = {
+    val merges = bpeTrain(spark, dir, rounds).collect()
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    var w: Column = concat(lit(" "), array_join(chars, "  "),
+      lit("  " + BpeEndMark + " "))
+    merges.foreach { r =>
+      val a = r.getAs[String]("sym_a")
+      val b = r.getAs[String]("sym_b")
+      w = replace(w, lit(s" $a  $b "), lit(s" ${a}$b "))
+    }
+    val agg = words
+      .select(col("doc_id"),
+        (length(col("tok")) + 1).cast("long").as("s0"),
+        size(split(trim(w), "  ")).cast("long").as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_w"), sum("s0").as("_s0"), sum("nt").as("_nt"))
+    val hasText = col("text").isNotNull
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(hasText, coalesce(col("_w"), lit(0L))).as("n_words"),
+        when(hasText, coalesce(col("_s0"), lit(0L))).as("n_syms0"),
+        when(hasText, coalesce(col("_nt"), lit(0L))).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprint: hash of the normalized text — the key for
     * exact dedup at any scale (group-by on the hash is one shuffle of
     * (hash, id) pairs, never of full documents).

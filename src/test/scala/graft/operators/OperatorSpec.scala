@@ -18,7 +18,7 @@ class OperatorSpec extends AnyFunSuite {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
       if (n == 0 && !Set("janti", "sexc", "jaccard",
-        "minhash", "sim_pairs", "clusters",
+        "minhash", "simp", "clus",
         "endup").contains(name))
         Some(name -> n)
       else None
@@ -83,6 +83,42 @@ class OperatorSpec extends AnyFunSuite {
     EmbeddingOps.TrainedRecallFloors.foreach { case (m, f) =>
       assert(trained(m) >= f, s"$m recall ${trained(m)} below floor $f")
     }
+  }
+
+  test("trained PQ codebook beats the seed codebook at the same bytes/vector") {
+    val dir = "/root/testdata/sf0.01"
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("recall").collect().head.getDouble(0)
+    val seed = recallOf(EmbeddingOps.annRecallPq(spark, dir))
+    val trainedDf = EmbeddingOps.annRecallPqTrained(spark, dir).collect().head
+    DedupOps.releaseTransients(spark)
+    val trained = trainedDf.getAs[Double]("recall")
+    // Lloyd training must buy ADC recall, not merely preserve it —
+    // the ivft trained-beats-seed contract, at the PQ tier
+    assert(trained >= seed,
+      s"trained-codebook ADC recall $trained fell below seed $seed")
+    assert(trained >= EmbeddingOps.PqtRecallFloor,
+      s"trained recall $trained below floor ${EmbeddingOps.PqtRecallFloor}")
+    // training moves WHERE the entries sit, never how many bits
+    // address them: the compression claim rides unchanged
+    assert(trainedDf.getAs[Long]("bytes_pq") === 10L)
+  }
+
+  test("bpeEncode: learned merges shrink symbol counts within per-word bounds") {
+    val rows = TextOps.bpeEncode(spark, sf).collect().filter(!_.isNullAt(1))
+    assert(rows.nonEmpty)
+    var applied = 0L
+    rows.foreach { r =>
+      val (w, s0, nt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is at least one symbol, merges only ever shrink
+      assert(nt >= w, s"doc ${r.getLong(0)}: $nt tokens for $w words")
+      assert(nt <= s0, s"doc ${r.getLong(0)}: tokens grew past pre-merge symbols")
+      applied += s0 - nt
+    }
+    // the 8 learned rules must actually fire somewhere in the corpus —
+    // an encoder that never matches (wrong padding, wrong order) would
+    // pass the bounds above with applied == 0
+    assert(applied > 0L, "no merge ever applied — encode chain is inert")
   }
 
   test("corpus precondition: no control characters in document text") {
