@@ -118,6 +118,7 @@ object SparkEntry {
     "ivft"       -> (EmbeddingOps.annRecallTrained _),
     "ivfpq"     -> (EmbeddingOps.annRecallPq _),
     "pqt"       -> (EmbeddingOps.annRecallPqTrained _),
+    "pinc"      -> (EmbeddingOps.pqCodesIncremental _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
     "mm_meta"                -> (MultimodalOps.mmMeta _),
@@ -719,6 +720,47 @@ object SparkEntry {
                CAST($bytesPq AS BIGINT) AS bytes_pq,
                CAST(bytes_raw AS DOUBLE) / $bytesPq AS compression
         FROM h, d, braw WHERE n_brute > 0"""
+  }
+
+  /** EmbeddingOps.pqCodesIncremental's oracle — deliberately the FULL
+    * re-encode path: standing centroids/codebook from the BASE corpus
+    * (vec_id % 5 <> 0), EVERY vector assigned and encoded against
+    * them, then restricted to the delta. The Spark side does only
+    * delta-scale work, so the hash gate pins the incremental
+    * maintenance theorem: append-path codes ≡ full re-encode.
+    */
+  private def pqIncSql(corpusCtes: String): String = {
+    val m = EmbeddingOps.PqSubspaces
+    val sub = 64 / m
+    s"""WITH $corpusCtes,
+        bsel AS (SELECT vec_id, v FROM c WHERE vec_id % 5 <> 0),
+        cents AS (SELECT vec_id AS cent_id, v AS cv FROM bsel
+                  ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
+                           vec_id
+                  LIMIT ${EmbeddingOps.IvfCentroidK}),
+        rk AS (SELECT c.vec_id, c.v, ct.cent_id, ct.cv,
+                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+                   (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
+                    (sqrt(list_sum(list_transform(range(1, len(ct.cv) + 1), i -> ct.cv[i] * ct.cv[i]))) *
+                     sqrt(list_sum(list_transform(range(1, len(c.v) + 1), i -> c.v[i] * c.v[i]))))) DESC,
+                   ct.cent_id) AS arank
+               FROM c, cents ct),
+        asg AS (SELECT vec_id, cent_id AS cell,
+                  list_transform(range(1, len(v) + 1), i -> v[i] - cv[i]) AS r
+                FROM rk WHERE arank = 1),
+        cb AS (SELECT vec_id AS code, unnest(range(0, $m)) AS j,
+                 unnest(list_transform(range(0, $m),
+                   jj -> r[jj*$sub+1 : jj*$sub+$sub])) AS sv
+               FROM asg WHERE vec_id < ${EmbeddingOps.PqCodebookK} AND vec_id % 5 <> 0),
+        codes AS (SELECT vec_id, cell, j, code FROM (
+            SELECT a.vec_id, a.cell, cb.j, cb.code,
+              row_number() OVER (PARTITION BY a.vec_id, cb.j ORDER BY
+                list_sum(list_transform(range(1, $sub + 1),
+                  i -> (a.r[(cb.j*$sub)+i] - cb.sv[i]) * (a.r[(cb.j*$sub)+i] - cb.sv[i]))),
+                cb.code) AS rnk
+            FROM asg a, cb) WHERE rnk = 1)
+        SELECT vec_id, cell, j, code FROM codes WHERE vec_id % 5 = 0
+        ORDER BY vec_id, j"""
   }
 
   /** TextOps.bpeTrain's oracle: the [[TextOps.BpeMergeRounds]] merge
@@ -1600,6 +1642,7 @@ object SparkEntry {
     // the bytes/vector compression claim, both in hash-checked rows.
     "ivfpq" -> ivfPqSql(clusteredCorpusCtes),
     "pqt" -> ivfPqtSql(clusteredCorpusCtes),
+    "pinc" -> pqIncSql(clusteredCorpusCtes),
     "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics

@@ -748,6 +748,69 @@ object EmbeddingOps {
         col("bytes_raw").cast("double") / col("bytes_pq"))
   }
 
+  // ---- incremental PQ-code maintenance ------------------------------
+
+  /** The ANN tier's delta predicate — vec_id % 5 == 0, mirroring the
+    * dedup family's refresh fixture (DedupOps.deltaPredOn): the same
+    * "today's shard" story, over embeddings.
+    */
+  private def pqDeltaPred(c: Column): Column = c % 5 === 0
+
+  /** INCREMENTAL PQ-code maintenance — the dinc/linc analog for the
+    * ANN tier: vectors arriving in a refresh encode against the
+    * STANDING codebook and coarse centroids (both derived from the
+    * BASE corpus — yesterday's index state) and their code rows APPEND
+    * to the standing `pq_codes` index; a full re-encode happens only
+    * when the codebook itself retrains. Because encoding is row-local
+    * given (centroids, codebook), the appended rows are IDENTICAL to
+    * what a full re-encode of the corpus against the same standing
+    * state would produce for the delta ids — the oracle computes
+    * exactly that full path and filters to the delta, so the hash gate
+    * pins append ≡ full re-encode; the spec pins the work side
+    * (encode input ∝ |delta|: this query's assignment and encoding
+    * stages never touch a base vector).
+    *
+    * Scale shape: per refresh the only work is |delta| × C coarse
+    * assignment + |delta| × m × K encoding, plus one TakeOrdered scan
+    * of the base for the standing centroid seed (in production the
+    * centroids/codebook are persisted state, not re-derived — here
+    * they are recomputed deterministically so the oracle can replay
+    * them, and both are tiny).
+    */
+  def pqCodesIncremental(spark: SparkSession, dir: String): DataFrame =
+    pqCodesIncrementalOn(spark, dir, deltaOnly = true)
+
+  /** The full-re-encode REFERENCE for [[pqCodesIncremental]]'s spec:
+    * every corpus vector encoded against the same standing state,
+    * restricted to delta ids afterward — the frame the append path
+    * must equal row-for-row.
+    */
+  private[operators] def pqCodesIncrementalFull(spark: SparkSession, dir: String): DataFrame =
+    pqCodesIncrementalOn(spark, dir, deltaOnly = false)
+
+  private def pqCodesIncrementalOn(spark: SparkSession, dir: String,
+      deltaOnly: Boolean): DataFrame = {
+    val all = OpCaches.track(clusteredCorpus(spark, dir))
+    val base = all.filter(!pqDeltaPred(col("vec_id")))
+    // standing coarse centroids: the seed-sample rule over the BASE
+    // corpus (yesterday's state); standing codebook: residuals of the
+    // base vectors below PqCodebookK (the first-K rule, base-filtered)
+    val cents = OpCaches.track(centroidsOn(base)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val cb = pqCodebook(
+      pqResiduals(cents, ivfRankedWith(base.filter(col("vec_id") < PqCodebookK), cents, 1)))
+    val toEncode = if (deltaOnly) all.filter(pqDeltaPred(col("vec_id"))) else all
+    val asg = pqResiduals(cents, ivfRankedWith(toEncode, cents, 1))
+    val out = pqEncodeWith(pqRsub(asg), cb)
+    (if (deltaOnly) out else out.filter(pqDeltaPred(col("vec_id"))))
+      // j is posexplode's int position — widen to match the oracle's
+      // BIGINT range() (schema-compared output, unlike the internal
+      // code frames)
+      .select(col("vec_id"), col("cell"), col("j").cast("long").as("j"),
+        col("code"))
+      .orderBy("vec_id", "j")
+  }
+
   /** Trained-codebook ADC recall floor — STRICTLY above the seed
     * codebook's [[PqRecallFloor]] 0.6: training must buy recall at the
     * same 10 bytes/vector, not merely preserve it (the same

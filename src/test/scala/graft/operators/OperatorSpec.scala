@@ -104,6 +104,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(trainedDf.getAs[Long]("bytes_pq") === 10L)
   }
 
+  test("pqCodesIncremental: append-path codes ≡ full re-encode, encode work ∝ delta") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    val append = keyed(EmbeddingOps.pqCodesIncremental(spark, dir))
+    val full = keyed(EmbeddingOps.pqCodesIncrementalFull(spark, dir))
+    DedupOps.releaseTransients(spark)
+    // the incremental-maintenance theorem, frame-checked: encoding is
+    // row-local given the standing state, so appending delta codes is
+    // exactly what a full re-encode would have produced for those ids
+    assert(append === full, "append-path codes diverged from the full re-encode")
+    // work ∝ |delta|: every emitted id is a delta id and the row count
+    // is exactly |delta| · m — the encode stage never saw a base vector
+    val nDelta = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(append.keys.forall(_._1 % 5 == 0), "a non-delta id was re-encoded")
+    assert(append.size.toLong === nDelta * EmbeddingOps.PqSubspaces,
+      s"expected ${nDelta} delta vectors x ${EmbeddingOps.PqSubspaces} codes, got ${append.size}")
+  }
+
   test("bpeEncode: learned merges shrink symbol counts within per-word bounds") {
     val rows = TextOps.bpeEncode(spark, sf).collect().filter(!_.isNullAt(1))
     assert(rows.nonEmpty)
