@@ -618,7 +618,7 @@ object DedupOps {
     * pairs into this frame instead of re-running the fixpoint over the
     * whole corpus.
     */
-  private[operators] def baseLabels(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def baseLabels(spark: SparkSession, dir: String): DataFrame =
     memoStage(spark, dir, "base_labels") {
       val pairs = dedupMinhashLsh(spark, dir).select("doc_a", "doc_b")
         .filter(!deltaPredOn(col("doc_a")) && !deltaPredOn(col("doc_b")))
@@ -657,19 +657,52 @@ object DedupOps {
     * incident to a delta pair, plus every previously-unlabeled
     * delta-pair node.
     */
-  private[operators] def labelMapping(spark: SparkSession, dir: String): DataFrame = {
-    val base = baseLabels(spark, dir)
-    val dp = dedupDelta(spark, dir).select("doc_a", "doc_b")
-    val sub = dp
-      .join(base.select(col("id").as("doc_a"), col("lbl").as("la")),
+  private[operators] def labelMapping(spark: SparkSession, dir: String): DataFrame =
+    contractedMapping(baseLabels(spark, dir),
+      dedupDelta(spark, dir).select("doc_a", "doc_b"))
+
+  /** [[labelMapping]]'s body over EXPLICIT frames — standing (id, lbl)
+    * labels and a (doc_a, doc_b) pair frame — so the streaming face
+    * (DocStream.StandingLabels) merges each micro-batch's pairs
+    * through the same contraction the batch refresh uses.
+    */
+  private[graft] def contractedMapping(standing: DataFrame, pairs: DataFrame): DataFrame = {
+    val sub = pairs.select("doc_a", "doc_b")
+      .join(standing.select(col("id").as("doc_a"), col("lbl").as("la")),
         Seq("doc_a"), "left_outer")
-      .join(base.select(col("id").as("doc_b"), col("lbl").as("lb")),
+      .join(standing.select(col("id").as("doc_b"), col("lbl").as("lb")),
         Seq("doc_b"), "left_outer")
       .select(coalesce(col("la"), col("doc_a")).as("src"),
         coalesce(col("lb"), col("doc_b")).as("dst"))
     val lg = OpCaches.localCheckpointTracked(
       sub.unionAll(sub.select(col("dst").as("src"), col("src").as("dst"))))
     propagateLabels(lg)._1
+  }
+
+  /** One streaming merge step: contract, converge, apply, and eagerly
+    * localCheckpoint the merged standing frame (it becomes the next
+    * batch's substitution base — without truncation every batch's plan
+    * would embed all previous batches' join trees). The streaming
+    * face's whole per-batch transaction, kept here so the operators
+    * package owns every standing-state mutation.
+    */
+  private[graft] def mergePairsIntoStanding(standing: DataFrame,
+      pairs: DataFrame): DataFrame =
+    OpCaches.localCheckpointTracked(
+      applyMapping(standing, contractedMapping(standing, pairs)))
+
+  /** Apply a converged contracted mapping to a standing label frame:
+    * one mapping join (relabel touched components) plus the mapping's
+    * previously-unlabeled nodes appended — [[labelsIncrementalFrom]]'s
+    * body over explicit frames, shared with the streaming face.
+    */
+  private[graft] def applyMapping(standing: DataFrame, m: DataFrame): DataFrame = {
+    val relabeled = standing
+      .join(m.select(col("id").as("lbl"), col("lbl").as("__nl")),
+        Seq("lbl"), "left_outer")
+      .select(col("id"), coalesce(col("__nl"), col("lbl")).as("lbl"))
+    val newNodes = m.join(standing.select("id"), Seq("id"), "left_anti")
+    relabeled.unionByName(newNodes)
   }
 
   /** INCREMENTAL [[clusterLabels]]: standing labels + delta pairs →
@@ -691,17 +724,10 @@ object DedupOps {
     * per-run cost (measured: sharing it halved `linc`).
     */
   private def labelsIncrementalFrom(spark: SparkSession, dir: String,
-      m: DataFrame): DataFrame = {
-    val base = baseLabels(spark, dir)
-    val relabeled = base
-      .join(m.select(col("id").as("lbl"), col("lbl").as("__nl")),
-        Seq("lbl"), "left_outer")
-      .select(col("id"), coalesce(col("__nl"), col("lbl")).as("lbl"))
+      m: DataFrame): DataFrame =
     // mapping nodes not in the standing frame = docs first labeled by
     // this refresh (delta docs, standing singletons joining a cluster)
-    val newNodes = m.join(base.select("id"), Seq("id"), "left_anti")
-    relabeled.unionByName(newNodes)
-  }
+    applyMapping(baseLabels(spark, dir), m)
 
   /** INCREMENTAL [[dedupKeep]] — the daily-refresh retention plan:
     * survivors are re-elected ONLY in clusters whose membership this

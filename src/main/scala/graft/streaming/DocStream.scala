@@ -157,6 +157,52 @@ object DocStream {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** STANDING label state for the streaming incremental-dedup refresh
+    * — the in-memory twin of the `base_labels` memo stage. Each
+    * micro-batch's near-dup pairs merge in through exactly the batch
+    * refresh's machinery (DedupOps.contractedMapping →
+    * DedupOps.applyMapping): endpoints substitute to their standing
+    * labels, the CONTRACTED graph (nodes ∝ batch pairs, never corpus)
+    * converges driver-side, and one mapping join relabels the standing
+    * frame. The merged frame is eagerly localCheckpointed per batch —
+    * without truncation every batch's plan would embed all previous
+    * batches' join trees (the iterative self-derived-frame rule), and
+    * the merge must be durable before the next batch substitutes
+    * against it. Merge order cannot change the fixpoint: the final
+    * partition is the connected components of (base ∪ all merged
+    * pairs) and each label is its component's min id — both
+    * order-independent — so N micro-batches land on the SAME frame as
+    * one batch refresh over their union (StreamingSpec pins it
+    * against labelsIncremental).
+    */
+  final class StandingLabels(initial: DataFrame) {
+    private var standing: DataFrame = initial
+    def frame: DataFrame = synchronized(standing)
+    def merge(pairs: DataFrame): Unit = synchronized {
+      if (!pairs.isEmpty)
+        standing = graft.operators.DedupOps
+          .mergePairsIntoStanding(standing, pairs)
+    }
+  }
+
+  /** Streaming face of the incremental label refresh: [[deltaNearDups]]'
+    * pair stream feeds a foreachBatch sink that merges each
+    * micro-batch into the supplied [[StandingLabels]]. foreachBatch is
+    * the right sink shape because the merge is a TRANSACTION against
+    * standing state (mapping build + relabel + checkpoint), not a
+    * row-append; the pair stream itself stays the stream-static probe
+    * deltaNearDups documents.
+    */
+  def maintainLabels(spark: SparkSession, docs: DataFrame, dir: String,
+      state: StandingLabels,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaNearDups(spark, docs, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => state.merge(batch) }
+      .start()
+
   /** The full streaming composite. docs: streaming frame with (doc_id
     * LONG, source STRING, lang STRING, text STRING, ingest_time
     * TIMESTAMP); evalFps: STATIC frame with the benchmark-set

@@ -157,6 +157,43 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${streamed.size} pairs vs batch ${batch.size}")
   }
 
+  test("streaming label maintenance ≡ batch labelsIncremental after N micro-batches") {
+    // the refresh's streaming face: delta docs arrive over THREE
+    // micro-batches; each batch's near-dup pairs merge into standing
+    // labels via the contracted-graph transaction. The fixpoint is
+    // order-independent (components of base ∪ all pairs, min-id
+    // labels), so the final standing frame must equal the one-shot
+    // batch refresh over the same delta — frame-for-frame.
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delta = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(delta.length >= 3, "fixture too small to slice into micro-batches")
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = src.toDF().toDF("doc_id", "text")
+    val state = new DocStream.StandingLabels(
+      graft.operators.DedupOps.baseLabels(spark, dir))
+    val q = DocStream.maintainLabels(spark, docs, dir, state)
+    val nBefore = state.frame.count()
+    delta.grouped(delta.length / 3 + 1).foreach { chunk =>
+      src.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = state.frame.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.operators.DedupOps.labelsIncremental(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed === batch,
+      "streamed standing labels diverged from the batch refresh")
+    // and the stream actually merged something (standing state moved)
+    assert(streamed.exists { case (id, lbl) => id != lbl } || nBefore < streamed.size,
+      "fixture produced no label movement")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val joined = EventStream.clickAttribution(
       EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
