@@ -307,9 +307,18 @@ object Bench {
     // count-only (then to 2-char value widths) before the line can
     // overflow. BenchLineSpec pins the worst case WITH the count field.
     val rmN = s""","rm_n":${remeasured.length}"""
-    val rmList =
-      if (remeasured.isEmpty) ""
-      else remeasured.map("\"" + _ + "\"").mkString(""","rm":[""", ",", "]")
+    // names ordered by descending floor ratio: when the list must
+    // truncate to fit, the names that survive are exactly the ones a
+    // reviewer needs (the still-above-floor suspects; a re-run that
+    // landed back at its floor is the boring case) — r15's all-or-
+    // nothing list dropped all three names over ~35 chars, leaving the
+    // artifact unable to say whether its one 2x outlier had been
+    // re-measured
+    val ratioOf = ratios.toMap
+    val rmOrdered = remeasured.sortBy(n => -ratioOf.getOrElse(n, 0.0))
+    val rmLists = (remeasured.length to 1 by -1).map { k =>
+      rmOrdered.take(k).map("\"" + _ + "\"").mkString(""","rm":[""", ",", "]")
+    } :+ ""
     // `_substrate` is routinely the single biggest entry on this line
     // (31% of the r14 total), and the per-stage decomposition lived
     // only on the detail line — which the driver's compact-tail
@@ -326,9 +335,16 @@ object Bench {
         .mkString(""","sub":{""", ",", "}")
     def compact(f: Double => String, rm: String) =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"noisy":$noisy$rm,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
+    // degradation order: full rm names → progressively TRUNCATED rm
+    // names (rm_n still carries the true count, the detail line the
+    // full list) → count-only, all with `sub`; 2-char value widths are
+    // the final fallback. The truncation tiers are the r15 fix: at a
+    // 1910/1920-char line, all-or-nothing naming dropped every name
+    // over ~35 chars of overflow.
     val candidates =
-      Seq(compact(qs, rmN + rmList + subField), compact(qs, rmN + subField),
-        compact(qs2, rmN + subField), compact(qs2, rmN))
+      rmLists.map(l => compact(qs, rmN + l + subField)) ++
+        rmLists.map(l => compact(qs2, rmN + l + subField)) :+
+        compact(qs2, rmN)
     println(candidates.find(_.length <= LineBudget).getOrElse(candidates.last))
     spark.stop()
   }
