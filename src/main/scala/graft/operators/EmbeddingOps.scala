@@ -811,6 +811,87 @@ object EmbeddingOps {
       .orderBy("vec_id", "j")
   }
 
+  /** The delta slice of the clustered corpus — the "arriving shard"
+    * the incremental encoder and its streaming face both consume
+    * (exposed for the StreamingSpec fixture).
+    */
+  private[graft] def pqDeltaVectors(spark: SparkSession, dir: String): DataFrame =
+    clusteredCorpus(spark, dir).filter(pqDeltaPred(col("vec_id")))
+
+  /** The incremental encoder's STANDING state collected driver-side:
+    * (coarse centroids, codebook), both derived from the base corpus
+    * and tiny by construction (K rows; K·m sub-vectors ≈ 4 KB) —
+    * exactly the state a production streaming encoder broadcasts to
+    * executors once per retrain.
+    */
+  private[graft] def pqStandingState(spark: SparkSession, dir: String)
+      : (Seq[(Long, Seq[Double])], Seq[(Long, Int, Seq[Double])]) = {
+    val base = clusteredCorpus(spark, dir).filter(!pqDeltaPred(col("vec_id")))
+    val cents = OpCaches.track(centroidsOn(base)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val cb = pqCodebook(pqResiduals(cents,
+      ivfRankedWith(base.filter(col("vec_id") < PqCodebookK), cents, 1)))
+    val c = cents.orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val k = cb.orderBy("j", "code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    (c, k)
+  }
+
+  /** ROW-LOCAL PQ encoding against collected standing state — the
+    * streaming serving path: coarse assignment is a literal-array fold
+    * over the K centroids (strict-greater cosine with ascending-id
+    * order ≡ the batch arank tie-break), the residual and the m
+    * per-sub-space L2 argmins (strict-less with ascending-code order ≡
+    * the batch min-id tie-break) are pure column expressions, so the
+    * SAME columns run on a streaming frame with no shuffle and no
+    * state. Identical IEEE op chains to the batch encoder (index-order
+    * dots, x/(a·b) cosine, (a−b)² folds), so codes match bit-for-bit —
+    * StreamingSpec pins stream ≡ batch pqCodesIncremental.
+    * vecs: (vec_id LONG, v ARRAY<DOUBLE>).
+    */
+  private[graft] def pqEncodeRowLocal(vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      cb: Seq[(Long, Int, Seq[Double])]): DataFrame = {
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val centArr = array(cents.sortBy(_._1).map { case (id, cv) =>
+      struct(lit(id).as("cent_id"), typedLit(cv).as("cv"))
+    }: _*)
+    val v = col("v")
+    val zero = struct(lit(Double.NegativeInfinity).as("c"),
+      lit(-1L).as("cent_id"), typedLit(Seq.empty[Double]).as("cv"))
+    val best = aggregate(centArr, zero, (acc, e) => {
+      val cv = e.getField("cv")
+      val cos = dotC(cv, v) / (sqrt(dotC(cv, cv)) * sqrt(dotC(v, v)))
+      when(cos > acc.getField("c"),
+        struct(cos.as("c"), e.getField("cent_id").as("cent_id"), cv.as("cv")))
+        .otherwise(acc)
+    })
+    val sub = 64 / PqSubspaces
+    def codesOf(r: Column): Column = array((0 until PqSubspaces).map { j =>
+      val rj = slice(r, j * sub + 1, sub)
+      val earr = array(cb.filter(_._2 == j).sortBy(_._1).map { case (code, _, sv) =>
+        struct(lit(code).as("code"), typedLit(sv).as("sv"))
+      }: _*)
+      val czero = struct(lit(Double.MaxValue).as("l2"), lit(-1L).as("code"))
+      val bc = aggregate(earr, czero, (acc, e) => {
+        val l2 = aggregate(zip_with(rj, e.getField("sv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (x, y) => x + y)
+        when(l2 < acc.getField("l2"),
+          struct(l2.as("l2"), e.getField("code").as("code"))).otherwise(acc)
+      })
+      struct(lit(j.toLong).as("j"), bc.getField("code").as("code"))
+    }: _*)
+    vecs
+      .select(col("vec_id"), col("v"), best.as("b"))
+      .select(col("vec_id"), col("b.cent_id").as("cell"),
+        zip_with(col("v"), col("b.cv"), (x, c) => x - c).as("r"))
+      .select(col("vec_id"), col("cell"), explode(codesOf(col("r"))).as("jc"))
+      .select(col("vec_id"), col("cell"),
+        col("jc.j").as("j"), col("jc.code").as("code"))
+  }
+
   /** Trained-codebook ADC recall floor — STRICTLY above the seed
     * codebook's [[PqRecallFloor]] 0.6: training must buy recall at the
     * same 10 bytes/vector, not merely preserve it (the same

@@ -306,6 +306,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The learned merge table collected driver-side — the tiny
+    * (≤ rounds rows) state the row-local encoder closes over; a
+    * production deployment persists this once per training run and
+    * ships it with the job.
+    */
+  private[graft] def bpeLearnedMerges(spark: SparkSession, dir: String,
+      rounds: Int = BpeMergeRounds): Seq[(String, String)] =
+    bpeTrain(spark, dir, rounds).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+
+  /** [[bpeEncode]] as a fully ROW-LOCAL projection over an explicit
+    * (doc_id, text) frame — no explode, no shuffle, no state: the
+    * per-word merge chain runs inside array HOF lambdas, so the same
+    * columns apply verbatim to a STREAMING frame (DocStream.encodeDocs
+    * is exactly this over arriving docs — the tokenizer pass of a
+    * continuous ingest). The batch [[bpeEncode]] keeps the codegen'd
+    * explode + hash-aggregate form (HOF lambdas run interpreted);
+    * OperatorSpec pins the two forms row-for-row equal, and
+    * StreamingSpec pins the stream against batch.
+    */
+  def bpeEncodeRowLocal(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    def wordTokens(tok: Column): Column = {
+      val chars = transform(sequence(lit(1), length(tok)),
+        i => tok.substr(i, lit(1)))
+      var w: Column = concat(lit(" "), array_join(chars, "  "),
+        lit("  " + BpeEndMark + " "))
+      merges.foreach { case (a, b) =>
+        w = replace(w, lit(s" $a  $b "), lit(s" ${a}$b "))
+      }
+      size(split(trim(w), "  ")).cast("long")
+    }
+    val toks = tokens(col("text"))
+    val hasText = col("text").isNotNull
+    docs.select(col("doc_id"),
+      when(hasText, size(toks).cast("long")).as("n_words"),
+      when(hasText, aggregate(toks, lit(0L),
+        (acc, t) => acc + length(t) + 1)).as("n_syms0"),
+      when(hasText, aggregate(toks, lit(0L),
+        (acc, t) => acc + wordTokens(t))).as("n_tokens"))
+  }
+
   /** Content fingerprint: hash of the normalized text — the key for
     * exact dedup at any scale (group-by on the hash is one shuffle of
     * (hash, id) pairs, never of full documents).

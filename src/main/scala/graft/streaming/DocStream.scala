@@ -157,6 +157,19 @@ object DocStream {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Streaming twin of TextOps.bpeEncode — the tokenizer pass of a
+    * continuous ingest: the merge table trains ONCE on the standing
+    * corpus (a static driver-side Seq, the state a deployment ships
+    * with the job) and arriving documents encode ROW-LOCALLY through
+    * TextOps.bpeEncodeRowLocal — no explode, no shuffle, no state, so
+    * micro-batch slicing cannot change any document's counts
+    * (StreamingSpec pins stream ≡ batch bpeEncode row-for-row).
+    * docs: streaming frame with at least (doc_id LONG, text STRING).
+    */
+  def encodeDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
+    graft.operators.TextOps.bpeEncodeRowLocal(docs,
+      graft.operators.TextOps.bpeLearnedMerges(spark, dir))
+
   /** STANDING label state for the streaming incremental-dedup refresh
     * — the in-memory twin of the `base_labels` memo stage. Each
     * micro-batch's near-dup pairs merge in through exactly the batch

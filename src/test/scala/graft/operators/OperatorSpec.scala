@@ -142,6 +142,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(applied > 0L, "no merge ever applied — encode chain is inert")
   }
 
+  test("bpeEncodeRowLocal ≡ bpeEncode — the streaming twin's column form") {
+    // the row-local HOF form must agree with the codegen'd
+    // explode+aggregate form on every doc, NULL/zero contract included
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 to 3).map(i =>
+        if (r.isNullAt(i)) null else r.getLong(i))).toMap
+    val batch = keyed(TextOps.bpeEncode(spark, sf))
+    val rowLocal = keyed(TextOps.bpeEncodeRowLocal(
+      graft.sources.Tables.documents(spark, sf).select("doc_id", "text"),
+      TextOps.bpeLearnedMerges(spark, sf)))
+    assert(rowLocal === batch)
+  }
+
   test("corpus precondition: no control characters in document text") {
     // Java regex \s includes U+000B; RE2 (DuckDB) does not — tokens()
     // splits on \s+, so a control char in the corpus could make Spark

@@ -194,6 +194,54 @@ class StreamingSpec extends AnyFunSuite {
       "fixture produced no label movement")
   }
 
+  test("streaming BPE encode ≡ batch bpeEncode, row for row") {
+    val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    runToCompletion(DocStream.encodeDocs(spark, stream, sf), "bpenc_stream", "append")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) -> (1 to 3).map(i =>
+        if (r.isNullAt(i)) null else r.getLong(i))).toMap
+    val streamed = keyed(spark.table("bpenc_stream").collect())
+    val batch = keyed(graft.operators.TextOps.bpeEncode(spark, sf).collect())
+    assert(streamed.nonEmpty && streamed === batch,
+      "streamed BPE encode diverged from batch")
+  }
+
+  test("streaming PQ encode ≡ batch pqCodesIncremental, code for code") {
+    // the arriving shard (the batch fixture's delta slice) streams in
+    // two micro-batches; row-local encoding against the collected
+    // standing state must reproduce the batch incremental encoder's
+    // codes exactly (identical IEEE op chains, identical tie-breaks)
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delta = graft.operators.EmbeddingOps.pqDeltaVectors(spark, dir)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    assert(delta.length >= 2)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val vecs = src.toDF().toDF("vec_id", "v")
+    val out = VecStream.encodeArrivals(spark, vecs, dir)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("pq_stream").start()
+    delta.grouped(delta.length / 2 + 1).foreach { chunk =>
+      src.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    val streamed = keyed(spark.table("pq_stream").collect())
+    val batch = keyed(graft.operators.EmbeddingOps
+      .pqCodesIncremental(spark, dir).collect())
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed.nonEmpty && streamed === batch,
+      s"streamed codes (${streamed.size}) diverged from batch (${batch.size})")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val joined = EventStream.clickAttribution(
       EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
