@@ -641,6 +641,31 @@ object EmbeddingOps {
       pqEncodeWith(pqRsub(asg), pqCodebookTrained(spark, dir))
     }
 
+  /** Total quantization distortion of a codebook over the corpus
+    * residuals: Σ over (vector, sub-space) of the L2² to the NEAREST
+    * entry — the k-means objective. Exposed for the spec's Lloyd
+    * monotonicity pin: each training round's assignment step picks
+    * the argmin and its update step is the within-cell mean (the L2²
+    * minimizer), so distortion(trained) ≤ distortion(seed) is a
+    * theorem, and a broken update (wrong scale, dropped entry
+    * handling) breaks it measurably.
+    */
+  private[graft] def pqDistortion(spark: SparkSession, dir: String,
+      trained: Boolean): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val (_, cents, ranked) = pqContext(spark, dir)
+    val asg = OpCaches.track(pqResiduals(cents, ranked))
+    val cb = if (trained) pqCodebookTrained(spark, dir) else pqCodebook(asg)
+    val wCode = Window.partitionBy("vec_id", "j").orderBy(col("l2"), col("code"))
+    pqRsub(asg).join(broadcast(cb), Seq("j"))
+      .withColumn("l2", aggregate(
+        zip_with(col("rv"), col("sv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .withColumn("rnk", row_number().over(wCode))
+      .filter(col("rnk") === 1)
+      .agg(sum(col("l2"))).collect().head.getDouble(0)
+  }
+
   /** IVF-PQ search, gated on recall like [[annRecallClustered]]:
     * coarse quantizer (the seed-centroid IVF, nprobe=2) prunes to the
     * probed cells, then candidates are scored from their CODES alone —

@@ -64,6 +64,29 @@ class BenchLineSpec extends AnyFunSuite {
         "worst-case budget above models ≤7-char labels"))
   }
 
+  test("committed floor files key exactly the live registry") {
+    // a rename or a new key that misses the floor fold leaves
+    // Bench.floorMins blind on that key — the ≥3× re-measure trigger
+    // and the per-query ratio reporting silently skip it (r15:
+    // `tumbling` stranded in both floors after an in-place re-key,
+    // `bpet` never folded in). Pin both floor files' key sets to the
+    // registry so the drift fails the build instead of degrading the
+    // round's bench evidence.
+    import scala.jdk.CollectionConverters._
+    val live = SparkEntry.queries.keySet + "_substrate"
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    Seq("BENCH_LOCAL_sf0.1.json", "BENCH_sf1.json").foreach { f =>
+      val node = mapper.readTree(new java.io.File(f))
+      Seq("queries", "queries_min").foreach { section =>
+        val keys = node.path(section).fieldNames().asScala.toSet
+        val missing = live -- keys
+        val stale = keys -- live
+        assert(missing.isEmpty && stale.isEmpty,
+          s"$f $section drifted from the registry - missing: $missing, stale: $stale")
+      }
+    }
+  }
+
   test("legacy key names resolve through the rename ledger, garbage does not") {
     // chained: agg_collect_sorted -> collect_sort -> csort (r7, r11)
     assert(SparkEntry.resolveName("agg_collect_sorted") === Some("csort"))

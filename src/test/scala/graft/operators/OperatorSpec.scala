@@ -102,6 +102,16 @@ class OperatorSpec extends AnyFunSuite {
     // training moves WHERE the entries sit, never how many bits
     // address them: the compression claim rides unchanged
     assert(trainedDf.getAs[Long]("bytes_pq") === 10L)
+    // Lloyd monotonicity — the k-means objective cannot increase
+    // (assignment is the argmin, the update is the L2² minimizer), so
+    // the trained codebook's total quantization distortion must sit at
+    // or below the seed's; a broken update breaks this before it
+    // breaks recall
+    val dSeed = EmbeddingOps.pqDistortion(spark, dir, trained = false)
+    val dTrained = EmbeddingOps.pqDistortion(spark, dir, trained = true)
+    DedupOps.releaseTransients(spark)
+    assert(dTrained <= dSeed,
+      s"training RAISED quantization distortion: $dTrained > $dSeed")
   }
 
   test("pqCodesIncremental: append-path codes ≡ full re-encode, encode work ∝ delta") {
