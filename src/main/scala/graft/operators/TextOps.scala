@@ -279,23 +279,33 @@ object TextOps {
   def bpeEncode(spark: SparkSession, dir: String,
       rounds: Int = BpeMergeRounds): DataFrame = {
     val merges = bpeTrain(spark, dir, rounds).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val chars = transform(sequence(lit(1), length(col("tok"))),
       i => col("tok").substr(i, lit(1)))
     var w: Column = concat(lit(" "), array_join(chars, "  "),
       lit("  " + BpeEndMark + " "))
-    merges.foreach { r =>
-      val a = r.getAs[String]("sym_a")
-      val b = r.getAs[String]("sym_b")
+    merges.foreach { case (a, b) =>
       w = replace(w, lit(s" $a  $b "), lit(s" ${a}$b "))
     }
+    // the tokenizer-cache shape: the merge chain runs once per
+    // DISTINCT word, and word instances join their cached count back —
+    // corpus word instances outnumber the vocabulary by orders of
+    // magnitude at any scale (and a production 32k-merge chain is far
+    // too expensive to replay per instance). The join side carries
+    // (tok, nt) only; when the vocabulary fits, AQE turns the join
+    // into a broadcast (no corpus shuffle at all) — at a 100 TB
+    // vocabulary it falls back to a shuffled join, the unavoidable
+    // trade of caching by word.
+    val vocab = words.select("tok").distinct()
+      .select(col("tok"), size(split(trim(w), "  ")).cast("long").as("nt"))
     val agg = words
-      .select(col("doc_id"),
-        (length(col("tok")) + 1).cast("long").as("s0"),
-        size(split(trim(w), "  ")).cast("long").as("nt"))
+      .join(vocab, Seq("tok"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("_w"), sum("s0").as("_s0"), sum("nt").as("_nt"))
+      .agg(count(lit(1)).as("_w"),
+        sum((length(col("tok")) + 1).cast("long")).as("_s0"),
+        sum("nt").as("_nt"))
     val hasText = col("text").isNotNull
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .join(agg, Seq("doc_id"), "left")
