@@ -95,6 +95,7 @@ object SparkEntry {
     "bpe"        -> (TextOps.textTokensBpe _),
     "bpet"       -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
     "bpenc"      -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
+    "wfp"        -> (TextOps.winnowFingerprints _),
     "quality"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
     "text_fp"       -> (TextOps.textFingerprint _),
@@ -176,7 +177,7 @@ object SparkEntry {
     "bm25_ln"       -> (TextOps.bm25LnGate _),
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zorder"            -> (LayoutOps.zorderKeys _),
-    "bkt_join"          -> (LayoutOps.bucketedJoin _),
+    "bktj"          -> (LayoutOps.bucketedJoin _),
     "rbloom"          -> (LayoutOps.runtimeBloomJoin _),
     "xreuse"        -> (LayoutOps.exchangeReuse _),
     "obs"       -> (PipelineOps.observedMetrics _),
@@ -1441,6 +1442,31 @@ object SparkEntry {
     },
     "bpet" -> bpeTrainSql,
     "bpenc" -> bpeEncodeSql,
+    // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
+    // hash packed with the position (hash·2²⁰+pos — min = leftmost
+    // minimal hash, the tie-break law), full windows only, distinct
+    "wfp" -> {
+      val (k, w) = (TextOps.WinnowK, TextOps.WinnowW)
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id,
+                  unnest(range(0, len(toks) - $k + 1)) AS pos,
+                  unnest(list_transform(range(0, len(toks) - $k + 1),
+                    i -> array_to_string(toks[i+1:i+$k], ' '))) AS gr
+                FROM t WHERE len(toks) >= $k),
+          ky AS (SELECT doc_id, pos,
+                   CAST(('0x' || substring(md5(gr), 1, 10)) AS BIGINT) * 1048576
+                     + pos AS key
+                 FROM g),
+          wm AS (SELECT doc_id, pos,
+                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+                 FROM ky),
+          sel AS (SELECT DISTINCT doc_id, wm FROM wm WHERE pos <= n - $w)
+          SELECT doc_id, CAST(wm & 1048575 AS BIGINT) AS fpos,
+                 CAST(wm >> 20 AS BIGINT) AS fp
+          FROM sel ORDER BY doc_id, fpos"""
+    },
     "quality" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -2459,7 +2485,7 @@ object SparkEntry {
     // hash checks. bucketed_no_exchange is computed Spark-side from
     // the planned join (TRUE only for an SMJ with zero Exchanges);
     // the oracle expects the claim to hold.
-    "bkt_join" ->
+    "bktj" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          TRUE AS bucketed_no_exchange

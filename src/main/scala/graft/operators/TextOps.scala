@@ -366,6 +366,63 @@ object TextOps {
       .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing parameters: word k-gram size and window width. The
+    * winnowing guarantee is that any two documents sharing a run of
+    * WinnowW + WinnowK − 1 consecutive tokens share at least one
+    * selected fingerprint.
+    */
+  val WinnowK = 3
+  val WinnowW = 4
+
+  /** WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    * construction, the public local-fingerprinting algorithm): hash
+    * every word k-gram, slide a window of [[WinnowW]] consecutive
+    * hashes over each document, and select each window's minimum —
+    * ties broken by the LEFTMOST position, encoded exactly by taking
+    * the min of `hash · 2²⁰ + pos` (docs are bounded far below 2²⁰
+    * grams; the 40-bit md5-prefix hash keeps the packed key inside
+    * BIGINT in both engines). Overlapping windows select the same
+    * (hash, pos) repeatedly — the density guarantee is ~2/(w+1) of
+    * positions — so the selection dedups to (doc_id, fpos, fp) rows.
+    *
+    * This is the third fingerprinting tier: exact (`text_fp`, whole-
+    * content md5) catches identical docs, `spans` counts shared
+    * 8-grams corpus-wide, winnowing gives each document a SMALL
+    * position-anchored sketch such that any shared token run of
+    * length ≥ w+k−1 is provably caught by a fingerprint collision —
+    * the plagiarism/attribution primitive.
+    *
+    * Plan shape: one shuffle+sort per document partition serves BOTH
+    * windows (the k-gram `lead`s and the sliding min share the
+    * (doc_id, pos) sort), then one distinct — per-doc work, no
+    * cross-document operation anywhere, so it scales with the corpus
+    * like every other narrow text pass. Docs with fewer than w
+    * complete k-grams emit no rows (the guarantee's minimum unit).
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (k, w) = (WinnowK, WinnowW)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val wl = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until k).map(j => lead(col("tok"), j).over(wl))
+    val h40 = conv(substring(md5(concat_ws(" ", (col("tok") +: leads): _*)), 1, 10),
+      16, 10).cast("long")
+    val keyed = toks
+      .select(col("doc_id"), col("pos"),
+        when(leads.last.isNotNull, h40 * lit(1048576L) + col("pos")).as("key"))
+      .filter(col("key").isNotNull)
+    keyed
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("wm", min(col("key")).over(wl.rowsBetween(Window.currentRow, w - 1)))
+      .filter(col("pos") <= col("n") - w)
+      .select(col("doc_id"), col("wm")).distinct()
+      .select(col("doc_id"),
+        col("wm").bitwiseAND(lit(1048575L)).as("fpos"),
+        shiftright(col("wm"), 20).as("fp"))
+      .orderBy("doc_id", "fpos")
+  }
+
   /** Repetition quality signals (the Gopher-rules family — Rae et al.
     * 2021, §A1.1: "fraction of characters in the most common n-gram" /
     * "fraction of characters in duplicated n-grams", here over token

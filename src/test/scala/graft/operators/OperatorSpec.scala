@@ -165,6 +165,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(rowLocal === batch)
   }
 
+  test("winnowFingerprints: the winnowing guarantee holds on every document") {
+    import org.apache.spark.sql.functions.col
+    val sel = TextOps.winnowFingerprints(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.nonEmpty)
+    val w = TextOps.WinnowW
+    val grams = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.size(TextOps.tokens(col("text"))).as("nt"))
+      .collect().map(r => r.getLong(0) -> math.max(r.getInt(1) - TextOps.WinnowK + 1, 0))
+      .toMap
+    sel.groupBy(_._1).foreach { case (doc, rows) =>
+      val ps = rows.map(_._2).sorted
+      // the guarantee: every window of w consecutive grams contains a
+      // selected position, i.e. selections start within the first
+      // window, end within the last, and never gap by more than w
+      assert(ps.head < w, s"doc $doc: first fingerprint at ${ps.head} >= $w")
+      ps.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (a, b) = (pair(0), pair(1))
+        assert(b - a <= w, s"doc $doc: gap ${b - a} > $w at $a")
+      }
+      assert(ps.last >= grams(doc) - w,
+        s"doc $doc: tail window uncovered (last=${ps.last}, n=${grams(doc)})")
+    }
+    // every doc with at least one full window emits fingerprints
+    val emitted = sel.map(_._1).toSet
+    grams.filter(_._2 >= w).keys.foreach { d =>
+      assert(emitted(d), s"doc $d has >= $w grams but no fingerprints")
+    }
+  }
+
   test("corpus precondition: no control characters in document text") {
     // Java regex \s includes U+000B; RE2 (DuckDB) does not — tokens()
     // splits on \s+, so a control char in the corpus could make Spark

@@ -226,6 +226,22 @@ class PlanSpec extends AnyFunSuite {
     assert(n === 1, s"expected one key shuffle, got $n in:\n$s")
   }
 
+  test("wfp: one doc-partition sort serves the k-gram leads AND the sliding min") {
+    // the winnowing chain stacks three window computations (lead×2,
+    // count, sliding min) on the same (doc_id, pos) clustering, and
+    // even the selection's distinct groups on (doc_id, wm) — a
+    // superset of the window partitioning — so the WHOLE operator
+    // runs on ONE hash exchange of the gram stream (the only other
+    // exchange is the final presentation sort's range partitioning).
+    // If any stage stops sharing, an extra exchange re-shuffles the
+    // full gram stream and this count moves.
+    val s = planString(TextOps.winnowFingerprints(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(s).length
+    assert(n === 1, s"expected ONE hash exchange for the whole chain, got $n in:\n$s")
+    assert("Window ".r.findAllIn(s).length === 3,
+      s"expected the lead/count/min windows, plan changed:\n$s")
+  }
+
   test("window_range_frame runs one window over one event_type shuffle") {
     val s = planString(EventOps.windowRangeFrame(spark, sf))
     assert("\\+- Window ".r.findAllIn(s).length === 1)
