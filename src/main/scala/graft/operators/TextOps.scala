@@ -423,6 +423,34 @@ object TextOps {
       .orderBy("doc_id", "fpos")
   }
 
+  /** [[winnowFingerprints]] as a fully ROW-LOCAL projection over an
+    * explicit (doc_id, text) frame — winnowing is per-document by
+    * construction (every window lives inside one doc), so the k-gram
+    * hashes, the sliding minima, and the distinct selection all
+    * compute as array HOFs with no shuffle and no state: the streaming
+    * twin's column form (DocStream.fingerprintDocs). Same packed
+    * `hash·2²⁰+pos` law as the batch operator, so selections are
+    * bit-identical; the batch form keeps the codegen'd window shape
+    * (HOF lambdas run interpreted). Docs without a full window emit
+    * no rows.
+    */
+  def winnowRowLocal(docs: DataFrame): DataFrame = {
+    val (k, w) = (WinnowK, WinnowW)
+    val toks = tokens(col("text"))
+    def keyAt(i: Column): Column =
+      conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(k)))), 1, 10),
+        16, 10).cast("long") * lit(1048576L) + i.cast("long")
+    val keys = transform(sequence(lit(0), size(toks) - k), i => keyAt(i))
+    val sel = when(size(toks) - k + 1 >= w, array_distinct(
+      transform(sequence(lit(0), size(toks) - k - w + 1),
+        t => array_min(slice(keys, t + 1, lit(w))))))
+    docs
+      .select(col("doc_id"), explode(sel).as("wm"))
+      .select(col("doc_id"),
+        col("wm").bitwiseAND(lit(1048575L)).as("fpos"),
+        shiftright(col("wm"), 20).as("fp"))
+  }
+
   /** Repetition quality signals (the Gopher-rules family — Rae et al.
     * 2021, §A1.1: "fraction of characters in the most common n-gram" /
     * "fraction of characters in duplicated n-grams", here over token

@@ -170,6 +170,19 @@ object DocStream {
     graft.operators.TextOps.bpeEncodeRowLocal(docs,
       graft.operators.TextOps.bpeLearnedMerges(spark, dir))
 
+  /** Streaming twin of TextOps.winnowFingerprints: winnowing is
+    * per-document by construction, so arriving docs fingerprint
+    * ROW-LOCALLY through TextOps.winnowRowLocal — no shuffle, no
+    * state, micro-batch slicing cannot change any document's
+    * selection (StreamingSpec pins stream ≡ batch fingerprint-for-
+    * fingerprint). The use case is the arrival-time attribution
+    * check: an arriving doc's fingerprints probe the standing
+    * fingerprint index exactly like deltaNearDups probes the band
+    * index. docs: streaming frame with (doc_id LONG, text STRING).
+    */
+  def fingerprintDocs(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.winnowRowLocal(docs)
+
   /** STANDING label state for the streaming incremental-dedup refresh
     * — the in-memory twin of the `base_labels` memo stage. Each
     * micro-batch's near-dup pairs merge in through exactly the batch

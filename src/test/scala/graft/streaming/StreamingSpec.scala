@@ -211,6 +211,22 @@ class StreamingSpec extends AnyFunSuite {
       "streamed BPE encode diverged from batch")
   }
 
+  test("streaming winnowing fingerprints ≡ batch wfp, fingerprint for fingerprint") {
+    val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    runToCompletion(DocStream.fingerprintDocs(stream), "wfp_stream", "append")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = keyed(spark.table("wfp_stream").collect())
+    val batch = keyed(graft.operators.TextOps.winnowFingerprints(spark, sf).collect())
+    assert(streamed.nonEmpty && streamed === batch,
+      s"streamed fingerprints (${streamed.size}) diverged from batch (${batch.size})")
+  }
+
   test("streaming PQ encode ≡ batch pqCodesIncremental, code for code") {
     // the arriving shard (the batch fixture's delta slice) streams in
     // two micro-batches; row-local encoding against the collected
