@@ -633,7 +633,7 @@ object DedupOps {
     * state (the incremental path carries untouched clusters' rows
     * from here verbatim).
     */
-  private[operators] def baseKeep(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def baseKeep(spark: SparkSession, dir: String): DataFrame =
     memoStage(spark, dir, "base_keep") {
       keepVerdicts(
         baseLabels(spark, dir)
@@ -690,6 +690,44 @@ object DedupOps {
       pairs: DataFrame): DataFrame =
     OpCaches.localCheckpointTracked(
       applyMapping(standing, contractedMapping(standing, pairs)))
+
+  /** The FULL refresh transaction over explicit standing state —
+    * labels AND retention verdicts: [[dedupKeepIncremental]]'s plan
+    * applied per micro-batch. Touched clusters (standing label ∈
+    * mapping nodes — exact, same argument as the batch refresh)
+    * re-elect through the one shared [[keepVerdicts]] policy with
+    * quality read from the STANDING verdict table (scores are
+    * immutable per doc); untouched rows carry verbatim via one
+    * anti-join. Both merged frames localCheckpoint (they are the next
+    * batch's state). A cluster's verdict is recomputed exactly when
+    * its membership last changed, and verdicts are a pure function of
+    * (final membership, immutable scores), so N batched merges land
+    * on the batch refresh's verdict table — StreamingSpec pins it.
+    *
+    * Production note (same caveat as [[freshQualityInput]]): docs
+    * absent from the standing table would need one delta-filtered
+    * quality scan before merging; the gated fixture has none, so this
+    * transaction deliberately takes no text input at all.
+    */
+  private[graft] def mergeRefreshIntoStanding(standingLabels: DataFrame,
+      standingKeep: DataFrame, pairs: DataFrame): (DataFrame, DataFrame) = {
+    val cols = Seq("doc_id", "cluster", "quality_score",
+      "keep", "kept_doc", "n_members").map(col)
+    val m = OpCaches.track(contractedMapping(standingLabels, pairs))
+    val newLabels = OpCaches.localCheckpointTracked(
+      applyMapping(standingLabels, m))
+    val touched = newLabels
+      .join(m.select("lbl").distinct(), Seq("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("cluster"))
+    val scores = standingKeep.select(col("doc_id"), col("quality_score"))
+      .join(touched.select("doc_id"), Seq("doc_id"))
+    val untouched = standingKeep
+      .join(m.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
+    val newKeep = OpCaches.localCheckpointTracked(
+      untouched.select(cols: _*)
+        .unionByName(keepVerdicts(touched, scores).select(cols: _*)))
+    (newLabels, newKeep)
+  }
 
   /** Apply a converged contracted mapping to a standing label frame:
     * one mapping join (relabel touched components) plus the mapping's

@@ -211,6 +211,43 @@ object DocStream {
     }
   }
 
+  /** The FULL standing refresh state — labels AND retention verdicts,
+    * the streaming face of `linc` end-to-end: each micro-batch's pairs
+    * run DedupOps.mergeRefreshIntoStanding (contract → converge →
+    * relabel → re-elect touched clusters from standing scores → carry
+    * untouched). After N batches the verdict table equals the one-shot
+    * batch refresh's (verdicts are a pure function of final membership
+    * and immutable scores; membership merging is order-independent).
+    */
+  final class StandingState(initialLabels: DataFrame, initialKeep: DataFrame) {
+    private var labels: DataFrame = initialLabels
+    private var keep: DataFrame = initialKeep
+    def labelsFrame: DataFrame = synchronized(labels)
+    def keepFrame: DataFrame = synchronized(keep)
+    def merge(pairs: DataFrame): Unit = synchronized {
+      if (!pairs.isEmpty) {
+        val (l2, k2) = graft.operators.DedupOps
+          .mergeRefreshIntoStanding(labels, keep, pairs)
+        labels = l2
+        keep = k2
+      }
+    }
+  }
+
+  /** [[maintainLabels]] extended to the full refresh: the pair stream
+    * maintains labels AND retention verdicts in the supplied
+    * [[StandingState]].
+    */
+  def maintainRefresh(spark: SparkSession, docs: DataFrame, dir: String,
+      state: StandingState,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaNearDups(spark, docs, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => state.merge(batch) }
+      .start()
+
   /** Streaming face of the incremental label refresh: [[deltaNearDups]]'
     * pair stream feeds a foreachBatch sink that merges each
     * micro-batch into the supplied [[StandingLabels]]. foreachBatch is

@@ -258,6 +258,40 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed codes (${streamed.size}) diverged from batch (${batch.size})")
   }
 
+  test("streaming refresh ≡ batch dedupKeepIncremental: labels AND verdicts") {
+    // the full linc streaming face: three micro-batches of delta docs
+    // maintain labels + retention verdicts; the final verdict table
+    // must equal the one-shot batch refresh's (modulo its per-run
+    // `reelected` flag — a standing table has no "this refresh" notion)
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delta = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val state = new DocStream.StandingState(
+      graft.operators.DedupOps.baseLabels(spark, dir),
+      graft.operators.DedupOps.baseKeep(spark, dir))
+    val q = DocStream.maintainRefresh(spark, src.toDF().toDF("doc_id", "text"), dir, state)
+    delta.grouped(delta.length / 3 + 1).foreach { chunk =>
+      src.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster"),
+        r.getAs[Boolean]("keep"), r.getAs[Long]("kept_doc"),
+        r.getAs[Long]("n_members"))
+    }.toMap
+    val streamed = keyed(state.keepFrame.collect())
+    val batch = keyed(graft.operators.DedupOps.dedupKeepIncremental(spark, dir).collect())
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed.size === batch.size)
+    assert(streamed === batch,
+      "streamed standing verdicts diverged from the batch refresh")
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val joined = EventStream.clickAttribution(
       EventStream.readEvents(spark, sf), EventStream.readEvents(spark, sf))
