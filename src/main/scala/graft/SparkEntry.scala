@@ -2560,12 +2560,12 @@ object SparkEntry {
     } else {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val renames = mapper.readTree(p.toFile).path("renames")
-      val it = renames.fields()
+      val it = renames.fieldNames()
       val b = Map.newBuilder[String, String]
       while (it.hasNext) {
-        val e = it.next()
-        val nw = e.getValue.path("new").asText("")
-        if (nw.nonEmpty) b += e.getKey -> nw
+        val k = it.next()
+        val nw = renames.path(k).path("new").asText("")
+        if (nw.nonEmpty) b += k -> nw
       }
       b.result()
     }

@@ -21,7 +21,7 @@ object EtlStats {
     import spark.implicits._
     val numeric = df.schema.fields.filter(f =>
       f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name).toSet
-    val rows = df.schema.fields.map { f =>
+    val rows = df.schema.fields.toIndexedSeq.map { f =>
       val c = col(f.name)
       struct(
         lit(f.name).as("column"),
