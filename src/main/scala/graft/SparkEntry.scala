@@ -78,7 +78,7 @@ object SparkEntry {
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
     "rj_sql"                 -> (StatOps.rangeBinIncidentsSql _),
     "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
-    "rj_outer"               -> (StatOps.rangeBinPurchasesOuter _),
+    "rjout"               -> (StatOps.rangeBinPurchasesOuter _),
     "rj_box"                 -> (StatOps.rangeBinBoxes _),
     "rj2d"                   -> (StatOps.rangeBinBoxesSql _),
     "rj_auto"                -> (StatOps.rangeBinTiersAuto _),
@@ -96,6 +96,7 @@ object SparkEntry {
     "bpet"       -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
     "bpenc"      -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "wfp"        -> (TextOps.winnowFingerprints _),
+    "wsim"       -> (TextOps.winnowOverlapPairs _),
     "quality"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
     "text_fp"       -> (TextOps.textFingerprint _),
@@ -111,11 +112,11 @@ object SparkEntry {
     // Training-data pipeline: similarity search
     "brute"         -> (EmbeddingOps.annBruteTopK _),
     "annat"  -> (EmbeddingOps.annBruteTopKNative _),
-    "ann_lsh"         -> (EmbeddingOps.annLshBucket _),
-    "ann_ivf"                -> (EmbeddingOps.annIvf _),
+    "alsh"         -> (EmbeddingOps.annLshBucket _),
+    "aivf"                -> (EmbeddingOps.annIvf _),
     "ivfp2"         -> (EmbeddingOps.annIvfProbe2 _),
     "anrcl"             -> (EmbeddingOps.annRecall _),
-    "ann_rcl"   -> (EmbeddingOps.annRecallClustered _),
+    "arcl"   -> (EmbeddingOps.annRecallClustered _),
     "ivft"       -> (EmbeddingOps.annRecallTrained _),
     "ivfpq"     -> (EmbeddingOps.annRecallPq _),
     "pqt"       -> (EmbeddingOps.annRecallPqTrained _),
@@ -774,6 +775,31 @@ object SparkEntry {
     * non-overlapping (greedy BPE order — see bpeTrain's scaladoc for
     * why the double-space encoding is what makes adjacency exact).
     */
+  /** The winnowing selection CTEs (bind `sel(doc_id, wm)` — packed
+    * hash·2²⁰+pos minima, full windows only, distinct): shared by the
+    * fingerprint gate (`wfp`) and the attribution gate (`wsim`) so the
+    * selection law lives once.
+    */
+  private def winnowCtes: String = {
+    val (k, w) = (TextOps.WinnowK, TextOps.WinnowW)
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        g AS (SELECT doc_id,
+                unnest(range(0, len(toks) - $k + 1)) AS pos,
+                unnest(list_transform(range(0, len(toks) - $k + 1),
+                  i -> array_to_string(toks[i+1:i+$k], ' '))) AS gr
+              FROM t WHERE len(toks) >= $k),
+        ky AS (SELECT doc_id, pos,
+                 CAST(('0x' || substring(md5(gr), 1, 10)) AS BIGINT) * 1048576
+                   + pos AS key
+               FROM g),
+        wm AS (SELECT doc_id, pos,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm,
+                 count(*) OVER (PARTITION BY doc_id) AS n
+               FROM ky),
+        sel AS (SELECT DISTINCT doc_id, wm FROM wm WHERE pos <= n - $w)"""
+  }
+
   /** The BPE training CTE chain — word counts, round-0 padded vocab,
     * then one p/t/w CTE triple per merge round (t$r = round r's learned
     * rule). Shared by the trainer's oracle (`bpet`) and the encoder's
@@ -1281,7 +1307,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // LEFT OUTER: every purchase row survives; n_win=0 rows pin the
     // null-emission side of the contract
-    "rj_outer" ->
+    "rjout" ->
       """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
                       FROM events WHERE event_type = 'error' AND value >= 150),
               p AS (SELECT event_id, ts FROM events
@@ -1445,28 +1471,26 @@ object SparkEntry {
     // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
     // hash packed with the position (hash·2²⁰+pos — min = leftmost
     // minimal hash, the tie-break law), full windows only, distinct
-    "wfp" -> {
-      val (k, w) = (TextOps.WinnowK, TextOps.WinnowW)
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          g AS (SELECT doc_id,
-                  unnest(range(0, len(toks) - $k + 1)) AS pos,
-                  unnest(list_transform(range(0, len(toks) - $k + 1),
-                    i -> array_to_string(toks[i+1:i+$k], ' '))) AS gr
-                FROM t WHERE len(toks) >= $k),
-          ky AS (SELECT doc_id, pos,
-                   CAST(('0x' || substring(md5(gr), 1, 10)) AS BIGINT) * 1048576
-                     + pos AS key
-                 FROM g),
-          wm AS (SELECT doc_id, pos,
-                   min(key) OVER (PARTITION BY doc_id ORDER BY pos
-                     ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wm,
-                   count(*) OVER (PARTITION BY doc_id) AS n
-                 FROM ky),
-          sel AS (SELECT DISTINCT doc_id, wm FROM wm WHERE pos <= n - $w)
+    "wfp" ->
+      s"""WITH $winnowCtes
           SELECT doc_id, CAST(wm & 1048575 AS BIGINT) AS fpos,
                  CAST(wm >> 20 AS BIGINT) AS fp
-          FROM sel ORDER BY doc_id, fpos"""
-    },
+          FROM sel ORDER BY doc_id, fpos""",
+    // TextOps.winnowOverlapPairs: the same selection CTEs, distinct
+    // (doc_id, fp), stop-fingerprints with df > cap dropped, pairs
+    // blocked by fingerprint with the shared count
+    "wsim" ->
+      s"""WITH $winnowCtes,
+          fps AS (SELECT DISTINCT doc_id, CAST(wm >> 20 AS BIGINT) AS fp
+                  FROM sel),
+          k AS (SELECT doc_id, fp FROM (
+                  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                  FROM fps) WHERE df <= ${TextOps.WinnowMaxDf})
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}
+          ORDER BY 1, 2""",
     "quality" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -1644,8 +1668,8 @@ object SparkEntry {
     },
     "brute" -> bruteAnnSql(),
     "annat" -> bruteAnnSql(),
-    "ann_lsh" -> lshAnnSql(),
-    "ann_ivf" -> ivfSql(nprobe = 1),
+    "alsh" -> lshAnnSql(),
+    "aivf" -> ivfSql(nprobe = 1),
     "ivfp2" -> ivfSql(nprobe = 2),
     // EmbeddingOps.annRecall: engine-parity recall gate on the RAW
     // (uniform-random, so near-chance-recall) corpus.
@@ -1655,7 +1679,7 @@ object SparkEntry {
     // recall identically and expects every floor gate TRUE, so a
     // broken coarse quantizer (recall collapses toward chance) fails
     // the hash outright.
-    "ann_rcl" -> annRecallSql(clusteredCorpusCtes, {
+    "arcl" -> annRecallSql(clusteredCorpusCtes, {
       val floorCase = EmbeddingOps.ClusterRecallFloors.toSeq.sortBy(_._1)
         .map { case (m, f) => s"WHEN method = '$m' THEN CAST($f AS DOUBLE)" }
         .mkString(" ")

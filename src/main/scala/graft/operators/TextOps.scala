@@ -423,6 +423,53 @@ object TextOps {
       .orderBy("doc_id", "fpos")
   }
 
+  /** Attribution pairs: max docs a fingerprint may appear in before it
+    * is dropped as boilerplate (the PPJoin-style stop-fingerprint
+    * guard — a template fragment shared by a million pages would
+    * otherwise pair them quadratically), and the min shared
+    * fingerprints for a reported pair.
+    */
+  val WinnowMaxDf = 64
+  val WinnowMinShared = 2
+
+  /** WINNOWING-OVERLAP ATTRIBUTION — the fingerprint index's consumer
+    * (MOSS's actual use): pairs of documents sharing at least
+    * [[WinnowMinShared]] selected fingerprints, with the shared count.
+    * By the winnowing guarantee, two documents sharing any token run
+    * of length ≥ 2·(w+k−1) MUST appear here — the detection threshold
+    * is a property of the construction, not of luck.
+    *
+    * Scale shape: one equi-join of the (doc_id, fp) selection with
+    * itself, blocked BY FINGERPRINT — work is Σ df² over fingerprints,
+    * and the [[WinnowMaxDf]] stop-fingerprint guard bounds every
+    * block, so a boilerplate fragment cannot go quadratic (the same
+    * df-pruning discipline as the PPJoin prefix filter). The
+    * selection is ~2/(w+1) of gram positions per doc, so the join
+    * input is a small sketch of the corpus, not the corpus.
+    */
+  def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // df via a window over the SAME fp partitioning the pair join
+    // needs — the filter composes with the join's clustering instead
+    // of adding a second fp shuffle (a broadcast of the df frame would
+    // be wrong at scale: distinct fingerprints grow with the corpus).
+    // The kept frame is materialized once for both join sides.
+    val kept = OpCaches.track(
+      winnowFingerprints(spark, dir)
+        .select(col("doc_id"), col("fp")).distinct()
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("__df") <= WinnowMaxDf)
+        .select(col("fp"), col("doc_id")))
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** [[winnowFingerprints]] as a fully ROW-LOCAL projection over an
     * explicit (doc_id, text) frame — winnowing is per-document by
     * construction (every window lives inside one doc), so the k-gram

@@ -196,6 +196,36 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowOverlapPairs ≡ driver-side recomputation from the fingerprint index") {
+    // complete independent recomputation (the union-find device the
+    // cluster gate uses): group the wfp selection by fingerprint,
+    // drop stop-fingerprints over the df cap, enumerate every pair
+    // with >= MinShared shared fps — the distributed join must produce
+    // EXACTLY this set with exactly these counts (sound AND complete)
+    val pairs = TextOps.winnowOverlapPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.nonEmpty)
+    val selByDoc = TextOps.winnowFingerprints(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).distinct
+      .groupBy(_._1).map { case (d, fs) => d -> fs.map(_._2).toSet }
+    val df = selByDoc.values.toSeq.flatMap(_.toSeq).groupBy(identity)
+      .map { case (f, os) => f -> os.size }
+    val docs = selByDoc.keys.toSeq.sorted
+    val expected = (for {
+      i <- docs.indices.iterator
+      j <- (i + 1) until docs.length
+      a = docs(i); b = docs(j)
+      shared = selByDoc(a).intersect(selByDoc(b))
+        .count(f => df(f) <= TextOps.WinnowMaxDf)
+      if shared >= TextOps.WinnowMinShared
+    } yield (a, b) -> shared.toLong).toMap
+    assert(pairs === expected,
+      s"attribution diverged: ${pairs.size} pairs vs expected ${expected.size}")
+    // and the df cap actually bites somewhere OR nothing exceeds it —
+    // state which, so a silently-dead guard is visible in the test log
+    info(s"stop-fingerprints over cap: ${df.count(_._2 > TextOps.WinnowMaxDf)}")
+  }
+
   test("corpus precondition: no control characters in document text") {
     // Java regex \s includes U+000B; RE2 (DuckDB) does not — tokens()
     // splits on \s+, so a control char in the corpus could make Spark
