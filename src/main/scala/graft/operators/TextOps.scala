@@ -223,11 +223,18 @@ object TextOps {
     var exhausted = false
     while (r < rounds && !exhausted) {
       val syms = split(trim(col("w")), "  ")
+      // fully-merged words (ONE symbol left) contribute no pairs; the
+      // guard matters because Spark's sequence(1, 0) is the DESCENDING
+      // [1, 0] — not empty like the oracle's range(1, 1) — and
+      // element_at(_, 0) throws. Unreachable on the 8-round corpus
+      // gate, routine for a production-size merge budget.
+      val prs = when(size(syms) >= 2, transform(
+        sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("sym_a"),
+          element_at(syms, i + 1).as("sym_b"))))
+        .otherwise(array().cast("array<struct<sym_a:string,sym_b:string>>"))
       val top = vocab
-        .select(col("cnt"), explode(transform(
-          sequence(lit(1), size(syms) - 1),
-          i => struct(element_at(syms, i).as("sym_a"),
-            element_at(syms, i + 1).as("sym_b")))).as("pr"))
+        .select(col("cnt"), explode(prs).as("pr"))
         .groupBy(col("pr.sym_a").as("sym_a"), col("pr.sym_b").as("sym_b"))
         .agg(sum("cnt").as("pair_n"))
         .orderBy(col("pair_n").desc, col("sym_a"), col("sym_b"))

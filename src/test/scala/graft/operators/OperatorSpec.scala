@@ -226,6 +226,46 @@ class OperatorSpec extends AnyFunSuite {
     info(s"stop-fingerprints over cap: ${df.count(_._2 > TextOps.WinnowMaxDf)}")
   }
 
+  test("winnowing edges: below-threshold docs emit nothing, one-window docs emit one") {
+    import spark.implicits._
+    // the row-local twin shares the batch law (pinned elsewhere), so
+    // edge semantics checked here hold for both forms: fewer than k
+    // tokens → no grams; fewer than w grams → no full window → no
+    // fingerprints; exactly w grams → exactly one window → exactly
+    // one selection; NULL text → no rows
+    val docs = Seq(
+      (1L, "a b"),                // 2 tokens < k
+      (2L, "a b c"),              // 1 gram < w
+      (3L, "a b c d e f"),        // 4 grams = w: one window
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.winnowRowLocal(docs).collect()
+      .groupBy(_.getLong(0))
+    assert(!out.contains(1L) && !out.contains(2L) && !out.contains(4L),
+      s"sub-threshold docs emitted fingerprints: ${out.keySet}")
+    val d3 = out.getOrElse(3L, Array.empty)
+    assert(d3.length === 1, s"one-window doc emitted ${d3.length} fingerprints")
+    val fpos = d3.head.getLong(1)
+    assert(fpos >= 0 && fpos < TextOps.WinnowW,
+      s"selected position $fpos outside the only window")
+  }
+
+  test("bpe train→encode end-to-end on a planted vocab: words collapse to single tokens") {
+    import spark.implicits._
+    // {aaa:10, abab:8, ab:5} converges in 6 merges (ab, aa, ab</w>,
+    // a</w>, aaa</w>, abab</w> — hand-derivable from the greedy
+    // count-then-lexicographic law), so after the 8-round budget every
+    // word is ONE symbol: a doc of all three words must encode to
+    // n_words=3, n_syms0=(3+1)+(4+1)+(2+1)=12, n_tokens=3
+    val wc = Seq(("aaa", 10L), ("abab", 8L), ("ab", 5L)).toDF("tok", "cnt")
+    val merges = TextOps.bpeTrainOn(wc, TextOps.BpeMergeRounds).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    val doc = Seq((1L, "aaa abab ab")).toDF("doc_id", "text")
+    val row = TextOps.bpeEncodeRowLocal(doc, merges).collect().head
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) === ((3L, 12L, 3L)),
+      s"planted-vocab encode diverged: $row")
+  }
+
   test("corpus precondition: no control characters in document text") {
     // Java regex \s includes U+000B; RE2 (DuckDB) does not — tokens()
     // splits on \s+, so a control char in the corpus could make Spark
