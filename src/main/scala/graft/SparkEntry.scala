@@ -30,8 +30,8 @@ object SparkEntry {
     // Operator inventory (SURVEY.md §2.2-2.8)
     "dexact"            -> (RelationalOps.dedupExact _),
     "medgrp"        -> (RelationalOps.medianByGroup _),
-    "imp_med"    -> (RelationalOps.imputeGroupMedian _),
-    "scalars"           -> (RelationalOps.scalarFuncs _),
+    "imed"    -> (RelationalOps.imputeGroupMedian _),
+    "scal"           -> (RelationalOps.scalarFuncs _),
     "dates"             -> (RelationalOps.dateFuncs _),
     "enrich"       -> (RelationalOps.joinLeftEnrich _),
     "jsemi"              -> (RelationalOps.joinSemi _),
@@ -50,13 +50,13 @@ object SparkEntry {
     "tumb"            -> (EventOps.tumblingWindow _),
     "slide"         -> (EventOps.slidingWindow _),
     "sess"      -> (EventOps.sessionize _),
-    "ev_json"            -> (EventOps.jsonExtract _),
+    "evj"            -> (EventOps.jsonExtract _),
     "jsonf"             -> (EventOps.jsonFuncs _),
-    "variant"          -> (EventOps.variantFuncs _),
+    "vart"          -> (EventOps.variantFuncs _),
     "attrib"     -> (EventOps.clickAttribution _),
-    "strings"           -> (RelationalOps.stringFuncs _),
+    "strs"           -> (RelationalOps.stringFuncs _),
     "cagg"               -> (RelationalOps.condAgg _),
-    "unpivot"           -> (RelationalOps.unpivotLong _),
+    "unpv"           -> (RelationalOps.unpivotLong _),
     "modeg"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "amoms"            -> (StatOps.aggMoments _),
@@ -76,18 +76,18 @@ object SparkEntry {
     "jrange"             -> (StatOps.joinRange _),
     "rj_bin"                 -> (StatOps.rangeBinIncidents _),
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
-    "rj_sql"                 -> (StatOps.rangeBinIncidentsSql _),
+    "rjs"                 -> (StatOps.rangeBinIncidentsSql _),
     "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
     "rjout"               -> (StatOps.rangeBinPurchasesOuter _),
     "rj_box"                 -> (StatOps.rangeBinBoxes _),
     "rj2d"                   -> (StatOps.rangeBinBoxesSql _),
-    "rj_auto"                -> (StatOps.rangeBinTiersAuto _),
+    "rja"                -> (StatOps.rangeBinTiersAuto _),
     "asofj"              -> (StatOps.asofJoin _),
-    "asof_nat"               -> (StatOps.asofJoinNative _),
+    "asnt"               -> (StatOps.asofJoinNative _),
     "asof2"                  -> (StatOps.asofJoinPayload _),
     "asoft"               -> (StatOps.asofJoinTolerance _),
     "asofs"               -> (StatOps.asofJoinSql _),
-    "asof_bc"                -> (StatOps.asofJoinBroadcast _),
+    "asbc"                -> (StatOps.asofJoinBroadcast _),
     "asofa"              -> (StatOps.asofJoinAuto _),
     "asofn"              -> (StatOps.asofJoinNearest _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
@@ -97,16 +97,16 @@ object SparkEntry {
     "bpenc"      -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "wfp"        -> (TextOps.winnowFingerprints _),
     "wsim"       -> (TextOps.winnowOverlapPairs _),
-    "quality"           -> (TextOps.textQuality _),
+    "qual"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
-    "text_fp"       -> (TextOps.textFingerprint _),
+    "tfp"       -> (TextOps.textFingerprint _),
     "reps"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
     "dtext"       -> (DedupOps.dedupExactText _),
-    "jaccard"    -> (DedupOps.dedupNgramJaccard _),
-    "minhash"      -> (DedupOps.dedupMinhashLsh _),
+    "jac"    -> (DedupOps.dedupNgramJaccard _),
+    "mhl"      -> (DedupOps.dedupMinhashLsh _),
     "dinc"          -> (DedupOps.dedupDelta _),
-    "simhash"           -> (DedupOps.textSimhash _),
+    "smh"           -> (DedupOps.textSimhash _),
     "simp"    -> (DedupOps.dedupSimhashPairs _),
     "cwork"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
@@ -123,7 +123,7 @@ object SparkEntry {
     "pinc"      -> (EmbeddingOps.pqCodesIncremental _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
-    "mm_meta"                -> (MultimodalOps.mmMeta _),
+    "mmm"                -> (MultimodalOps.mmMeta _),
     "mmdec"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "pii"        -> (PipelineOps.piiRedact _),
@@ -155,7 +155,7 @@ object SparkEntry {
     "fuzzy"        -> (RelationalOps.joinFuzzyEdit _),
     "regr"          -> (StatOps.regrByGroup _),
     // Sketch accuracy gates (the 100 TB cardinality/quantile tools)
-    "sk_dist"   -> (StatOps.sketchDistinctGate _),
+    "skd"   -> (StatOps.sketchDistinctGate _),
     "skq"   -> (StatOps.sketchQuantileGate _),
     "theta"         -> (StatOps.thetaSetOps _),
     "skm"      -> (StatOps.sketchMergeGate _),
@@ -175,7 +175,7 @@ object SparkEntry {
     // Training-data shaping: windowed chunking + lexical retrieval
     "chunks"            -> (TextOps.docChunks _),
     "bm25"              -> (TextOps.bm25Search _),
-    "bm25_ln"       -> (TextOps.bm25LnGate _),
+    "bmln"       -> (TextOps.bm25LnGate _),
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zorder"            -> (LayoutOps.zorderKeys _),
     "bktj"          -> (LayoutOps.bucketedJoin _),
@@ -934,7 +934,7 @@ object SparkEntry {
     "medgrp" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
          FROM part GROUP BY 1 ORDER BY 1""",
-    "imp_med" ->
+    "imed" ->
       """WITH masked AS (
            SELECT p_partkey, p_brand,
                   CASE WHEN p_size % 7 = 0 THEN NULL ELSE p_retailprice END AS pr
@@ -947,7 +947,7 @@ object SparkEntry {
                 k.pr IS NULL AS imputed
          FROM masked k LEFT JOIN med d USING (p_brand)
          ORDER BY k.p_partkey""",
-    "scalars" ->
+    "scal" ->
       """SELECT p_partkey,
          'Part ' || CAST(p_partkey AS VARCHAR) AS display_name,
          CASE WHEN p_type = 'widget' THEN 'gadget' ELSE p_type END AS type_fixed,
@@ -1058,7 +1058,7 @@ object SparkEntry {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
-    "ev_json" ->
+    "evj" ->
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
          FROM events ORDER BY 1""",
@@ -1082,7 +1082,7 @@ object SparkEntry {
     // as BIGINT; both land in Spark's BIGINT. Any other type falls
     // through as its upper-cased DuckDB name and fails the hash —
     // exactly the alarm a schema drift should raise.
-    "variant" ->
+    "vart" ->
       """SELECT event_id,
          CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
          CAST(json(props) AS VARCHAR) AS rt,
@@ -1105,7 +1105,7 @@ object SparkEntry {
            AND c.es BETWEEN p.es - 1800 AND p.es
          WHERE p.event_type = 'purchase'
          GROUP BY 1, 2 ORDER BY 1""",
-    "strings" ->
+    "strs" ->
       """SELECT p_partkey,
          upper(p_name) AS up, lower(p_brand) AS lo,
          substring(p_name, 1, 4) AS sub,
@@ -1124,7 +1124,7 @@ object SparkEntry {
          bool_or(l_quantity > 45) AS any_bulk,
          bool_and(l_quantity > 0) AS all_positive
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "unpivot" ->
+    "unpv" ->
       """SELECT p_partkey, metric, value FROM (
            SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
            UNION ALL
@@ -1251,7 +1251,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1""",
     // the SQL-hint surface must agree with the DataFrame form AND the
     // oracle — same SQL text as rj_bin, byte-identical on purpose
-    "rj_sql" ->
+    "rjs" ->
       """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
                       FROM events WHERE event_type = 'error' AND value >= 150),
               p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
@@ -1319,7 +1319,7 @@ object SparkEntry {
     // dim under the hint — the claim pins the DECLINE (genuinely tiny
     // side → nested loop kept, no explode); constant-size dim keeps
     // the choice deterministic at every SF
-    "rj_auto" ->
+    "rja" ->
       """WITH p AS (SELECT value FROM events WHERE event_type = 'purchase')
          SELECT t.tier, COUNT(*) AS n,
                 CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS rev,
@@ -1353,7 +1353,7 @@ object SparkEntry {
     // StatOps.asofJoinNative: identical contract to asof_join — the
     // custom merge-scan operator must reproduce the window twin's
     // oracle byte-for-byte
-    "asof_nat" ->
+    "asnt" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -1392,7 +1392,7 @@ object SparkEntry {
     // StatOps.asofJoinBroadcast: the broadcast physical form — same
     // values as the merge-scan oracle, plus the zero-shuffle plan
     // claim as a hash-checked boolean the oracle expects TRUE
-    "asof_bc" ->
+    "asbc" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -1491,7 +1491,7 @@ object SparkEntry {
           FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
           GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}
           ORDER BY 1, 2""",
-    "quality" -> {
+    "qual" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
           SELECT doc_id,
@@ -1508,7 +1508,7 @@ object SparkEntry {
           FROM t ORDER BY doc_id"""
     },
     "langid" -> langIdSql,
-    "text_fp" ->
+    "tfp" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
     // TextOps.textRepSignals: Gopher-family repetition signals over
     // token bigrams; fractions are a single long→double division so
@@ -1534,7 +1534,7 @@ object SparkEntry {
       """SELECT md5(lower(trim(text))) AS fp, COUNT(*) AS n_docs,
          MIN(doc_id) AS first_doc
          FROM documents GROUP BY 1 ORDER BY 1""",
-    "jaccard" ->
+    "jac" ->
       s"""$shinglesSql
           SELECT doc_a, doc_b, jaccard FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1542,7 +1542,7 @@ object SparkEntry {
                      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
             FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id) p
           WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""",
-    "minhash" ->
+    "mhl" ->
       s"""$minhashPairsSql
           SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b""",
     // DedupOps.dedupDelta: the incremental probe must find EXACTLY the
@@ -1648,7 +1648,7 @@ object SparkEntry {
                         ORDER BY quality_score DESC NULLS LAST, doc_id)
           ORDER BY doc_id"""
     },
-    "simhash" ->
+    "smh" ->
       s"""$simhashSql
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
     "simp" -> {
@@ -1718,7 +1718,7 @@ object SparkEntry {
                       JOIN c b ON b.vec_id = cand.vec_b) p
           WHERE cos > 0.45 ORDER BY vec_a, vec_b"""
     },
-    "mm_meta" ->
+    "mmm" ->
       """SELECT doc_id,
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
          md5(text) AS content_hash,
@@ -2140,7 +2140,7 @@ object SparkEntry {
     // StatOps.sketchDistinctGate: oracle computes the exact distinct
     // count and expects both sketch gates TRUE — a sketch drifting
     // past 5% fails the hash, same contract as ann_recall.
-    "sk_dist" ->
+    "skd" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_orderkey) AS n_exact,
          TRUE AS acd_within_5pct,
@@ -2433,7 +2433,7 @@ object SparkEntry {
     // quantization is what makes a libm last-ulp divergence unable to
     // flip a rank), so the overlap COUNT matches exactly and the
     // >=3/4-overlap gate is expected TRUE.
-    "bm25_ln" -> {
+    "bmln" -> {
       val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
       val (k1, b, k1p1) = (TextOps.Bm25K1, TextOps.Bm25B, TextOps.Bm25K1 + 1.0)
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -117,11 +117,11 @@ object DedupOps {
     * the renamed query's timing.
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
-    "minhash_cand"     -> Set("minhash", "clus", "dkeep", "cwork", "linc"),
+    "minhash_cand"     -> Set("mhl", "clus", "dkeep", "cwork", "linc"),
     "cluster_labels"   -> Set("clus", "dkeep"),
     "base_labels"      -> Set("linc"),
     "base_keep"        -> Set("linc"),
-    "simhash_sig"      -> Set("simhash", "simp", "cwork"),
+    "simhash_sig"      -> Set("smh", "simp", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"),
     "pq_codes"         -> Set("ivfpq"),

@@ -30,7 +30,7 @@ class EmptyInputSpec extends AnyFunSuite {
   private val fixedShape = Map("prof" -> 6L, "papx" -> 6L, "dq" -> 7L,
     // one-row global gates: a grand aggregate emits one row on empty
     // input in both engines (n=0 / NULL metrics / vacuous-TRUE bounds)
-    "bloom" -> 1L, "skm" -> 1L, "bm25_ln" -> 1L,
+    "bloom" -> 1L, "skm" -> 1L, "bmln" -> 1L,
     // rt_bloom/obs: grand aggregates over the (empty) join / scan —
     // one row of zero-counts is the correct report, same as above
     "rbloom" -> 1L, "obs" -> 1L,

@@ -17,8 +17,8 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and yields rows on sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
-      if (n == 0 && !Set("janti", "sexc", "jaccard",
-        "minhash", "simp", "clus",
+      if (n == 0 && !Set("janti", "sexc", "jac",
+        "mhl", "simp", "clus",
         "endup").contains(name))
         Some(name -> n)
       else None
