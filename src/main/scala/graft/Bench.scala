@@ -96,6 +96,7 @@ object Bench {
     "simhash_sig"      -> "simsig",
     "jaccard_md5_cand" -> "md5cand",
     "neardup_cand"     -> "ndcand",
+    "bpe_merges"       -> "bpemrg",
     "pq_codes"         -> "pqcodes",
     "pq_cbt"           -> "pqcbt",
     "pq_codes_t"       -> "pqcodet")

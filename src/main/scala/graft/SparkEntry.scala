@@ -804,6 +804,12 @@ object SparkEntry {
     * then one p/t/w CTE triple per merge round (t$r = round r's learned
     * rule). Shared by the trainer's oracle (`bpet`) and the encoder's
     * (`bpenc`), so the learned table both gates replay is ONE text.
+    * Each merge CTE (w$r here, e$r in the encoder) LEFT JOINs its t$r:
+    * if training exhausts before BpeMergeRounds (fully-merged vocab —
+    * the case bpeTrainOn guards), t$r is EMPTY and a cross join would
+    * silently empty every later CTE while Spark returns real rows; the
+    * LEFT JOIN passes the vocab through unchanged instead, matching
+    * the exhausted trainer exactly.
     */
   private def bpeTrainCtes: String = {
     val mark = TextOps.BpeEndMark
@@ -817,9 +823,11 @@ object SparkEntry {
                   GROUP BY 1, 2),
           t$r AS (SELECT sym_a, sym_b, pair_n FROM p$r
                   ORDER BY pair_n DESC, sym_a, sym_b LIMIT 1),
-          w$r AS (SELECT replace(w, ' ' || sym_a || '  ' || sym_b || ' ',
-                                 ' ' || sym_a || sym_b || ' ') AS w, cnt
-                  FROM w${r - 1}, t$r)"""
+          w$r AS (SELECT CASE WHEN t.sym_a IS NULL THEN v.w
+                    ELSE replace(v.w, ' ' || t.sym_a || '  ' || t.sym_b || ' ',
+                                 ' ' || t.sym_a || t.sym_b || ' ') END AS w,
+                    v.cnt
+                  FROM w${r - 1} v LEFT JOIN t$r t ON TRUE)"""
     }.mkString(",\n")
     s"""wc AS (SELECT tok, count(*) AS cnt
                FROM (SELECT unnest($toksSql) AS tok FROM documents)
@@ -848,9 +856,10 @@ object SparkEntry {
     val mark = TextOps.BpeEndMark
     val chain = (1 to TextOps.BpeMergeRounds).map { r =>
       s"""e$r AS (SELECT doc_id, s0,
-                    replace(w, ' ' || t.sym_a || '  ' || t.sym_b || ' ',
-                            ' ' || t.sym_a || t.sym_b || ' ') AS w
-                  FROM e${r - 1}, t$r t)"""
+                    CASE WHEN t.sym_a IS NULL THEN v.w
+                      ELSE replace(v.w, ' ' || t.sym_a || '  ' || t.sym_b || ' ',
+                              ' ' || t.sym_a || t.sym_b || ' ') END AS w
+                  FROM e${r - 1} v LEFT JOIN t$r t ON TRUE)"""
     }.mkString(",\n")
     s"""WITH $bpeTrainCtes,
         dw AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),

@@ -274,45 +274,26 @@ object TextOps {
     * is the number of merge applications, so the pair pins the whole
     * chain, not just its length.
     *
-    * Scale shape: the learned table is [[BpeMergeRounds]] rows
-    * (driver-side by construction — same justified collect as the
-    * trainer's per-round argmax); encoding is one narrow codegen'd map
-    * over the corpus with NO shuffle before the per-doc aggregation —
-    * at 100 TB this is the tokenizer pass of a training-data
-    * pipeline, embarrassingly parallel by document. NULL-text docs
-    * emit NULL counts, token-less docs emit zeros (textTokens'
-    * established contract).
+    * Scale shape: the learned table comes from the pinned
+    * [[bpeMergeTable]] stage (training is paid once per retrain,
+    * priced in Bench's `_substrate` — this query times ENCODE ONLY);
+    * encoding is one narrow codegen'd map over the vocabulary with NO
+    * shuffle before the per-doc aggregation — at 100 TB this is the
+    * tokenizer pass of a training-data pipeline, embarrassingly
+    * parallel by document. NULL-text docs emit NULL counts, token-less
+    * docs emit zeros (textTokens' established contract).
     */
   def bpeEncode(spark: SparkSession, dir: String,
       rounds: Int = BpeMergeRounds): DataFrame = {
-    val merges = bpeTrain(spark, dir, rounds).collect()
-      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+    val merges = bpeLearnedMerges(spark, dir, rounds)
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val chars = transform(sequence(lit(1), length(col("tok"))),
-      i => col("tok").substr(i, lit(1)))
-    var w: Column = concat(lit(" "), array_join(chars, "  "),
-      lit("  " + BpeEndMark + " "))
-    merges.foreach { case (a, b) =>
-      w = replace(w, lit(s" $a  $b "), lit(s" ${a}$b "))
-    }
-    // the tokenizer-cache shape: the merge chain runs once per
-    // DISTINCT word, and word instances join their cached count back —
-    // corpus word instances outnumber the vocabulary by orders of
-    // magnitude at any scale (and a production 32k-merge chain is far
-    // too expensive to replay per instance). The join side carries
-    // (tok, nt) only; when the vocabulary fits, AQE turns the join
-    // into a broadcast (no corpus shuffle at all) — at a 100 TB
-    // vocabulary it falls back to a shuffled join, the unavoidable
-    // trade of caching by word.
-    val vocab = words.select("tok").distinct()
-      .select(col("tok"), size(split(trim(w), "  ")).cast("long").as("nt"))
     val agg = words
-      .join(vocab, Seq("tok"))
+      .join(bpeVocabEncoded(words, merges), Seq("tok"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("_w"),
         sum((length(col("tok")) + 1).cast("long")).as("_s0"),
-        sum("nt").as("_nt"))
+        sum(size(col("syms")).cast("long")).as("_nt"))
     val hasText = col("text").isNotNull
     Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .join(agg, Seq("doc_id"), "left")
@@ -323,15 +304,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The vocabulary cache: each DISTINCT word of `words` (column
+    * `tok`) with its post-merge SYMBOL ARRAY — the tokenizer-cache
+    * shape every encoding consumer shares. The merge chain runs once
+    * per distinct word, and word instances join their cached encoding
+    * back — corpus word instances outnumber the vocabulary by orders
+    * of magnitude at any scale (and a production 32k-merge chain is
+    * far too expensive to replay per instance). The join side carries
+    * (tok, syms) only; when the vocabulary fits, AQE turns the join
+    * into a broadcast (no corpus shuffle at all) — at a 100 TB
+    * vocabulary it falls back to a shuffled join, the unavoidable
+    * trade of caching by word.
+    */
+  private[operators] def bpeVocabEncoded(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val chars = transform(sequence(lit(1), length(col("tok"))),
+      i => col("tok").substr(i, lit(1)))
+    var w: Column = concat(lit(" "), array_join(chars, "  "),
+      lit("  " + BpeEndMark + " "))
+    merges.foreach { case (a, b) =>
+      w = replace(w, lit(s" $a  $b "), lit(s" ${a}$b "))
+    }
+    words.select("tok").distinct()
+      .select(col("tok"), split(trim(w), "  ").as("syms"))
+  }
+
+  /** The learned merge table as a pinned MEMO STAGE (default merge
+    * budget only): training is index-build work a deployment pays once
+    * per retrain — Bench prices it inside `_substrate` exactly like
+    * the PQ codebooks (`pq_cbt`), and every encoding consumer
+    * (`bpenc`, the token-id emitter, the composite, the streaming
+    * encoder) reads the learned rules without replaying the
+    * 8-round driver loop inside its own timed query.
+    */
+  private[operators] def bpeMergeTable(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "bpe_merges")(bpeTrain(spark, dir))
+
   /** The learned merge table collected driver-side — the tiny
     * (≤ rounds rows) state the row-local encoder closes over; a
     * production deployment persists this once per training run and
-    * ships it with the job.
+    * ships it with the job. The default merge budget reads the pinned
+    * [[bpeMergeTable]] stage; a non-default budget (spec fixtures)
+    * trains inline.
     */
   private[graft] def bpeLearnedMerges(spark: SparkSession, dir: String,
-      rounds: Int = BpeMergeRounds): Seq[(String, String)] =
-    bpeTrain(spark, dir, rounds).collect()
+      rounds: Int = BpeMergeRounds): Seq[(String, String)] = {
+    val t = if (rounds == BpeMergeRounds) bpeMergeTable(spark, dir)
+            else bpeTrain(spark, dir, rounds)
+    t.orderBy("merge_rank").collect()
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
+  }
 
   /** [[bpeEncode]] as a fully ROW-LOCAL projection over an explicit
     * (doc_id, text) frame — no explode, no shuffle, no state: the
@@ -415,10 +437,19 @@ object TextOps {
     val leads = (1 until k).map(j => lead(col("tok"), j).over(wl))
     val h40 = conv(substring(md5(concat_ws(" ", (col("tok") +: leads): _*)), 1, 10),
       16, 10).cast("long")
+    // the packed key's position field is 20 bits: a document with
+    // ≥ 2²⁰ k-grams would overflow pos into the hash bits, silently
+    // corrupting fp/fpos decode AND the leftmost-min tie-break — fail
+    // loudly instead (the monotonically_increasing_id discipline;
+    // million-token documents are plausible at corpus scale)
     val keyed = toks
       .select(col("doc_id"), col("pos"),
-        when(leads.last.isNotNull, h40 * lit(1048576L) + col("pos")).as("key"))
-      .filter(col("key").isNotNull)
+        when(leads.last.isNotNull, h40 * lit(1048576L) + col("pos")).as("key"),
+        assert_true(col("pos") < lit(1048576),
+          lit("winnowing position >= 2^20: packed key would overflow — " +
+            "chunk the document or widen the position field")).as("__ck"))
+      .filter(col("key").isNotNull && col("__ck").isNull)
+      .select(col("doc_id"), col("pos"), col("key"))
     keyed
       .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("wm", min(col("key")).over(wl.rowsBetween(Window.currentRow, w - 1)))
@@ -499,6 +530,13 @@ object TextOps {
       transform(sequence(lit(0), size(toks) - k - w + 1),
         t => array_min(slice(keys, t + 1, lit(w))))))
     docs
+      // same 20-bit position guard as the batch operator: the largest
+      // gram position is size(toks) − k, checked once per row
+      .withColumn("__ck", assert_true(
+        coalesce(size(toks) - k, lit(0)) < lit(1048576),
+        lit("winnowing position >= 2^20: packed key would overflow — " +
+          "chunk the document or widen the position field")))
+      .filter(col("__ck").isNull)
       .select(col("doc_id"), explode(sel).as("wm"))
       .select(col("doc_id"),
         col("wm").bitwiseAND(lit(1048575L)).as("fpos"),

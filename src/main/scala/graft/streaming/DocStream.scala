@@ -234,6 +234,23 @@ object DocStream {
     }
   }
 
+  /** The shared sink shape of both maintain* faces: [[deltaNearDups]]'
+    * pair stream into a foreachBatch merge callback. foreachBatch is
+    * the right sink because the merge is a TRANSACTION against
+    * standing state (mapping build + relabel + checkpoint), not a
+    * row-append; the pair stream itself stays the stream-static probe
+    * deltaNearDups documents.
+    */
+  private def maintainWith(spark: SparkSession, docs: DataFrame, dir: String,
+      threshold: Double)(
+      merge: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    deltaNearDups(spark, docs, dir, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) => merge(batch) }
+      .start()
+
   /** [[maintainLabels]] extended to the full refresh: the pair stream
     * maintains labels AND retention verdicts in the supplied
     * [[StandingState]].
@@ -241,30 +258,15 @@ object DocStream {
   def maintainRefresh(spark: SparkSession, docs: DataFrame, dir: String,
       state: StandingState,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
-    deltaNearDups(spark, docs, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) => state.merge(batch) }
-      .start()
+    maintainWith(spark, docs, dir, threshold)(state.merge)
 
-  /** Streaming face of the incremental label refresh: [[deltaNearDups]]'
-    * pair stream feeds a foreachBatch sink that merges each
-    * micro-batch into the supplied [[StandingLabels]]. foreachBatch is
-    * the right sink shape because the merge is a TRANSACTION against
-    * standing state (mapping build + relabel + checkpoint), not a
-    * row-append; the pair stream itself stays the stream-static probe
-    * deltaNearDups documents.
+  /** Streaming face of the incremental label refresh: each micro-batch
+    * of pairs merges into the supplied [[StandingLabels]].
     */
   def maintainLabels(spark: SparkSession, docs: DataFrame, dir: String,
       state: StandingLabels,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
-    deltaNearDups(spark, docs, dir, threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) => state.merge(batch) }
-      .start()
+    maintainWith(spark, docs, dir, threshold)(state.merge)
 
   /** The full streaming composite. docs: streaming frame with (doc_id
     * LONG, source STRING, lang STRING, text STRING, ingest_time
