@@ -95,6 +95,7 @@ object SparkEntry {
     "bpe"        -> (TextOps.textTokensBpe _),
     "bpet"       -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
     "bpenc"      -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
+    "tid"        -> (TextOps.bpeTokenIds _),
     "wfp"        -> (TextOps.winnowFingerprints _),
     "wsim"       -> (TextOps.winnowOverlapPairs _),
     "qual"           -> (TextOps.textQuality _),
@@ -884,6 +885,69 @@ object SparkEntry {
         ORDER BY d.doc_id"""
   }
 
+  /** TextOps.bpeTokenIds' oracle: the training chain's learned rules
+    * replayed per word INSTANCE with word position carried, symbols
+    * split with their in-word position, and the deterministic
+    * vocabulary id law (alphabet chars + end-mark in binary order →
+    * 0..A−1; merge rank r → A+r−1; min id per symbol string). The id
+    * sequence is reassembled in (wpos, spos) order and compared as a
+    * comma-joined string — the hash gate pins the full arrays.
+    */
+  private def bpeTokenIdsSql: String = {
+    val mark = TextOps.BpeEndMark
+    val chain = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"""e$r AS (SELECT doc_id, wpos,
+                    CASE WHEN t.sym_a IS NULL THEN v.w
+                      ELSE replace(v.w, ' ' || t.sym_a || '  ' || t.sym_b || ' ',
+                              ' ' || t.sym_a || t.sym_b || ' ') END AS w
+                  FROM e${r - 1} v LEFT JOIN t$r t ON TRUE)"""
+    }.mkString(",\n")
+    val mergeRows = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b FROM t$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes,
+        dw AS (SELECT doc_id,
+                 unnest(range(0, len(toks))) AS wpos, unnest(toks) AS tok
+               FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        e0 AS (SELECT doc_id, wpos,
+                 ' ' || array_to_string(
+                   list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
+                   '  ') || '  $mark ' AS w
+               FROM dw),
+        $chain,
+        syms AS (SELECT doc_id, wpos,
+                   unnest(range(0, len(ss))) AS spos, unnest(ss) AS sym
+                 FROM (SELECT doc_id, wpos, string_split(trim(w), '  ') AS ss
+                       FROM e${TextOps.BpeMergeRounds})),
+        alpha AS (SELECT DISTINCT unnest(list_transform(
+                    range(1, length(tok) + 1), i -> tok[i:i])) AS sym FROM wc
+                  UNION SELECT '$mark'),
+        aid AS (SELECT sym,
+                  CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+                FROM alpha),
+        naa AS (SELECT COUNT(*) AS na FROM aid),
+        mid AS (SELECT r.sym_a || r.sym_b AS sym,
+                  CAST(naa.na + r.merge_rank - 1 AS BIGINT) AS id
+                FROM ($mergeRows) r, naa),
+        idm AS (SELECT sym, MIN(id) AS id
+                FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid)
+                GROUP BY sym),
+        ti AS (SELECT s.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_t,
+                 array_to_string(
+                   list(CAST(i.id AS VARCHAR) ORDER BY s.wpos, s.spos),
+                   ',') AS ids
+               FROM syms s JOIN idm i ON i.sym = s.sym
+               GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NOT NULL
+                    THEN COALESCE(t.n_t, 0) END AS n_tokens,
+               CASE WHEN d.text IS NOT NULL
+                    THEN COALESCE(t.ids, '') END AS token_ids
+        FROM documents d LEFT JOIN ti t ON t.doc_id = d.doc_id
+        ORDER BY d.doc_id"""
+  }
+
   private def langIdSql: String = {
     val hitCols = TextOps.langLexicon.map { case (l, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -1477,6 +1541,7 @@ object SparkEntry {
     },
     "bpet" -> bpeTrainSql,
     "bpenc" -> bpeEncodeSql,
+    "tid" -> bpeTokenIdsSql,
     // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
     // hash packed with the position (hash·2²⁰+pos — min = leftmost
     // minimal hash, the tie-break law), full windows only, distinct

@@ -355,6 +355,70 @@ object TextOps {
       .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"))).toSeq
   }
 
+  /** TOKEN-ID SEQUENCES — the tokenizer output a training pipeline
+    * actually packs: per document, the BPE symbol stream mapped to
+    * integer ids. The vocabulary id law (deterministic, engine-
+    * shared): alphabet symbols — the distinct single characters of
+    * the corpus' tokens plus the end-of-word marker — take ids
+    * 0..A−1 in binary-lexicographic order; the symbol learned by
+    * merge rank r takes id A+r−1; the symbol→id map then keeps the
+    * MIN id per symbol string (two merge ranks can synthesize the
+    * same string — e.g. (a,bc) and (ab,c) — and the lowest id wins
+    * on both engines). Emits per doc: `n_tokens` and the full id
+    * sequence `token_ids` as a comma-joined string, so the hash gate
+    * pins the ARRAYS, not just their lengths. NULL text → NULL
+    * columns, token-less text → (0, '') — textTokens' contract.
+    *
+    * Scale shape: the id map is vocabulary-sized (alphabet + one row
+    * per merge) and broadcast; the merge chain runs once per DISTINCT
+    * word ([[bpeVocabEncoded]] — the vocab-cache shape `bpenc`
+    * established); the only corpus-scale work is one posexplode and
+    * one doc-keyed aggregation that reassembles the stream in
+    * (word, symbol) position order. Training is read from the pinned
+    * [[bpeMergeTable]] stage — this query, like `bpenc`, times
+    * encode-only.
+    */
+  def bpeTokenIds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merges = bpeLearnedMerges(spark, dir)
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wpos", "tok")))
+    val vocab = bpeVocabEncoded(words, merges)
+    // alphabet: distinct chars over the DISTINCT words (vocabulary-
+    // sized work), plus the end-mark symbol round 0 appends
+    import spark.implicits._
+    val alpha = vocab.select(explode(transform(
+        sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1)))).as("sym"))
+      .union(Seq(BpeEndMark).toDF("sym"))
+      .distinct()
+    val alphaIds = alpha
+      .withColumn("id", row_number().over(Window.orderBy("sym")).cast("long") - 1)
+    val na = alphaIds.agg(count(lit(1)).as("__na"))
+    val mergeIds = bpeMergeTable(spark, dir)
+      .select(col("merged").as("sym"), col("merge_rank"))
+      .crossJoin(broadcast(na))
+      .select(col("sym"), (col("__na") + col("merge_rank") - 1).as("id"))
+    val idMap = alphaIds.select("sym", "id").unionByName(mergeIds)
+      .groupBy("sym").agg(min("id").as("id"))
+    val ids = words
+      .join(vocab, Seq("tok"))
+      .select(col("doc_id"), col("wpos"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(broadcast(idMap), Seq("sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("_n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("wpos"), col("spos"), col("id")))),
+          e => e.getField("id").cast("string")), ",").as("_ids"))
+    val hasText = col("text").isNotNull
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .join(ids, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(hasText, coalesce(col("_n"), lit(0L))).as("n_tokens"),
+        when(hasText, coalesce(col("_ids"), lit(""))).as("token_ids"))
+      .orderBy("doc_id")
+  }
+
   /** [[bpeEncode]] as a fully ROW-LOCAL projection over an explicit
     * (doc_id, text) frame — no explode, no shuffle, no state: the
     * per-word merge chain runs inside array HOF lambdas, so the same

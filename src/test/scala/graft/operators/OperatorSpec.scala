@@ -152,6 +152,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(applied > 0L, "no merge ever applied — encode chain is inert")
   }
 
+  test("bpeTokenIds: id count ≡ bpeEncode token count, ids inside the vocabulary") {
+    // the id stream must be the SAME symbol stream bpenc counts —
+    // per-doc length equality pins that; every id must address the
+    // vocabulary (alphabet + one per merge), pinning the id law's range
+    val enc = TextOps.bpeEncode(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    val rows = TextOps.bpeTokenIds(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val allIds = rows.filter(!_.isNullAt(2)).flatMap(r =>
+      r.getString(2).split(",").filter(_.nonEmpty).map(_.toLong))
+    assert(allIds.nonEmpty, "no token ids emitted")
+    val maxId = allIds.max
+    rows.foreach { r =>
+      val doc = r.getLong(0)
+      if (r.isNullAt(1)) assert(enc(doc) === -1L, s"doc $doc: NULL drift vs bpenc")
+      else {
+        assert(r.getLong(1) === enc(doc), s"doc $doc: id count != bpenc n_tokens")
+        val n = r.getString(2).split(",").count(_.nonEmpty)
+        assert(n.toLong === r.getLong(1), s"doc $doc: token_ids length != n_tokens")
+      }
+    }
+    // vocabulary range: ids are 0..A+rounds-1; the merge ids occupy the
+    // top `rounds` slots unless a merged string collided into the
+    // alphabet (min-id law) — so max id < A + rounds with A bounded by
+    // the distinct corpus characters (+ end-mark)
+    assert(allIds.forall(_ >= 0))
+    assert(maxId < 4096, s"implausible max id $maxId for a character alphabet")
+  }
+
   test("bpeEncodeRowLocal ≡ bpeEncode — the streaming twin's column form") {
     // the row-local HOF form must agree with the codegen'd
     // explode+aggregate form on every doc, NULL/zero contract included
