@@ -139,6 +139,7 @@ object SparkEntry {
     "spans"      -> (PipelineOps.dupSpans _),
     "lms"       -> (TextOps.lmScore _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
+    "tdata"    -> ((s: SparkSession, d: String) => PipelineOps.trainingData(s, d)),
     "clus"         -> (DedupOps.dedupClusters _),
     "dkeep"               -> (DedupOps.dedupKeep _),
     "linc"                -> (DedupOps.dedupKeepIncremental _),
@@ -948,6 +949,92 @@ object SparkEntry {
         ORDER BY d.doc_id"""
   }
 
+  /** PipelineOps.trainingData's oracle — the end-to-end composite:
+    * the corpus survivor chain (same CTE logic as the `corpus`
+    * oracle, names prefixed to avoid colliding with the training
+    * CTEs), the token-id chain restricted to survivors (same law as
+    * `tid`), the pack window, the seeded split, and the epoch-shuffle
+    * rank — every stage the standalone oracle's exact logic.
+    */
+  private def trainingDataSql: String = {
+    val mark = TextOps.BpeEndMark
+    val chain = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"""e$r AS (SELECT doc_id, wpos,
+                    CASE WHEN t.sym_a IS NULL THEN v.w
+                      ELSE replace(v.w, ' ' || t.sym_a || '  ' || t.sym_b || ' ',
+                              ' ' || t.sym_a || t.sym_b || ' ') END AS w
+                  FROM e${r - 1} v LEFT JOIN t$r t ON TRUE)"""
+    }.mkString(",\n")
+    val mergeRows = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b FROM t$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes,
+        tb AS (SELECT doc_id, source, lang, len($toksSql) AS n_ws,
+                 md5(lower(trim(text))) AS fp
+               FROM documents),
+        tq AS (SELECT * FROM tb WHERE n_ws >= ${PipelineOps.CorpusMinTokens}),
+        tdd AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM tq),
+        tev AS (SELECT DISTINCT fp FROM tq WHERE doc_id % 50 = 0),
+        ttr AS (SELECT * FROM tdd WHERE rn = 1 AND doc_id % 50 <> 0
+                  AND fp NOT IN (SELECT fp FROM tev)),
+        tsv AS (SELECT doc_id, source, lang FROM (
+                  SELECT doc_id, source, lang,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                  FROM ttr) WHERE rk <= ${PipelineOps.SourceQuota}),
+        dw AS (SELECT doc_id,
+                 unnest(range(0, len(toks))) AS wpos, unnest(toks) AS tok
+               FROM (SELECT d.doc_id, $toksSql AS toks
+                     FROM documents d JOIN tsv USING (doc_id))),
+        e0 AS (SELECT doc_id, wpos,
+                 ' ' || array_to_string(
+                   list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
+                   '  ') || '  $mark ' AS w
+               FROM dw),
+        $chain,
+        syms AS (SELECT doc_id, wpos,
+                   unnest(range(0, len(ss))) AS spos, unnest(ss) AS sym
+                 FROM (SELECT doc_id, wpos, string_split(trim(w), '  ') AS ss
+                       FROM e${TextOps.BpeMergeRounds})),
+        alpha AS (SELECT DISTINCT unnest(list_transform(
+                    range(1, length(tok) + 1), i -> tok[i:i])) AS sym FROM wc
+                  UNION SELECT '$mark'),
+        aid AS (SELECT sym,
+                  CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+                FROM alpha),
+        naa AS (SELECT COUNT(*) AS na FROM aid),
+        mid AS (SELECT r.sym_a || r.sym_b AS sym,
+                  CAST(naa.na + r.merge_rank - 1 AS BIGINT) AS id
+                FROM ($mergeRows) r, naa),
+        idm AS (SELECT sym, MIN(id) AS id
+                FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid)
+                GROUP BY sym),
+        ti AS (SELECT s.doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                 array_to_string(
+                   list(CAST(i.id AS VARCHAR) ORDER BY s.wpos, s.spos),
+                   ',') AS token_ids
+               FROM syms s JOIN idm i ON i.sym = s.sym
+               GROUP BY s.doc_id),
+        tf AS (SELECT s.doc_id, s.source, s.lang, t.n_tokens, t.token_ids,
+                 substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) AS bucket,
+                 substr(md5('graft:v1:' || CAST(s.doc_id AS VARCHAR)), 1, 2) AS sb,
+                 md5('graft:v1:0:' || CAST(s.doc_id AS VARCHAR)) AS ek
+               FROM tsv s JOIN ti t USING (doc_id)),
+        tc AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS BIGINT) AS start_off
+               FROM tf)
+        SELECT doc_id, source, lang, n_tokens, token_ids, bucket,
+               CAST(floor(start_off / ${PipelineOps.PackBudget}) AS BIGINT) AS bin,
+               CASE WHEN sb < 'cc' THEN 'train'
+                    WHEN sb < 'e6' THEN 'val' ELSE 'test' END AS split,
+               CAST(row_number() OVER (ORDER BY ek, doc_id) AS BIGINT) AS pos
+        FROM tc ORDER BY doc_id"""
+  }
+
   private def langIdSql: String = {
     val hitCols = TextOps.langLexicon.map { case (l, ws) =>
       val inList = ws.map(w => s"'$w'").mkString(", ")
@@ -1542,6 +1629,7 @@ object SparkEntry {
     "bpet" -> bpeTrainSql,
     "bpenc" -> bpeEncodeSql,
     "tid" -> bpeTokenIdsSql,
+    "tdata" -> trainingDataSql,
     // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
     // hash packed with the position (hash·2²⁰+pos — min = leftmost
     // minimal hash, the tie-break law), full windows only, distinct

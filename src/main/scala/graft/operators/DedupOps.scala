@@ -124,7 +124,7 @@ object DedupOps {
     "simhash_sig"      -> Set("smh", "simp", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"),
-    "bpe_merges"       -> Set("bpenc", "tid"),
+    "bpe_merges"       -> Set("bpenc", "tid", "tdata"),
     "pq_codes"         -> Set("ivfpq"),
     "pq_cbt"           -> Set("pqt"),
     "pq_codes_t"       -> Set("pqt"))

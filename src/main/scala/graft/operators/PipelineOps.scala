@@ -646,7 +646,15 @@ object PipelineOps {
     * batch ≡ stream (StreamingSpec). `corpusPipeline` is exactly this
     * over the documents table; the plan is unchanged by the factoring.
     */
-  private[graft] def corpusStagesFrom(docs: DataFrame): DataFrame = {
+  private[graft] def corpusStagesFrom(docs: DataFrame): DataFrame =
+    corpusSurvivorsFrom(docs).orderBy("doc_id")
+
+  /** [[corpusStagesFrom]] without the output sort — the surviving
+    * (doc_id, source, lang, n_tokens) set, consumed mid-plan by the
+    * end-to-end composite [[trainingData]] (a mid-plan global sort
+    * would add an exchange for nothing).
+    */
+  private[graft] def corpusSurvivorsFrom(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // checkpointed: the dedup spine AND the eval-fingerprint branch
     // both read these skinny (id, meta, fp) rows — without it each
@@ -669,6 +677,64 @@ object PipelineOps {
     train.withColumn("rk", row_number().over(quota))
       .filter(col("rk") <= SourceQuota)
       .select("doc_id", "source", "lang", "n_tokens")
+  }
+
+  /** THE training-data job, end-to-end as ONE declarative plan — the
+    * corpus composite extended through the tokenizer tail:
+    *
+    *   quality gate → exact dedup → decontaminate → per-source quota
+    *   ([[corpusSurvivorsFrom]]) → BPE tokenize to token-ID sequences
+    *   (TextOps.bpeTokenIdsOn — trained rules from the pinned
+    *   bpe_merges stage, ids under the tokenizer's corpus-wide id law)
+    *   → sequence packing (bin = cumulative-token window per
+    *   (lang, bucket) stratum, [[PackBudget]] tokens) → seeded
+    *   train/val/test split → epoch-0 shuffle position.
+    *
+    * Per surviving document: its id sequence, its pack bin, its split
+    * set, and its training-order position — everything a shard writer
+    * needs, from one plan Catalyst sees whole. Every stage is the
+    * SAME oracle-gated logic as its standalone operator (shared
+    * functions/constants, nothing re-derived).
+    *
+    * Scale shape: the verdict chain runs on skinny checkpointed
+    * (id, meta, fp) rows; document TEXT is scanned once more only for
+    * the survivors' tokenize pass (joining text through three window
+    * shuffles would be worse — the standard verdict-then-rejoin
+    * shape); the id map is vocabulary-sized and broadcast; pack adds
+    * one window over the survivors; the epoch shuffle is the one
+    * corpus-order exchange the permutation itself requires. PlanSpec
+    * pins the document scan count.
+    */
+  def trainingData(spark: SparkSession, dir: String, epoch: Int = 0,
+      seed: String = "graft:v1"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // tracked: the tokenize pass's semi-join AND the final spine both
+    // read the survivor set — untracked, the verdict window chain
+    // executes once per consumer
+    val surv = OpCaches.track(
+      corpusSurvivorsFrom(docs).select("doc_id", "source", "lang"))
+    val sdocs = docs.select(col("doc_id"), col("text"))
+      .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+    val toks = TextOps.bpeTokenIdsOn(spark, dir, sdocs)
+    val wPack = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (_, split) = splitAssignment(seed)
+    // tracked before branching: the epoch-shuffle positions and the
+    // final join both read this frame, and its lineage carries the
+    // whole verdict + tokenize chain
+    val f = OpCaches.track(surv
+      .join(toks, Seq("doc_id"))
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      .withColumn("start_off", sum("n_tokens").over(wPack) - col("n_tokens"))
+      .withColumn("bin", floor(col("start_off") / PackBudget))
+      .withColumn("split", split))
+    val pos = epochShuffleOf(f.select("doc_id", "lang"), epoch, seed)
+      .select(col("doc_id"), col("pos"))
+    f.join(pos, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("token_ids"), col("bucket"), col("bin"), col("split"), col("pos"))
       .orderBy("doc_id")
   }
 

@@ -378,22 +378,47 @@ object TextOps {
     * [[bpeMergeTable]] stage — this query, like `bpenc`, times
     * encode-only.
     */
-  def bpeTokenIds(spark: SparkSession, dir: String): DataFrame = {
+  def bpeTokenIds(spark: SparkSession, dir: String): DataFrame =
+    bpeTokenIdsOn(spark, dir,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+
+  /** [[bpeTokenIds]] over an explicit (doc_id, text) frame — the
+    * composite's surface ([[PipelineOps]]' tdata encodes the
+    * SURVIVORS, not the corpus). The id map, alphabet, and merge
+    * table always derive from the FULL training corpus at `dir`: ids
+    * are a property of the TOKENIZER, so the same document must get
+    * the same ids whether encoded alone or inside any subset. The
+    * tok→syms vocabulary cache is built from the input frame's own
+    * distinct words (the smaller set).
+    */
+  private[operators] def bpeTokenIdsOn(spark: SparkSession, dir: String,
+      docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val merges = bpeLearnedMerges(spark, dir)
-    val words = Tables.documents(spark, dir)
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wpos", "tok")))
+    // checkpointed skinny word instances: the vocabulary distinct and
+    // the encode join BOTH read them — without cutting the lineage
+    // each consumer re-scans and re-tokenizes the input (the
+    // bm25/tfidf discipline; released by releaseTransients)
+    val words = OpCaches.localCheckpointTracked(docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wpos", "tok"))))
     val vocab = bpeVocabEncoded(words, merges)
-    // alphabet: distinct chars over the DISTINCT words (vocabulary-
-    // sized work), plus the end-mark symbol round 0 appends
+    // alphabet: distinct chars over the TRAINING corpus' distinct
+    // words (vocabulary-sized work), plus the end-mark symbol round 0
+    // appends
     import spark.implicits._
-    val alpha = vocab.select(explode(transform(
+    val alpha = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok")).distinct()
+      .select(explode(transform(
         sequence(lit(1), length(col("tok"))),
         i => col("tok").substr(i, lit(1)))).as("sym"))
       .union(Seq(BpeEndMark).toDF("sym"))
       .distinct()
-    val alphaIds = alpha
-      .withColumn("id", row_number().over(Window.orderBy("sym")).cast("long") - 1)
+    // checkpointed: the id union AND the alphabet-size count both read
+    // this tiny (≈charset-sized) frame — without truncation each
+    // consumer re-runs the corpus vocabulary scan behind it
+    val alphaIds = OpCaches.localCheckpointTracked(alpha
+      .withColumn("id", row_number().over(Window.orderBy("sym")).cast("long") - 1))
     val na = alphaIds.agg(count(lit(1)).as("__na"))
     val mergeIds = bpeMergeTable(spark, dir)
       .select(col("merged").as("sym"), col("merge_rank"))
@@ -411,12 +436,11 @@ object TextOps {
           array_sort(collect_list(struct(col("wpos"), col("spos"), col("id")))),
           e => e.getField("id").cast("string")), ",").as("_ids"))
     val hasText = col("text").isNotNull
-    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    docs.select(col("doc_id"), col("text"))
       .join(ids, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(hasText, coalesce(col("_n"), lit(0L))).as("n_tokens"),
         when(hasText, coalesce(col("_ids"), lit(""))).as("token_ids"))
-      .orderBy("doc_id")
   }
 
   /** [[bpeEncode]] as a fully ROW-LOCAL projection over an explicit

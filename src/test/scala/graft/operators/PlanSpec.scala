@@ -341,6 +341,20 @@ class PlanSpec extends AnyFunSuite {
       s"window limits not pushed below the exchanges:\n$s")
   }
 
+  test("tdata: the composite scans the documents parquet a bounded number of times") {
+    val s = planString(PipelineOps.trainingData(spark, sf))
+    // the verdict chain runs on the checkpointed skinny rows (0 scans);
+    // text is re-read once for the survivors' tokenize pass, once for
+    // the NULL-contract rejoin inside the shared token-id tail, and the
+    // tokenizer's corpus-wide alphabet pays one more vocabulary scan —
+    // a 4th scan means a branch went back to the raw table (the
+    // carrying-text-through-shuffles anti-shape this plan exists to
+    // avoid). InMemoryRelation/ExistingRDD subtrees print their
+    // original child scans, so the count is conservative.
+    val n = "Scan parquet".r.findAllIn(s).length
+    assert(n <= 3, s"expected <= 3 documents scans in the composite, got $n:\n$s")
+  }
+
   test("json_funcs parses the document exactly once") {
     val s = planString(EventOps.jsonFuncs(spark, sf))
     // JsonToStructs is a non-codegen parse; CollapseProject must keep
