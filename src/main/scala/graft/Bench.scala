@@ -99,7 +99,10 @@ object Bench {
     "bpe_merges"       -> "bpemrg",
     "pq_codes"         -> "pqcodes",
     "pq_cbt"           -> "pqcbt",
-    "pq_codes_t"       -> "pqcodet")
+    "pq_codes_t"       -> "pqcodet",
+    "cents_t"          -> "centst",
+    "pqf_cb"           -> "pqfcb",
+    "pqf_codes"        -> "pqfcode")
 
   /** Committed-floor per-query minima for this SF
     * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.

@@ -121,6 +121,7 @@ object SparkEntry {
     "ivft"       -> (EmbeddingOps.annRecallTrained _),
     "ivfpq"     -> (EmbeddingOps.annRecallPq _),
     "pqt"       -> (EmbeddingOps.annRecallPqTrained _),
+    "pqf"       -> (EmbeddingOps.annRecallPqFull _),
     "pinc"      -> (EmbeddingOps.pqCodesIncremental _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     // Training-data pipeline: multimodal plumbing
@@ -597,14 +598,12 @@ object SparkEntry {
     * ranking. Both PQ gates (seed `ivfpq`, trained `pqt`) compose it,
     * so the encoding law and the j-ordered fold live once.
     */
-  private def pqAdcCtes(corpusCtes: String, cbCtes: String): String = {
+  private def pqAdcCtes(corpusCtes: String, cbCtes: String,
+      centCtes: String = seedCentCtes): String = {
     val m = EmbeddingOps.PqSubspaces
     val sub = 64 / m
     s"""$corpusCtes,
-        cents AS (SELECT vec_id AS cent_id, v AS cv FROM c
-                  ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648,
-                           vec_id
-                  LIMIT ${EmbeddingOps.IvfCentroidK}),
+        $centCtes,
         rk AS (SELECT c.vec_id, c.v, ct.cent_id, ct.cv,
                  row_number() OVER (PARTITION BY c.vec_id ORDER BY
                    (list_sum(list_transform(range(1, len(c.v) + 1), i -> ct.cv[i] * c.v[i])) /
@@ -720,6 +719,32 @@ object SparkEntry {
         SELECT 'ivf_pqt' AS method, n_hits, n_brute, bytes_raw,
                CAST(n_hits AS DOUBLE) / n_brute AS recall,
                CAST(${EmbeddingOps.PqtRecallFloor} AS DOUBLE) AS recall_floor,
+               TRUE AS recall_ok,
+               CAST($bytesPq AS BIGINT) AS bytes_pq,
+               CAST(bytes_raw AS DOUBLE) / $bytesPq AS compression
+        FROM h, d, braw WHERE n_brute > 0"""
+  }
+
+  /** Fully-trained IVF-PQ oracle (`pqf`) — [[pqAdcCtes]] with BOTH
+    * tiers trained: the Lloyd coarse-centroid chain in place of the
+    * seed sample AND the Lloyd codebook chain (whose residuals now
+    * come from the trained assignment, because `asg` derives from the
+    * trained `cents`). Same recall/floor/compression claims as `pqt`.
+    */
+  private def ivfPqfSql(corpusCtes: String): String = {
+    val m = EmbeddingOps.PqSubspaces
+    val k = EmbeddingOps.PqCodebookK
+    val bytesPq = (m * (64 - java.lang.Long.numberOfLeadingZeros(k - 1L).toInt) + 7) / 8
+    s"""WITH ${pqAdcCtes(corpusCtes, pqTrainedCbCtes, trainedCentCtes)},
+        brute AS (SELECT query_id, neighbor_id FROM (${bruteAnnSql(corpusCtes)})),
+        h AS (SELECT CAST(count(*) AS BIGINT) AS n_hits
+              FROM pq a JOIN brute b
+                ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id),
+        d AS (SELECT CAST(count(*) AS BIGINT) AS n_brute FROM brute),
+        braw AS (SELECT CAST(max(len(v)) * 4 AS BIGINT) AS bytes_raw FROM c)
+        SELECT 'ivf_pqf' AS method, n_hits, n_brute, bytes_raw,
+               CAST(n_hits AS DOUBLE) / n_brute AS recall,
+               CAST(${EmbeddingOps.PqfRecallFloor} AS DOUBLE) AS recall_floor,
                TRUE AS recall_ok,
                CAST($bytesPq AS BIGINT) AS bytes_pq,
                CAST(bytes_raw AS DOUBLE) / $bytesPq AS compression
@@ -1854,6 +1879,7 @@ object SparkEntry {
     // the bytes/vector compression claim, both in hash-checked rows.
     "ivfpq" -> ivfPqSql(clusteredCorpusCtes),
     "pqt" -> ivfPqtSql(clusteredCorpusCtes),
+    "pqf" -> ivfPqfSql(clusteredCorpusCtes),
     "pinc" -> pqIncSql(clusteredCorpusCtes),
     "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)

@@ -127,7 +127,10 @@ object DedupOps {
     "bpe_merges"       -> Set("bpenc", "tid", "tdata"),
     "pq_codes"         -> Set("ivfpq"),
     "pq_cbt"           -> Set("pqt"),
-    "pq_codes_t"       -> Set("pqt"))
+    "pq_codes_t"       -> Set("pqt"),
+    "cents_t"          -> Set("ivft", "pqf"),
+    "pqf_cb"           -> Set("pqf"),
+    "pqf_codes"        -> Set("pqf"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -187,7 +190,13 @@ object DedupOps {
       // the trained codebook, so this order prices training and
       // re-encoding separately
       "pq_cbt" -> (() => EmbeddingOps.pqCodebookTrained(spark, dir)),
-      "pq_codes_t" -> (() => EmbeddingOps.pqCodesTrained(spark, dir)))
+      "pq_codes_t" -> (() => EmbeddingOps.pqCodesTrained(spark, dir)),
+      // the fully-trained stack, in dependency order: coarse training,
+      // then codebooks on the trained residuals, then the code index —
+      // so each entry prices exactly its own tier
+      "cents_t" -> (() => EmbeddingOps.centroidsTrainedStage(spark, dir)),
+      "pqf_cb" -> (() => EmbeddingOps.pqfCodebook(spark, dir)),
+      "pqf_codes" -> (() => EmbeddingOps.pqfCodes(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute

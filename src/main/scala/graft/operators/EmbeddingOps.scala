@@ -383,6 +383,17 @@ object EmbeddingOps {
     cents
   }
 
+  /** [[centroidsTrainedOn]] over the clustered corpus as a pinned MEMO
+    * STAGE — coarse-quantizer training is index-build work a
+    * deployment pays once per retrain (priced in Bench's `_substrate`,
+    * the pq_cbt discipline). Consumers: the trained-IVF recall gate
+    * (`ivft`) and the fully-trained PQ stack (`pqf`).
+    */
+  private[operators] def centroidsTrainedStage(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "cents_t") {
+      centroidsTrainedOn(OpCaches.track(clusteredCorpus(spark, dir)))
+    }
+
   /** Per-method recall floors on the clustered corpus. Measured
     * headroom at sf0.01/sf0.1 sits well above each floor (see
     * OperatorSpec); a broken coarse quantizer (wrong cell assignment,
@@ -430,7 +441,7 @@ object EmbeddingOps {
     val brute = OpCaches.track(
       bruteOn(base).select(col("query_id"), col("neighbor_id")))
     val denom = brute.agg(count(lit(1)).as("n_brute"))
-    val ranked2 = ivfRankedWith(base, centroidsTrainedOn(base), 2)
+    val ranked2 = ivfRankedWith(base, centroidsTrainedStage(spark, dir), 2)
     val floor = TrainedRecallFloors.foldLeft(lit(null).cast("double")) {
       case (acc, (m, f)) => when(col("method") === m, lit(f)).otherwise(acc)
     }
@@ -917,6 +928,45 @@ object EmbeddingOps {
         col("jc.j").as("j"), col("jc.code").as("code"))
   }
 
+  // ---- fully-trained IVF-PQ (trained coarse × trained codebooks) ----
+
+  /** The fully-TRAINED PQ context: Lloyd-trained coarse centroids
+    * (the pinned `cents_t` stage) and the nprobe-2 ranked assignment
+    * against them — [[pqContext]] with training in the coarse tier.
+    */
+  private def pqContextTrained(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = OpCaches.track(clusteredCorpus(spark, dir))
+    val cents = centroidsTrainedStage(spark, dir)
+    (base, cents, ivfRankedWith(base, cents, 2))
+  }
+
+  /** Lloyd codebooks trained on the residuals of the TRAINED coarse
+    * assignment — the composed stack's second tier, staged like
+    * [[pqCodebookTrained]] (whose residuals come from the SEED coarse
+    * assignment; that partial tier stays gated as `pqt`).
+    */
+  private[operators] def pqfCodebook(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "pqf_cb") {
+      val (_, cents, ranked) = pqContextTrained(spark, dir)
+      val asg = OpCaches.track(pqResiduals(cents, ranked))
+      val rsub = OpCaches.track(pqRsub(asg))
+      var cb = pqCodebook(asg)
+      (1 to PqLloydIters).foreach { _ =>
+        cb = OpCaches.localCheckpointTracked(pqLloydStep(rsub, cb))
+      }
+      cb
+    }
+
+  /** The composed stack's code index: trained-assignment residuals
+    * encoded against [[pqfCodebook]].
+    */
+  private[operators] def pqfCodes(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "pqf_codes") {
+      val (_, cents, ranked) = pqContextTrained(spark, dir)
+      val asg = OpCaches.track(pqResiduals(cents, ranked))
+      pqEncodeWith(pqRsub(asg), pqfCodebook(spark, dir))
+    }
+
   /** Trained-codebook ADC recall floor — STRICTLY above the seed
     * codebook's [[PqRecallFloor]] 0.6: training must buy recall at the
     * same 10 bytes/vector, not merely preserve it (the same
@@ -936,30 +986,64 @@ object EmbeddingOps {
     * codebook quality, and this row exists to pin exactly that.
     */
   def annRecallPqTrained(spark: SparkSession, dir: String): DataFrame = {
-    val m = PqSubspaces
     val (base, cents, ranked) = pqContext(spark, dir)
     val cb = pqCodebookTrained(spark, dir)
     val codes = pqCodesTrained(spark, dir)
-    val pqTop = topK(pqAdcScores(ranked, cents, cb, codes))
+    adcRecallRow(base, topK(pqAdcScores(ranked, cents, cb, codes)),
+      "ivf_pqt", PqtRecallFloor)
+  }
+
+  /** The shared ADC recall-gate tail: recall of `pqTop` against the
+    * exact brute reference over `base`, with the floor and the
+    * bytes/vector compression claims in hash-checked rows — one
+    * definition for the trained-codebook (`pqt`) and fully-trained
+    * (`pqf`) gates.
+    */
+  private def adcRecallRow(base: DataFrame, pqTop: DataFrame,
+      method: String, floor: Double): DataFrame = {
     val brute = OpCaches.track(
       bruteOn(base).select(col("query_id"), col("neighbor_id")))
     val denom = brute.agg(count(lit(1)).as("n_brute"))
     val bytesRaw = base.agg((max(size(col("v"))) * 4).cast("long").as("bytes_raw"))
-    val bytesPq = (m * (64 - java.lang.Long.numberOfLeadingZeros(
+    val bytesPq = (PqSubspaces * (64 - java.lang.Long.numberOfLeadingZeros(
       PqCodebookK - 1L).toInt) + 7) / 8
     pqTop.select(col("query_id"), col("neighbor_id"))
       .join(brute, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("n_hits"))
-      .select(lit("ivf_pqt").as("method"), col("n_hits"))
+      .select(lit(method).as("method"), col("n_hits"))
       .crossJoin(broadcast(denom))
       .filter(col("n_brute") > 0)
       .crossJoin(broadcast(bytesRaw))
       .withColumn("recall", col("n_hits").cast("double") / col("n_brute"))
-      .withColumn("recall_floor", lit(PqtRecallFloor))
+      .withColumn("recall_floor", lit(floor))
       .withColumn("recall_ok", col("recall") >= col("recall_floor"))
       .withColumn("bytes_pq", lit(bytesPq.toLong))
       .withColumn("compression",
         col("bytes_raw").cast("double") / col("bytes_pq"))
+  }
+
+  /** Fully-trained ADC recall floor — the composed stack must clear
+    * the best PARTIAL tier's floor (`pqt`'s 0.7) at the same
+    * 10 bytes/vector; the spec additionally asserts composed recall ≥
+    * max(seed-codebook `ivfpq`, trained-codebook `pqt`) on the same
+    * corpus — the trained ≥ seed contract in its final form. Measured
+    * (deterministic): 0.92 / 0.93 / 0.83 at sf0.001/0.01/0.1, vs
+    * `pqt`'s 0.86 / 0.84 / 0.72 and `ivfpq`'s ADC 0.76 / 0.77 / 0.67.
+    */
+  val PqfRecallFloor = 0.7
+
+  /** The COMPOSED fully-trained IVF-PQ gate: Lloyd-trained coarse
+    * cells ([[centroidsTrainedStage]]), Lloyd codebooks trained on the
+    * residuals of the TRAINED assignment ([[pqfCodebook]]), the same
+    * encoding law, ADC fold, and 10 bytes/vector as every other PQ
+    * tier. This closes the stack: `ivfpq` trains neither tier, `pqt`
+    * trains only the codebook — this row trains both.
+    */
+  def annRecallPqFull(spark: SparkSession, dir: String): DataFrame = {
+    val (base, cents, ranked) = pqContextTrained(spark, dir)
+    adcRecallRow(base,
+      topK(pqAdcScores(ranked, cents, pqfCodebook(spark, dir), pqfCodes(spark, dir))),
+      "ivf_pqf", PqfRecallFloor)
   }
 
   val NeardupBands = 8

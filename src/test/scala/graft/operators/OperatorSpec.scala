@@ -114,6 +114,29 @@ class OperatorSpec extends AnyFunSuite {
       s"training RAISED quantization distortion: $dTrained > $dSeed")
   }
 
+  test("fully-trained IVF-PQ: composed recall ≥ max of the partial tiers") {
+    val dir = "/root/testdata/sf0.01"
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select("recall").collect().head.getDouble(0)
+    val seedSeed = recallOf(EmbeddingOps.annRecallPq(spark, dir))
+    val seedCoarse = recallOf(EmbeddingOps.annRecallPqTrained(spark, dir))
+    val composedDf = EmbeddingOps.annRecallPqFull(spark, dir).collect().head
+    DedupOps.releaseTransients(spark)
+    val composed = composedDf.getAs[Double]("recall")
+    // the trained ≥ seed contract, final form: training BOTH tiers must
+    // do at least as well as training either alone (measured: 0.93 vs
+    // 0.84/0.77 at this SF) — a composition bug (codebook trained on
+    // the wrong tier's residuals, probe against stale cells) shows up
+    // here before it drags recall below the floor
+    assert(composed >= math.max(seedSeed, seedCoarse),
+      s"composed recall $composed below a partial tier " +
+        s"(seed-codebook $seedSeed, trained-codebook $seedCoarse)")
+    assert(composed >= EmbeddingOps.PqfRecallFloor,
+      s"composed recall $composed below floor ${EmbeddingOps.PqfRecallFloor}")
+    // both tiers trained, same 10 bytes/vector — compression unchanged
+    assert(composedDf.getAs[Long]("bytes_pq") === 10L)
+  }
+
   test("pqCodesIncremental: append-path codes ≡ full re-encode, encode work ∝ delta") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.01"
