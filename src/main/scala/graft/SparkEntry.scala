@@ -98,6 +98,7 @@ object SparkEntry {
     "tid"        -> (TextOps.bpeTokenIds _),
     "wfp"        -> (TextOps.winnowFingerprints _),
     "wsim"       -> (TextOps.winnowOverlapPairs _),
+    "winc"       -> (TextOps.winnowOverlapDelta _),
     "qual"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
     "tfp"       -> (TextOps.textFingerprint _),
@@ -1676,6 +1677,23 @@ object SparkEntry {
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(count(*) AS BIGINT) AS n_shared
           FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}
+          ORDER BY 1, 2""",
+    // TextOps.winnowOverlapDelta: the incremental probe must find
+    // EXACTLY the full attribution query's delta-touching pairs, with
+    // identical shared counts — probe-vs-index ≡ self-join restricted
+    // to the delta, because both paths read the same kept selection.
+    "winc" ->
+      s"""WITH $winnowCtes,
+          fps AS (SELECT DISTINCT doc_id, CAST(wm >> 20 AS BIGINT) AS fp
+                  FROM sel),
+          k AS (SELECT doc_id, fp FROM (
+                  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                  FROM fps) WHERE df <= ${TextOps.WinnowMaxDf})
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
           GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}
           ORDER BY 1, 2""",
     "qual" -> {

@@ -574,22 +574,65 @@ object TextOps {
     * input is a small sketch of the corpus, not the corpus.
     */
   def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
+    val kept = winnowKept(spark, dir)
+    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The df-capped (fp, doc_id) kept selection — the attribution
+    * index every winnowing consumer joins (the full self-join `wsim`,
+    * the incremental probe `winc`, the matched-extent report, the
+    * streaming face). df via a window over the SAME fp partitioning
+    * the pair join needs — the filter composes with the join's
+    * clustering instead of adding a second fp shuffle (a broadcast of
+    * the df frame would be wrong at scale: distinct fingerprints grow
+    * with the corpus). Materialized once per (session, dir) via the
+    * plan-keyed track cache, so consumers in one process share it.
+    */
+  private[graft] def winnowKept(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // df via a window over the SAME fp partitioning the pair join
-    // needs — the filter composes with the join's clustering instead
-    // of adding a second fp shuffle (a broadcast of the df frame would
-    // be wrong at scale: distinct fingerprints grow with the corpus).
-    // The kept frame is materialized once for both join sides.
-    val kept = OpCaches.track(
+    OpCaches.track(
       winnowFingerprints(spark, dir)
         .select(col("doc_id"), col("fp")).distinct()
         .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("__df") <= WinnowMaxDf)
         .select(col("fp"), col("doc_id")))
-    val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
-    val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("fp"))
+  }
+
+  /** INCREMENTAL winnowing attribution — the `dinc` analog for
+    * [[winnowOverlapPairs]]: only pairs TOUCHING the delta (the
+    * arriving shard — the shared DedupOps delta predicate) are
+    * re-derived, by probing the STANDING kept index with the delta
+    * docs' fingerprints instead of self-joining the whole index.
+    * Candidate work is ∝ |delta| · df (the stop-fingerprint cap bounds
+    * every block, read from the STANDING index — full-corpus document
+    * frequencies, exactly what a daily refresh would have on disk).
+    * delta↔base pairs emit once in canonical orientation via
+    * least/greatest; delta↔delta pairs come from the probe's
+    * self-join half (a < b), so nothing double-counts. The oracle pins
+    * probe ≡ the full `wsim` restricted to delta-touching pairs —
+    * per-pair shared counts included, which holds because the kept
+    * fingerprint sets are identical on both paths.
+    */
+  def winnowOverlapDelta(spark: SparkSession, dir: String): DataFrame = {
+    val kept = winnowKept(spark, dir)
+    val probe = kept.filter(DedupOps.deltaPredOn(col("doc_id")))
+    val base = kept.filter(!DedupOps.deltaPredOn(col("doc_id")))
+    val db = probe.select(col("fp"), col("doc_id").as("pd"))
+      .join(base.select(col("fp"), col("doc_id").as("bd")), Seq("fp"))
+      .select(least(col("pd"), col("bd")).as("doc_a"),
+        greatest(col("pd"), col("bd")).as("doc_b"))
+    val dd = probe.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(probe.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    db.unionByName(dd)
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
@@ -629,6 +672,35 @@ object TextOps {
       .select(col("doc_id"),
         col("wm").bitwiseAND(lit(1048575L)).as("fpos"),
         shiftright(col("wm"), 20).as("fp"))
+  }
+
+  /** Each document's DISTINCT selected fingerprint set as ONE
+    * row-local array column — [[winnowRowLocal]]'s selection with the
+    * positions dropped and the hashes deduped in-row: the probe shape
+    * the streaming attribution face ships per arriving document
+    * (DocStream.attributeDocs). Docs without a full window emit an
+    * empty array.
+    */
+  private[graft] def winnowFpSet(docs: DataFrame): DataFrame = {
+    val (k, w) = (WinnowK, WinnowW)
+    val toks = tokens(col("text"))
+    def keyAt(i: Column): Column =
+      conv(substring(md5(concat_ws(" ", slice(toks, i + 1, lit(k)))), 1, 10),
+        16, 10).cast("long") * lit(1048576L) + i.cast("long")
+    val keys = transform(sequence(lit(0), size(toks) - k), i => keyAt(i))
+    val sel = when(size(toks) - k + 1 >= w, array_distinct(
+      transform(
+        array_distinct(transform(sequence(lit(0), size(toks) - k - w + 1),
+          t => array_min(slice(keys, t + 1, lit(w))))),
+        wm => shiftright(wm, 20))))
+      .otherwise(array().cast("array<bigint>"))
+    docs
+      .withColumn("__ck", assert_true(
+        coalesce(size(toks) - k, lit(0)) < lit(1048576),
+        lit("winnowing position >= 2^20: packed key would overflow — " +
+          "chunk the document or widen the position field")))
+      .filter(col("__ck").isNull)
+      .select(col("doc_id"), sel.as("fps"))
   }
 
   /** Repetition quality signals (the Gopher-rules family — Rae et al.

@@ -183,6 +183,45 @@ object DocStream {
   def fingerprintDocs(docs: DataFrame): DataFrame =
     graft.operators.TextOps.winnowRowLocal(docs)
 
+  /** Streaming winnowing ATTRIBUTION — arriving docs probe the
+    * standing df-capped fingerprint index (TextOps.winnowKept), the
+    * deltaNearDups recipe applied to the MOSS tier: the arriving
+    * doc's fingerprint SET is one row-local array
+    * (TextOps.winnowFpSet), candidates come from ONE stream-static
+    * equi-join on the fingerprint (work ∝ arriving fps × df, bounded
+    * by the standing index's WinnowMaxDf cap), and the shared count
+    * is a row-local array_intersect against the matched doc's kept
+    * array — no shuffle of the stream, no state except the final pair
+    * dedup. The arriving side needs NO df filter of its own: a
+    * fingerprint over the cap was dropped from the standing index, so
+    * it can neither match a candidate nor appear in the intersected
+    * kept arrays — stream ≡ batch winnowOverlapDelta by construction
+    * (StreamingSpec pins it pair-for-pair, counts included).
+    * docs: streaming frame with (doc_id LONG, text STRING).
+    */
+  def attributeDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    import graft.operators.TextOps
+    val kept = TextOps.winnowKept(spark, dir)
+    val keptArr = kept.groupBy("doc_id")
+      .agg(collect_set(col("fp")).as("i_fps"))
+      .select(col("doc_id").as("i_doc"), col("i_fps"))
+    val probe = TextOps.winnowFpSet(docs)
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id").as("p_doc"), col("fps").as("p_fps"))
+    probe
+      .select(col("p_doc"), col("p_fps"), explode(col("p_fps")).as("fp"))
+      .join(kept.select(col("fp"), col("doc_id").as("i_doc")), Seq("fp"))
+      .filter(col("p_doc") =!= col("i_doc"))
+      .join(keptArr, Seq("i_doc"))
+      .withColumn("n_shared",
+        size(array_intersect(col("p_fps"), col("i_fps"))).cast("long"))
+      .filter(col("n_shared") >= TextOps.WinnowMinShared)
+      .select(least(col("p_doc"), col("i_doc")).as("doc_a"),
+        greatest(col("p_doc"), col("i_doc")).as("doc_b"),
+        col("n_shared"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** STANDING label state for the streaming incremental-dedup refresh
     * — the in-memory twin of the `base_labels` memo stage. Each
     * micro-batch's near-dup pairs merge in through exactly the batch

@@ -217,6 +217,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(rowLocal === batch)
   }
 
+  test("winnowOverlapDelta ≡ full attribution restricted to delta-touching pairs") {
+    // probe-vs-index must find EXACTLY the self-join's delta-touching
+    // pairs with identical shared counts — the incremental-refresh
+    // theorem the winc oracle also pins, machine-checked here against
+    // the live full query (both read one kept selection)
+    val dir = "/root/testdata/sf0.01"
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = keyed(TextOps.winnowOverlapPairs(spark, dir))
+    val probe = keyed(TextOps.winnowOverlapDelta(spark, dir))
+    DedupOps.releaseTransients(spark)
+    val expected = full.filter { case ((a, b), _) => a % 5 == 0 || b % 5 == 0 }
+    assert(probe.nonEmpty, "delta probe found no pairs — fixture degenerate")
+    assert(probe === expected,
+      s"probe ${probe.size} pairs vs restricted full ${expected.size}")
+  }
+
   test("winnowFingerprints: the winnowing guarantee holds on every document") {
     import org.apache.spark.sql.functions.col
     val sel = TextOps.winnowFingerprints(spark, sf).collect()

@@ -227,6 +227,31 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed fingerprints (${streamed.size}) diverged from batch (${batch.size})")
   }
 
+  test("streaming winnowing attribution ≡ batch winnowOverlapDelta, counts included") {
+    // the arriving shard (the delta predicate's slice) streams against
+    // the standing df-capped fingerprint index; pairs AND shared
+    // counts must match the batch probe (same kept selection on both
+    // paths; the arriving side needs no df filter of its own — see
+    // DocStream.attributeDocs)
+    val dir = "/root/testdata/sf0.01"
+    val docsSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .filter(col("doc_id") % 5 === 0)
+    runToCompletion(DocStream.attributeDocs(spark, stream, dir),
+      "winc_stream", "append")
+    val streamed = spark.table("winc_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.TextOps.winnowOverlapDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed.nonEmpty && streamed === batch,
+      s"stream ${streamed.size} pairs vs batch ${batch.size}")
+  }
+
   test("streaming PQ encode ≡ batch pqCodesIncremental, code for code") {
     // the arriving shard (the batch fixture's delta slice) streams in
     // two micro-batches; row-local encoding against the collected
