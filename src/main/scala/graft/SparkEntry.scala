@@ -99,6 +99,7 @@ object SparkEntry {
     "wfp"        -> (TextOps.winnowFingerprints _),
     "wsim"       -> (TextOps.winnowOverlapPairs _),
     "winc"       -> (TextOps.winnowOverlapDelta _),
+    "wext"       -> (TextOps.winnowExtents _),
     "qual"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
     "tfp"       -> (TextOps.textFingerprint _),
@@ -1696,6 +1697,55 @@ object SparkEntry {
           WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
           GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}
           ORDER BY 1, 2""",
+    // TextOps.winnowExtents: kept shared fingerprints WITH positions,
+    // gaps-and-islands over the (pa, pb) order — a new run whenever
+    // either position fails to advance or jumps more than w — then
+    // per-run spans (token end = gram pos + k − 1), ≥2 fps per extent,
+    // pairs restricted to the flagged set. WHERE runs before window
+    // functions in the final SELECT, matching Spark's filter-then-rank.
+    "wext" -> {
+      val (k, g) = (TextOps.WinnowK, TextOps.WinnowW)
+      s"""WITH $winnowCtes,
+          fps AS (SELECT DISTINCT doc_id, CAST(wm >> 20 AS BIGINT) AS fp
+                  FROM sel),
+          kk AS (SELECT doc_id, fp FROM (
+                  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                  FROM fps) WHERE df <= ${TextOps.WinnowMaxDf}),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM kk a JOIN kk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}),
+          sl AS (SELECT s.doc_id, CAST(s.wm & 1048575 AS BIGINT) AS fpos,
+                        CAST(s.wm >> 20 AS BIGINT) AS fp
+                 FROM sel s JOIN kk
+                   ON kk.doc_id = s.doc_id AND kk.fp = CAST(s.wm >> 20 AS BIGINT)),
+          m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.fpos AS pa, b.fpos AS pb
+                FROM sl a JOIN sl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN pr ON pr.doc_a = a.doc_id AND pr.doc_b = b.doc_id),
+          fl AS (SELECT *, CASE WHEN ppa IS NULL
+                   OR pa <= ppa OR pa - ppa > $g
+                   OR pb <= ppb OR pb - ppb > $g THEN 1 ELSE 0 END AS brk
+                 FROM (SELECT *, lag(pa) OVER wo AS ppa, lag(pb) OVER wo AS ppb
+                       FROM m
+                       WINDOW wo AS (PARTITION BY doc_a, doc_b ORDER BY pa, pb))),
+          rn AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY doc_a, doc_b
+                   ORDER BY pa, pb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run
+                 FROM fl),
+          ex AS (SELECT doc_a, doc_b, run,
+                   MIN(pa) AS a_start, MAX(pa) AS ma,
+                   MIN(pb) AS b_start, MAX(pb) AS mb,
+                   CAST(COUNT(*) AS BIGINT) AS n_fp
+                 FROM rn GROUP BY 1, 2, 3)
+          SELECT doc_a, doc_b,
+                 CAST(row_number() OVER (PARTITION BY doc_a, doc_b
+                   ORDER BY a_start, b_start) AS BIGINT) AS ext,
+                 a_start, ma + ${k - 1} AS a_end,
+                 b_start, mb + ${k - 1} AS b_end, n_fp
+          FROM ex WHERE n_fp >= 2
+          ORDER BY doc_a, doc_b, ext"""
+    },
     "qual" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)

@@ -516,7 +516,15 @@ object TextOps {
     * like every other narrow text pass. Docs with fewer than w
     * complete k-grams emit no rows (the guarantee's minimum unit).
     */
-  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowSelection(spark, dir).orderBy("doc_id", "fpos")
+
+  /** The selection without the presentation sort — the (doc_id, fpos,
+    * fp) frame every winnowing consumer derives from (`wfp` adds the
+    * sort; the kept index, the extent report, and the probes consume
+    * it mid-plan, where a global sort would only add an exchange).
+    */
+  private def winnowSelection(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (k, w) = (WinnowK, WinnowW)
     val toks = Tables.documents(spark, dir)
@@ -573,8 +581,14 @@ object TextOps {
     * selection is ~2/(w+1) of gram positions per doc, so the join
     * input is a small sketch of the corpus, not the corpus.
     */
-  def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame = {
-    val kept = winnowKept(spark, dir)
+  def winnowOverlapPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsFrom(winnowKept(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** The fingerprint-blocked pair aggregation over an explicit kept
+    * index — shared by the full attribution query and the extent
+    * report's pair restriction.
+    */
+  private def winnowPairsFrom(kept: DataFrame): DataFrame = {
     val a = kept.select(col("fp"), col("doc_id").as("doc_a"))
     val b = kept.select(col("fp"), col("doc_id").as("doc_b"))
     a.join(b, Seq("fp"))
@@ -582,7 +596,6 @@ object TextOps {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The df-capped (fp, doc_id) kept selection — the attribution
@@ -598,7 +611,7 @@ object TextOps {
   private[graft] def winnowKept(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     OpCaches.track(
-      winnowFingerprints(spark, dir)
+      winnowSelection(spark, dir)
         .select(col("doc_id"), col("fp")).distinct()
         .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("__df") <= WinnowMaxDf)
@@ -637,6 +650,71 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= WinnowMinShared)
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** MOSS MATCHED-EXTENT reporting — what the attribution pairs are
+    * FOR: for every flagged pair, the maximal runs of position-
+    * adjacent shared fingerprints, i.e. the matched REGIONS a
+    * reviewer actually reads. Matches are the kept (df-capped) shared
+    * fingerprints with both documents' positions; ordered by
+    * (pa, pb) per pair, a new run starts whenever either position
+    * fails to advance or jumps by more than [[WinnowW]] — inside a
+    * genuinely shared region the two docs select the SAME fingerprints
+    * at aligned offsets (the packed key's tie-break is position-local,
+    * but hash order dominates), so consecutive shared selections sit
+    * ≤ w grams apart in BOTH docs and one run covers the region.
+    * Emitted extents carry token spans (`*_end` = last gram position
+    * + k − 1) and need ≥ 2 fingerprints (a single collision is not an
+    * extent). Corollary of the winnowing guarantee, spec-pinned: a
+    * shared run of ≥ 2·(w+k−1) tokens yields an extent.
+    *
+    * Scale shape: matches are one fp-blocked equi-join of the
+    * selection against itself — the SAME Σ df² bound as the pair
+    * query (df cap from the kept index, pairs restricted to the
+    * flagged set) — plus one (pair)-partitioned window; per-pair match
+    * counts are sketch-sized, never document-sized.
+    */
+  def winnowExtents(spark: SparkSession, dir: String): DataFrame = {
+    val kept = winnowKept(spark, dir)
+    winnowExtentsFrom(
+      winnowSelection(spark, dir).join(kept, Seq("fp", "doc_id"), "left_semi"),
+      winnowPairsFrom(kept).select("doc_a", "doc_b"))
+      .orderBy("doc_a", "doc_b", "ext")
+  }
+
+  /** [[winnowExtents]]' core over an explicit kept selection
+    * (doc_id, fpos, fp) and flagged pair frame — the spec surface for
+    * the guarantee-corollary fixture (planted shared runs through the
+    * row-local selection).
+    */
+  private[graft] def winnowExtentsFrom(sel: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (k, g) = (WinnowK, WinnowW)
+    val a = sel.select(col("doc_id").as("doc_a"), col("fpos").as("pa"), col("fp"))
+    val b = sel.select(col("doc_id").as("doc_b"), col("fpos").as("pb"), col("fp"))
+    val m = a.join(b, Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .join(pairs, Seq("doc_a", "doc_b"), "left_semi")
+    val wOrd = Window.partitionBy("doc_a", "doc_b").orderBy("pa", "pb")
+    val runs = m
+      .withColumn("ppa", lag(col("pa"), 1).over(wOrd))
+      .withColumn("ppb", lag(col("pb"), 1).over(wOrd))
+      .withColumn("brk", when(col("ppa").isNull ||
+        col("pa") <= col("ppa") || col("pa") - col("ppa") > g ||
+        col("pb") <= col("ppb") || col("pb") - col("ppb") > g, 1L).otherwise(0L))
+      .withColumn("run", sum("brk").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy("doc_a", "doc_b", "run")
+      .agg(min("pa").as("a_start"), max("pa").as("__ma"),
+        min("pb").as("b_start"), max("pb").as("__mb"),
+        count(lit(1)).as("n_fp"))
+      .filter(col("n_fp") >= 2)
+      .withColumn("ext", row_number().over(
+        Window.partitionBy("doc_a", "doc_b").orderBy("a_start", "b_start"))
+        .cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("ext"),
+        col("a_start"), (col("__ma") + (k - 1)).as("a_end"),
+        col("b_start"), (col("__mb") + (k - 1)).as("b_end"), col("n_fp"))
   }
 
   /** [[winnowFingerprints]] as a fully ROW-LOCAL projection over an

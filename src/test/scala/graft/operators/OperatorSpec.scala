@@ -234,6 +234,41 @@ class OperatorSpec extends AnyFunSuite {
       s"probe ${probe.size} pairs vs restricted full ${expected.size}")
   }
 
+  test("winnowExtents: a shared run of 2(w+k-1) tokens yields a multi-fp extent") {
+    // the guarantee corollary: inside a shared region both docs select
+    // identical fingerprints at aligned offsets with gaps ≤ w, so a
+    // region of ≥ 2(w+k−1) tokens must produce ≥2 shared selections
+    // that the gaps-and-islands pass joins into ONE extent
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val (k, w) = (TextOps.WinnowK, TextOps.WinnowW)
+    val L = 2 * (w + k - 1)
+    val shared = (1 to L).map(i => s"shr$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $shared tail1 tail2 tail3"),
+      (2L, s"one two $shared other words entirely here now")).toDF("doc_id", "text")
+    val sel = TextOps.winnowRowLocal(docs)
+      .select(col("doc_id"), col("fpos"), col("fp"))
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val ext = TextOps.winnowExtentsFrom(sel, pairs).collect()
+    assert(ext.nonEmpty, "no extent from a guarantee-length shared run")
+    val best = ext.maxBy(_.getAs[Long]("n_fp"))
+    assert(best.getAs[Long]("n_fp") >= 2,
+      s"extent has ${best.getAs[Long]("n_fp")} fps — corollary violated")
+    // the extent's spans must lie inside each doc's copy of the region
+    // (fingerprints anchor inside the shared tokens; spans may extend
+    // k−1 tokens past the last anchored gram)
+    val (aLo, aHi) = (6L, 6L + L - 1 + (k - 1))
+    val (bLo, bHi) = (2L, 2L + L - 1 + (k - 1))
+    assert(best.getAs[Long]("a_start") >= aLo && best.getAs[Long]("a_end") <= aHi,
+      s"extent a-span outside the planted region: $best")
+    assert(best.getAs[Long]("b_start") >= bLo && best.getAs[Long]("b_end") <= bHi,
+      s"extent b-span outside the planted region: $best")
+    // aligned region ⇒ constant offset between the two docs' anchors
+    assert(best.getAs[Long]("a_start") - best.getAs[Long]("b_start") === aLo - bLo,
+      s"extent anchors not aligned: $best")
+  }
+
   test("winnowFingerprints: the winnowing guarantee holds on every document") {
     import org.apache.spark.sql.functions.col
     val sel = TextOps.winnowFingerprints(spark, sf).collect()
