@@ -605,7 +605,7 @@ object DedupOps {
     * singleton cluster. One cluster-shuffle feeds both windows over
     * the same sort.
     */
-  private def keepVerdicts(clusters: DataFrame, scored: DataFrame): DataFrame = {
+  private[operators] def keepVerdicts(clusters: DataFrame, scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = scored.join(clusters, Seq("doc_id"), "left_outer")
       .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
@@ -707,35 +707,58 @@ object DedupOps {
 
   /** The FULL refresh transaction over explicit standing state —
     * labels AND retention verdicts: [[dedupKeepIncremental]]'s plan
-    * applied per micro-batch. Touched clusters (standing label ∈
-    * mapping nodes — exact, same argument as the batch refresh)
-    * re-elect through the one shared [[keepVerdicts]] policy with
-    * quality read from the STANDING verdict table (scores are
-    * immutable per doc); untouched rows carry verbatim via one
-    * anti-join. Both merged frames localCheckpoint (they are the next
-    * batch's state). A cluster's verdict is recomputed exactly when
-    * its membership last changed, and verdicts are a pure function of
-    * (final membership, immutable scores), so N batched merges land
-    * on the batch refresh's verdict table — StreamingSpec pins it.
-    *
-    * Production note (same caveat as [[freshQualityInput]]): docs
-    * absent from the standing table would need one delta-filtered
-    * quality scan before merging; the gated fixture has none, so this
-    * transaction deliberately takes no text input at all.
+    * applied per micro-batch, plus ADMISSION of genuinely new
+    * documents. `freshQuality` carries the arriving shard's
+    * (doc_id, quality_score) rows — the transaction's only
+    * text-derived input, delta-sized by construction; docs absent
+    * from the standing verdict table enter as keep=true singletons
+    * with their fresh score (the common production case: a brand-new
+    * doc, pairless or about to be bridged by this batch's pairs).
+    * Touched clusters (standing label ∈ mapping nodes — exact, same
+    * argument as the batch refresh) then re-elect through the one
+    * shared [[keepVerdicts]] policy with quality read from the
+    * (admission-grown) standing table; untouched rows carry verbatim
+    * via one anti-join. Both merged frames localCheckpoint (they are
+    * the next batch's state). A cluster's verdict is recomputed
+    * exactly when its membership last changed, and verdicts are a
+    * pure function of (final membership, immutable scores), so N
+    * batched merges land on the batch refresh's verdict table —
+    * StreamingSpec pins it; OperatorSpec pins the fresh-admission
+    * fixture (new docs bridged into standing clusters) against the
+    * from-scratch chain.
     */
   private[graft] def mergeRefreshIntoStanding(standingLabels: DataFrame,
-      standingKeep: DataFrame, pairs: DataFrame): (DataFrame, DataFrame) = {
+      standingKeep: DataFrame, pairs: DataFrame,
+      freshQuality: DataFrame): (DataFrame, DataFrame) = {
     val cols = Seq("doc_id", "cluster", "quality_score",
       "keep", "kept_doc", "n_members").map(col)
+    // admission — checkpointed: singleton rows are read by several
+    // branches below, and their lineage carries the caller's quality
+    // scan
+    val singles = OpCaches.localCheckpointTracked(freshQuality
+      .join(standingKeep.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"),
+        col("quality_score"), lit(true).as("keep"),
+        col("doc_id").as("kept_doc"), lit(1L).as("n_members")))
+    val keep0 = standingKeep.select(cols: _*)
+      .unionByName(singles.select(cols: _*))
     val m = OpCaches.track(contractedMapping(standingLabels, pairs))
     val newLabels = OpCaches.localCheckpointTracked(
       applyMapping(standingLabels, m))
     val touched = newLabels
       .join(m.select("lbl").distinct(), Seq("lbl"))
       .select(col("id").as("doc_id"), col("lbl").as("cluster"))
-    val scores = standingKeep.select(col("doc_id"), col("quality_score"))
+    // silent-drop guard (r16 advice): a touched doc scored NOWHERE —
+    // neither standing nor admitted this batch — would vanish from its
+    // cluster's verdict rows; fail loudly instead
+    val unscored = touched.select("doc_id")
+      .join(keep0.select("doc_id"), Seq("doc_id"), "left_anti")
+    require(unscored.isEmpty,
+      "refresh touched documents with neither a standing verdict nor a " +
+        "fresh quality row — pass the arriving shard's scores in freshQuality")
+    val scores = keep0.select(col("doc_id"), col("quality_score"))
       .join(touched.select("doc_id"), Seq("doc_id"))
-    val untouched = standingKeep
+    val untouched = keep0
       .join(m.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
     val newKeep = OpCaches.localCheckpointTracked(
       untouched.select(cols: _*)

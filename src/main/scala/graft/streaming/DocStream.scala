@@ -252,33 +252,36 @@ object DocStream {
 
   /** The FULL standing refresh state — labels AND retention verdicts,
     * the streaming face of `linc` end-to-end: each micro-batch's pairs
-    * run DedupOps.mergeRefreshIntoStanding (contract → converge →
-    * relabel → re-elect touched clusters from standing scores → carry
-    * untouched). After N batches the verdict table equals the one-shot
-    * batch refresh's (verdicts are a pure function of final membership
-    * and immutable scores; membership merging is order-independent).
+    * AND arriving-doc quality rows run
+    * DedupOps.mergeRefreshIntoStanding (admit new docs as keep
+    * singletons → contract → converge → relabel → re-elect touched
+    * clusters from standing scores → carry untouched). After N batches
+    * the verdict table equals the one-shot batch refresh's (verdicts
+    * are a pure function of final membership and immutable scores;
+    * membership merging is order-independent, and admission is
+    * idempotent — a doc admits once and reads from standing forever
+    * after).
     */
   final class StandingState(initialLabels: DataFrame, initialKeep: DataFrame) {
     private var labels: DataFrame = initialLabels
     private var keep: DataFrame = initialKeep
     def labelsFrame: DataFrame = synchronized(labels)
     def keepFrame: DataFrame = synchronized(keep)
-    def merge(pairs: DataFrame): Unit = synchronized {
-      if (!pairs.isEmpty) {
-        val (l2, k2) = graft.operators.DedupOps
-          .mergeRefreshIntoStanding(labels, keep, pairs)
-        labels = l2
-        keep = k2
-      }
+    def merge(pairs: DataFrame, freshQuality: DataFrame): Unit = synchronized {
+      val (l2, k2) = graft.operators.DedupOps
+        .mergeRefreshIntoStanding(labels, keep, pairs, freshQuality)
+      labels = l2
+      keep = k2
     }
   }
 
-  /** The shared sink shape of both maintain* faces: [[deltaNearDups]]'
-    * pair stream into a foreachBatch merge callback. foreachBatch is
-    * the right sink because the merge is a TRANSACTION against
-    * standing state (mapping build + relabel + checkpoint), not a
-    * row-append; the pair stream itself stays the stream-static probe
-    * deltaNearDups documents.
+  /** The label face's sink shape: [[deltaNearDups]]' pair stream into
+    * a foreachBatch merge callback. foreachBatch is the right sink
+    * because the merge is a TRANSACTION against standing state
+    * (mapping build + relabel + checkpoint), not a row-append; the
+    * pair stream itself stays the stream-static probe deltaNearDups
+    * documents. (The full refresh face needs the DOCS per batch — see
+    * [[maintainRefresh]] — so it streams documents instead.)
     */
   private def maintainWith(spark: SparkSession, docs: DataFrame, dir: String,
       threshold: Double)(
@@ -290,14 +293,30 @@ object DocStream {
       .foreachBatch { (batch: DataFrame, _: Long) => merge(batch) }
       .start()
 
-  /** [[maintainLabels]] extended to the full refresh: the pair stream
-    * maintains labels AND retention verdicts in the supplied
+  /** [[maintainLabels]] extended to the full refresh: each micro-batch
+    * of arriving DOCS becomes one standing-state transaction — the
+    * batch frame probes the standing index for pairs (the same
+    * [[deltaNearDups]] logic, run as plain batch code inside
+    * foreachBatch) and its row quality is scored ONCE (delta-sized
+    * text work, the refresh's only text input), so genuinely new
+    * documents admit as keep singletons and pair-bridged clusters
+    * re-elect — labels AND verdicts maintained in the supplied
     * [[StandingState]].
     */
   def maintainRefresh(spark: SparkSession, docs: DataFrame, dir: String,
       state: StandingState,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
-    maintainWith(spark, docs, dir, threshold)(state.merge)
+    docs.select(col("doc_id"), col("text"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val pairs = deltaNearDups(spark, batch, dir, threshold)
+          .select(col("doc_a"), col("doc_b"))
+        val fresh = graft.operators.TextOps.textQualityOn(batch)
+          .select(col("doc_id"), col("quality_score"))
+        state.merge(pairs, fresh)
+      }
+      .start()
 
   /** Streaming face of the incremental label refresh: each micro-batch
     * of pairs merges into the supplied [[StandingLabels]].

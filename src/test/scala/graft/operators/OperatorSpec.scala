@@ -217,6 +217,70 @@ class OperatorSpec extends AnyFunSuite {
     assert(rowLocal === batch)
   }
 
+  test("refresh with genuinely NEW docs: fresh scores admit, standing reads, ≡ from-scratch") {
+    // the common production case the gated fixture cannot reach (its
+    // delta is a corpus subset): arriving docs ABSENT from standing
+    // state. Pins (a) their quality is taken from the fresh input,
+    // (b) base docs' rows read standing state verbatim, (c) the merged
+    // verdict table equals the from-scratch chain over the union
+    // corpus — including a pairless new doc admitted as a singleton.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def q(docs: org.apache.spark.sql.DataFrame) =
+      TextOps.textQualityOn(docs).select(col("doc_id"), col("quality_score"))
+    val baseDocs = Seq(
+      (1L, "the cat sat on the mat and looked at the dog for a while"),
+      (2L, "the cat sat on the mat and looked at the dog for hours"),
+      (3L, "completely unrelated text about spark physical plans"),
+      (4L, "another unrelated document about window functions"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "the cat sat on the mat and looked at the dog for a bit"),
+      (11L, "a brand new pairless document that just arrived today"))
+      .toDF("doc_id", "text")
+    val basePairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val deltaPairs = Seq((2L, 10L)).toDF("doc_a", "doc_b")
+    val emptyLabels = Seq.empty[(Long, Long)].toDF("id", "lbl")
+    val standingLabels = DedupOps.contractedMapping(emptyLabels, basePairs)
+    val standingKeep = DedupOps.keepVerdicts(
+      standingLabels.select(col("id").as("doc_id"), col("lbl").as("cluster")),
+      q(baseDocs))
+      .select("doc_id", "cluster", "quality_score", "keep", "kept_doc", "n_members")
+    val (mergedLabels, mergedKeep) = DedupOps.mergeRefreshIntoStanding(
+      standingLabels, standingKeep, deltaPairs, q(newDocs))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("cluster"),
+        r.getAs[Double]("quality_score"), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("kept_doc"), r.getAs[Long]("n_members")))
+    }.toMap
+    val merged = keyed(mergedKeep)
+    val lbl = mergedLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // standing collected BEFORE releaseTransients: the standing frame
+    // is lazy over the checkpointed labels — reading it after the
+    // release would recompute through freed checkpoint blocks
+    val standing = keyed(standingKeep)
+    // (c) ≡ from-scratch over the union corpus: components of
+    // basePairs ∪ deltaPairs are {1,2,10} (hand-derived — an
+    // independent reference, not the machinery under test re-run)
+    val fullClusters = Seq((1L, 1L), (2L, 1L), (10L, 1L)).toDF("doc_id", "cluster")
+    val scratch = keyed(DedupOps.keepVerdicts(fullClusters,
+      q(baseDocs.unionByName(newDocs)))
+      .select("doc_id", "cluster", "quality_score", "keep", "kept_doc", "n_members"))
+    val freshScores = q(newDocs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    DedupOps.releaseTransients(spark)
+    assert(merged === scratch, "merged refresh diverged from the from-scratch chain")
+    assert(merged(10L)._2 === freshScores(10L))
+    assert(merged(11L)._2 === freshScores(11L))
+    // (a') the pairless arrival is a keep=true singleton
+    assert(merged(11L) === ((11L, freshScores(11L), true, 11L, 1L)))
+    // (b) untouched base rows carried verbatim from standing state
+    Seq(3L, 4L).foreach(id => assert(merged(id) === standing(id),
+      s"untouched doc $id's row was not carried from standing state"))
+    // and the merged labels cover the bridged component under one min-id
+    assert(Seq(1L, 2L, 10L).map(lbl) === Seq(1L, 1L, 1L))
+  }
+
   test("winnowOverlapDelta ≡ full attribution restricted to delta-touching pairs") {
     // probe-vs-index must find EXACTLY the self-join's delta-touching
     // pairs with identical shared counts — the incremental-refresh
