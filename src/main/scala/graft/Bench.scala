@@ -128,6 +128,41 @@ object Bench {
     }
   }
 
+  /** The full-precision DETAIL line (printed BEFORE the compact line
+    * so the collector's tail window always holds the complete compact
+    * one). Unlike the compact line, this line has NO width budget —
+    * in particular `remeasured` ALWAYS carries the COMPLETE name list
+    * of adaptively re-run queries, so a contaminated-host artifact
+    * whose compact `rm` list had to truncate is still fully
+    * adjudicable from the artifact alone (r16: a 16-name re-measure
+    * round shipped 1 truncated name on the compact line; the evidence
+    * lived only here and was undocumented). BenchLineSpec pins the
+    * completeness; README § "Reading the bench artifact" documents it.
+    */
+  private[graft] def detailLine(iters: Int, failures: Int, total: Double,
+      med: Seq[(String, Double)], mins: Seq[(String, Double)],
+      substrateStages: Seq[(String, Double)], ratios: Seq[(String, Double)],
+      remeasured: Seq[String], sfDir: String): String = {
+    def objFull(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
+    val ratioField =
+      if (ratios.isEmpty) "" else s""","floor_ratio":${objFull(ratios)}"""
+    // `remeasured` names the queries the adaptive pass re-ran — a
+    // reader can tell "was noisy, re-run fixed it" (in this list, not
+    // in the ratio tail) from "still slow after a re-run" (in both)
+    val remeasuredField =
+      if (remeasured.isEmpty) ""
+      else remeasured.map("\"" + _ + "\"")
+        .mkString(",\"remeasured\":[", ",", "]")
+    // per-stage substrate attribution (minima) — the decomposition of
+    // `_substrate` a reader needs to tell "the corpus grew" from "one
+    // stage regressed" without stderr scrollback
+    val stagesField =
+      if (substrateStages.isEmpty) ""
+      else s""","substrate_stages":${objFull(substrateStages)}"""
+    s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)}$stagesField$ratioField$remeasuredField,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
@@ -272,13 +307,9 @@ object Bench {
     // (scripts/floor.py), because the compact line's magnitude-scaled
     // values — and especially its integer-second overflow fallback —
     // are too coarse to compare runs against.
-    def objFull(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val ratios = mins.collect {
       case (n, v) if v >= 0 && floors0.get(n).exists(_ > 0) => n -> v / floors0(n)
     }
-    val ratioField =
-      if (ratios.isEmpty) "" else s""","floor_ratio":${objFull(ratios)}"""
     // Host-noise self-report for the COMPACT line: the count of
     // queries whose run-min landed ≥3× its committed floor-min. Every
     // round the driver's captured line needed the floors re-derived by
@@ -288,20 +319,8 @@ object Bench {
     // far outside median-of-n run-to-run spread at any magnitude and
     // matches the threshold the round reviews actually applied.
     val noisy = if (floors0.isEmpty) -1 else ratios.count(_._2 >= 3.0)
-    // `remeasured` names the queries the adaptive pass re-ran — a
-    // reader can tell "was noisy, re-run fixed it" (in this list, not
-    // in the ratio tail) from "still slow after a re-run" (in both)
-    val remeasuredField =
-      if (remeasured.isEmpty) ""
-      else remeasured.map("\"" + _ + "\"")
-        .mkString(",\"remeasured\":[", ",", "]")
-    // per-stage substrate attribution (minima) — the decomposition of
-    // `_substrate` a reader needs to tell "the corpus grew" from "one
-    // stage regressed" without stderr scrollback
-    val stagesField =
-      if (substrateStages.isEmpty) ""
-      else s""","substrate_stages":${objFull(substrateStages)}"""
-    println(s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)}$stagesField$ratioField$remeasuredField,"sf":"$sfDir"}""")
+    println(detailLine(iters, failures, total, med, mins, substrateStages,
+      ratios, remeasured, sfDir))
     // The COMPACT line must carry the re-measurement semantics too: a
     // re-measured query's `queries` value is best-of-(sweep ∪ re-run),
     // not a strict median, and a consumer reading only this line must

@@ -64,6 +64,24 @@ class BenchLineSpec extends AnyFunSuite {
         "worst-case budget above models ≤7-char labels"))
   }
 
+  test("detail line always carries the COMPLETE remeasured list") {
+    // the compact line's `rm` list truncates adaptively to fit the
+    // tail window — the DETAIL line is where a reviewer of the
+    // artifact goes for the full list, so it must never truncate
+    // (r16: a 16-name re-measure round shipped 1 compact name; the
+    // complete evidence here was undocumented)
+    val names = (1 to 16).map(i => f"query_with_a_long_name_$i%02d")
+    val kv = names.map(_ -> 1.234)
+    val line = graft.Bench.detailLine(3, 0, 99.9, kv, kv,
+      Seq("shingle_memo" -> 2.0), names.map(_ -> 3.5), names, "/x/sf0.1")
+    names.foreach(n => assert(line.contains("\"" + n + "\""),
+      s"detail line dropped remeasured name $n"))
+    assert(line.contains(""""remeasured":[""") && line.contains(""""floor_ratio":"""))
+    // and the list is the dedicated field, not an accident of the maps
+    val rm = line.split("\"remeasured\":\\[")(1).takeWhile(_ != ']')
+    assert(names.forall(n => rm.contains(n)), s"remeasured field incomplete: $rm")
+  }
+
   test("committed floor files key exactly the live registry") {
     // a rename or a new key that misses the floor fold leaves
     // Bench.floorMins blind on that key — the ≥3× re-measure trigger
