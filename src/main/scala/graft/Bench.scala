@@ -102,7 +102,8 @@ object Bench {
     "pq_codes_t"       -> "pqcodet",
     "cents_t"          -> "centst",
     "pqf_cb"           -> "pqfcb",
-    "pqf_codes"        -> "pqfcode")
+    "pqf_codes"        -> "pqfcode",
+    "sem_asg"          -> "semasg")
 
   /** Committed-floor per-query minima for this SF
     * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.

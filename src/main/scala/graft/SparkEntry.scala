@@ -126,6 +126,8 @@ object SparkEntry {
     "pqf"       -> (EmbeddingOps.annRecallPqFull _),
     "pinc"      -> (EmbeddingOps.pqCodesIncremental _),
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
+    "sdd"        -> (EmbeddingOps.semanticDedup _),
+    "sinc"       -> (EmbeddingOps.semanticDedupDelta _),
     // Training-data pipeline: multimodal plumbing
     "mmm"                -> (MultimodalOps.mmMeta _),
     "mmdec"     -> (MultimodalOps.mmDecodeFeatures _),
@@ -141,6 +143,7 @@ object SparkEntry {
     "dec_ng"    -> (PipelineOps.decontaminateNgram _),
     "spans"      -> (PipelineOps.dupSpans _),
     "lms"       -> (TextOps.lmScore _),
+    "ccn"       -> (TextOps.pplBuckets _),
     "corpus"         -> (PipelineOps.corpusPipeline _),
     "tdata"    -> ((s: SparkSession, d: String) => PipelineOps.trainingData(s, d)),
     "clus"         -> (DedupOps.dedupClusters _),
@@ -753,6 +756,79 @@ object SparkEntry {
         FROM h, d, braw WHERE n_brute > 0"""
   }
 
+  /** Shared CTE chain for the SemDeDup oracles (`sdd`/`sinc`): the
+    * clustered corpus, the Lloyd-trained centroid chain, the fused
+    * cell assignment with the centroid cosine RETAINED
+    * (EmbeddingOps.semanticMembers' exact op chains — index-order
+    * dots, hoisted norms, desc-cosine/asc-id tie-break), and the
+    * within-cell verified pair set at SemDedupTau. Binds `sasg` and
+    * `sp`.
+    */
+  private def semanticPairCtes(corpusCtes: String): String =
+    s"""$corpusCtes,
+        $trainedCentCtes,
+        snb AS (SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm
+               FROM c),
+        scn AS (SELECT cent_id, cv,
+                 sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))) AS cnrm
+               FROM cents),
+        sasg AS (SELECT vec_id, v, nrm, cell, ccos FROM (
+            SELECT snb.vec_id, snb.v, snb.nrm, scn.cent_id AS cell,
+              list_sum(list_transform(range(1, len(snb.v) + 1), i -> scn.cv[i] * snb.v[i]))
+                / (scn.cnrm * snb.nrm) AS ccos,
+              row_number() OVER (PARTITION BY snb.vec_id ORDER BY
+                (list_sum(list_transform(range(1, len(snb.v) + 1), i -> scn.cv[i] * snb.v[i]))
+                 / (scn.cnrm * snb.nrm)) DESC, scn.cent_id) AS arank
+            FROM snb, scn) WHERE arank = 1),
+        sp AS (SELECT vec_a, vec_b, cos FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+                / (a.nrm * b.nrm) AS cos
+            FROM sasg a JOIN sasg b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id) p
+          WHERE cos >= ${EmbeddingOps.SemDedupTau})"""
+
+  /** EmbeddingOps.semanticDedup's oracle — the SemDeDup verdict table:
+    * within-cell pairs, recursive-CTE connected components (min
+    * reachable id ≡ the propagateLabels fixpoint), and the
+    * keep-farthest-from-centroid election (ccos ASC, vec_id) per
+    * semantic cluster.
+    */
+  private def semanticDedupSql(corpusCtes: String): String =
+    s"""WITH RECURSIVE ${semanticPairCtes(corpusCtes)},
+        se AS (SELECT vec_a AS src, vec_b AS dst FROM sp
+               UNION ALL SELECT vec_b, vec_a FROM sp),
+        sn AS (SELECT DISTINCT src AS id FROM se),
+        sr AS (SELECT id, id AS lbl FROM sn
+               UNION
+               SELECT se.dst AS id, sr.lbl FROM sr JOIN se ON se.src = sr.id),
+        scl AS (SELECT id, min(lbl) AS lbl FROM sr GROUP BY 1),
+        sa AS (SELECT sasg.vec_id, sasg.cell, sasg.ccos,
+                 COALESCE(scl.lbl, sasg.vec_id) AS cluster
+               FROM sasg LEFT JOIN scl ON sasg.vec_id = scl.id)
+        SELECT vec_id, cell, ccos, cluster,
+          (row_number() OVER wq = 1) AS keep,
+          first_value(vec_id) OVER
+            (PARTITION BY cluster ORDER BY ccos ASC, vec_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_vec,
+          count(*) OVER (PARTITION BY cluster) AS n_members
+        FROM sa
+        WINDOW wq AS (PARTITION BY cluster ORDER BY ccos ASC, vec_id)
+        ORDER BY vec_id"""
+
+  /** EmbeddingOps.semanticDedupDelta's oracle — the FULL within-cell
+    * pair query restricted to delta-touching pairs: the Spark side
+    * does only |delta|·cell-size probe work, so the hash gate pins
+    * probe ≡ full restriction (the dinc/pinc incremental theorem for
+    * the semantic tier).
+    */
+  private def semanticDeltaSql(corpusCtes: String): String =
+    s"""WITH ${semanticPairCtes(corpusCtes)}
+        SELECT vec_a, vec_b, cos FROM sp
+        WHERE vec_a % 5 = 0 OR vec_b % 5 = 0
+        ORDER BY vec_a, vec_b"""
+
   /** EmbeddingOps.pqCodesIncremental's oracle — deliberately the FULL
     * re-encode path: standing centroids/codebook from the BASE corpus
     * (vec_id % 5 <> 0), EVERY vector assigned and encoded against
@@ -1077,6 +1153,53 @@ object SparkEntry {
         SELECT doc_id, ${TextOps.langLexicon.map(l => s"hits_${l._1}").mkString(", ")},
                CASE $cases ELSE 'und' END AS lang_pred
         FROM h ORDER BY doc_id"""
+  }
+
+  /** TextOps.pplBuckets' oracle — the composed CCNet chain: the langid
+    * argmax CASE over per-language stopword hits, the bigram-LM score
+    * chain (the `lms` oracle's exact CTEs), and the SQL-standard
+    * ntile(3) tercile per PREDICTED language with the head+middle
+    * keep verdict.
+    */
+  private def pplBucketsSql: String = {
+    val hitCols = TextOps.langLexicon.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(toks, x -> x IN ($inList))) AS BIGINT) AS hits_$l"
+    }.mkString(", ")
+    val cases = TextOps.langLexicon.map { case (l, _) =>
+      val others = TextOps.langLexicon.filter(_._1 != l)
+        .map(o => s"hits_$l >= hits_${o._1}").mkString(" AND ")
+      s"WHEN hits_$l > 0 AND $others THEN '$l'"
+    }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        h AS (SELECT doc_id, $hitCols FROM t),
+        lid AS (SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM h),
+        bg AS (SELECT doc_id,
+                 unnest(list_transform(range(0, len(toks) - 1),
+                   i -> md5(toks[i+1] || ' ' || toks[i+2]))) AS b,
+                 unnest(list_transform(range(0, len(toks) - 1),
+                   i -> md5(toks[i+1]))) AS w1
+               FROM t WHERE len(toks) >= 2),
+        bc AS (SELECT b, max(w1) AS w1, COUNT(*) AS c2 FROM bg GROUP BY b),
+        uc AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bc GROUP BY w1),
+        bs AS (SELECT b, CAST(floor(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)
+                 * 1e12) AS BIGINT) AS ps
+               FROM bc JOIN uc USING (w1)),
+        pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                      CAST(SUM(ps) AS BIGINT) AS s
+               FROM bg JOIN bs USING (b) GROUP BY doc_id),
+        lm AS (SELECT d.doc_id,
+                 COALESCE(pd.s // pd.n_bigrams, 0) AS lm_avg_scaled
+               FROM documents d LEFT JOIN pd USING (doc_id)),
+        j AS (SELECT lid.doc_id, lid.lang_pred, lm.lm_avg_scaled,
+                ntile(3) OVER (PARTITION BY lid.lang_pred
+                  ORDER BY lm.lm_avg_scaled DESC, lid.doc_id) AS trc
+              FROM lid JOIN lm USING (doc_id))
+        SELECT doc_id, lang_pred, lm_avg_scaled,
+          CASE WHEN trc = 1 THEN 'head' WHEN trc = 2 THEN 'middle'
+               ELSE 'tail' END AS ppl_bucket,
+          (trc <= 2) AS keep
+        FROM j ORDER BY doc_id"""
   }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
@@ -1763,6 +1886,7 @@ object SparkEntry {
           FROM t ORDER BY doc_id"""
     },
     "langid" -> langIdSql,
+    "ccn" -> pplBucketsSql,
     "tfp" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
     // TextOps.textRepSignals: Gopher-family repetition signals over
@@ -1949,6 +2073,8 @@ object SparkEntry {
     "pqt" -> ivfPqtSql(clusteredCorpusCtes),
     "pqf" -> ivfPqfSql(clusteredCorpusCtes),
     "pinc" -> pqIncSql(clusteredCorpusCtes),
+    "sdd" -> semanticDedupSql(clusteredCorpusCtes),
+    "sinc" -> semanticDeltaSql(clusteredCorpusCtes),
     "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics

@@ -130,7 +130,8 @@ object DedupOps {
     "pq_codes_t"       -> Set("pqt"),
     "cents_t"          -> Set("ivft", "pqf"),
     "pqf_cb"           -> Set("pqf"),
-    "pqf_codes"        -> Set("pqf"))
+    "pqf_codes"        -> Set("pqf"),
+    "sem_asg"          -> Set("sdd", "sinc"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -196,7 +197,10 @@ object DedupOps {
       // so each entry prices exactly its own tier
       "cents_t" -> (() => EmbeddingOps.centroidsTrainedStage(spark, dir)),
       "pqf_cb" -> (() => EmbeddingOps.pqfCodebook(spark, dir)),
-      "pqf_codes" -> (() => EmbeddingOps.pqfCodes(spark, dir)))
+      "pqf_codes" -> (() => EmbeddingOps.pqfCodes(spark, dir)),
+      // after cents_t: the cell membership assigns against the trained
+      // centroids, so this entry prices only the N×K assignment
+      "sem_asg" -> (() => EmbeddingOps.semanticMembers(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute

@@ -1117,4 +1117,182 @@ object EmbeddingOps {
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
   }
+
+  // ---- semantic dedup (SemDeDup) ------------------------------------
+
+  /** Cosine threshold for a semantic-duplicate pair. On the planted-
+    * cluster fixture the within/between-cluster separation is wide
+    * (measured within-cluster min ≈ 0.69, cross-cluster max ≈ 0.50
+    * across sf0.001–0.1), so 0.6 sits in the gap with margin on both
+    * sides — no boundary row can straddle the threshold between
+    * engines.
+    */
+  val SemDedupTau = 0.6
+
+  /** Standing semantic-cell membership — every clustered-corpus vector
+    * assigned to its Lloyd-trained coarse cell (arank = 1) with its
+    * cosine to the winning centroid RETAINED, as a pinned MEMO STAGE:
+    * the dedup analog of the `pq_codes` index, built once per refresh
+    * and probed by the from-scratch (`sdd`), incremental (`sinc`), and
+    * streaming (VecStream.semanticArrivals) consumers. Same fused
+    * assignment chain as [[ivfRankedWith]] (hoisted norms, index-order
+    * dots, desc-cosine/asc-id tie-break) so the cell partition is the
+    * one the search tier already uses — at 100 TB the corpus is
+    * written partitioned by this cell and dedup runs per-partition.
+    */
+  private[graft] def semanticMembers(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "sem_asg") {
+      import graft.functions.VectorExprs.dotProduct
+      val base = clusteredCorpus(spark, dir)
+        .withColumn("nrm", sqrt(dotProduct(col("v"), col("v"))))
+      val cents = centroidsTrainedStage(spark, dir)
+        .select(col("cent_id"), col("cv"),
+          sqrt(dotProduct(col("cv"), col("cv"))).as("cnrm"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+      base.join(broadcast(cents), lit(true))
+        .withColumn("ccos",
+          dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") === 1)
+        .select(col("vec_id"), col("v"), col("nrm"),
+          col("cent_id").as("cell"), col("ccos"))
+    }
+
+  /** Verified semantic-duplicate pairs between an (a, b) pair of
+    * membership frames: equi-join on the CELL (never all-pairs — the
+    * SemDeDup blocking), fused cosine per surviving pair, threshold
+    * [[SemDedupTau]]. Callers pass the same frame twice (from-scratch)
+    * or delta/full (incremental probe); the a < b filter plus the
+    * commutativity of the per-element products keeps the emitted cos
+    * bitwise independent of which side a vector arrived on.
+    */
+  private def semanticPairsBetween(a0: DataFrame, b0: DataFrame): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    val a = a0.select(col("cell"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = b0.select(col("cell"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= lit(SemDedupTau))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the public
+    * semantic-dedup construction): cluster the embedding corpus with
+    * the TRAINED coarse quantizer, verify cosine pairs only WITHIN
+    * each cell, connected-component the pair graph, and keep ONE
+    * representative per semantic cluster — the member FARTHEST from
+    * its cell centroid (lowest ccos; the paper's keep-low-similarity
+    * rule, which retains the most informative exemplar), ties to the
+    * lowest vec_id. Docs absent from every pair are their own
+    * singleton cluster and keep.
+    *
+    * Scale: pair work is Σ n_cell² (never N²/2 — OperatorSpec
+    * machine-checks the reduction factor), and the paper's dial is
+    * k ∝ N so cells stay bounded; the CC fixpoint is
+    * [[DedupOps.propagateLabels]], ∝ pair count. Cell assignment is
+    * the pinned `sem_asg` stage priced in `_substrate`.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val memb = semanticMembers(spark, dir)
+    val pairs = OpCaches.track(semanticPairsBetween(memb, memb))
+    val edges = OpCaches.localCheckpointTracked(
+      pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+        .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"))))
+    val labels = DedupOps.propagateLabels(edges)._1
+    val byProto = Window.partitionBy("cluster")
+      .orderBy(asc("ccos"), asc("vec_id"))
+    val whole = byProto
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    memb.select(col("vec_id"), col("cell"), col("ccos"))
+      .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster")),
+        Seq("vec_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("cluster"), col("vec_id")))
+      .withColumn("keep", row_number().over(byProto) === 1)
+      .withColumn("kept_vec", first(col("vec_id")).over(whole))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .orderBy("vec_id")
+  }
+
+  /** Collected trained-centroid state for the streaming probe — K rows
+    * (~16 KB at K=32 × 64 dims): the broadcast-once-per-retrain story
+    * at any corpus size, same discipline as [[pqStandingState]].
+    */
+  private[graft] def semanticStandingCentroids(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[Double])] =
+    centroidsTrainedStage(spark, dir).orderBy("cent_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  /** The STANDING side of the streaming semantic probe — the cell
+    * membership minus the arriving shard (one delta definition shared
+    * with [[semanticDedupDelta]] so the faces cannot drift).
+    */
+  private[graft] def semanticStandingMembers(spark: SparkSession, dir: String): DataFrame =
+    semanticMembers(spark, dir).filter(!pqDeltaPred(col("vec_id")))
+
+  /** ROW-LOCAL cell assignment against collected centroids — the
+    * streaming twin of [[semanticMembers]]'s assignment: the same
+    * strict-greater/ascending-id literal-array fold as
+    * [[pqEncodeRowLocal]]'s coarse tier (≡ the batch desc-ccos/asc-id
+    * arank tie-break), identical IEEE chains, so cells match
+    * bit-for-bit. vecs: (vec_id, v); emits (vec_id, v, nrm, cell).
+    */
+  private[graft] def semanticAssignRowLocal(vecs: DataFrame,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val centArr = array(cents.sortBy(_._1).map { case (id, cv) =>
+      struct(lit(id).as("cent_id"), typedLit(cv).as("cv"))
+    }: _*)
+    val v = col("v")
+    val zero = struct(lit(Double.NegativeInfinity).as("c"), lit(-1L).as("cent_id"))
+    val best = aggregate(centArr, zero, (acc, e) => {
+      val cv = e.getField("cv")
+      val cos = dotC(cv, v) / (sqrt(dotC(cv, cv)) * sqrt(dotC(v, v)))
+      when(cos > acc.getField("c"),
+        struct(cos.as("c"), e.getField("cent_id").as("cent_id"))).otherwise(acc)
+    })
+    vecs.select(col("vec_id"), col("v"),
+      sqrt(dotC(col("v"), col("v"))).as("nrm"),
+      best.getField("cent_id").as("cell"))
+  }
+
+  /** Incremental semantic-dup maintenance — the `pinc`/`dinc` analog
+    * for SemDeDup: a delta shard of arriving vectors probes the
+    * STANDING cell membership (`sem_asg`, built over the full corpus —
+    * a deployment retrains cells per refresh, not per arrival), so
+    * candidate work is ∝ |delta| · cell size, never corpus². Because
+    * the full pair set is exactly the within-cell pairs, the probe
+    * (delta × same-cell members, both orientations normalized) equals
+    * the full pair query restricted to delta-touching pairs — which is
+    * what the oracle pins.
+    */
+  def semanticDedupDelta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    val memb = semanticMembers(spark, dir)
+    val delta = memb.filter(pqDeltaPred(col("vec_id")))
+    val a = delta.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = memb.select(col("cell"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cell"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("cos",
+        dotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= lit(SemDedupTau))
+      // normalize orientation; a delta-delta pair is probed from both
+      // ends with a bitwise-identical cos (commutative products), so
+      // distinct collapses the double-count exactly
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("cos"))
+      .distinct()
+      .transform(OpCaches.track)
+      .orderBy("vec_a", "vec_b")
+  }
 }

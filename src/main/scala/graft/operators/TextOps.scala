@@ -882,6 +882,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020 — the public CCNet construction): language-identify each
+    * document ([[textLangId]]'s argmax law), score it with the
+    * corpus-trained LM ([[lmScore]]'s integer-exact `lm_avg_scaled`),
+    * then split each language into head/middle/tail TERCILES by score
+    * — ntile(3) over (score DESC, doc_id): high average bigram
+    * probability = low perplexity = head. The standard pretraining
+    * filter keeps head+middle, emitted as `keep`. Both inputs are
+    * exact integers, so the per-language order — and hence the
+    * SQL-standard ntile split — is engine-exact. Plan: the langid
+    * aggregation and the LM chain each scan the checkpointed token
+    * stream once; the bucket is one lang-partitioned window over the
+    * doc-sized join of the two. At 100 TB both inputs shuffle on
+    * doc_id and the window on the handful of languages — the window
+    * side is the skew risk, and the production dial is the same
+    * per-language quantile SPLIT points CCNet precomputes (a tiny
+    * stats table broadcast back), which this tercile window models.
+    */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lid = textLangId(spark, dir).select(col("doc_id"), col("lang_pred"))
+    val lm = lmScore(spark, dir).select(col("doc_id"), col("lm_avg_scaled"))
+    val w = Window.partitionBy("lang_pred")
+      .orderBy(desc("lm_avg_scaled"), asc("doc_id"))
+    lid.join(lm, Seq("doc_id"))
+      .withColumn("trc", ntile(3).over(w))
+      .select(col("doc_id"), col("lang_pred"), col("lm_avg_scaled"),
+        when(col("trc") === 1, "head").when(col("trc") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"),
+        (col("trc") <= 2).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Higher-order array-function surface: transform / filter /
     * aggregate / slice / sort_array / array_contains / array_join over
     * the token array, oracle-matched against DuckDB's list functions.

@@ -29,4 +29,37 @@ object VecStream {
     val (cents, cb) = graft.operators.EmbeddingOps.pqStandingState(spark, dir)
     graft.operators.EmbeddingOps.pqEncodeRowLocal(vecs, cents, cb)
   }
+
+  /** Streaming face of the semantic-dedup probe (`sinc` —
+    * EmbeddingOps.semanticDedupDelta): arriving vectors assign to
+    * their trained cell ROW-LOCALLY against the collected centroid
+    * state, then probe the STANDING cell membership with ONE
+    * stream-static equi-join on the cell — no stream shuffle, no
+    * state store. Emits the same normalized (vec_a, vec_b, cos) rows
+    * as the batch probe restricted to arrival × standing pairs
+    * (StreamingSpec pins it, cos bit-for-bit); arrival-arrival pairs
+    * across micro-batches need a maintained-state face
+    * (DocStream.maintainLabels' pattern) — the batch `sinc` query
+    * covers them, and the restriction is documented here, not silent.
+    */
+  def semanticArrivals(spark: SparkSession, vecs: DataFrame, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
+    val ops = graft.operators.EmbeddingOps
+    val cents = ops.semanticStandingCentroids(spark, dir)
+    val standing = ops.semanticStandingMembers(spark, dir)
+      .select(col("cell"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    def dotC(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ops.semanticAssignRowLocal(vecs, cents)
+      .select(col("cell"), col("vec_id").as("ia"),
+        col("v").as("va"), col("nrm").as("na"))
+      .join(standing, Seq("cell"))
+      .filter(col("ia") =!= col("ib"))
+      .withColumn("cos", dotC(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= lit(ops.SemDedupTau))
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("cos"))
+  }
 }

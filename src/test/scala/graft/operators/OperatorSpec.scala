@@ -1105,6 +1105,84 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("sdd: SemDeDup blocking cuts pair work ≥3× and elects one keep per cluster") {
+    val memb = EmbeddingOps.semanticMembers(spark, sf)
+      .select("vec_id", "cell").collect()
+    val n = memb.length.toLong
+    // the scale claim, machine-checked: pair work is Σ n_cell², never
+    // N²/2 — even on this adversarial fixture (8 giant near-dup
+    // classes) the cell blocking must cut verified-pair work ≥3×
+    val checked = memb.groupBy(_.getLong(1)).values
+      .map(c => c.length.toLong * (c.length - 1) / 2).sum
+    assert(checked * 3 <= n * (n - 1) / 2,
+      s"cell blocking did not cut pair work: $checked of ${n * (n - 1) / 2}")
+    val ver = EmbeddingOps.semanticDedup(spark, sf).collect()
+    assert(ver.length.toLong === n)
+    ver.groupBy(_.getAs[Long]("cluster")).foreach { case (cl, rows) =>
+      assert(rows.count(_.getAs[Boolean]("keep")) === 1,
+        s"cluster $cl kept ${rows.count(_.getAs[Boolean]("keep"))} members")
+      // the SemDeDup election: keep the member FARTHEST from its cell
+      // centroid (lowest ccos), ties to the lowest vec_id
+      val elected = rows.minBy(r => (r.getAs[Double]("ccos"), r.getAs[Long]("vec_id")))
+      assert(rows.forall(_.getAs[Long]("kept_vec") === elected.getAs[Long]("vec_id")))
+      assert(elected.getAs[Boolean]("keep"))
+      assert(rows.forall(_.getAs[Long]("n_members") === rows.length.toLong))
+    }
+    // dedup actually bites: the planted corpus is 8 big semantic
+    // classes, so the kept set must be a small fraction of the corpus
+    assert(ver.count(_.getAs[Boolean]("keep")) * 4 < ver.length,
+      s"kept ${ver.count(_.getAs[Boolean]("keep"))} of ${ver.length} — dedup toothless")
+    DedupOps.releaseTransients(spark)
+  }
+
+  test("sinc: delta probe ≡ driver-side recomputation of delta-touching pairs") {
+    val memb = EmbeddingOps.semanticMembers(spark, sf)
+      .select("vec_id", "cell", "v", "nrm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray, r.getDouble(3)))
+    // index-order dot — the same accumulation sequence the engine's
+    // fold runs, so the threshold comparison is on identical doubles
+    def cos(a: Array[Double], na: Double, b: Array[Double], nb: Double): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s / (na * nb)
+    }
+    val expect = (for {
+      x <- memb; y <- memb
+      if x._1 < y._1 && x._2 == y._2 && (x._1 % 5 == 0 || y._1 % 5 == 0)
+      if cos(x._3, x._4, y._3, y._4) >= EmbeddingOps.SemDedupTau
+    } yield (x._1, y._1)).toSet
+    val got = EmbeddingOps.semanticDedupDelta(spark, sf)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupOps.releaseTransients(spark)
+    assert(expect.nonEmpty, "fixture produced no delta-touching pairs")
+    assert(got === expect,
+      s"probe diverged: ${got.size} pairs vs recomputed ${expect.size} " +
+        s"(missing ${(expect -- got).take(3)}, extra ${(got -- expect).take(3)})")
+  }
+
+  test("ccn: terciles are balanced per language, ordered by score, keep = head+middle") {
+    val rows = TextOps.pplBuckets(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getString(3))
+      val sizes = byBucket.view.mapValues(_.length).toMap
+      // the SQL-standard ntile law: bucket sizes differ by ≤1
+      if (rs.length >= 3)
+        assert(sizes.values.max - sizes.values.min <= 1, s"$lang skewed: $sizes")
+      // score ordering: head dominates middle dominates tail (ties may
+      // straddle, so the law is ≥ on the boundary)
+      def scores(b: String) = byBucket.getOrElse(b, Array.empty).map(_.getLong(2))
+      for ((hi, lo) <- Seq(("head", "middle"), ("middle", "tail"))
+           if scores(hi).nonEmpty && scores(lo).nonEmpty)
+        assert(scores(hi).min >= scores(lo).max,
+          s"$lang bucket $hi not dominating $lo")
+      rs.foreach(r => assert(r.getBoolean(4) === (r.getString(3) != "tail")))
+    }
+    // the fixture exercises more than one language partition
+    assert(rows.map(_.getString(1)).distinct.length >= 2)
+  }
+
   test("pinned-stage consumer declarations stay in sync with the registry") {
     // the warm-up attribution logic (TimeQuery, Bench _substrate)
     // derives from DedupOps.StageConsumers; a registry-key rename

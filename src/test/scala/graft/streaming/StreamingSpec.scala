@@ -1254,4 +1254,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(1L, 2L, 3L),
       s"expired fingerprint not re-admitted (state unbounded?): ${got.toSeq}")
   }
+
+  test("streaming semantic probe ≡ batch sinc restricted to arrival × standing") {
+    // the sinc streaming face: delta vectors arrive over three
+    // micro-batches, assign to their trained cell row-locally, and
+    // probe the standing membership; the union of all batches' pairs
+    // must equal the batch probe minus its delta-delta pairs (which
+    // need the maintained-state face — documented on semanticArrivals),
+    // cos values bit-for-bit
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val delta = graft.operators.EmbeddingOps.pqDeltaVectors(spark, dir)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    assert(delta.length >= 3)
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val vecs = src.toDF().toDF("vec_id", "v")
+    val out = VecStream.semanticArrivals(spark, vecs, dir)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("sem_stream").start()
+    delta.grouped(delta.length / 3 + 1).foreach { chunk =>
+      src.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val streamed = keyed(spark.table("sem_stream").collect())
+    val batch = keyed(graft.operators.EmbeddingOps.semanticDedupDelta(spark, dir)
+      .filter(!(col("vec_a") % 5 === 0 && col("vec_b") % 5 === 0)).collect())
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed.nonEmpty && streamed === batch,
+      s"streamed pairs (${streamed.size}) diverged from batch (${batch.size})")
+  }
 }
