@@ -103,7 +103,9 @@ object Bench {
     "cents_t"          -> "centst",
     "pqf_cb"           -> "pqfcb",
     "pqf_codes"        -> "pqfcode",
-    "sem_asg"          -> "semasg")
+    "sem_asg"          -> "semasg",
+    "sem_blabels"      -> "semblbl",
+    "sem_bkeep"        -> "sembkp")
 
   /** Committed-floor per-query minima for this SF
     * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.

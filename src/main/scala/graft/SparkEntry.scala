@@ -128,6 +128,7 @@ object SparkEntry {
     "endup"      -> (EmbeddingOps.embNeardupPairs _),
     "sdd"        -> (EmbeddingOps.semanticDedup _),
     "sinc"       -> (EmbeddingOps.semanticDedupDelta _),
+    "sref"       -> (EmbeddingOps.semanticRefresh _),
     // Training-data pipeline: multimodal plumbing
     "mmm"                -> (MultimodalOps.mmMeta _),
     "mmdec"     -> (MultimodalOps.mmDecodeFeatures _),
@@ -813,6 +814,41 @@ object SparkEntry {
             (PARTITION BY cluster ORDER BY ccos ASC, vec_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_vec,
           count(*) OVER (PARTITION BY cluster) AS n_members
+        FROM sa
+        WINDOW wq AS (PARTITION BY cluster ORDER BY ccos ASC, vec_id)
+        ORDER BY vec_id"""
+
+  /** EmbeddingOps.semanticRefresh's oracle — the incremental merge
+    * must equal the FROM-SCRATCH SemDeDup verdict table, with
+    * `reelected` derived INDEPENDENTLY (a cluster is touched iff it
+    * contains a delta-pair node), so the hash gate pins that the
+    * incremental path re-elected exactly the touched clusters and
+    * carried every other row bit-identical from the standing state
+    * (the linc contract for the semantic tier).
+    */
+  private def semanticRefreshSql(corpusCtes: String): String =
+    s"""WITH RECURSIVE ${semanticPairCtes(corpusCtes)},
+        se AS (SELECT vec_a AS src, vec_b AS dst FROM sp
+               UNION ALL SELECT vec_b, vec_a FROM sp),
+        sn AS (SELECT DISTINCT src AS id FROM se),
+        sr AS (SELECT id, id AS lbl FROM sn
+               UNION
+               SELECT se.dst AS id, sr.lbl FROM sr JOIN se ON se.src = sr.id),
+        scl AS (SELECT id, min(lbl) AS lbl FROM sr GROUP BY 1),
+        dp AS (SELECT vec_a AS d FROM sp WHERE vec_a % 5 = 0 OR vec_b % 5 = 0
+               UNION
+               SELECT vec_b FROM sp WHERE vec_a % 5 = 0 OR vec_b % 5 = 0),
+        sa AS (SELECT sasg.vec_id, sasg.cell, sasg.ccos,
+                 COALESCE(scl.lbl, sasg.vec_id) AS cluster
+               FROM sasg LEFT JOIN scl ON sasg.vec_id = scl.id),
+        tc AS (SELECT DISTINCT sa.cluster FROM sa JOIN dp ON sa.vec_id = dp.d)
+        SELECT vec_id, cell, ccos, cluster,
+          (row_number() OVER wq = 1) AS keep,
+          first_value(vec_id) OVER
+            (PARTITION BY cluster ORDER BY ccos ASC, vec_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_vec,
+          count(*) OVER (PARTITION BY cluster) AS n_members,
+          (sa.cluster IN (SELECT cluster FROM tc)) AS reelected
         FROM sa
         WINDOW wq AS (PARTITION BY cluster ORDER BY ccos ASC, vec_id)
         ORDER BY vec_id"""
@@ -2075,6 +2111,7 @@ object SparkEntry {
     "pinc" -> pqIncSql(clusteredCorpusCtes),
     "sdd" -> semanticDedupSql(clusteredCorpusCtes),
     "sinc" -> semanticDeltaSql(clusteredCorpusCtes),
+    "sref" -> semanticRefreshSql(clusteredCorpusCtes),
     "endup" -> {
       // replicate the banded sign-LSH blocking (8 bands × 8 sign bits)
       // so the oracle checks the operator's exact candidate semantics

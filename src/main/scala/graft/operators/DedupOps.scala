@@ -131,7 +131,9 @@ object DedupOps {
     "cents_t"          -> Set("ivft", "pqf"),
     "pqf_cb"           -> Set("pqf"),
     "pqf_codes"        -> Set("pqf"),
-    "sem_asg"          -> Set("sdd", "sinc"))
+    "sem_asg"          -> Set("sdd", "sinc", "sref"),
+    "sem_blabels"      -> Set("sref"),
+    "sem_bkeep"        -> Set("sref"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -199,8 +201,12 @@ object DedupOps {
       "pqf_cb" -> (() => EmbeddingOps.pqfCodebook(spark, dir)),
       "pqf_codes" -> (() => EmbeddingOps.pqfCodes(spark, dir)),
       // after cents_t: the cell membership assigns against the trained
-      // centroids, so this entry prices only the N×K assignment
-      "sem_asg" -> (() => EmbeddingOps.semanticMembers(spark, dir)))
+      // centroids, so this entry prices only the N×K assignment;
+      // blabels/bkeep after sem_asg in dependency order so each prices
+      // its own construction (base pair fixpoint, then the election)
+      "sem_asg" -> (() => EmbeddingOps.semanticMembers(spark, dir)),
+      "sem_blabels" -> (() => EmbeddingOps.semBaseLabels(spark, dir)),
+      "sem_bkeep" -> (() => EmbeddingOps.semBaseKeep(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute

@@ -1198,26 +1198,49 @@ object EmbeddingOps {
     * the pinned `sem_asg` stage priced in `_substrate`.
     */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val memb = semanticMembers(spark, dir)
-    val pairs = OpCaches.track(semanticPairsBetween(memb, memb))
+    val labels = semanticLabelsOn(semanticPairsBetween(memb, memb))
+    semanticElect(semanticAssign(memb, labels)).orderBy("vec_id")
+  }
+
+  /** Converged min-label components over a (vec_a, vec_b) pair frame —
+    * the CC step shared by the from-scratch dedup and the standing
+    * base state. Returns (id, lbl).
+    */
+  private def semanticLabelsOn(pairs0: DataFrame): DataFrame = {
+    val pairs = OpCaches.track(pairs0)
     val edges = OpCaches.localCheckpointTracked(
       pairs.select(col("vec_a").as("src"), col("vec_b").as("dst"))
         .unionAll(pairs.select(col("vec_b").as("src"), col("vec_a").as("dst"))))
-    val labels = DedupOps.propagateLabels(edges)._1
-    val byProto = Window.partitionBy("cluster")
-      .orderBy(asc("ccos"), asc("vec_id"))
-    val whole = byProto
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    DedupOps.propagateLabels(edges)._1
+  }
+
+  /** Members joined to their component labels; label-less members are
+    * their own singleton cluster. (vec_id, cell, ccos, cluster).
+    */
+  private def semanticAssign(memb: DataFrame, labels: DataFrame): DataFrame =
     memb.select(col("vec_id"), col("cell"), col("ccos"))
       .join(labels.select(col("id").as("vec_id"), col("lbl").as("cluster")),
         Seq("vec_id"), "left_outer")
       .withColumn("cluster", coalesce(col("cluster"), col("vec_id")))
+
+  /** The SemDeDup election over an assigned (vec_id, cell, ccos,
+    * cluster) frame — ONE policy shared by the from-scratch query, the
+    * standing base table, and the incremental refresh's touched-only
+    * re-election (the keepVerdicts discipline): keep the member
+    * farthest from its centroid (ccos ASC), ties to the lowest vec_id.
+    */
+  private def semanticElect(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byProto = Window.partitionBy("cluster")
+      .orderBy(asc("ccos"), asc("vec_id"))
+    val whole = byProto
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    assigned
       .withColumn("keep", row_number().over(byProto) === 1)
       .withColumn("kept_vec", first(col("vec_id")).over(whole))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy("cluster")))
-      .orderBy("vec_id")
   }
 
   /** Collected trained-centroid state for the streaming probe — K rows
@@ -1273,7 +1296,16 @@ object EmbeddingOps {
     * the full pair query restricted to delta-touching pairs — which is
     * what the oracle pins.
     */
-  def semanticDedupDelta(spark: SparkSession, dir: String): DataFrame = {
+  def semanticDedupDelta(spark: SparkSession, dir: String): DataFrame =
+    semanticDeltaPairs(spark, dir)
+      .transform(OpCaches.track)
+      .orderBy("vec_a", "vec_b")
+
+  /** The delta probe's pair core — shared by the gated `sinc` query
+    * and the incremental refresh ([[semanticRefresh]]), so the probe
+    * law lives once. Unordered.
+    */
+  private def semanticDeltaPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
     val memb = semanticMembers(spark, dir)
     val delta = memb.filter(pqDeltaPred(col("vec_id")))
@@ -1292,7 +1324,74 @@ object EmbeddingOps {
       .select(least(col("ia"), col("ib")).as("vec_a"),
         greatest(col("ia"), col("ib")).as("vec_b"), col("cos"))
       .distinct()
-      .transform(OpCaches.track)
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** STANDING semantic component labels — the converged (id, lbl)
+    * frame over the BASE (non-delta) members' within-cell pairs: the
+    * state a refresh pipeline persists between runs, pinned as a memo
+    * stage (the baseLabels discipline).
+    */
+  private[operators] def semBaseLabels(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "sem_blabels") {
+      val standing = semanticStandingMembers(spark, dir)
+      semanticLabelsOn(semanticPairsBetween(standing, standing))
+    }
+
+  /** STANDING semantic retention verdicts under [[semBaseLabels]] —
+    * yesterday's [[semanticDedup]] over the base corpus, the second
+    * half of the persisted refresh state.
+    */
+  private[operators] def semBaseKeep(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "sem_bkeep") {
+      semanticElect(semanticAssign(
+        semanticStandingMembers(spark, dir), semBaseLabels(spark, dir)))
+    }
+
+  /** INCREMENTAL semantic refresh — the `linc` analog for the
+    * semantic tier: the delta shard's probe pairs
+    * ([[semanticDeltaPairs]], work ∝ |delta|·cell) merge into the
+    * standing labels through the CONTRACTED graph
+    * (DedupOps.contractedMapping — fixpoint work ∝ delta pairs, never
+    * corpus), survivors re-elect ONLY in touched clusters, untouched
+    * clusters' verdict rows carry from the standing table verbatim,
+    * and pairless delta vectors admit as keep singletons. Cell + ccos
+    * for delta vectors come from the membership index — in a live
+    * deployment the row-local assignment (semanticAssignRowLocal)
+    * computes the identical values at delta scale, so no corpus
+    * rescan is implied. Emits `reelected` in-row; the oracle derives
+    * the flag independently (cluster contains a delta-pair node) on
+    * top of the full from-scratch chain, so the hash gate pins merge ≡
+    * from-scratch AND the exact touched set.
+    */
+  def semanticRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val memb = semanticMembers(spark, dir)
+    val sLabels = semBaseLabels(spark, dir)
+    val sKeep = semBaseKeep(spark, dir)
+    val pairs = semanticDeltaPairs(spark, dir)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val m = OpCaches.track(DedupOps.contractedMapping(sLabels, pairs))
+    val merged = OpCaches.localCheckpointTracked(DedupOps.applyMapping(sLabels, m))
+    val touched = merged
+      .join(m.select("lbl").distinct(), Seq("lbl"))
+      .select(col("id").as("vec_id"), col("lbl").as("cluster"))
+    val untouched = sKeep
+      .join(m.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
+      .withColumn("reelected", lit(false))
+    val reElect = semanticElect(
+      touched.join(memb.select("vec_id", "cell", "ccos"), Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("ccos"), col("cluster")))
+      .withColumn("reelected", lit(true))
+    val singles = memb.filter(pqDeltaPred(col("vec_id")))
+      .join(touched.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("ccos"),
+        col("vec_id").as("cluster"), lit(true).as("keep"),
+        col("vec_id").as("kept_vec"), lit(1L).as("n_members"),
+        lit(false).as("reelected"))
+    val cols = Seq("vec_id", "cell", "ccos", "cluster", "keep",
+      "kept_vec", "n_members", "reelected").map(col)
+    untouched.select(cols: _*)
+      .unionByName(reElect.select(cols: _*))
+      .unionByName(singles.select(cols: _*))
+      .orderBy("vec_id")
   }
 }

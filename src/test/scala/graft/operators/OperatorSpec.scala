@@ -1161,6 +1161,30 @@ class OperatorSpec extends AnyFunSuite {
         s"(missing ${(expect -- got).take(3)}, extra ${(got -- expect).take(3)})")
   }
 
+  test("sref: incremental merge ≡ from-scratch sdd, touched clusters exactly re-elected") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("vec_id") -> ((r.getAs[Long]("cell"), r.getAs[Double]("ccos"),
+        r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("kept_vec"), r.getAs[Long]("n_members")))).toMap
+    val full = keyed(EmbeddingOps.semanticDedup(spark, sf).collect())
+    val incRows = EmbeddingOps.semanticRefresh(spark, sf).collect()
+    val inc = keyed(incRows)
+    assert(inc === full,
+      s"incremental refresh diverged from from-scratch on ${
+        (inc.keySet ++ full.keySet).count(k => inc.get(k) != full.get(k))} vec_ids")
+    // reelected: uniform per cluster, true iff the cluster contains a
+    // delta-pair endpoint — recomputed here from the probe's own output
+    val deltaNodes = EmbeddingOps.semanticDedupDelta(spark, sf).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    incRows.groupBy(_.getAs[Long]("cluster")).foreach { case (cl, rs) =>
+      val flags = rs.map(_.getAs[Boolean]("reelected")).toSet
+      assert(flags.size === 1, s"cluster $cl mixed reelected flags")
+      val expect = rs.exists(r => deltaNodes(r.getAs[Long]("vec_id")))
+      assert(flags.head === expect, s"cluster $cl reelected=${flags.head}, want $expect")
+    }
+    DedupOps.releaseTransients(spark)
+  }
+
   test("ccn: terciles are balanced per language, ordered by score, keep = head+middle") {
     val rows = TextOps.pplBuckets(spark, sf).collect()
     assert(rows.nonEmpty)
