@@ -1263,8 +1263,10 @@ object EmbeddingOps {
     * streaming twin of [[semanticMembers]]'s assignment: the same
     * strict-greater/ascending-id literal-array fold as
     * [[pqEncodeRowLocal]]'s coarse tier (≡ the batch desc-ccos/asc-id
-    * arank tie-break), identical IEEE chains, so cells match
-    * bit-for-bit. vecs: (vec_id, v); emits (vec_id, v, nrm, cell).
+    * arank tie-break), identical IEEE chains, so cells — and the
+    * retained winning cosine — match the batch membership
+    * bit-for-bit. vecs: (vec_id, v); emits (vec_id, v, nrm, cell,
+    * ccos).
     */
   private[graft] def semanticAssignRowLocal(vecs: DataFrame,
       cents: Seq[(Long, Seq[Double])]): DataFrame = {
@@ -1282,8 +1284,9 @@ object EmbeddingOps {
         struct(cos.as("c"), e.getField("cent_id").as("cent_id"))).otherwise(acc)
     })
     vecs.select(col("vec_id"), col("v"),
-      sqrt(dotC(col("v"), col("v"))).as("nrm"),
-      best.getField("cent_id").as("cell"))
+      sqrt(dotC(col("v"), col("v"))).as("nrm"), best.as("b"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("b.cent_id").as("cell"), col("b.c").as("ccos"))
   }
 
   /** Incremental semantic-dup maintenance — the `pinc`/`dinc` analog
@@ -1331,7 +1334,7 @@ object EmbeddingOps {
     * state a refresh pipeline persists between runs, pinned as a memo
     * stage (the baseLabels discipline).
     */
-  private[operators] def semBaseLabels(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def semBaseLabels(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoStage(spark, dir, "sem_blabels") {
       val standing = semanticStandingMembers(spark, dir)
       semanticLabelsOn(semanticPairsBetween(standing, standing))
@@ -1341,7 +1344,7 @@ object EmbeddingOps {
     * yesterday's [[semanticDedup]] over the base corpus, the second
     * half of the persisted refresh state.
     */
-  private[operators] def semBaseKeep(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def semBaseKeep(spark: SparkSession, dir: String): DataFrame =
     DedupOps.memoStage(spark, dir, "sem_bkeep") {
       semanticElect(semanticAssign(
         semanticStandingMembers(spark, dir), semBaseLabels(spark, dir)))
@@ -1363,6 +1366,59 @@ object EmbeddingOps {
     * top of the full from-scratch chain, so the hash gate pins merge ≡
     * from-scratch AND the exact touched set.
     */
+  /** The semantic tier's FULL refresh transaction over EXPLICIT
+    * standing state — [[semanticRefresh]]'s plan applied per
+    * micro-batch, plus ADMISSION of genuinely new vectors (the
+    * mergeRefreshIntoStanding contract): `arrivals` carries the
+    * batch's row-local (vec_id, cell, ccos) assignments, delta-sized
+    * by construction; vectors absent from the standing verdict table
+    * enter as keep=true singletons BEFORE the merge, so a pair
+    * bridging them in the same transaction re-elects over their
+    * admitted rows. Touched clusters re-elect through the one shared
+    * [[semanticElect]] policy with (cell, ccos) read from the
+    * admission-grown standing table (immutable per vector); untouched
+    * rows carry verbatim via one anti-join. A touched vector with
+    * neither a standing verdict nor an admission row fails loudly —
+    * silent row loss is the failure mode this guard kills. Both
+    * merged frames localCheckpoint (they are the next batch's state).
+    */
+  private[graft] def mergeSemanticIntoStanding(standingLabels: DataFrame,
+      standingKeep: DataFrame, pairs: DataFrame,
+      arrivals: DataFrame): (DataFrame, DataFrame) = {
+    val cols = Seq("vec_id", "cell", "ccos", "cluster", "keep",
+      "kept_vec", "n_members").map(col)
+    val singles = OpCaches.localCheckpointTracked(arrivals
+      .join(standingKeep.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("ccos"),
+        col("vec_id").as("cluster"), lit(true).as("keep"),
+        col("vec_id").as("kept_vec"), lit(1L).as("n_members")))
+    val keep0 = standingKeep.select(cols: _*)
+      .unionByName(singles.select(cols: _*))
+    val m = OpCaches.track(DedupOps.contractedMapping(standingLabels,
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))))
+    val newLabels = OpCaches.localCheckpointTracked(
+      DedupOps.applyMapping(standingLabels, m))
+    val touched = newLabels
+      .join(m.select("lbl").distinct(), Seq("lbl"))
+      .select(col("id").as("vec_id"), col("lbl").as("cluster"))
+    val unscored = touched.select("vec_id")
+      .join(keep0.select("vec_id"), Seq("vec_id"), "left_anti")
+    require(unscored.isEmpty,
+      "semantic refresh touched vectors with neither a standing verdict " +
+        "nor an admission row this batch — pass the batch's row-local " +
+        "assignments in arrivals")
+    val feats = keep0.select(col("vec_id"), col("cell"), col("ccos"))
+      .join(touched.select("vec_id"), Seq("vec_id"))
+    val untouched = keep0
+      .join(m.select(col("id").as("cluster")), Seq("cluster"), "left_anti")
+    val reElect = semanticElect(
+      touched.join(feats, Seq("vec_id"))
+        .select(col("vec_id"), col("cell"), col("ccos"), col("cluster")))
+    val newKeep = OpCaches.localCheckpointTracked(
+      untouched.select(cols: _*).unionByName(reElect.select(cols: _*)))
+    (newLabels, newKeep)
+  }
+
   def semanticRefresh(spark: SparkSession, dir: String): DataFrame = {
     val memb = semanticMembers(spark, dir)
     val sLabels = semBaseLabels(spark, dir)

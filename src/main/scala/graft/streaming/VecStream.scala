@@ -43,23 +43,89 @@ object VecStream {
     * covers them, and the restriction is documented here, not silent.
     */
   def semanticArrivals(spark: SparkSession, vecs: DataFrame, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.Column
     val ops = graft.operators.EmbeddingOps
     val cents = ops.semanticStandingCentroids(spark, dir)
-    val standing = ops.semanticStandingMembers(spark, dir)
-      .select(col("cell"), col("vec_id").as("ib"),
-        col("v").as("vb"), col("nrm").as("nb"))
+    pairProbe(ops.semanticAssignRowLocal(vecs, cents),
+      ops.semanticStandingMembers(spark, dir))
+  }
+
+  /** Same-cell cosine probe between an assigned arrival frame and a
+    * members frame (both carrying cell/vec_id/v/nrm): threshold at
+    * SemDedupTau, orientation-normalized, deduped — the one pair law
+    * shared by the standing probe ([[semanticArrivals]]) and the
+    * maintained-state face ([[maintainSemantic]]). The composed fold
+    * is bit-identical to the batch probe's fused dot (the established
+    * row-local contract), so StreamingSpec pins cos-for-cos equality.
+    */
+  private def pairProbe(asg: DataFrame, members: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.Column
     def dotC(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    ops.semanticAssignRowLocal(vecs, cents)
-      .select(col("cell"), col("vec_id").as("ia"),
-        col("v").as("va"), col("nrm").as("na"))
-      .join(standing, Seq("cell"))
+    val ops = graft.operators.EmbeddingOps
+    asg.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+      .join(members.select(col("cell"), col("vec_id").as("ib"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("cell"))
       .filter(col("ia") =!= col("ib"))
       .withColumn("cos", dotC(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= lit(ops.SemDedupTau))
       .select(least(col("ia"), col("ib")).as("vec_a"),
         greatest(col("ia"), col("ib")).as("vec_b"), col("cos"))
+      .dropDuplicates("vec_a", "vec_b")
+  }
+
+  /** STANDING semantic state for the maintained streaming refresh —
+    * the in-memory twin of the `sem_blabels`/`sem_bkeep` memo stages
+    * (the DocStream.StandingState discipline for the vector tier).
+    */
+  final class SemStandingState(initialLabels: DataFrame, initialKeep: DataFrame) {
+    private var labels: DataFrame = initialLabels
+    private var keep: DataFrame = initialKeep
+    def labelsFrame: DataFrame = synchronized(labels)
+    def keepFrame: DataFrame = synchronized(keep)
+    def merge(pairs: DataFrame, arrivals: DataFrame): Unit = synchronized {
+      val (l2, k2) = graft.operators.EmbeddingOps
+        .mergeSemanticIntoStanding(labels, keep, pairs, arrivals)
+      labels = l2
+      keep = k2
+    }
+  }
+
+  /** The FULL streaming semantic refresh — `sref`'s maintained-state
+    * face: each micro-batch of arriving vectors assigns to its cell
+    * row-locally, probes the vectors the state ALREADY KNOWS (standing
+    * base + earlier admissions, their raw vectors read back from the
+    * membership index — the vector-store lookup a deployment does)
+    * plus the batch itself, and runs one admit → contract → converge →
+    * relabel → re-elect transaction (EmbeddingOps.
+    * mergeSemanticIntoStanding). Restricting the probe to known
+    * vectors makes the face ORDER-ROBUST: a pair whose other endpoint
+    * has not arrived yet is found when that endpoint's batch probes
+    * back, and merging is idempotent and order-independent, so N
+    * micro-batches land on the one-shot `sref` verdict table —
+    * StreamingSpec pins it (modulo the per-run `reelected` flag, which
+    * a standing table has no notion of).
+    */
+  def maintainSemantic(spark: SparkSession, vecs: DataFrame, dir: String,
+      state: SemStandingState): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.col
+    val ops = graft.operators.EmbeddingOps
+    val cents = ops.semanticStandingCentroids(spark, dir)
+    val membFull = ops.semanticMembers(spark, dir)
+    vecs.select(col("vec_id"), col("v"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val asg = ops.semanticAssignRowLocal(batch, cents)
+        val known = membFull
+          .join(state.keepFrame.select("vec_id"), Seq("vec_id"), "left_semi")
+        val bSide = known.select("cell", "vec_id", "v", "nrm")
+          .unionByName(asg.select("cell", "vec_id", "v", "nrm"))
+        val pairs = pairProbe(asg, bSide)
+        state.merge(pairs.select("vec_a", "vec_b"),
+          asg.select("vec_id", "cell", "ccos"))
+      }
+      .start()
   }
 }

@@ -1287,4 +1287,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed === batch,
       s"streamed pairs (${streamed.size}) diverged from batch (${batch.size})")
   }
+
+  test("streaming semantic refresh ≡ batch sref after 3 micro-batches") {
+    // the maintained-state face: arriving vectors admit, probe the
+    // vectors the state already knows (order-robust deferred pairing),
+    // and re-elect touched clusters per batch; the final verdict table
+    // must equal the one-shot batch refresh's, modulo its per-run
+    // `reelected` flag
+    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ops = graft.operators.EmbeddingOps
+    val delta = ops.pqDeltaVectors(spark, dir)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])].collect()
+    assert(delta.length >= 3)
+    val state = new VecStream.SemStandingState(
+      ops.semBaseLabels(spark, dir), ops.semBaseKeep(spark, dir))
+    val src = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = VecStream.maintainSemantic(spark,
+      src.toDF().toDF("vec_id", "v"), dir, state)
+    delta.grouped(delta.length / 3 + 1).foreach { chunk =>
+      src.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getAs[Long]("vec_id") -> ((r.getAs[Long]("cell"), r.getAs[Double]("ccos"),
+        r.getAs[Long]("cluster"), r.getAs[Boolean]("keep"),
+        r.getAs[Long]("kept_vec"), r.getAs[Long]("n_members")))).toMap
+    val streamed = keyed(state.keepFrame.collect())
+    val batch = keyed(ops.semanticRefresh(spark, dir).collect())
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed.nonEmpty && streamed === batch,
+      s"maintained verdicts (${streamed.size}) diverged from batch sref " +
+        s"(${batch.size}) on ${
+          (streamed.keySet ++ batch.keySet)
+            .count(k => streamed.get(k) != batch.get(k))} vec_ids")
+  }
 }
