@@ -1107,7 +1107,22 @@ object SparkEntry {
     val mergeRows = (1 to TextOps.BpeMergeRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b FROM t$r"
     }.mkString(" UNION ALL ")
-    s"""WITH $bpeTrainCtes,
+    s"""WITH RECURSIVE $bpeTrainCtes,
+        ${semanticPairCtes(clusteredCorpusCtes)},
+        se AS (SELECT vec_a AS src, vec_b AS dst FROM sp
+               UNION ALL SELECT vec_b, vec_a FROM sp),
+        sn AS (SELECT DISTINCT src AS id FROM se),
+        sr AS (SELECT id, id AS lbl FROM sn
+               UNION
+               SELECT se.dst AS id, sr.lbl FROM sr JOIN se ON se.src = sr.id),
+        scl AS (SELECT id, min(lbl) AS lbl FROM sr GROUP BY 1),
+        ssa AS (SELECT sasg.vec_id, sasg.ccos,
+                  COALESCE(scl.lbl, sasg.vec_id) AS cluster
+                FROM sasg LEFT JOIN scl ON sasg.vec_id = scl.id),
+        sdrop AS (SELECT vec_id FROM (
+                    SELECT vec_id, row_number() OVER (PARTITION BY cluster
+                      ORDER BY ccos ASC, vec_id) AS rw FROM ssa)
+                  WHERE rw > 1),
         tb AS (SELECT doc_id, source, lang, len($toksSql) AS n_ws,
                  md5(lower(trim(text))) AS fp
                FROM documents),
@@ -1122,10 +1137,12 @@ object SparkEntry {
                     row_number() OVER (PARTITION BY source
                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                   FROM ttr) WHERE rk <= ${PipelineOps.SourceQuota}),
+        tsf AS (SELECT * FROM tsv
+                WHERE doc_id NOT IN (SELECT vec_id FROM sdrop)),
         dw AS (SELECT doc_id,
                  unnest(range(0, len(toks))) AS wpos, unnest(toks) AS tok
                FROM (SELECT d.doc_id, $toksSql AS toks
-                     FROM documents d JOIN tsv USING (doc_id))),
+                     FROM documents d JOIN tsf USING (doc_id))),
         e0 AS (SELECT doc_id, wpos,
                  ' ' || array_to_string(
                    list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
@@ -1160,7 +1177,7 @@ object SparkEntry {
                  substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) AS bucket,
                  substr(md5('graft:v1:' || CAST(s.doc_id AS VARCHAR)), 1, 2) AS sb,
                  md5('graft:v1:0:' || CAST(s.doc_id AS VARCHAR)) AS ek
-               FROM tsv s JOIN ti t USING (doc_id)),
+               FROM tsf s JOIN ti t USING (doc_id)),
         tc AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket
                  ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -131,7 +131,7 @@ object DedupOps {
     "cents_t"          -> Set("ivft", "pqf"),
     "pqf_cb"           -> Set("pqf"),
     "pqf_codes"        -> Set("pqf"),
-    "sem_asg"          -> Set("sdd", "sinc", "sref"),
+    "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata"),
     "sem_blabels"      -> Set("sref"),
     "sem_bkeep"        -> Set("sref"))
 

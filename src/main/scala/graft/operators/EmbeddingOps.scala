@@ -1203,6 +1203,26 @@ object EmbeddingOps {
     semanticElect(semanticAssign(memb, labels)).orderBy("vec_id")
   }
 
+  /** The drop set SemDeDup implies — vec_ids whose verdict is
+    * keep = false (every non-elected member of a semantic cluster).
+    * Consumed by the training-data composite's semantic-dedup stage
+    * (PipelineOps.trainingData): the corpus's embedding is keyed by
+    * the document id, so dropping these ids IS semantic dedup over
+    * the document set.
+    */
+  def semanticDropIds(spark: SparkSession, dir: String): DataFrame = {
+    val memb = semanticMembers(spark, dir)
+    val labels = semanticLabelsOn(semanticPairsBetween(memb, memb))
+    // eagerly checkpointed, like the composite's other skinny verdict
+    // frames: the id set is consumed through several downstream
+    // branches whose printed plans would otherwise each re-embed (and
+    // re-execute) the whole membership + election subtree
+    OpCaches.localCheckpointTracked(
+      semanticElect(semanticAssign(memb, labels))
+        .filter(!col("keep"))
+        .select(col("vec_id")))
+  }
+
   /** Converged min-label components over a (vec_a, vec_b) pair frame —
     * the CC step shared by the from-scratch dedup and the standing
     * base state. Returns (id, lbl).

@@ -683,7 +683,10 @@ object PipelineOps {
     * corpus composite extended through the tokenizer tail:
     *
     *   quality gate → exact dedup → decontaminate → per-source quota
-    *   ([[corpusSurvivorsFrom]]) → BPE tokenize to token-ID sequences
+    *   ([[corpusSurvivorsFrom]]) → SEMANTIC dedup (survivors whose
+    *   embedding lost its SemDeDup election drop — one anti-join
+    *   against EmbeddingOps.semanticDropIds)
+    *   → BPE tokenize to token-ID sequences
     *   (TextOps.bpeTokenIdsOn — trained rules from the pinned
     *   bpe_merges stage, ids under the tokenizer's corpus-wide id law)
     *   → sequence packing (bin = cumulative-token window per
@@ -711,9 +714,17 @@ object PipelineOps {
     val docs = Tables.documents(spark, dir)
     // tracked: the tokenize pass's semi-join AND the final spine both
     // read the survivor set — untracked, the verdict window chain
-    // executes once per consumer
+    // executes once per consumer. The SEMANTIC stage sits between the
+    // exact/decon/quota verdicts and the tokenizer: survivors whose
+    // embedding lost its SemDeDup election drop here (one anti-join
+    // against the delta-sized drop set; ids are shared between the
+    // documents and embeddings tables, and docs without an embedding
+    // have no verdict and pass through)
     val surv = OpCaches.track(
-      corpusSurvivorsFrom(docs).select("doc_id", "source", "lang"))
+      corpusSurvivorsFrom(docs)
+        .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang"))
     val sdocs = docs.select(col("doc_id"), col("text"))
       .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
     val toks = TextOps.bpeTokenIdsOn(spark, dir, sdocs)

@@ -350,9 +350,16 @@ class PlanSpec extends AnyFunSuite {
     // a 4th scan means a branch went back to the raw table (the
     // carrying-text-through-shuffles anti-shape this plan exists to
     // avoid). InMemoryRelation/ExistingRDD subtrees print their
-    // original child scans, so the count is conservative.
-    val n = "Scan parquet".r.findAllIn(s).length
+    // original child scans, so the count is conservative. Counted per
+    // TABLE: the semantic stage legitimately reads the embeddings
+    // parquet (its own bounded subtree), so only documents scans gate
+    // the text-rescan claim.
+    def scans(table: String) = s.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains(table))
+    val n = scans("documents")
     assert(n <= 3, s"expected <= 3 documents scans in the composite, got $n:\n$s")
+    assert(scans("embeddings") <= 6,
+      s"semantic stage re-scans embeddings unboundedly:\n$s")
   }
 
   test("json_funcs parses the document exactly once") {
