@@ -29,11 +29,11 @@ object SparkEntry {
     "q5"      -> (SalesAnalytics.q5SalesByMonth _),
     // Operator inventory (SURVEY.md §2.2-2.8)
     "dexact"            -> (RelationalOps.dedupExact _),
-    "medgrp"        -> (RelationalOps.medianByGroup _),
+    "mgrp"        -> (RelationalOps.medianByGroup _),
     "imed"    -> (RelationalOps.imputeGroupMedian _),
     "scal"           -> (RelationalOps.scalarFuncs _),
     "dates"             -> (RelationalOps.dateFuncs _),
-    "enrich"       -> (RelationalOps.joinLeftEnrich _),
+    "enr"       -> (RelationalOps.joinLeftEnrich _),
     "jsemi"              -> (RelationalOps.joinSemi _),
     "janti"              -> (RelationalOps.joinAnti _),
     "bloom"                  -> (RelationalOps.bloomPruneJoin _),
@@ -42,8 +42,8 @@ object SparkEntry {
     "push"        -> (RelationalOps.filterPushdown _),
     "isect"          -> (RelationalOps.setIntersect _),
     "sexc"             -> (RelationalOps.setExcept _),
-    "rollup"             -> (RelationalOps.aggRollup _),
-    "topkg"  -> (RelationalOps.windowTopKPerGroup _),
+    "rlup"             -> (RelationalOps.aggRollup _),
+    "tkg"  -> (RelationalOps.windowTopKPerGroup _),
     "rsum"     -> (RelationalOps.windowRunningSum _),
     "wlag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
@@ -53,14 +53,14 @@ object SparkEntry {
     "evj"            -> (EventOps.jsonExtract _),
     "jsonf"             -> (EventOps.jsonFuncs _),
     "vart"          -> (EventOps.variantFuncs _),
-    "attrib"     -> (EventOps.clickAttribution _),
+    "attr"     -> (EventOps.clickAttribution _),
     "strs"           -> (RelationalOps.stringFuncs _),
     "cagg"               -> (RelationalOps.condAgg _),
     "unpv"           -> (RelationalOps.unpivotLong _),
     "modeg"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "amoms"            -> (StatOps.aggMoments _),
-    "pivot"             -> (StatOps.pivotWide _),
+    "pvt"             -> (StatOps.pivotWide _),
     "cube"               -> (StatOps.aggCube _),
     "gsets"      -> (StatOps.aggGroupingSets _),
     "cdist"     -> (StatOps.aggCountDistinct _),
@@ -69,7 +69,7 @@ object SparkEntry {
     "csort"     -> (StatOps.aggCollectSorted _),
     "ccap"     -> (StatOps.aggCollectCapped _),
     "ntile"        -> (StatOps.ntileQuartiles _),
-    "corrg"          -> (StatOps.corrByGroup _),
+    "crg"          -> (StatOps.corrByGroup _),
     "quant"     -> (StatOps.quantilesByGroup _),
     "histo"              -> (StatOps.histogram _),
     "salt"             -> (StatOps.saltedAgg _),
@@ -136,10 +136,10 @@ object SparkEntry {
     "pii"        -> (PipelineOps.piiRedact _),
     "strat"      -> (PipelineOps.sampleStratified _),
     "tfidf"        -> (PipelineOps.tfidfTopK _),
-    "funnel"          -> (PipelineOps.eventsFunnel _),
-    "upsert"           -> (PipelineOps.mergeUpsert _),
+    "fnl"          -> (PipelineOps.eventsFunnel _),
+    "ups"           -> (PipelineOps.mergeUpsert _),
     "pack"         -> (PipelineOps.packSequences _),
-    "winsor"     -> (PipelineOps.winsorizeByGroup _),
+    "wnsr"     -> (PipelineOps.winsorizeByGroup _),
     "decon"          -> (PipelineOps.decontaminate _),
     "dec_ng"    -> (PipelineOps.decontaminateNgram _),
     "spans"      -> (PipelineOps.dupSpans _),
@@ -156,7 +156,7 @@ object SparkEntry {
     "quota"    -> (PipelineOps.sampleSourceQuota _),
     "imps"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
-    "cohort"       -> (EventOps.cohortRetention _),
+    "coh"       -> (EventOps.cohortRetention _),
     "rframe"     -> (EventOps.windowRangeFrame _),
     "gapf"             -> (TimeSeriesOps.tsGapfill _),
     "scd2"             -> (TimeSeriesOps.scd2Build _),
@@ -168,7 +168,7 @@ object SparkEntry {
     "skq"   -> (StatOps.sketchQuantileGate _),
     "theta"         -> (StatOps.thetaSetOps _),
     "skm"      -> (StatOps.sketchMergeGate _),
-    "skewj"     -> (StatOps.skewJoin _),
+    "skj"     -> (StatOps.skewJoin _),
     // Profiling / data-quality / graph
     "prof"     -> (QualityOps.profileTable _),
     "papx" -> (QualityOps.profileApprox _),
@@ -182,14 +182,14 @@ object SparkEntry {
     "mapf"         -> (TextOps.mapFuncs _),
     "outl"          -> (StatOps.outliers _),
     // Training-data shaping: windowed chunking + lexical retrieval
-    "chunks"            -> (TextOps.docChunks _),
+    "chk"            -> (TextOps.docChunks _),
     "bm25"              -> (TextOps.bm25Search _),
     "bmln"       -> (TextOps.bm25LnGate _),
     "hh"                -> (StatOps.sketchHeavyHitters _),
-    "zorder"            -> (LayoutOps.zorderKeys _),
+    "zord"            -> (LayoutOps.zorderKeys _),
     "bktj"          -> (LayoutOps.bucketedJoin _),
     "rbloom"          -> (LayoutOps.runtimeBloomJoin _),
-    "xreuse"        -> (LayoutOps.exchangeReuse _),
+    "xreu"        -> (LayoutOps.exchangeReuse _),
     "obs"       -> (PipelineOps.observedMetrics _),
   )
 
@@ -1294,7 +1294,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     "dexact" ->
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
-    "medgrp" ->
+    "mgrp" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
          FROM part GROUP BY 1 ORDER BY 1""",
     "imed" ->
@@ -1328,7 +1328,7 @@ object SparkEntry {
          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
          CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS age_days
          FROM orders ORDER BY o_orderkey""",
-    "enrich" ->
+    "enr" ->
       """SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
          l.l_partkey, p.p_type, p.p_brand
          FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
@@ -1369,12 +1369,12 @@ object SparkEntry {
     "sexc" ->
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY 1""",
-    "rollup" ->
+    "rlup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "topkg" ->
+    "tkg" ->
       """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
            SELECT p_brand, p_partkey, p_retailprice,
                   CAST(row_number() OVER (PARTITION BY p_brand
@@ -1459,7 +1459,7 @@ object SparkEntry {
                END), ', ') || '>' AS sch,
          json_extract(props, '$.missing') IS NULL AS miss_null
          FROM events WHERE event_id % 10 = 0 ORDER BY event_id""",
-    "attrib" ->
+    "attr" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id, COUNT(*) AS n_clicks
@@ -1500,7 +1500,7 @@ object SparkEntry {
                     ORDER BY COUNT(*) DESC, p_type) AS rk
            FROM part GROUP BY p_brand, p_type) t
          WHERE rk = 1 ORDER BY p_brand""",
-    "pivot" ->
+    "pvt" ->
       """SELECT l_returnflag,
          CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
                        AS DECIMAL(18,2))) AS DOUBLE) AS F,
@@ -1554,7 +1554,7 @@ object SparkEntry {
          CAST(ntile(4) OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
          FROM part ORDER BY p_brand, p_partkey""",
-    "corrg" ->
+    "crg" ->
       """WITH s AS (
            SELECT l_returnflag, COUNT(*) AS n,
                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
@@ -2280,7 +2280,7 @@ object SparkEntry {
           FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""",
     // PipelineOps.eventsFunnel: stage-k users' earliest qualifying
     // event must be strictly after their stage-(k-1) anchor.
-    "funnel" ->
+    "fnl" ->
       """WITH v AS (SELECT user_id, min(ts) AS prev_ts FROM events
                     WHERE event_type = 'view' GROUP BY 1),
           c AS (SELECT e.user_id, min(e.ts) AS prev_ts FROM events e
@@ -2296,7 +2296,7 @@ object SparkEntry {
          WHERE users > 0 ORDER BY stage""",
     // PipelineOps.mergeUpsert: updated-wins upsert with deterministic
     // update/insert batches derived from the base table itself.
-    "upsert" ->
+    "ups" ->
       """WITH bumped AS (
            SELECT o_orderkey, o_custkey, o_orderstatus,
                   o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
@@ -2335,7 +2335,7 @@ object SparkEntry {
     // algebraically-equal formulas differently (1-ulp divergence
     // observed at sf0.1), while this explicit form is the same IEEE
     // ops on both engines.
-    "winsor" ->
+    "wnsr" ->
       """WITH r AS (SELECT p_type, p_retailprice AS v,
                 CAST(row_number() OVER (PARTITION BY p_type ORDER BY p_retailprice)
                      AS BIGINT) - 1 AS rn
@@ -2476,7 +2476,7 @@ object SparkEntry {
                  AS BIGINT) < LEAST(65536, n_chars * 65536 // 2000)
          ORDER BY doc_id""",
     // EventOps.cohortRetention: first-seen-day cohorts × day offset.
-    "cohort" ->
+    "coh" ->
       """WITH e AS (SELECT user_id,
                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
           c AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY 1)
@@ -2628,7 +2628,7 @@ object SparkEntry {
     // StatOps.skewJoin: the hot-key fold is a deterministic
     // expression, so the oracle reproduces the same skewed join and
     // the AQE skew-split's result-preservation claim is hash-checked.
-    "skewj" ->
+    "skj" ->
       """WITH e AS (SELECT CASE WHEN user_id % 10 < 5 THEN 0
                                 ELSE user_id END AS jk,
                           value FROM events)
@@ -2820,7 +2820,7 @@ object SparkEntry {
     // shared ChunkSize/ChunkStride constants. DuckDB list slicing is
     // 1-based inclusive and clamps past the end — same contract as
     // Spark's slice(start, length), so end = start + Size − 1.
-    "chunks" -> {
+    "chk" -> {
       val (cs, st) = (TextOps.ChunkSize, TextOps.ChunkStride)
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0),
@@ -2927,7 +2927,7 @@ object SparkEntry {
     // & | << on BIGINT are two's-complement like the JVM's, and
     // ((v−min)·65535) // range is the same exact normalization as
     // Spark's floor(double-div) (gap ≥ 1/range ≫ rounding error).
-    "zorder" ->
+    "zord" ->
       s"""WITH o AS (SELECT o_orderkey, o_custkey AS cx,
             (CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400) AS cy
           FROM orders),
@@ -2968,7 +2968,7 @@ object SparkEntry {
     // oracle recomputes both from scratch. exchange_reused is
     // computed Spark-side (TRUE only if the static plan carries a
     // ReusedExchange node); the oracle expects the claim to hold.
-    "xreuse" ->
+    "xreu" ->
       """WITH g AS (SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS order_rev
            FROM lineitem GROUP BY l_orderkey)
