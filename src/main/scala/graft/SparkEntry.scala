@@ -100,6 +100,7 @@ object SparkEntry {
     "wsim"       -> (TextOps.winnowOverlapPairs _),
     "winc"       -> (TextOps.winnowOverlapDelta _),
     "wext"       -> (TextOps.winnowExtents _),
+    "wct"        -> (TextOps.winnowCut _),
     "qual"           -> (TextOps.textQuality _),
     "langid"            -> (TextOps.textLangId _),
     "tfp"       -> (TextOps.textFingerprint _),
@@ -1921,6 +1922,62 @@ object SparkEntry {
                  b_start, mb + ${k - 1} AS b_end, n_fp
           FROM ex WHERE n_fp >= 2
           ORDER BY doc_a, doc_b, ext"""
+    },
+    // TextOps.winnowCut — the wext chain's extents cut from the higher
+    // doc of each pair; kept tokens rejoin in position order under the
+    // shared token law, so cleaned_text hash-matches byte-for-byte.
+    "wct" -> {
+      val (k, g) = (TextOps.WinnowK, TextOps.WinnowW)
+      s"""WITH $winnowCtes,
+          fps AS (SELECT DISTINCT doc_id, CAST(wm >> 20 AS BIGINT) AS fp
+                  FROM sel),
+          kk AS (SELECT doc_id, fp FROM (
+                  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                  FROM fps) WHERE df <= ${TextOps.WinnowMaxDf}),
+          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM kk a JOIN kk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}),
+          sl AS (SELECT s.doc_id, CAST(s.wm & 1048575 AS BIGINT) AS fpos,
+                        CAST(s.wm >> 20 AS BIGINT) AS fp
+                 FROM sel s JOIN kk
+                   ON kk.doc_id = s.doc_id AND kk.fp = CAST(s.wm >> 20 AS BIGINT)),
+          m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       a.fpos AS pa, b.fpos AS pb
+                FROM sl a JOIN sl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+                JOIN pr ON pr.doc_a = a.doc_id AND pr.doc_b = b.doc_id),
+          fl AS (SELECT *, CASE WHEN ppa IS NULL
+                   OR pa <= ppa OR pa - ppa > $g
+                   OR pb <= ppb OR pb - ppb > $g THEN 1 ELSE 0 END AS brk
+                 FROM (SELECT *, lag(pa) OVER wo AS ppa, lag(pb) OVER wo AS ppb
+                       FROM m
+                       WINDOW wo AS (PARTITION BY doc_a, doc_b ORDER BY pa, pb))),
+          rn AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY doc_a, doc_b
+                   ORDER BY pa, pb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS run
+                 FROM fl),
+          ex AS (SELECT doc_a, doc_b, run,
+                   MIN(pb) AS b_start, MAX(pb) + ${k - 1} AS b_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_fp
+                 FROM rn GROUP BY 1, 2, 3),
+          cuts AS (SELECT doc_b AS doc_id, b_start, b_end FROM ex
+                   WHERE n_fp >= 2),
+          tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+                        unnest(toks) AS tok
+                 FROM tt),
+          keepk AS (SELECT tk.* FROM tk
+                    WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                      WHERE c.doc_id = tk.doc_id
+                        AND tk.pos BETWEEN c.b_start AND c.b_end)),
+          ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                        string_agg(tok, ' ' ORDER BY pos) AS cleaned
+                 FROM keepk GROUP BY doc_id)
+          SELECT tt.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(toks) - COALESCE(ag.n_kept, 0) AS BIGINT) AS n_cut,
+                 COALESCE(ag.cleaned, '') AS cleaned_text
+          FROM tt LEFT JOIN ag USING (doc_id)
+          ORDER BY tt.doc_id"""
     },
     "qual" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")

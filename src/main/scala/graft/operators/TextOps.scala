@@ -717,6 +717,51 @@ object TextOps {
         col("b_start"), (col("__mb") + (k - 1)).as("b_end"), col("n_fp"))
   }
 
+  /** Duplicated-span REMOVAL — the Lee-et-al substring-dedup consumer
+    * of the MOSS extents (Deduplicating Training Data Makes Language
+    * Models Better, 2021: cut repeated substrings, keep one copy):
+    * every matched extent cuts its tokens from the HIGHER doc of the
+    * pair (doc_a keeps the first occurrence), so the cleaned corpus
+    * carries each shared run once. Emits every document with its
+    * original token count, the tokens cut (0 for untouched docs), and
+    * the cleaned text — kept tokens rejoined in position order, the
+    * tokenizer's normalized form, identical in both engines by the
+    * shared token law. Plan: the wext extent chain once, one
+    * doc_id-keyed LEFT ANTI join of the position-exploded tokens
+    * against the covering extents (equi key + range residual — never
+    * a cartesian), one per-doc aggregation. At 100 TB the cut table
+    * is extent-sized (bounded by the df-capped index) and the token
+    * stream shuffles once on doc_id.
+    */
+  def winnowCut(spark: SparkSession, dir: String): DataFrame = {
+    val kept = winnowKept(spark, dir)
+    val ext = winnowExtentsFrom(
+      winnowSelection(spark, dir).join(kept, Seq("fp", "doc_id"), "left_semi"),
+      winnowPairsFrom(kept).select("doc_a", "doc_b"))
+    val cuts = ext.select(col("doc_b").as("doc_id"),
+      col("b_start").as("cs"), col("b_end").as("ce"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val keptToks = toks.as("t").join(cuts.as("c"),
+      col("t.doc_id") === col("c.doc_id") &&
+        col("t.pos") >= col("c.cs") && col("t.pos") <= col("c.ce"),
+      "left_anti")
+    val agg = keptToks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("cleaned_text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("text").isNotNull,
+          size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
   /** [[winnowFingerprints]] as a fully ROW-LOCAL projection over an
     * explicit (doc_id, text) frame — winnowing is per-document by
     * construction (every window lives inside one doc), so the k-gram

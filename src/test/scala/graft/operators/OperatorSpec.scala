@@ -1185,6 +1185,30 @@ class OperatorSpec extends AnyFunSuite {
     DedupOps.releaseTransients(spark)
   }
 
+  test("wct: span removal conserves tokens and cuts exactly the covered positions") {
+    // recompute the expected per-doc cut set from the extent report's
+    // own output: union of [b_start, b_end] over extents where the doc
+    // is the pair's higher id
+    val cover = TextOps.winnowExtents(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_b"))
+      .map { case (d, rs) => d -> rs.flatMap(r =>
+        r.getAs[Long]("b_start") to r.getAs[Long]("b_end")).toSet }
+    val rows = TextOps.winnowCut(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    assert(rows.exists(_.getAs[Long]("n_cut") > 0), "fixture produced no cuts")
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val expect = cover.getOrElse(d, Set.empty[Long]).size.toLong
+      assert(r.getAs[Long]("n_cut") === expect,
+        s"doc $d cut ${r.getAs[Long]("n_cut")} tokens, extents cover $expect")
+      // the cleaned text's token count is exactly what survived
+      val kept = r.getAs[String]("cleaned_text")
+      val nKept = if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      assert(nKept === r.getAs[Long]("n_tokens") - r.getAs[Long]("n_cut"),
+        s"doc $d cleaned text carries $nKept tokens")
+    }
+  }
+
   test("ccn: terciles are balanced per language, ordered by score, keep = head+middle") {
     val rows = TextOps.pplBuckets(spark, sf).collect()
     assert(rows.nonEmpty)
