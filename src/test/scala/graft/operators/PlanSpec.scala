@@ -362,6 +362,39 @@ class PlanSpec extends AnyFunSuite {
       s"semantic stage re-scans embeddings unboundedly:\n$s")
   }
 
+  test("semantic dedup family: cell-blocked pair joins, no unbounded product") {
+    // the within-cell pair verification and the incremental probe are
+    // equi-joins on the CELL. The membership subtree's N×K assignment
+    // is a DELIBERATE BroadcastNestedLoopJoin against the 32-row
+    // centroid set (ivfRankedWith's established shape — bounded build
+    // side), so the pin here is (a) no CartesianProduct anywhere and
+    // (b) every nested-loop node is a broadcast build — an unbounded
+    // big-big nested loop cannot satisfy both.
+    for ((name, df) <- Seq(
+      "sdd" -> EmbeddingOps.semanticDedup(spark, sf),
+      "sinc" -> EmbeddingOps.semanticDedupDelta(spark, sf),
+      "sref" -> EmbeddingOps.semanticRefresh(spark, sf))) {
+      val s = planString(df)
+      assert(!s.contains("CartesianProduct"),
+        s"$name plan contains a cartesian product:\n$s")
+      val loops = s.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      assert(loops.forall(l => l.contains("BuildRight") || l.contains("BuildLeft")),
+        s"$name has a non-broadcast nested loop:\n$s")
+    }
+    graft.operators.DedupOps.releaseTransients(spark)
+  }
+
+  test("wct: the extent anti-join keys on doc_id, never a nested loop") {
+    // equi key + range residual must plan as a keyed anti join; a
+    // BroadcastNestedLoopJoin would pair every token with every
+    // extent — quadratic in corpus size
+    val s = planString(TextOps.winnowCut(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      s"wct anti-join fell to a nested loop:\n$s")
+    graft.operators.DedupOps.releaseTransients(spark)
+  }
+
   test("json_funcs parses the document exactly once") {
     val s = planString(EventOps.jsonFuncs(spark, sf))
     // JsonToStructs is a non-codegen parse; CollapseProject must keep
