@@ -1185,6 +1185,22 @@ class OperatorSpec extends AnyFunSuite {
     DedupOps.releaseTransients(spark)
   }
 
+  test("tdata: the semantic stage drops exactly the embedding-duplicate survivors") {
+    val pre = PipelineOps.corpusSurvivorsFrom(
+      graft.sources.Tables.documents(spark, sf))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val drop = EmbeddingOps.semanticDropIds(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val post = PipelineOps.trainingData(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    DedupOps.releaseTransients(spark)
+    assert((pre -- drop).nonEmpty, "semantic stage dropped every survivor")
+    assert(pre.intersect(drop).nonEmpty, "fixture exercises no semantic drop")
+    assert(post === pre -- drop,
+      s"composite survivors diverged: ${(post -- (pre -- drop)).take(3)} extra, " +
+        s"${((pre -- drop) -- post).take(3)} missing")
+  }
+
   test("wct: span removal conserves tokens and cuts exactly the covered positions") {
     // recompute the expected per-doc cut set from the extent report's
     // own output: union of [b_start, b_end] over extents where the doc
