@@ -104,8 +104,12 @@ object Bench {
     "pqf_cb"           -> "pqfcb",
     "pqf_codes"        -> "pqfcode",
     "sem_asg"          -> "semasg",
+    "sem_labels"       -> "semlbl",
     "sem_blabels"      -> "semblbl",
-    "sem_bkeep"        -> "sembkp")
+    "sem_bkeep"        -> "sembkp",
+    "win_sel"          -> "winsel",
+    "win_kept"         -> "winkpt",
+    "win_ext"          -> "winext")
 
   /** Committed-floor per-query minima for this SF
     * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.

@@ -28,17 +28,17 @@ object SparkEntry {
     "q4"      -> (SalesAnalytics.q4Top5Customers _),
     "q5"      -> (SalesAnalytics.q5SalesByMonth _),
     // Operator inventory (SURVEY.md §2.2-2.8)
-    "dexact"            -> (RelationalOps.dedupExact _),
+    "dex"            -> (RelationalOps.dedupExact _),
     "mgrp"        -> (RelationalOps.medianByGroup _),
     "imed"    -> (RelationalOps.imputeGroupMedian _),
     "scal"           -> (RelationalOps.scalarFuncs _),
-    "dates"             -> (RelationalOps.dateFuncs _),
+    "dts"             -> (RelationalOps.dateFuncs _),
     "enr"       -> (RelationalOps.joinLeftEnrich _),
     "jsemi"              -> (RelationalOps.joinSemi _),
     "janti"              -> (RelationalOps.joinAnti _),
-    "bloom"                  -> (RelationalOps.bloomPruneJoin _),
+    "blm"                  -> (RelationalOps.bloomPruneJoin _),
     "jfull"        -> (RelationalOps.joinFullOuter _),
-    "topk_o"            -> (RelationalOps.topKOrders _),
+    "tko"            -> (RelationalOps.topKOrders _),
     "push"        -> (RelationalOps.filterPushdown _),
     "isect"          -> (RelationalOps.setIntersect _),
     "sexc"             -> (RelationalOps.setExcept _),
@@ -73,13 +73,13 @@ object SparkEntry {
     "quant"     -> (StatOps.quantilesByGroup _),
     "histo"              -> (StatOps.histogram _),
     "salt"             -> (StatOps.saltedAgg _),
-    "jrange"             -> (StatOps.joinRange _),
-    "rj_bin"                 -> (StatOps.rangeBinIncidents _),
+    "jrng"             -> (StatOps.joinRange _),
+    "rjb"                 -> (StatOps.rangeBinIncidents _),
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
     "rjs"                 -> (StatOps.rangeBinIncidentsSql _),
-    "rj_key"                 -> (StatOps.rangeBinIncidentsKeyed _),
+    "rjk"                 -> (StatOps.rangeBinIncidentsKeyed _),
     "rjout"               -> (StatOps.rangeBinPurchasesOuter _),
-    "rj_box"                 -> (StatOps.rangeBinBoxes _),
+    "rjx"                 -> (StatOps.rangeBinBoxes _),
     "rj2d"                   -> (StatOps.rangeBinBoxesSql _),
     "rja"                -> (StatOps.rangeBinTiersAuto _),
     "asofj"              -> (StatOps.asofJoin _),
@@ -101,8 +101,9 @@ object SparkEntry {
     "winc"       -> (TextOps.winnowOverlapDelta _),
     "wext"       -> (TextOps.winnowExtents _),
     "wct"        -> (TextOps.winnowCut _),
+    "wci"        -> (TextOps.winnowCutDelta _),
     "qual"           -> (TextOps.textQuality _),
-    "langid"            -> (TextOps.textLangId _),
+    "lid"            -> (TextOps.textLangId _),
     "tfp"       -> (TextOps.textFingerprint _),
     "reps"       -> (TextOps.textRepSignals _),
     // Training-data pipeline: deduplication
@@ -114,7 +115,7 @@ object SparkEntry {
     "simp"    -> (DedupOps.dedupSimhashPairs _),
     "cwork"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
-    "brute"         -> (EmbeddingOps.annBruteTopK _),
+    "brt"         -> (EmbeddingOps.annBruteTopK _),
     "annat"  -> (EmbeddingOps.annBruteTopKNative _),
     "alsh"         -> (EmbeddingOps.annLshBucket _),
     "aivf"                -> (EmbeddingOps.annIvf _),
@@ -141,13 +142,14 @@ object SparkEntry {
     "ups"           -> (PipelineOps.mergeUpsert _),
     "pack"         -> (PipelineOps.packSequences _),
     "wnsr"     -> (PipelineOps.winsorizeByGroup _),
-    "decon"          -> (PipelineOps.decontaminate _),
-    "dec_ng"    -> (PipelineOps.decontaminateNgram _),
-    "spans"      -> (PipelineOps.dupSpans _),
+    "dcn"          -> (PipelineOps.decontaminate _),
+    "dcng"    -> (PipelineOps.decontaminateNgram _),
+    "spn"      -> (PipelineOps.dupSpans _),
     "lms"       -> (TextOps.lmScore _),
     "ccn"       -> (TextOps.pplBuckets _),
-    "corpus"         -> (PipelineOps.corpusPipeline _),
+    "corp"         -> (PipelineOps.corpusPipeline _),
     "tdata"    -> ((s: SparkSession, d: String) => PipelineOps.trainingData(s, d)),
+    "pksq"     -> ((s: SparkSession, d: String) => PipelineOps.packedSequences(s, d)),
     "clus"         -> (DedupOps.dedupClusters _),
     "dkeep"               -> (DedupOps.dedupKeep _),
     "linc"                -> (DedupOps.dedupKeepIncremental _),
@@ -158,7 +160,7 @@ object SparkEntry {
     "imps"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
     "coh"       -> (EventOps.cohortRetention _),
-    "rframe"     -> (EventOps.windowRangeFrame _),
+    "rfrm"     -> (EventOps.windowRangeFrame _),
     "gapf"             -> (TimeSeriesOps.tsGapfill _),
     "scd2"             -> (TimeSeriesOps.scd2Build _),
     // Entity resolution & regression
@@ -173,7 +175,8 @@ object SparkEntry {
     // Profiling / data-quality / graph
     "prof"     -> (QualityOps.profileTable _),
     "papx" -> (QualityOps.profileApprox _),
-    "cksum"    -> (QualityOps.tableChecksum _),
+    "cks"    -> (QualityOps.tableChecksum _),
+    "ftq"    -> (QualityOps.ftqClassifier _),
     "dq"         -> (QualityOps.dqChecks _),
     "prank"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
@@ -189,7 +192,7 @@ object SparkEntry {
     "hh"                -> (StatOps.sketchHeavyHitters _),
     "zord"            -> (LayoutOps.zorderKeys _),
     "bktj"          -> (LayoutOps.bucketedJoin _),
-    "rbloom"          -> (LayoutOps.runtimeBloomJoin _),
+    "rblm"          -> (LayoutOps.runtimeBloomJoin _),
     "xreu"        -> (LayoutOps.exchangeReuse _),
     "obs"       -> (PipelineOps.observedMetrics _),
   )
@@ -1034,6 +1037,175 @@ object SparkEntry {
     * sequence is reassembled in (wpos, spos) order and compared as a
     * comma-joined string — the hash gate pins the full arrays.
     */
+  /** The duplicated-span-removal oracle: the wext extent chain's
+    * cuts applied to the higher doc of each pair, kept tokens
+    * rejoined in position order. touchedOnly=false is `wct` (whole
+    * corpus); touchedOnly=true is `wci` — the IDENTICAL law
+    * restricted to the delta-touched set (endpoints of
+    * delta-touching flagged pairs plus every arriving doc), which is
+    * precisely the incremental operator's contract: delta cut ≡ full
+    * cut restricted to touched docs.
+    */
+  /** QualityOps.ftqClassifier's oracle — the WHOLE training chain
+    * unrolled: hashed integer-ratio features, the centroid-difference
+    * init, and per round the batch-perceptron gradient, the exact
+    * power-of-two weight update, and the accuracy-optimal threshold
+    * re-pick (cumulative-window argmax, ties to the lowest
+    * threshold). Every arithmetic step is either integer-exact
+    * (feature DIV, gradient sums of integral doubles, threshold
+    * counts) or the same IEEE chain both engines replay (index-order
+    * score fold, power-of-two updates), so the gate pins TRAINING,
+    * not just the verdict row.
+    */
+  private def ftqSql: String = {
+    val d = graft.operators.QualityOps.FtqBuckets
+    val refs = graft.operators.QualityOps.FtqRefLexicon
+      .map(w => s"'$w'").mkString(", ")
+    val lr = graft.operators.QualityOps.FtqLr
+    val floorV = graft.operators.QualityOps.FtqAccFloor
+    val scale = graft.operators.QualityOps.FtqScale
+    def thetaCte(t: Int) = s"""
+        dd$t AS (SELECT s, CAST(SUM(y) AS BIGINT) p,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) ng
+                 FROM sc$t WHERE istrain GROUP BY s),
+        cc$t AS (SELECT s AS th,
+                   COALESCE(SUM(p) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) pb,
+                   COALESCE(SUM(ng) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nb
+                 FROM dd$t
+                 UNION ALL
+                 SELECT max(s) + 1, sum(p), sum(ng) FROM dd$t),
+        tot$t AS (SELECT SUM(p) totp FROM dd$t),
+        th$t AS (SELECT th FROM cc$t, tot$t
+                 ORDER BY (totp - pb + nb) DESC, th ASC LIMIT 1)"""
+    def scoreCte(t: Int) = s"""
+        sc$t AS MATERIALIZED (SELECT f.doc_id, f.y, f.istrain, f.fv,
+                   CAST(floor(list_sum(list_transform(range(1, ${d + 1}),
+                     i -> w.w[i] * f.fv[i]))) AS BIGINT) s
+                 FROM fvv f, w$t w)"""
+    val rounds = (1 to graft.operators.QualityOps.FtqRounds).map { t =>
+      s"""g$t AS (SELECT list(gs ORDER BY j) grad FROM (
+                  SELECT j, CAST(sum(r * q) AS DOUBLE) gs FROM (
+                    SELECT unnest(range(0, $d)) j, unnest(s.fv) r,
+                           CAST(s.y - (CASE WHEN s.s >= th.th THEN 1 ELSE 0 END)
+                             AS BIGINT) q
+                    FROM sc${t - 1} s, th${t - 1} th WHERE s.istrain)
+                  GROUP BY j)),
+        w$t AS (SELECT list_transform(range(1, ${d + 1}),
+                  i -> w.w[i] + g.grad[i] * $lr) w FROM w${t - 1} w, g$t g),${scoreCte(t)},${thetaCte(t)}"""
+    }.mkString(",\n")
+    val T = graft.operators.QualityOps.FtqRounds
+    s"""WITH tt AS (SELECT doc_id, $toksSql toks FROM documents
+                    WHERE text IS NOT NULL),
+        tb AS (SELECT doc_id, toks, len(toks) n,
+                 len(list_filter(toks, x -> x IN ($refs))) hits
+               FROM tt WHERE len(toks) > 0),
+        fvv AS MATERIALIZED (SELECT doc_id,
+                  CAST(hits * 4 >= n AS INT) y,
+                  (doc_id % 4 <> 0) istrain,
+                  list_transform(range(0, $d), j ->
+                    CAST((len(list_filter(toks, x ->
+                      CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % $d = j))
+                      * $scale) // n AS DOUBLE)) fv
+                FROM tb),
+        n01 AS (SELECT CAST(SUM(y) AS BIGINT) n1,
+                  CAST(COUNT(*) - SUM(y) AS BIGINT) n0
+                FROM fvv WHERE istrain),
+        c0 AS (SELECT j,
+                 CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS DOUBLE) s1,
+                 CAST(SUM(CASE WHEN y = 0 THEN r ELSE 0 END) AS DOUBLE) s0
+               FROM (SELECT unnest(range(0, $d)) j, unnest(fv) r, y
+                     FROM fvv WHERE istrain)
+               GROUP BY j),
+        w0 AS (SELECT list(s1 / n1 - s0 / n0 ORDER BY j) w FROM c0, n01),${scoreCte(0)},${thetaCte(0)},
+        $rounds,
+        fin AS (SELECT sc.y, sc.istrain,
+                  (sc.s >= thf.th) = (sc.y = 1) ok,
+                  (s0sc.s >= th00.th) = (sc.y = 1) ok0
+                FROM sc$T sc, sc0 s0sc, th$T thf, th0 th00
+                WHERE s0sc.doc_id = sc.doc_id)
+        SELECT CASE WHEN istrain THEN 'train' ELSE 'test' END split,
+               CAST(COUNT(*) AS BIGINT) n,
+               CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) n_correct,
+               CAST(COUNT(CASE WHEN ok THEN 1 END) AS DOUBLE) / COUNT(*) acc,
+               CAST(COUNT(CASE WHEN ok0 THEN 1 END) AS DOUBLE) / COUNT(*) acc0,
+               CAST(greatest(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END),
+                 SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)) AS DOUBLE)
+                 / COUNT(*) base_acc,
+               CAST($floorV AS DOUBLE) acc_floor,
+               CAST(COUNT(CASE WHEN ok THEN 1 END) AS DOUBLE) / COUNT(*)
+                 >= $floorV floor_met,
+               COUNT(CASE WHEN ok THEN 1 END) >
+                 greatest(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END),
+                   SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)) beats_base,
+               COUNT(CASE WHEN ok THEN 1 END) >=
+                 COUNT(CASE WHEN ok0 THEN 1 END) trained_ge_init
+        FROM fin GROUP BY 1 ORDER BY 1"""
+  }
+
+  private def winnowCutSql(touchedOnly: Boolean): String = {
+    val (k, g) = (TextOps.WinnowK, TextOps.WinnowW)
+    val touchedCtes = if (!touchedOnly) "" else s"""
+          tpr AS (SELECT doc_a, doc_b FROM pr
+                  WHERE doc_a % 5 = 0 OR doc_b % 5 = 0),
+          tch AS (SELECT doc_a AS doc_id FROM tpr
+                  UNION SELECT doc_b FROM tpr
+                  UNION SELECT doc_id FROM documents WHERE doc_id % 5 = 0),"""
+    val spine = if (touchedOnly) "documents JOIN tch USING (doc_id)"
+      else "documents"
+    s"""WITH $winnowCtes,
+        fps AS (SELECT DISTINCT doc_id, CAST(wm >> 20 AS BIGINT) AS fp
+                FROM sel),
+        kk AS (SELECT doc_id, fp FROM (
+                SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+                FROM fps) WHERE df <= ${TextOps.WinnowMaxDf}),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM kk a JOIN kk b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}),
+        sl AS (SELECT s.doc_id, CAST(s.wm & 1048575 AS BIGINT) AS fpos,
+                      CAST(s.wm >> 20 AS BIGINT) AS fp
+               FROM sel s JOIN kk
+                 ON kk.doc_id = s.doc_id AND kk.fp = CAST(s.wm >> 20 AS BIGINT)),
+        m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.fpos AS pa, b.fpos AS pb
+              FROM sl a JOIN sl b ON a.fp = b.fp AND a.doc_id < b.doc_id
+              JOIN pr ON pr.doc_a = a.doc_id AND pr.doc_b = b.doc_id),
+        fl AS (SELECT *, CASE WHEN ppa IS NULL
+                 OR pa <= ppa OR pa - ppa > $g
+                 OR pb <= ppb OR pb - ppb > $g THEN 1 ELSE 0 END AS brk
+               FROM (SELECT *, lag(pa) OVER wo AS ppa, lag(pb) OVER wo AS ppb
+                     FROM m
+                     WINDOW wo AS (PARTITION BY doc_a, doc_b ORDER BY pa, pb))),
+        rn AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY doc_a, doc_b
+                 ORDER BY pa, pb
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS run
+               FROM fl),
+        ex AS (SELECT doc_a, doc_b, run,
+                 MIN(pb) AS b_start, MAX(pb) + ${k - 1} AS b_end,
+                 CAST(COUNT(*) AS BIGINT) AS n_fp
+               FROM rn GROUP BY 1, 2, 3),
+        cuts AS (SELECT doc_b AS doc_id, b_start, b_end FROM ex
+                 WHERE n_fp >= 2),$touchedCtes
+        tt AS (SELECT doc_id, $toksSql AS toks FROM $spine),
+        tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
+                      unnest(toks) AS tok
+               FROM tt),
+        keepk AS (SELECT tk.* FROM tk
+                  WHERE NOT EXISTS (SELECT 1 FROM cuts c
+                    WHERE c.doc_id = tk.doc_id
+                      AND tk.pos BETWEEN c.b_start AND c.b_end)),
+        ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      string_agg(tok, ' ' ORDER BY pos) AS cleaned
+               FROM keepk GROUP BY doc_id)
+        SELECT tt.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CAST(len(toks) - COALESCE(ag.n_kept, 0) AS BIGINT) AS n_cut,
+               COALESCE(ag.cleaned, '') AS cleaned_text
+        FROM tt LEFT JOIN ag USING (doc_id)
+        ORDER BY tt.doc_id"""
+  }
+
   private def bpeTokenIdsSql: String = {
     val mark = TextOps.BpeEndMark
     val chain = (1 to TextOps.BpeMergeRounds).map { r =>
@@ -1089,14 +1261,16 @@ object SparkEntry {
         ORDER BY d.doc_id"""
   }
 
-  /** PipelineOps.trainingData's oracle — the end-to-end composite:
-    * the corpus survivor chain (same CTE logic as the `corpus`
-    * oracle, names prefixed to avoid colliding with the training
-    * CTEs), the token-id chain restricted to survivors (same law as
-    * `tid`), the pack window, the seeded split, and the epoch-shuffle
-    * rank — every stage the standalone oracle's exact logic.
+  /** Shared oracle CTE chain for the training-data composites —
+    * BPE training, the semantic drop set (sdrop), the corpus
+    * survivor chain (tsf), and the survivors' per-symbol frames
+    * through the id map (dw/e0/merge chain/syms/alpha/aid/naa/mid/
+    * idm) — exactly the standalone oracles' logic, consumed by both
+    * `tdata` (per-doc id sequences + split/shuffle tail) and `pksq`
+    * (the packed fixed-window materialization), so the two gates
+    * share one survivor-and-tokenizer law.
     */
-  private def trainingDataSql: String = {
+  private def survivorTokenCtes: String = {
     val mark = TextOps.BpeEndMark
     val chain = (1 to TextOps.BpeMergeRounds).map { r =>
       s"""e$r AS (SELECT doc_id, wpos,
@@ -1108,7 +1282,7 @@ object SparkEntry {
     val mergeRows = (1 to TextOps.BpeMergeRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b FROM t$r"
     }.mkString(" UNION ALL ")
-    s"""WITH RECURSIVE $bpeTrainCtes,
+    s"""$bpeTrainCtes,
         ${semanticPairCtes(clusteredCorpusCtes)},
         se AS (SELECT vec_a AS src, vec_b AS dst FROM sp
                UNION ALL SELECT vec_b, vec_a FROM sp),
@@ -1166,7 +1340,19 @@ object SparkEntry {
                 FROM ($mergeRows) r, naa),
         idm AS (SELECT sym, MIN(id) AS id
                 FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid)
-                GROUP BY sym),
+                GROUP BY sym)"""
+  }
+
+  /** PipelineOps.trainingData's oracle — the end-to-end composite:
+    * the corpus survivor chain (same CTE logic as the `corpus`
+    * oracle, names prefixed to avoid colliding with the training
+    * CTEs), the token-id chain restricted to survivors (same law as
+    * `tid`), the pack window over the EOS-inclusive stream, the
+    * seeded split, and the epoch-shuffle rank — every stage the
+    * standalone oracle's exact logic.
+    */
+  private def trainingDataSql: String =
+    s"""WITH RECURSIVE $survivorTokenCtes,
         ti AS (SELECT s.doc_id,
                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
                  array_to_string(
@@ -1179,10 +1365,10 @@ object SparkEntry {
                  substr(md5('graft:v1:' || CAST(s.doc_id AS VARCHAR)), 1, 2) AS sb,
                  md5('graft:v1:0:' || CAST(s.doc_id AS VARCHAR)) AS ek
                FROM tsf s JOIN ti t USING (doc_id)),
-        tc AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang, bucket
+        tc AS (SELECT *, CAST(sum(n_tokens + 1) OVER (PARTITION BY lang, bucket
                  ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 - n_tokens AS BIGINT) AS start_off
+                 - (n_tokens + 1) AS BIGINT) AS start_off
                FROM tf)
         SELECT doc_id, source, lang, n_tokens, token_ids, bucket,
                CAST(floor(start_off / ${PipelineOps.PackBudget}) AS BIGINT) AS bin,
@@ -1190,7 +1376,40 @@ object SparkEntry {
                     WHEN sb < 'e6' THEN 'val' ELSE 'test' END AS split,
                CAST(row_number() OVER (ORDER BY ek, doc_id) AS BIGINT) AS pos
         FROM tc ORDER BY doc_id"""
-  }
+
+  /** PipelineOps.packedSequences' oracle: the shared survivor/token
+    * CTEs, each survivor's id LIST with the EOS separator appended
+    * (naa.na + R — the same one-past-the-vocabulary id law as
+    * TextOps.bpeEosFrame), doc-granularity stream offsets per
+    * (lang, bucket), and the PackBudget window aggregation.
+    */
+  private def packedSequencesSql: String =
+    s"""WITH RECURSIVE $survivorTokenCtes,
+        til AS (SELECT s.doc_id, list(i.id ORDER BY s.wpos, s.spos) AS idl
+                FROM syms s JOIN idm i ON i.sym = s.sym
+                GROUP BY s.doc_id),
+        pf AS (SELECT s.doc_id, s.lang,
+                 substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) AS bucket,
+                 list_append(t.idl,
+                   CAST(naa.na + ${TextOps.BpeMergeRounds} AS BIGINT)) AS ids
+               FROM tsf s JOIN til t USING (doc_id), naa),
+        pc AS (SELECT *, CAST(sum(len(ids)) OVER (PARTITION BY lang, bucket
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - len(ids) AS BIGINT) AS start_off
+               FROM pf),
+        px AS (SELECT doc_id, lang, bucket,
+                 start_off + unnest(range(0, len(ids))) AS gpos,
+                 unnest(ids) AS tid
+               FROM pc)
+        SELECT lang, bucket,
+               CAST(floor(gpos / ${PipelineOps.PackBudget}) AS BIGINT) AS seq_id,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               array_to_string(list(CAST(tid AS VARCHAR) ORDER BY gpos),
+                 ',') AS token_ids
+        FROM px GROUP BY 1, 2, 3
+        ORDER BY lang, bucket, seq_id"""
 
   private def langIdSql: String = {
     val hitCols = TextOps.langLexicon.map { case (l, ws) =>
@@ -1293,7 +1512,7 @@ object SparkEntry {
          FROM orders
          WHERE o_orderdate IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
-    "dexact" ->
+    "dex" ->
       "SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
     "mgrp" ->
       """SELECT p_brand, median(CAST(p_retailprice AS DOUBLE)) AS median_price
@@ -1321,7 +1540,7 @@ object SparkEntry {
          round(p_retailprice * 1.1, 2) AS price_bumped,
          COALESCE(NULLIF(p_brand, 'Brand#1'), 'UNBRANDED') AS brand_or_default
          FROM part ORDER BY p_partkey""",
-    "dates" ->
+    "dts" ->
       """SELECT o_orderkey,
          strftime(o_orderdate, '%Y-%m') AS month_str,
          CAST(year(o_orderdate) AS BIGINT) AS order_year,
@@ -1346,7 +1565,7 @@ object SparkEntry {
     // negatives, so the pruned-then-exact semi-join result is provably
     // the plain semi-join DuckDB computes; the candidate-set bounds
     // are Spark-side machine checks the oracle asserts as TRUE.
-    "bloom" ->
+    "blm" ->
       """SELECT COUNT(*) AS n_match,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          TRUE AS cand_ge_match, TRUE AS fp_bounded
@@ -1357,7 +1576,7 @@ object SparkEntry {
       """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
          FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
          ORDER BY n.n_nationkey, s.s_suppkey""",
-    "topk_o" ->
+    "tko" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "push" ->
@@ -1596,7 +1815,7 @@ object SparkEntry {
       """SELECT l_returnflag, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "jrange" ->
+    "jrng" ->
       """SELECT t.tier, COUNT(*) AS n
          FROM orders o JOIN (VALUES
            ('bronze', 0.0, 1000.0), ('silver', 1000.0, 5000.0),
@@ -1604,7 +1823,7 @@ object SparkEntry {
            t(tier, lo, hi)
            ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
          GROUP BY 1 ORDER BY 1""",
-    "rj_bin" ->
+    "rjb" ->
       """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
                       FROM events WHERE event_type = 'error' AND value >= 150),
               p AS (SELECT ts, value FROM events WHERE event_type = 'purchase')
@@ -1625,7 +1844,7 @@ object SparkEntry {
          FROM p JOIN inc ON p.ts >= inc.lo AND p.ts < inc.hi
          GROUP BY 1, 2 ORDER BY 1""",
     // keyed (equi + band): the hint composes the user key with the bin
-    "rj_key" ->
+    "rjk" ->
       """WITH inc AS (SELECT user_id AS i_uid, ts AS lo,
                              ts + INTERVAL 2 HOUR AS hi
                       FROM events WHERE event_type = 'error'),
@@ -1639,7 +1858,7 @@ object SparkEntry {
          GROUP BY 1 ORDER BY 1""",
     // 2-D point-in-box: the double band predicate (four inequalities,
     // no equi-keys) against the naive DuckDB join
-    "rj_box" ->
+    "rjx" ->
       """WITH b AS (SELECT user_id AS b_uid,
                            CAST(floor(epoch(ts)) AS BIGINT) AS xlo,
                            CAST(floor(epoch(ts)) AS BIGINT) + 28800 AS xhi,
@@ -1834,6 +2053,8 @@ object SparkEntry {
     "bpenc" -> bpeEncodeSql,
     "tid" -> bpeTokenIdsSql,
     "tdata" -> trainingDataSql,
+    "pksq" -> packedSequencesSql,
+    "ftq" -> ftqSql,
     // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
     // hash packed with the position (hash·2²⁰+pos — min = leftmost
     // minimal hash, the tie-break law), full windows only, distinct
@@ -1926,59 +2147,12 @@ object SparkEntry {
     // TextOps.winnowCut — the wext chain's extents cut from the higher
     // doc of each pair; kept tokens rejoin in position order under the
     // shared token law, so cleaned_text hash-matches byte-for-byte.
-    "wct" -> {
-      val (k, g) = (TextOps.WinnowK, TextOps.WinnowW)
-      s"""WITH $winnowCtes,
-          fps AS (SELECT DISTINCT doc_id, CAST(wm >> 20 AS BIGINT) AS fp
-                  FROM sel),
-          kk AS (SELECT doc_id, fp FROM (
-                  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
-                  FROM fps) WHERE df <= ${TextOps.WinnowMaxDf}),
-          pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM kk a JOIN kk b ON a.fp = b.fp AND a.doc_id < b.doc_id
-                 GROUP BY 1, 2 HAVING count(*) >= ${TextOps.WinnowMinShared}),
-          sl AS (SELECT s.doc_id, CAST(s.wm & 1048575 AS BIGINT) AS fpos,
-                        CAST(s.wm >> 20 AS BIGINT) AS fp
-                 FROM sel s JOIN kk
-                   ON kk.doc_id = s.doc_id AND kk.fp = CAST(s.wm >> 20 AS BIGINT)),
-          m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       a.fpos AS pa, b.fpos AS pb
-                FROM sl a JOIN sl b ON a.fp = b.fp AND a.doc_id < b.doc_id
-                JOIN pr ON pr.doc_a = a.doc_id AND pr.doc_b = b.doc_id),
-          fl AS (SELECT *, CASE WHEN ppa IS NULL
-                   OR pa <= ppa OR pa - ppa > $g
-                   OR pb <= ppb OR pb - ppb > $g THEN 1 ELSE 0 END AS brk
-                 FROM (SELECT *, lag(pa) OVER wo AS ppa, lag(pb) OVER wo AS ppb
-                       FROM m
-                       WINDOW wo AS (PARTITION BY doc_a, doc_b ORDER BY pa, pb))),
-          rn AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY doc_a, doc_b
-                   ORDER BY pa, pb
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS BIGINT) AS run
-                 FROM fl),
-          ex AS (SELECT doc_a, doc_b, run,
-                   MIN(pb) AS b_start, MAX(pb) + ${k - 1} AS b_end,
-                   CAST(COUNT(*) AS BIGINT) AS n_fp
-                 FROM rn GROUP BY 1, 2, 3),
-          cuts AS (SELECT doc_b AS doc_id, b_start, b_end FROM ex
-                   WHERE n_fp >= 2),
-          tt AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          tk AS (SELECT doc_id, unnest(range(0, len(toks))) AS pos,
-                        unnest(toks) AS tok
-                 FROM tt),
-          keepk AS (SELECT tk.* FROM tk
-                    WHERE NOT EXISTS (SELECT 1 FROM cuts c
-                      WHERE c.doc_id = tk.doc_id
-                        AND tk.pos BETWEEN c.b_start AND c.b_end)),
-          ag AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-                        string_agg(tok, ' ' ORDER BY pos) AS cleaned
-                 FROM keepk GROUP BY doc_id)
-          SELECT tt.doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                 CAST(len(toks) - COALESCE(ag.n_kept, 0) AS BIGINT) AS n_cut,
-                 COALESCE(ag.cleaned, '') AS cleaned_text
-          FROM tt LEFT JOIN ag USING (doc_id)
-          ORDER BY tt.doc_id"""
-    },
+    "wct" -> winnowCutSql(touchedOnly = false),
+    // TextOps.winnowCutDelta — the SAME cut law restricted to the
+    // delta-touched set (endpoints of delta-touching flagged pairs +
+    // every arriving doc): the oracle IS "full wct restricted to
+    // touched docs", which is exactly the incremental contract.
+    "wci" -> winnowCutSql(touchedOnly = true),
     "qual" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
@@ -1995,7 +2169,7 @@ object SparkEntry {
             AS quality_score
           FROM t ORDER BY doc_id"""
     },
-    "langid" -> langIdSql,
+    "lid" -> langIdSql,
     "ccn" -> pplBucketsSql,
     "tfp" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
@@ -2155,7 +2329,7 @@ object SparkEntry {
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
           ORDER BY doc_a, doc_b"""
     },
-    "brute" -> bruteAnnSql(),
+    "brt" -> bruteAnnSql(),
     "annat" -> bruteAnnSql(),
     "alsh" -> lshAnnSql(),
     "aivf" -> ivfSql(nprobe = 1),
@@ -2419,7 +2593,7 @@ object SparkEntry {
     // PipelineOps.decontaminate: NOT EXISTS (not NOT IN) so a NULL
     // fingerprint behaves like Spark's anti-join (kept), though the
     // corpus carries none.
-    "decon" ->
+    "dcn" ->
       """WITH d AS (SELECT doc_id, lang, md5(lower(trim(text))) AS fp FROM documents),
           e AS (SELECT fp FROM d WHERE doc_id % 50 = 0)
          SELECT doc_id, lang, fp FROM d
@@ -2429,7 +2603,7 @@ object SparkEntry {
     // PipelineOps.decontaminateNgram: drop train docs sharing any word
     // 8-gram with the eval split. The gram-concat expression is built
     // from the same DecontamK constant as the operator (anti-drift).
-    "dec_ng" -> {
+    "dcng" -> {
       val k = PipelineOps.DecontamK
       val parts = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
@@ -2449,7 +2623,7 @@ object SparkEntry {
     // PipelineOps.dupSpans: same gram CTE as decon_ngram (same
     // DecontamK constant), distinct per doc, gram doc-frequency,
     // per-doc dup counts. Integer counts — exact on both engines.
-    "spans" -> {
+    "spn" -> {
       val k = PipelineOps.DecontamK
       val parts = (1 to k).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
@@ -2471,7 +2645,7 @@ object SparkEntry {
     // PipelineOps.corpusPipeline: the composed pipeline — each CTE is
     // the standalone operator's oracle logic (same fingerprint, same
     // md5 rank, same constants), chained.
-    "corpus" ->
+    "corp" ->
       s"""WITH b AS (SELECT doc_id, source, lang,
                   len($toksSql) AS n_tokens,
                   md5(lower(trim(text))) AS fp
@@ -2543,7 +2717,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // EventOps.windowRangeFrame: time-RANGE frame (peers-by-value),
     // exact decimal sum cast back to double.
-    "rframe" ->
+    "rfrm" ->
       """WITH e AS (SELECT event_id, event_type,
                   CAST(floor(epoch(ts)) AS BIGINT) AS es, value FROM events)
          SELECT event_id, event_type, es,
@@ -2742,7 +2916,7 @@ object SparkEntry {
     // (XOR + exact decimal sum of 60-bit row hashes). Both engines sum
     // as DECIMAL(38,0) — DuckDB's HUGEINT would be value-identical but
     // degrades to float through the compare harness's pandas bridge.
-    "cksum" ->
+    "cks" ->
       """WITH h AS (SELECT l_returnflag,
                       CAST(('0x' || substring(md5(concat_ws('|',
                         l_orderkey, l_partkey, l_suppkey,
@@ -3014,7 +3188,7 @@ object SparkEntry {
     // computed Spark-side from the optimized plan (TRUE only if the
     // bloom_filter_might_contain probe was injected); the oracle
     // expects the claim to hold.
-    "rbloom" ->
+    "rblm" ->
       """SELECT COUNT(*) AS n_rows,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
          TRUE AS bloom_injected

@@ -132,8 +132,12 @@ object DedupOps {
     "pqf_cb"           -> Set("pqf"),
     "pqf_codes"        -> Set("pqf"),
     "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata"),
+    "sem_labels"       -> Set("sdd", "tdata"),
     "sem_blabels"      -> Set("sref"),
-    "sem_bkeep"        -> Set("sref"))
+    "sem_bkeep"        -> Set("sref"),
+    "win_sel"          -> Set("wfp", "wci"),
+    "win_kept"         -> Set("wsim", "winc", "wci"),
+    "win_ext"          -> Set("wext", "wct", "wci"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -205,8 +209,19 @@ object DedupOps {
       // blabels/bkeep after sem_asg in dependency order so each prices
       // its own construction (base pair fixpoint, then the election)
       "sem_asg" -> (() => EmbeddingOps.semanticMembers(spark, dir)),
+      // after sem_asg: the from-scratch verdict chain (pairs → CC
+      // fixpoint → election) reads the membership memo, so this entry
+      // prices only the verdict construction (r17 finding #3)
+      "sem_labels" -> (() => EmbeddingOps.semanticVerdicts(spark, dir)),
       "sem_blabels" -> (() => EmbeddingOps.semBaseLabels(spark, dir)),
-      "sem_bkeep" -> (() => EmbeddingOps.semBaseKeep(spark, dir)))
+      "sem_bkeep" -> (() => EmbeddingOps.semBaseKeep(spark, dir)),
+      // the winnowing standing state in dependency order — the
+      // positioned postings index, the df-capped kept index derived
+      // from it, then the converged MOSS extent frame built from both
+      // (r17 finding #2) — so each entry prices its own construction
+      "win_sel" -> (() => TextOps.winnowSelectionStage(spark, dir)),
+      "win_kept" -> (() => TextOps.winnowKept(spark, dir)),
+      "win_ext" -> (() => TextOps.winnowExtentsStage(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute

@@ -689,9 +689,10 @@ object PipelineOps {
     *   → BPE tokenize to token-ID sequences
     *   (TextOps.bpeTokenIdsOn — trained rules from the pinned
     *   bpe_merges stage, ids under the tokenizer's corpus-wide id law)
-    *   → sequence packing (bin = cumulative-token window per
-    *   (lang, bucket) stratum, [[PackBudget]] tokens) → seeded
-    *   train/val/test split → epoch-0 shuffle position.
+    *   → sequence packing (bin = the [[PackBudget]]-token window of
+    *   the EOS-separated packed stream — [[packedSequences]]' seq_id
+    *   — holding the doc's first token, per (lang, bucket) stratum)
+    *   → seeded train/val/test split → epoch-0 shuffle position.
     *
     * Per surviving document: its id sequence, its pack bin, its split
     * set, and its training-order position — everything a shard writer
@@ -708,6 +709,36 @@ object PipelineOps {
     * corpus-order exchange the permutation itself requires. PlanSpec
     * pins the document scan count.
     */
+  /** The composite's verdict + tokenizer chain over an EXPLICIT docs
+    * frame with STANDING state from `dir` (semantic drop set, merge
+    * rules, id law) — the streaming face's batch twin: quality gate →
+    * exact dedup → decontaminate → quota → semantic anti-join → BPE
+    * token ids → seeded split. Emits (doc_id, source, lang, n_tokens,
+    * token_ids, split); the corpus-order tails (pack bin, shuffle
+    * pos) are shard-write-time quantities over the ACCUMULATED
+    * survivors and deliberately absent — a per-arrival append cannot
+    * know its global position. Spec-pinned against [[trainingData]]'s
+    * projection on the standing corpus and against
+    * DocStream.ingestTrainingData micro-batches on fixtures.
+    */
+  private[graft] def trainingDataOn(spark: SparkSession, dir: String,
+      docs: DataFrame, seed: String = "graft:v1"): DataFrame = {
+    val surv = OpCaches.track(
+      corpusSurvivorsFrom(docs)
+        .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "lang"))
+    val sdocs = docs.select(col("doc_id"), col("text"))
+      .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+    val toks = TextOps.bpeTokenIdsOn(spark, dir, sdocs)
+    val (_, split) = splitAssignment(seed)
+    surv.join(toks, Seq("doc_id"))
+      .withColumn("split", split)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("token_ids"), col("split"))
+      .orderBy("doc_id")
+  }
+
   def trainingData(spark: SparkSession, dir: String, epoch: Int = 0,
       seed: String = "graft:v1"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -738,7 +769,13 @@ object PipelineOps {
       .join(toks, Seq("doc_id"))
       .withColumn("bucket",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
-      .withColumn("start_off", sum("n_tokens").over(wPack) - col("n_tokens"))
+      // EOS-inclusive stream offsets: each doc contributes its tokens
+      // PLUS one end-of-document separator, so `bin` is exactly the
+      // packed sequence (packedSequences' seq_id) the doc's first
+      // token lands in — one packing law between the provenance
+      // column here and the materialized artifact (spec-pinned)
+      .withColumn("start_off",
+        sum(col("n_tokens") + 1).over(wPack) - (col("n_tokens") + 1))
       .withColumn("bin", floor(col("start_off") / PackBudget))
       .withColumn("split", split))
     val pos = epochShuffleOf(f.select("doc_id", "lang"), epoch, seed)
@@ -747,6 +784,75 @@ object PipelineOps {
       .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
         col("token_ids"), col("bucket"), col("bin"), col("split"), col("pos"))
       .orderBy("doc_id")
+  }
+
+  /** Trainer-ready PACKED sequences — the materialized tokenizer tail
+    * the composite's `bin` column only POINTS at: the corpus a
+    * training job actually loads is fixed-context-window id
+    * sequences, not per-document streams (the GPT-3 / Megatron data
+    * format), so this emits them. Per (lang, hash-bucket) stratum the
+    * semantic-dedup survivors' token-id sequences are concatenated in
+    * doc_id order, each document followed by ONE end-of-document
+    * separator (TextOps.bpeEosFrame's A+R id — past the vocabulary
+    * range by construction), and the stream is cut into
+    * [[PackBudget]]-token windows. Per window: seq_id (its index in
+    * the stratum), n_docs (documents contributing ≥1 position),
+    * n_tokens (window length — exactly PackBudget except each
+    * stratum's tail), and the ids themselves, comma-joined so the
+    * hash gate pins the ARRAYS. Token conservation (Σ window lengths
+    * = Σ doc tokens + one separator per doc) and the budget bound are
+    * spec-pinned; `tdata`'s bin column is this law's provenance twin
+    * (bin ≡ the seq_id holding the doc's first token — also pinned).
+    *
+    * Scale shape: the survivor/verdict chain is the composite's
+    * (skinny checkpointed rows, pinned sem_labels stage); offsets are
+    * ONE doc-granularity window per stratum (never token-granularity
+    * — the cumsum runs over per-doc lengths); the only token-
+    * granularity work is the posexplode feeding the final
+    * (lang, bucket, seq_id) aggregation, whose groups are
+    * PackBudget-bounded — the exact shuffle a shard writer pays to
+    * ship the artifact, keyed so the dominant language spreads over
+    * 16 sub-strata.
+    */
+  def packedSequences(spark: SparkSession, dir: String,
+      budget: Int = PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val surv = OpCaches.track(
+      corpusSurvivorsFrom(docs)
+        .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang"))
+    val sdocs = docs.select(col("doc_id"), col("text"))
+      .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+    val toks = TextOps.bpeTokenIdsOn(spark, dir, sdocs)
+    val wPack = Window.partitionBy("lang", "bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = surv.join(toks, Seq("doc_id"))
+      .crossJoin(broadcast(TextOps.bpeEosFrame(spark, dir)))
+      .withColumn("bucket",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
+      // survivors always tokenize to ≥1 id (CorpusMinTokens gates the
+      // quality stage), but the empty guard keeps the split law total
+      .withColumn("ids", concat(
+        when(col("n_tokens") === 0, array().cast("array<bigint>"))
+          .otherwise(transform(split(col("token_ids"), ","),
+            s => s.cast("long"))),
+        array(col("__eos"))))
+      .withColumn("start_off",
+        sum(col("n_tokens") + 1).over(wPack) - (col("n_tokens") + 1))
+    val positions = f
+      .select(col("lang"), col("bucket"), col("doc_id"), col("start_off"),
+        posexplode(col("ids")).as(Seq("p", "tid")))
+      .withColumn("gpos", col("start_off") + col("p"))
+      .withColumn("seq_id", floor(col("gpos") / budget))
+    positions.groupBy("lang", "bucket", "seq_id")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("gpos"), col("tid")))),
+          e => e.getField("tid").cast("string")), ",").as("token_ids"))
+      .orderBy(asc_nulls_last("lang"), col("bucket"), col("seq_id"))
   }
 
   // ---- single-pass pipeline telemetry (Dataset.observe) ----------------

@@ -207,4 +207,252 @@ object QualityOps {
         l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")))
       .orderBy("check_name")
   }
+
+  // ---- fastText-style quality classifier (ftq) -------------------------
+
+  /** Hashed-feature dimensionality for the quality classifier. */
+  private[graft] val FtqBuckets = 64
+  /** Integer feature scale: r_j = (count_j * FtqScale) div n_tokens. */
+  private[graft] val FtqScale = 1024L
+  /** Perceptron refinement rounds after the centroid init. */
+  private[graft] val FtqRounds = 8
+  /** Per-round step: 2^-8 — a power of two, so every weight update is
+    * an EXACT IEEE operation (long-gradient -> double is exact below
+    * 2^53, multiply by a power of two is exact).
+    */
+  private[graft] val FtqLr = 0.00390625
+  /** Held-out accuracy floor — discriminating: strictly above every
+    * SF's majority-class base rate (~0.59-0.66) and above the
+    * untrained centroid-only accuracy (~0.87-0.90); measured final
+    * 0.94-0.96 across sf0.001/0.01/0.1.
+    */
+  private[graft] val FtqAccFloor = 0.85
+  /** The planted "reference corpus" lexicon: a doc is a GOOD example
+    * (y=1) when >= 25% of its tokens come from this set — the GPT-3
+    * quality-classifier fixture shape (label = looks-like-the-
+    * reference-distribution), planted so the signal is genuinely
+    * learnable from HASHED bag-of-words features (each word maps to a
+    * pure md5 bucket at D=64 on this corpus' vocabulary).
+    */
+  private[graft] val FtqRefLexicon =
+    Seq("fast", "filter", "hash", "key", "query", "scan", "small", "window")
+
+  /** The md5 feature-bucket law, shared with the oracle:
+    * bucket(tok) = first-8-hex-chars-of-md5 mod D.
+    */
+  private def ftqBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long") % FtqBuckets
+
+  /** Per-document feature/label frame: (doc_id, y, istrain, fv) with
+    * fv a dense FtqBuckets-element double array of integer-scaled
+    * token-ratio features r_j = (count_j * 1024) div n — pure integer
+    * arithmetic, so the features (and every gradient sum over them)
+    * are bitwise engine-exact. Built relationally (explode ->
+    * two aggregations -> dense array via a per-doc map lookup), the
+    * codegen'd shape; eagerly checkpointed because training reads it
+    * FtqRounds + 2 times.
+    */
+  private def ftqFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val refs = FtqRefLexicon
+    val toks = Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+    val e = toks.select(col("doc_id"), col("tok"), ftqBucket(col("tok")).as("b"))
+    val lab = e.groupBy("doc_id").agg(
+      count(lit(1)).as("n"),
+      count(when(col("tok").isInCollection(refs), lit(1))).as("hits"))
+    val dense = e.groupBy("doc_id", "b").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("cnt")))).as("m"))
+    OpCaches.localCheckpointTracked(
+      lab.join(dense, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("hits") * 4 >= col("n")).cast("int").as("y"),
+          (col("doc_id") % 4 =!= 0).as("istrain"),
+          expr(s"transform(sequence(0, ${FtqBuckets - 1}), " +
+            s"j -> CAST((coalesce(element_at(m, CAST(j AS BIGINT)), 0L) * $FtqScale) " +
+            s"DIV n AS DOUBLE))").as("fv")))
+  }
+
+  /** Integer-quantized linear score under a literal weight vector:
+    * floor of the index-order dot product (the fused fold both
+    * engines replay identically), so thresholds compare LONGS.
+    */
+  private def ftqScore(w: Seq[Double]): Column =
+    floor(graft.functions.VectorExprs.dotProduct(
+      typedLit(w), col("fv"))).cast("long")
+
+  /** The accuracy-optimal decision threshold over the TRAIN scores —
+    * 1-D exact search: candidates are every distinct score plus a
+    * max+1 sentinel (predict-none); correct(th) =
+    * (pos with s >= th) + (neg with s < th) via one cumulative
+    * window; argmax, ties to the LOWEST threshold. One skinny
+    * distributed pass, one row collected.
+    */
+  private def ftqBestTheta(scored: DataFrame): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val d = scored.filter(col("istrain"))
+      .groupBy("s").agg(
+        sum(col("y")).as("p"),
+        (count(lit(1)) - sum(col("y"))).as("ng"))
+    val wBelow = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cands = d
+      .select(col("s").as("th"),
+        coalesce(sum(col("p")).over(wBelow), lit(0L)).as("pb"),
+        coalesce(sum(col("ng")).over(wBelow), lit(0L)).as("nb"))
+      .unionByName(d.agg((max(col("s")) + 1).as("th"),
+        sum(col("p")).as("pb"), sum(col("ng")).as("nb")))
+    val tot = d.agg(sum(col("p")).as("totp"))
+    cands.crossJoin(tot)
+      .select(col("th"), (col("totp") - col("pb") + col("nb")).as("correct"))
+      .orderBy(desc("correct"), asc("th"))
+      .limit(1).collect()(0).getLong(0)
+  }
+
+  /** Train the classifier; returns (w0, theta0, w, theta) — the
+    * centroid init and the refined model. Exactness argument: the
+    * features are integral doubles, so class sums and gradient sums
+    * are exact in ANY order (every partial sum is an integer below
+    * 2^53); weights evolve by exact power-of-two steps; scores floor
+    * to longs before any comparison. The driver sees one skinny
+    * aggregate per step (64 centroid rows, then per round one 64-row
+    * gradient and one 1-row threshold) — the ivft training
+    * discipline: no per-document driver state at any corpus size.
+    */
+  private def ftqTrain(fv: DataFrame): (Seq[Double], Long, Seq[Double], Long) = {
+    val tr = fv.filter(col("istrain"))
+    val n01 = tr.agg(
+      sum(col("y")).as("n1"),
+      (count(lit(1)) - sum(col("y"))).as("n0")).collect()(0)
+    val n1 = if (n01.isNullAt(0)) 0L else n01.getLong(0)
+    val n0 = if (n01.isNullAt(1)) 0L else n01.getLong(1)
+    if (n1 == 0L || n0 == 0L) {
+      // degenerate corpus (empty input, or a train split with one
+      // class): nothing to train — a zero scorer with an unreachable
+      // threshold keeps the contract total (empty input → empty
+      // output; the gate booleans never see this path at real SFs)
+      val w = Seq.fill(FtqBuckets)(0.0)
+      return (w, 1L, w, 1L)
+    }
+    val sums = tr.select(posexplode(col("fv")).as(Seq("j", "r")), col("y"))
+      .groupBy("j").agg(
+        sum(when(col("y") === 1, col("r")).otherwise(lit(0.0))).as("s1"),
+        sum(when(col("y") === 0, col("r")).otherwise(lit(0.0))).as("s0"))
+      .orderBy("j").collect()
+    require(sums.length == FtqBuckets, s"expected $FtqBuckets gradient rows")
+    val w0 = sums.map(r => r.getDouble(1) / n1 - r.getDouble(2) / n0).toSeq
+    val theta0 = ftqBestTheta(fv.select(col("y"), col("istrain"),
+      ftqScore(w0).as("s")))
+    var w = w0
+    var theta = theta0
+    for (_ <- 1 to FtqRounds) {
+      val grad = fv.filter(col("istrain"))
+        .select(posexplode(col("fv")).as(Seq("j", "r")),
+          (col("y") - when(ftqScore(w) >= theta, 1L).otherwise(0L)).as("q"))
+        .groupBy("j").agg(sum(col("r") * col("q")).as("g"))
+        .orderBy("j").collect()
+      require(grad.length == FtqBuckets, s"expected $FtqBuckets gradient rows")
+      w = w.zip(grad.map(_.getDouble(1))).map { case (wi, g) => wi + g * FtqLr }
+      theta = ftqBestTheta(fv.select(col("y"), col("istrain"),
+        ftqScore(w).as("s")))
+    }
+    (w0, theta0, w, theta)
+  }
+
+  /** fastText-style quality classifier, end to end — the GPT-3/CCNet
+    * companion filter: hashed bag-of-words features (D=64 md5
+    * buckets, integer token-ratio values), a linear scorer trained as
+    * centroid-difference init + FtqRounds batch-perceptron rounds
+    * with the accuracy-optimal threshold re-picked each round, and a
+    * deterministic doc_id%4 train/test split. Emits one row per
+    * split: counts, final and init accuracy, the majority-class base
+    * rate, and the machine-checked gate booleans — held-out accuracy
+    * >= FtqAccFloor (floor_met), above the majority class
+    * (beats_base), and at least the untrained init (trained_ge_init,
+    * the ivft trained>=seed contract). The oracle replays the WHOLE
+    * chain — features, init, every round's gradient and threshold —
+    * as unrolled CTEs, so the hash gate pins training itself, not
+    * just the final verdict.
+    *
+    * Scale shape: the corpus never leaves the executors — per step
+    * the driver sees a FtqBuckets-row aggregate (model-sized, like
+    * the Lloyd and BPE trainers); scoring is one broadcast-literal
+    * projection, so the trained model applies row-locally (the
+    * streaming face scores arrivals with the same literal fold).
+    */
+  def ftqClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val fv = ftqFeatures(spark, dir)
+    val (w0, theta0, w, theta) = ftqTrain(fv)
+    val scored = fv.select(col("y"), col("istrain"),
+      ftqScore(w0).as("s0"), ftqScore(w).as("s"))
+    scored
+      .groupBy(when(col("istrain"), "train").otherwise("test").as("split"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when((col("s") >= theta) === (col("y") === 1), lit(1)))
+          .as("n_correct"),
+        count(when((col("s0") >= theta0) === (col("y") === 1), lit(1)))
+          .as("n_correct0"),
+        greatest(sum(col("y")), count(lit(1)) - sum(col("y"))).as("n_major"))
+      .select(col("split"), col("n"), col("n_correct"),
+        (col("n_correct").cast("double") / col("n")).as("acc"),
+        (col("n_correct0").cast("double") / col("n")).as("acc0"),
+        (col("n_major").cast("double") / col("n")).as("base_acc"),
+        lit(FtqAccFloor).as("acc_floor"),
+        (col("n_correct").cast("double") / col("n") >= FtqAccFloor)
+          .as("floor_met"),
+        (col("n_correct") > col("n_major")).as("beats_base"),
+        (col("n_correct") >= col("n_correct0")).as("trained_ge_init"))
+      .orderBy("split")
+  }
+
+  /** The trained model as collected standing state for the streaming
+    * face: (weights, theta) — FtqBuckets doubles + one long, the
+    * broadcast-once story at any corpus size.
+    */
+  private[graft] def ftqStandingModel(spark: SparkSession,
+      dir: String): (Seq[Double], Long) = {
+    val (_, _, w, theta) = ftqTrain(ftqFeatures(spark, dir))
+    (w, theta)
+  }
+
+  /** Batch scoring of the standing corpus under a collected model,
+    * through the RELATIONAL feature path (the training-side
+    * construction) — the reference frame StreamingSpec pins the
+    * row-local streaming scorer against, so the two feature
+    * constructions (explode/aggregate vs per-row HOF) cannot drift.
+    */
+  private[graft] def ftqBatchScores(spark: SparkSession, dir: String,
+      w: Seq[Double], theta: Long): DataFrame =
+    ftqFeatures(spark, dir)
+      .select(col("doc_id"), ftqScore(w).as("score"),
+        (ftqScore(w) >= theta).as("keep"))
+
+  /** ROW-LOCAL scoring of an explicit (doc_id, text) frame under a
+    * collected model — the streaming twin: the same bucket law,
+    * integer-ratio features, literal-weight fold, and threshold,
+    * with no shuffle and no state, so arriving docs score per-row
+    * (StreamingSpec pins stream == batch).
+    */
+  private[graft] def ftqScoreRowLocal(docs: DataFrame, w: Seq[Double],
+      theta: Long): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val n = size(toks)
+    val fv = expr(s"transform(sequence(0, ${FtqBuckets - 1}), j -> " +
+      s"CAST((size(filter(__toks, x -> " +
+      s"CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % $FtqBuckets = j)) " +
+      s"* $FtqScale) DIV size(__toks) AS DOUBLE))")
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("__toks", toks)
+      .filter(n > 0)
+      .withColumn("__fv", fv)
+      .select(col("doc_id"),
+        floor(graft.functions.VectorExprs.dotProduct(typedLit(w), col("__fv")))
+          .cast("long").as("score"),
+        (floor(graft.functions.VectorExprs.dotProduct(typedLit(w), col("__fv")))
+          .cast("long") >= theta).as("keep"))
+  }
 }

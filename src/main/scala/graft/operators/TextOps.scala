@@ -392,6 +392,67 @@ object TextOps {
     * tok→syms vocabulary cache is built from the input frame's own
     * distinct words (the smaller set).
     */
+  /** The (sym, id) vocabulary id map under the tokenizer id law —
+    * alphabet symbols take 0..A−1 in binary-lexicographic order,
+    * merge rank r takes A+r−1, MIN id per symbol string. Shared by
+    * the batch encoder and the streaming face's collected standing
+    * map so the law lives once.
+    */
+  private[operators] def bpeIdMapFrame(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // checkpointed: the id union AND the alphabet-size count both read
+    // this tiny (≈charset-sized) frame — without truncation each
+    // consumer re-runs the corpus vocabulary scan behind it
+    val alphaIds = OpCaches.localCheckpointTracked(bpeAlphabet(spark, dir)
+      .withColumn("id", row_number().over(Window.orderBy("sym")).cast("long") - 1))
+    val na = alphaIds.agg(count(lit(1)).as("__na"))
+    val mergeIds = bpeMergeTable(spark, dir)
+      .select(col("merged").as("sym"), col("merge_rank"))
+      .crossJoin(broadcast(na))
+      .select(col("sym"), (col("__na") + col("merge_rank") - 1).as("id"))
+    alphaIds.select("sym", "id").unionByName(mergeIds)
+      .groupBy("sym").agg(min("id").as("id"))
+  }
+
+  /** The id map as collected standing state for the streaming
+    * tokenizer — vocabulary-sized (alphabet + one entry per merge,
+    * KBs), the broadcast-once-per-retrain story at any corpus size.
+    */
+  private[graft] def bpeStandingIdMap(spark: SparkSession, dir: String): Map[String, Long] =
+    bpeIdMapFrame(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** TOKEN-ID sequences as a fully ROW-LOCAL projection over an
+    * explicit (doc_id, …, text) frame under COLLECTED standing state
+    * (merge rules + id map) — the streaming twin of
+    * [[bpeTokenIdsOn]]: per word the same padded replace chain as
+    * [[bpeEncodeRowLocal]], symbols flattened in (word, symbol)
+    * order, ids looked up in the literal map — no explode, no
+    * shuffle, no state, so arriving documents tokenize per-row
+    * (StreamingSpec pins stream ≡ the batch encoder doc-for-doc).
+    * Emits the input's columns minus text, plus (n_tokens,
+    * token_ids) in the batch encoder's format.
+    */
+  private[graft] def bpeTokenIdsRowLocal(docs: DataFrame,
+      merges: Seq[(String, String)], idMap: Map[String, Long]): DataFrame = {
+    def wordSyms(tok: Column): Column = {
+      val chars = transform(sequence(lit(1), length(tok)),
+        i => tok.substr(i, lit(1)))
+      var w: Column = concat(lit(" "), array_join(chars, "  "),
+        lit("  " + BpeEndMark + " "))
+      merges.foreach { case (a, b) =>
+        w = replace(w, lit(s" $a  $b "), lit(s" ${a}$b "))
+      }
+      split(trim(w), "  ")
+    }
+    val syms = flatten(transform(tokens(col("text")), t => wordSyms(t)))
+    val ids = transform(syms, s2 => element_at(typedLit(idMap), s2))
+    val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
+    docs.select(keep ++ Seq(
+      size(ids).cast("long").as("n_tokens"),
+      array_join(transform(ids, i => i.cast("string")), ",").as("token_ids")): _*)
+  }
+
   private[operators] def bpeTokenIdsOn(spark: SparkSession, dir: String,
       docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -403,29 +464,7 @@ object TextOps {
     val words = OpCaches.localCheckpointTracked(docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wpos", "tok"))))
     val vocab = bpeVocabEncoded(words, merges)
-    // alphabet: distinct chars over the TRAINING corpus' distinct
-    // words (vocabulary-sized work), plus the end-mark symbol round 0
-    // appends
-    import spark.implicits._
-    val alpha = Tables.documents(spark, dir)
-      .select(explode(tokens(col("text"))).as("tok")).distinct()
-      .select(explode(transform(
-        sequence(lit(1), length(col("tok"))),
-        i => col("tok").substr(i, lit(1)))).as("sym"))
-      .union(Seq(BpeEndMark).toDF("sym"))
-      .distinct()
-    // checkpointed: the id union AND the alphabet-size count both read
-    // this tiny (≈charset-sized) frame — without truncation each
-    // consumer re-runs the corpus vocabulary scan behind it
-    val alphaIds = OpCaches.localCheckpointTracked(alpha
-      .withColumn("id", row_number().over(Window.orderBy("sym")).cast("long") - 1))
-    val na = alphaIds.agg(count(lit(1)).as("__na"))
-    val mergeIds = bpeMergeTable(spark, dir)
-      .select(col("merged").as("sym"), col("merge_rank"))
-      .crossJoin(broadcast(na))
-      .select(col("sym"), (col("__na") + col("merge_rank") - 1).as("id"))
-    val idMap = alphaIds.select("sym", "id").unionByName(mergeIds)
-      .groupBy("sym").agg(min("id").as("id"))
+    val idMap = bpeIdMapFrame(spark, dir)
     val ids = words
       .join(vocab, Seq("tok"))
       .select(col("doc_id"), col("wpos"), posexplode(col("syms")).as(Seq("spos", "sym")))
@@ -442,6 +481,35 @@ object TextOps {
         when(hasText, coalesce(col("_n"), lit(0L))).as("n_tokens"),
         when(hasText, coalesce(col("_ids"), lit(""))).as("token_ids"))
   }
+
+  /** The tokenizer ALPHABET — the distinct single characters of the
+    * TRAINING corpus' distinct words (vocabulary-sized work) plus the
+    * end-of-word marker round 0 appends. The id law gives these ids
+    * 0..A−1 in binary-lexicographic order; shared by the token-id
+    * encoder and the EOS-id frame so the two cannot drift.
+    */
+  private def bpeAlphabet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok")).distinct()
+      .select(explode(transform(
+        sequence(lit(1), length(col("tok"))),
+        i => col("tok").substr(i, lit(1)))).as("sym"))
+      .union(Seq(BpeEndMark).toDF("sym"))
+      .distinct()
+  }
+
+  /** The end-of-document separator id as a 1-row frame (`__eos`):
+    * A + R, the first id PAST the vocabulary's id range (alphabet
+    * symbols take 0..A−1, merge rank r takes A+r−1), so the separator
+    * can never collide with a real token id at any corpus — the same
+    * "one past the largest assignable id" law on both engines
+    * (DuckDB: naa.na + R). A 1-row aggregate, broadcast by the
+    * consumer; never collected.
+    */
+  private[operators] def bpeEosFrame(spark: SparkSession, dir: String): DataFrame =
+    bpeAlphabet(spark, dir)
+      .agg((count(lit(1)) + lit(BpeMergeRounds.toLong)).as("__eos"))
 
   /** [[bpeEncode]] as a fully ROW-LOCAL projection over an explicit
     * (doc_id, text) frame — no explode, no shuffle, no state: the
@@ -524,10 +592,34 @@ object TextOps {
     * sort; the kept index, the extent report, and the probes consume
     * it mid-plan, where a global sort would only add an exchange).
     */
-  private def winnowSelection(spark: SparkSession, dir: String): DataFrame = {
+  /** The POSITIONED selection as a pinned MEMO STAGE (`win_sel`,
+    * priced in `_substrate`) — the MOSS postings index proper:
+    * fp → (doc, pos). This is the standing state a deployment keeps
+    * on disk (the kept index, the extent table, and the incremental
+    * re-cut all derive from it), so consumers read the pinned rows
+    * instead of re-running the corpus-wide k-gram/sliding-min
+    * selection per query.
+    */
+  /** The `win_sel` stage builder surface for the warm-up list. */
+  private[operators] def winnowSelectionStage(spark: SparkSession,
+      dir: String): DataFrame = winnowSelection(spark, dir)
+
+  private def winnowSelection(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "win_sel") {
+      winnowSelectionOn(Tables.documents(spark, dir))
+    }
+
+  /** The selection over an explicit (doc_id, text, …) frame — the
+    * codegen'd window/explode form restricted to whatever docs the
+    * caller passes (the incremental re-cut runs it over the TOUCHED
+    * docs only; the interpreted row-local twin is for per-row
+    * streaming arrivals, whose HOF lambdas re-evaluate the key array
+    * per window and go quadratic on long batch documents).
+    */
+  private def winnowSelectionOn(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (k, w) = (WinnowK, WinnowW)
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
     val wl = Window.partitionBy("doc_id").orderBy("pos")
     val leads = (1 until k).map(j => lead(col("tok"), j).over(wl))
@@ -605,18 +697,22 @@ object TextOps {
     * the pair join needs — the filter composes with the join's
     * clustering instead of adding a second fp shuffle (a broadcast of
     * the df frame would be wrong at scale: distinct fingerprints grow
-    * with the corpus). Materialized once per (session, dir) via the
-    * plan-keyed track cache, so consumers in one process share it.
+    * with the corpus). A pinned MEMO STAGE (`win_kept`, priced in
+    * `_substrate`): this is the standing attribution index a
+    * deployment keeps ON DISK between refreshes — the full self-join
+    * (`wsim`), the incremental probes (`winc`, `wci`), and the
+    * extent stage build all read the same pinned rows instead of
+    * each re-running the corpus-wide selection per query.
     */
-  private[graft] def winnowKept(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    OpCaches.track(
+  private[graft] def winnowKept(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "win_kept") {
+      import org.apache.spark.sql.expressions.Window
       winnowSelection(spark, dir)
         .select(col("doc_id"), col("fp")).distinct()
         .withColumn("__df", count(lit(1)).over(Window.partitionBy("fp")))
         .filter(col("__df") <= WinnowMaxDf)
-        .select(col("fp"), col("doc_id")))
-  }
+        .select(col("fp"), col("doc_id"))
+    }
 
   /** INCREMENTAL winnowing attribution — the `dinc` analog for
     * [[winnowOverlapPairs]]: only pairs TOUCHING the delta (the
@@ -674,13 +770,24 @@ object TextOps {
     * flagged set) — plus one (pair)-partitioned window; per-pair match
     * counts are sketch-sized, never document-sized.
     */
-  def winnowExtents(spark: SparkSession, dir: String): DataFrame = {
-    val kept = winnowKept(spark, dir)
-    winnowExtentsFrom(
-      winnowSelection(spark, dir).join(kept, Seq("fp", "doc_id"), "left_semi"),
-      winnowPairsFrom(kept).select("doc_a", "doc_b"))
-      .orderBy("doc_a", "doc_b", "ext")
-  }
+  def winnowExtents(spark: SparkSession, dir: String): DataFrame =
+    winnowExtentsStage(spark, dir).orderBy("doc_a", "doc_b", "ext")
+
+  /** The CONVERGED matched-extent frame as a pinned MEMO STAGE
+    * (`win_ext`, priced in `_substrate`): the kept-index self-join +
+    * pair-partitioned run window executes ONCE per (session, dir) and
+    * both consumers (`wext`'s report, `wct`'s span removal) read the
+    * pinned rows — the r17 audit's finding #2 (each consumer was
+    * re-paying the whole chain), closed with the `cluster_labels`
+    * discipline (DedupOps.scala).
+    */
+  private[graft] def winnowExtentsStage(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "win_ext") {
+      val kept = winnowKept(spark, dir)
+      winnowExtentsFrom(
+        winnowSelection(spark, dir).join(kept, Seq("fp", "doc_id"), "left_semi"),
+        winnowPairsFrom(kept).select("doc_a", "doc_b"))
+    }
 
   /** [[winnowExtents]]' core over an explicit kept selection
     * (doc_id, fpos, fp) and flagged pair frame — the spec surface for
@@ -734,10 +841,7 @@ object TextOps {
     * stream shuffles once on doc_id.
     */
   def winnowCut(spark: SparkSession, dir: String): DataFrame = {
-    val kept = winnowKept(spark, dir)
-    val ext = winnowExtentsFrom(
-      winnowSelection(spark, dir).join(kept, Seq("fp", "doc_id"), "left_semi"),
-      winnowPairsFrom(kept).select("doc_a", "doc_b"))
+    val ext = winnowExtentsStage(spark, dir)
     val cuts = ext.select(col("doc_b").as("doc_id"),
       col("b_start").as("cs"), col("b_end").as("ce"))
     val toks = Tables.documents(spark, dir)
@@ -752,6 +856,101 @@ object TextOps {
           array_sort(collect_list(struct(col("pos"), col("tok")))),
           e => e.getField("tok"))).as("cleaned_text"))
     Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("text").isNotNull,
+          size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_cut"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  /** INCREMENTAL duplicated-span removal — the `winc` consumer the
+    * r17 plan called for: when a refresh shard arrives, ONLY the
+    * delta-touched documents are re-cut; untouched documents' cleaned
+    * text carries verbatim from the standing corpus (the `sref`
+    * contract applied to span removal). Touched = every endpoint of a
+    * delta-touching flagged pair, plus every arriving doc (an
+    * arrival with no pairs is admitted uncut).
+    *
+    * The delta-touching pairs are DERIVED by the `winc` probe (delta
+    * fingerprints against the standing df-capped kept index — work
+    * ∝ |delta|·df, never a full self-join), their extents by the
+    * shared [[winnowExtentsFrom]] chain over the touched docs'
+    * selections only; base↔base extents covering a touched doc are
+    * READ from the standing extent table (the pinned `win_ext` stage
+    * — at 100 TB that table is on disk from the last refresh, keyed
+    * by doc). The re-cut explodes ONLY touched documents' tokens.
+    * The oracle pins delta cut ≡ the full `wct` restricted to the
+    * touched set — per-doc counts and cleaned text included, which
+    * holds because extents are per-pair (independent of other pairs)
+    * and the probe's pair set is exactly the full flagged set's
+    * delta-touching restriction (`winc`'s own gate).
+    */
+  def winnowCutDelta(spark: SparkSession, dir: String): DataFrame = {
+    val kept = winnowKept(spark, dir)
+    val probe = kept.filter(DedupOps.deltaPredOn(col("doc_id")))
+    val base = kept.filter(!DedupOps.deltaPredOn(col("doc_id")))
+    val db = probe.select(col("fp"), col("doc_id").as("pd"))
+      .join(base.select(col("fp"), col("doc_id").as("bd")), Seq("fp"))
+      .select(least(col("pd"), col("bd")).as("doc_a"),
+        greatest(col("pd"), col("bd")).as("doc_b"))
+    val dd = probe.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(probe.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    // eagerly checkpointed skinny frames (the composite-verdict
+    // discipline): each feeds several downstream branches, and a lazy
+    // persist lets concurrent subtrees recompute the probe before the
+    // cache fills
+    val dPairs = OpCaches.localCheckpointTracked(db.unionByName(dd)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .select("doc_a", "doc_b"))
+    val touched = OpCaches.localCheckpointTracked(
+      dPairs.select(col("doc_a").as("doc_id"))
+        .unionAll(dPairs.select(col("doc_b").as("doc_id")))
+        .unionAll(Tables.documents(spark, dir).select("doc_id")
+          .filter(DedupOps.deltaPredOn(col("doc_id"))))
+        .distinct())
+    // positions for the touched docs, READ from the standing postings
+    // index (the pinned `win_sel` stage — fp → (doc, pos) on disk at
+    // deployment scale) and df-filtered by the kept index: one
+    // doc-keyed filter of standing state, work ∝ touched docs, the
+    // selection never recomputes
+    // checkpointed: the extent chain joins selT against itself (a and
+    // b legs) — without truncation each leg re-filters the stage
+    val selT = OpCaches.localCheckpointTracked(
+      winnowSelection(spark, dir)
+        .join(touched, Seq("doc_id"), "left_semi")
+        .join(kept, Seq("fp", "doc_id"), "left_semi"))
+    val deltaExt = winnowExtentsFrom(selT, dPairs)
+    val standingExt = winnowExtentsStage(spark, dir)
+      .filter(!DedupOps.deltaPredOn(col("doc_a")) &&
+        !DedupOps.deltaPredOn(col("doc_b")))
+    val cuts = deltaExt
+      .select(col("doc_b").as("doc_id"),
+        col("b_start").as("cs"), col("b_end").as("ce"))
+      .unionByName(standingExt
+        .select(col("doc_b").as("doc_id"),
+          col("b_start").as("cs"), col("b_end").as("ce"))
+        .join(touched, Seq("doc_id"), "left_semi"))
+    val toks = Tables.documents(spark, dir)
+      .join(touched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val keptToks = toks.as("t").join(cuts.as("c"),
+      col("t.doc_id") === col("c.doc_id") &&
+        col("t.pos") >= col("c.cs") && col("t.pos") <= col("c.ce"),
+      "left_anti")
+    val agg = keptToks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok"))).as("cleaned_text"))
+    Tables.documents(spark, dir)
+      .join(touched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         when(col("text").isNotNull,
           size(tokens(col("text"))).cast("long")).as("n_tokens"))

@@ -56,6 +56,15 @@ object DocStream {
   final case class DocRow(doc_id: Long, source: String, lang: String,
     n_tokens: Long)
 
+  /** [[DocRow]] carrying the text through the quota — the
+    * training-data composite's tokenizer stage runs AFTER admission,
+    * and a stream cannot rejoin itself to recover the column.
+    * n_words is the quality gate's whitespace count; the emitted
+    * n_tokens (BPE) comes from the tokenizer stage downstream.
+    */
+  final case class DocRowT(doc_id: Long, source: String, lang: String,
+    n_words: Long, text: String)
+
   /** docs: streaming frame with (doc_id LONG, text STRING,
     * ingest_time TIMESTAMP). Emits the surviving (doc_id, n_tokens,
     * fp) rows in append mode — the original two-stage ingest, kept as
@@ -169,6 +178,21 @@ object DocStream {
   def encodeDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame =
     graft.operators.TextOps.bpeEncodeRowLocal(docs,
       graft.operators.TextOps.bpeLearnedMerges(spark, dir))
+
+  /** Streaming twin of the trained ftq quality classifier — the
+    * deployment shape of a GPT-3-style quality filter: the model
+    * trains ONCE on the standing corpus (QualityOps.ftqStandingModel
+    * — FtqBuckets doubles + one threshold, broadcast-once state) and
+    * arriving documents score ROW-LOCALLY (same md5 bucket law,
+    * integer-ratio features, literal-weight fold) — no shuffle, no
+    * state, so micro-batch slicing cannot change any verdict
+    * (StreamingSpec pins stream ≡ the batch relational feature
+    * path doc-for-doc). docs: streaming (doc_id LONG, text STRING).
+    */
+  def scoreDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    val (w, theta) = graft.operators.QualityOps.ftqStandingModel(spark, dir)
+    graft.operators.QualityOps.ftqScoreRowLocal(docs, w, theta)
+  }
 
   /** Streaming twin of TextOps.winnowFingerprints: winnowing is
     * per-document by construction, so arriving docs fingerprint
@@ -381,20 +405,91 @@ object DocStream {
     * costs O(1), not a materialize of every later group.
     */
   private[streaming] def admitSmallest(it: Iterator[DocRow], quota: Int,
-                                       admitted: Long): Seq[DocRow] = {
+                                       admitted: Long): Seq[DocRow] =
+    admitSmallestBy(it, quota, admitted)(_.doc_id)
+
+  /** The admission function over any row type with a doc_id — shared
+    * by the corpus quota (DocRow) and the training-data composite's
+    * text-carrying quota (DocRowT).
+    */
+  private[streaming] def admitSmallestBy[T](it: Iterator[T], quota: Int,
+      admitted: Long)(id: T => Long): Seq[T] = {
     val room = math.max(0L, quota.toLong - admitted).toInt
     if (room == 0) Seq.empty
     else {
-      val heap = new scala.collection.mutable.PriorityQueue[DocRow]()(
-        Ordering.by(_.doc_id)) // max-heap: evict largest doc_id
+      val heap = new scala.collection.mutable.PriorityQueue[T]()(
+        Ordering.by(id)) // max-heap: evict largest doc_id
       it.foreach { row =>
         if (heap.size < room) heap.enqueue(row)
-        else if (row.doc_id < heap.head.doc_id) {
+        else if (id(row) < id(heap.head)) {
           heap.dequeue(); heap.enqueue(row)
         }
       }
       heap.dequeueAll.reverse // ascending doc_id
     }
+  }
+
+  /** THE streaming training-data composite — the maintained-state
+    * face of PipelineOps.trainingData, the capstone of the
+    * incremental family: arriving documents flow
+    *
+    *   quality gate → watermarked exact dedup → eval decontamination
+    *   → per-source quota (text carried through the one Long of
+    *   state) → SEMANTIC dedup against the STANDING drop set (one
+    *   stream-static broadcast anti-join — the state a deployment
+    *   refreshes with sref, read-only per micro-batch) → row-local
+    *   BPE token-ID encode under the COLLECTED standing tokenizer
+    *   (merge rules + id map, KBs) → seeded split,
+    *
+    * per micro-batch, in append mode. Emits (doc_id, source, lang,
+    * n_tokens, token_ids, split) — exactly the batch twin
+    * PipelineOps.trainingDataOn's columns; the corpus-order tails
+    * (pack bin, epoch position) are shard-write-time quantities over
+    * the accumulated survivors, not per-arrival facts. StreamingSpec
+    * pins N micro-batches with cross-batch duplicate and semantic
+    * pairs ≡ the one-shot batch chain on the same rows.
+    *
+    * docs: streaming frame with (doc_id LONG, source STRING, lang
+    * STRING, text STRING, ingest_time TIMESTAMP); evalFps: static
+    * benchmark fingerprints (`fp`).
+    */
+  def ingestTrainingData(spark: SparkSession, docs: DataFrame,
+      evalFps: DataFrame, dir: String,
+      quota: Int = graft.operators.PipelineOps.SourceQuota,
+      seed: String = "graft:v1"): DataFrame = {
+    import spark.implicits._
+    val surv = docs
+      .withColumn("n_words",
+        size(graft.operators.TextOps.tokens(col("text"))).cast("long"))
+      .filter(col("n_words") >= graft.operators.PipelineOps.CorpusMinTokens)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withWatermark("ingest_time", "30 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(evalFps.select(col("fp"))), Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_words"),
+        col("text"))
+      .as[DocRowT]
+    val admitted = surv.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, DocRowT](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L)
+          val keep = admitSmallestBy(it, quota, n)(_.doc_id)
+          if (keep.nonEmpty) state.update(n + keep.size)
+          keep.iterator
+      }
+    val semantic = admitted.toDF()
+      .join(broadcast(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
+        .select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_anti")
+    val encoded = graft.operators.TextOps.bpeTokenIdsRowLocal(
+      semantic.select(col("doc_id"), col("source"), col("lang"), col("text")),
+      graft.operators.TextOps.bpeLearnedMerges(spark, dir),
+      graft.operators.TextOps.bpeStandingIdMap(spark, dir))
+    val (_, split) = graft.operators.PipelineOps.splitAssignment(seed)
+    encoded.withColumn("split", split)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("token_ids"), col("split"))
   }
 
   /** The per-source quota as a Spark 4 `StatefulProcessor` — the

@@ -30,10 +30,10 @@ class EmptyInputSpec extends AnyFunSuite {
   private val fixedShape = Map("prof" -> 6L, "papx" -> 6L, "dq" -> 7L,
     // one-row global gates: a grand aggregate emits one row on empty
     // input in both engines (n=0 / NULL metrics / vacuous-TRUE bounds)
-    "bloom" -> 1L, "skm" -> 1L, "bmln" -> 1L,
+    "blm" -> 1L, "skm" -> 1L, "bmln" -> 1L,
     // rt_bloom/obs: grand aggregates over the (empty) join / scan —
     // one row of zero-counts is the correct report, same as above
-    "rbloom" -> 1L, "obs" -> 1L,
+    "rblm" -> 1L, "obs" -> 1L,
     // one gate row per candidate stage: 0 candidates of 0 pairs, subq
     // vacuously TRUE — the work-metric report must not vanish
     "cwork" -> 4L)

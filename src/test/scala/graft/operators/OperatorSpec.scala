@@ -1225,6 +1225,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("wci: delta cut equals the full cut restricted to touched docs") {
+    // touched = endpoints of delta-touching flagged pairs + arrivals,
+    // recomputed independently from the attribution report
+    val pairs = TextOps.winnowOverlapPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val touching = pairs.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    val arrivals = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 5 == 0)
+    val touched = (touching.flatMap(p => Seq(p._1, p._2)) ++ arrivals).toSet
+    val full = TextOps.winnowCut(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.getString(3))).toSeq
+    val delta = TextOps.winnowCutDelta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.getString(3))).toSeq
+    DedupOps.releaseTransients(spark)
+    // the fixture must exercise a real incremental cut: some touched
+    // doc loses tokens, and some base pair stays out of the delta set
+    assert(delta.exists(_._3.asInstanceOf[Long] > 0L),
+      "no delta-touched doc was cut")
+    assert(pairs.length > touching.length,
+      "every flagged pair touches the delta — base restriction untested")
+    assert(delta === full.filter(t => touched.contains(t._1)),
+      "delta cut diverges from the full cut restricted to touched docs")
+    // and nothing outside the touched set leaks into the delta frame
+    delta.foreach(t => assert(touched.contains(t._1)))
+  }
+
   test("ccn: terciles are balanced per language, ordered by score, keep = head+middle") {
     val rows = TextOps.pplBuckets(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -1245,6 +1271,26 @@ class OperatorSpec extends AnyFunSuite {
     }
     // the fixture exercises more than one language partition
     assert(rows.map(_.getString(1)).distinct.length >= 2)
+  }
+
+  test("ftq: held-out gates hold at this sf too, and training buys accuracy") {
+    // the oracle hash-pins the rows at sf0.01; this pins the
+    // DISCRIMINATING claims at a second sf so the floors aren't
+    // tuned to one corpus size
+    val rows = QualityOps.ftqClassifier(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    val bySplit = rows.map(r => r.getString(0) -> r).toMap
+    assert(bySplit.keySet === Set("train", "test"))
+    for ((split, r) <- bySplit) {
+      assert(r.getBoolean(7), s"$split: accuracy floor missed")
+      assert(r.getBoolean(8), s"$split: does not beat the majority class")
+      assert(r.getBoolean(9), s"$split: training lost accuracy vs the init")
+      assert(r.getDouble(3) > r.getDouble(5),
+        s"$split: acc ${r.getDouble(3)} not above base ${r.getDouble(5)}")
+    }
+    // the booleans must be derived, not constants: recompute from counts
+    val t = bySplit("test")
+    assert(t.getDouble(3) === t.getLong(2).toDouble / t.getLong(1))
   }
 
   test("pinned-stage consumer declarations stay in sync with the registry") {

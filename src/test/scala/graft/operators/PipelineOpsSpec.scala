@@ -222,6 +222,92 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packedSequences: token conservation, budget bound, and tdata bin consistency") {
+    // tdata row: doc_id(0) source(1) lang(2) n_tokens(3) token_ids(4)
+    // bucket(5) bin(6) split(7) pos(8)
+    val docs = PipelineOps.trainingData(spark, sf).collect()
+      .map(r => (r.getString(2), r.getString(5), r.getLong(0),
+        r.getString(4), r.getLong(3), r.getLong(6)))
+    val seqs = PipelineOps.packedSequences(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val eos = TextOps.bpeEosFrame(spark, sf).collect()(0).getLong(0)
+    DedupOps.releaseTransients(spark)
+    assert(docs.nonEmpty && seqs.nonEmpty)
+    // the separator id sits past the vocabulary: no doc may carry it
+    docs.foreach(d => assert(!d._4.split(",").contains(eos.toString)))
+    // conservation: every survivor token ships exactly once, plus ONE
+    // end-of-document separator per survivor
+    val docTokens = docs.map(_._5).sum
+    val seqTokens = seqs.map(_._5).sum
+    assert(seqTokens === docTokens + docs.length,
+      s"packed stream carries $seqTokens tokens, expected " +
+        s"$docTokens doc tokens + ${docs.length} separators")
+    // the ids column is the real payload: its length matches n_tokens
+    seqs.foreach { case (_, _, _, _, n, ids) =>
+      assert(ids.split(",").length.toLong === n)
+    }
+    // budget bound + stream equality, checked for BOTH the library
+    // budget and a small one that forces the window CUT to fire at
+    // this sf (strata here hold < 512 tokens, so without the small
+    // budget the cut path would go untested)
+    def checkLaw(ss: Array[(String, String, Long, Long, Long, String)],
+        budget: Int, mustBind: Boolean): Unit = {
+      if (mustBind) assert(ss.exists(_._5 === budget.toLong),
+        s"no full window at budget $budget — the cut never fired")
+      ss.groupBy(s => (s._1, s._2)).foreach { case (k, ws) =>
+        val last = ws.map(_._3).max
+        ws.foreach { case (_, _, seqId, _, n, _) =>
+          if (seqId == last) assert(n <= budget)
+          else assert(n === budget.toLong,
+            s"non-tail window $seqId holds $n tokens at budget $budget")
+        }
+        assert(ws.map(_._3).sorted.toSeq === (0L to last))
+        // concatenating the stratum's windows in seq_id order must
+        // reproduce the doc_id-ordered EOS-separated document stream
+        val ds = docs.filter(d => (d._1, d._2) == k)
+        val stream = ds.sortBy(_._3)
+          .flatMap(d => d._4.split(",").toSeq :+ eos.toString)
+        assert(ws.sortBy(_._3).flatMap(_._6.split(",")).toSeq === stream.toSeq,
+          s"stratum $k windows diverge from the document stream")
+      }
+    }
+    checkLaw(seqs, PipelineOps.PackBudget, mustBind = false)
+    val small = PipelineOps.packedSequences(spark, sf, 64).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    DedupOps.releaseTransients(spark)
+    checkLaw(small, 64, mustBind = true)
+    // ONE packing law between the composite and the artifact: tdata's
+    // bin is the window index of the doc's first token in the same
+    // EOS-separated stream
+    docs.groupBy(d => (d._1, d._2)).foreach { case (_, ds) =>
+      var off = 0L
+      ds.sortBy(_._3).foreach { d =>
+        assert(d._6 === off / PipelineOps.PackBudget,
+          s"doc ${d._3} bin ${d._6} != stream window ${off / PipelineOps.PackBudget}")
+        off += d._5 + 1
+      }
+    }
+  }
+
+  test("trainingDataOn over the standing corpus equals the composite's projection") {
+    // the streaming face's batch twin must be the SAME law as the
+    // oracle-gated composite — pin frame equality on the shared
+    // columns so the two chains cannot drift
+    val on = PipelineOps.trainingDataOn(spark, sf,
+        graft.sources.Tables.documents(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    val composite = PipelineOps.trainingData(spark, sf)
+      .select("doc_id", "source", "lang", "n_tokens", "token_ids", "split")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    DedupOps.releaseTransients(spark)
+    assert(on.nonEmpty && on === composite)
+  }
+
   test("winsorizeByGroup: clamps into the band, passes interior values through") {
     val rows = PipelineOps.winsorizeByGroup(spark, sf).collect()
       .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3)))

@@ -381,6 +381,13 @@ class PlanSpec extends AnyFunSuite {
       assert(loops.forall(l => l.contains("BuildRight") || l.contains("BuildLeft")),
         s"$name has a non-broadcast nested loop:\n$s")
     }
+    // the memo-stage lifecycle contract (clusterLabels' scaladoc): a
+    // checkpoint-backed pinned stage must see one full action before
+    // releaseTransients frees its transient checkpoint blocks — this
+    // suite only built plan strings, so materialize sem_labels first
+    // or a later suite sharing the session reads through freed blocks
+    EmbeddingOps.semanticVerdicts(spark, sf)
+      .write.format("noop").mode("overwrite").save()
     graft.operators.DedupOps.releaseTransients(spark)
   }
 

@@ -211,6 +211,97 @@ class StreamingSpec extends AnyFunSuite {
       "streamed BPE encode diverged from batch")
   }
 
+  test("streaming training-data composite ≡ the one-shot batch chain, doc for doc") {
+    import spark.implicits._
+    // the full maintained-state cascade: quality → watermarked dedup →
+    // decontamination → quota → STANDING semantic drop → row-local BPE
+    // token ids → split, across micro-batches with a cross-batch
+    // duplicate pair and a semantic-drop member. Standing state
+    // (semantic drop set, merge rules, id map) comes from the sf0.001
+    // corpus; fixture text uses only that corpus' vocabulary so every
+    // symbol is in the tokenizer's id map on both paths. Quota does
+    // not bind (≤2 docs/source), where stream and batch admission
+    // provably agree.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdstream").toString
+    val dropIds = graft.operators.EmbeddingOps
+      .semanticDropIds(spark, sf).collect().map(_.getLong(0))
+    assert(dropIds.nonEmpty, "standing corpus has no semantic drops")
+    // a fixture id that IS semantically dropped, not eval-slot, not
+    // in the delta-free paths' way
+    // fixture ids sit ABOVE the standing corpus' id range so the
+    // standing drop set can never touch the intended survivors
+    val dStar = dropIds.filter(_ % 50 != 0).min
+    val t0 = 1700000000L
+    val textA = "scan column window order sort part agg value line key join"
+    val textB = "merge query group vector hash slow stream filter fast the spark"
+    val textC = "batch table small data big customer row scan column window sort"
+    val textE = "the fast key order sort table scan merge part window small"
+    val rows = Seq(
+      (100001L, "s1", "en", textA, t0),            // survives
+      (100002L, "s2", "en", " " + textA + " ", t0 + 7200), // cross-batch dup
+      (100003L, "s1", "de", textB, t0 + 7200),     // survives
+      (100004L, "s2", "en", "scan column window", t0), // quality gate (< 10 tokens)
+      (dStar, "s3", "en", textC, t0),           // semantic drop via standing state
+      (100050L, "s3", "en", textE, t0))         // eval-slot doc (% 50 == 0)
+    def batchDf = rows.toDF("doc_id", "source", "lang", "text", "es")
+    def write(sel: Seq[Long]): Unit = batchDf
+      .filter(col("doc_id").isin(sel: _*))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        timestamp_seconds(col("es")).as("ingest_time"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq(100001L, 100004L, dStar))
+    write(Seq(100002L, 100003L, 100050L))
+    val evalFps = batchDf
+      .filter(size(graft.operators.TextOps.tokens(col("text"))) >=
+        graft.operators.PipelineOps.CorpusMinTokens && col("doc_id") % 50 === 0)
+      .select(md5(lower(trim(col("text")))).as("fp")).distinct()
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING, ingest_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = DocStream.ingestTrainingData(spark, stream, evalFps, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tdata_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val streamed = keyed(spark.table("tdata_stream").collect())
+    val batch = keyed(graft.operators.PipelineOps.trainingDataOn(
+      spark, sf, batchDf.select("doc_id", "source", "lang", "text")).collect())
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    // the cascade actually fired every stage: the dup, the
+    // quality-gated doc, the eval doc, and the semantic member are out
+    assert(streamed.keySet === Set(100001L, 100003L))
+    // and the survivors carry real id sequences
+    streamed.values.foreach { case (_, _, n, ids, split) =>
+      assert(n > 0 && ids.split(",").length.toLong === n)
+      assert(Set("train", "val", "test").contains(split))
+    }
+  }
+
+  test("streaming ftq scoring ≡ the batch relational feature path, doc for doc") {
+    val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    runToCompletion(DocStream.scoreDocs(spark, stream, sf), "ftq_stream", "append")
+    val streamed = spark.table("ftq_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val (w, theta) = graft.operators.QualityOps.ftqStandingModel(spark, sf)
+    val batch = graft.operators.QualityOps.ftqBatchScores(spark, sf, w, theta)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(streamed.nonEmpty && streamed === batch,
+      "streamed quality scores diverged from the batch feature path")
+    // the verdict actually splits the corpus (not all-keep/all-drop)
+    assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
+  }
+
   test("streaming winnowing fingerprints ≡ batch wfp, fingerprint for fingerprint") {
     val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
     val stream = spark.readStream
