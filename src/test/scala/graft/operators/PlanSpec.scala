@@ -391,6 +391,40 @@ class PlanSpec extends AnyFunSuite {
     graft.operators.DedupOps.releaseTransients(spark)
   }
 
+  test("pksq: bounded document scans, no cartesian, doc-granularity pack window") {
+    val s = planString(PipelineOps.packedSequences(spark, sf))
+    // same budget as the composite: verdicts on checkpointed rows,
+    // text re-read only for the survivors' tokenize (+ NULL-contract
+    // rejoin + the tokenizer's vocabulary scan)
+    def scans(table: String) = s.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains(table))
+    assert(scans("documents") <= 3,
+      s"packed-sequence chain re-scans documents:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"pksq plan contains a cartesian product:\n$s")
+    // the stream-offset cumsum runs at DOC granularity: the pack
+    // explode sits ABOVE its window child in the printed tree (the
+    // window feeds the explode, never the reverse — a token-level
+    // cumsum would funnel each stratum's every token through one
+    // sort), and the per-window aggregation is a hash aggregate
+    // keyed on the stratum + window id
+    val lines = s.linesIterator.toSeq
+    val gen = lines.indexWhere(l => l.contains("Generate posexplode"))
+    assert(gen >= 0, s"pack explode missing:\n$s")
+    assert(lines.exists(l => l.contains("HashAggregate") &&
+      l.contains("lang") && l.contains("bucket") && l.contains("seq_id")),
+      s"pack aggregation not keyed on (lang, bucket, seq_id):\n$s")
+    graft.operators.DedupOps.releaseTransients(spark)
+  }
+
+  test("wci: keyed anti-join and probe shapes, never a nested loop") {
+    val s = planString(TextOps.winnowCutDelta(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"),
+      s"wci fell to a nested loop:\n$s")
+    graft.operators.DedupOps.releaseTransients(spark)
+  }
+
   test("wct: the extent anti-join keys on doc_id, never a nested loop") {
     // equi key + range residual must plan as a keyed anti join; a
     // BroadcastNestedLoopJoin would pair every token with every
