@@ -290,7 +290,17 @@ object QualityOps {
     * window; argmax, ties to the LOWEST threshold. One skinny
     * distributed pass, one row collected.
     */
-  private def ftqBestTheta(scored: DataFrame): Long = {
+  private def ftqBestTheta(scored: DataFrame): Long =
+    ftqThetaFrame(scored).collect()(0).getLong(0)
+
+  /** [[ftqBestTheta]] as an UNCOLLECTED 1-row frame (`th`) — each
+    * training round broadcast-joins it into the gradient job instead
+    * of paying a separate driver action per round (the threshold is
+    * a pure function of the round's weights, so it composes into the
+    * same plan; only the init and final thresholds are ever
+    * collected, for the output row).
+    */
+  private def ftqThetaFrame(scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = scored.filter(col("istrain"))
       .groupBy("s").agg(
@@ -308,7 +318,7 @@ object QualityOps {
     cands.crossJoin(tot)
       .select(col("th"), (col("totp") - col("pb") + col("nb")).as("correct"))
       .orderBy(desc("correct"), asc("th"))
-      .limit(1).collect()(0).getLong(0)
+      .limit(1).select("th")
   }
 
   /** Train the classifier; returns (w0, theta0, w, theta) — the
@@ -343,21 +353,25 @@ object QualityOps {
       .orderBy("j").collect()
     require(sums.length == FtqBuckets, s"expected $FtqBuckets gradient rows")
     val w0 = sums.map(r => r.getDouble(1) / n1 - r.getDouble(2) / n0).toSeq
-    val theta0 = ftqBestTheta(fv.select(col("y"), col("istrain"),
-      ftqScore(w0).as("s")))
+    def thetaFrameOf(w: Seq[Double]) = ftqThetaFrame(
+      fv.select(col("y"), col("istrain"), ftqScore(w).as("s")))
     var w = w0
-    var theta = theta0
     for (_ <- 1 to FtqRounds) {
+      // ONE driver action per round: the threshold rides into the
+      // gradient job as an uncollected broadcast 1-row frame
       val grad = fv.filter(col("istrain"))
+        .crossJoin(broadcast(thetaFrameOf(w)))
         .select(posexplode(col("fv")).as(Seq("j", "r")),
-          (col("y") - when(ftqScore(w) >= theta, 1L).otherwise(0L)).as("q"))
+          (col("y") - when(ftqScore(w) >= col("th"), 1L).otherwise(0L)).as("q"))
         .groupBy("j").agg(sum(col("r") * col("q")).as("g"))
         .orderBy("j").collect()
       require(grad.length == FtqBuckets, s"expected $FtqBuckets gradient rows")
       w = w.zip(grad.map(_.getDouble(1))).map { case (wi, g) => wi + g * FtqLr }
-      theta = ftqBestTheta(fv.select(col("y"), col("istrain"),
-        ftqScore(w).as("s")))
     }
+    val theta0 = ftqBestTheta(fv.select(col("y"), col("istrain"),
+      ftqScore(w0).as("s")))
+    val theta = ftqBestTheta(fv.select(col("y"), col("istrain"),
+      ftqScore(w).as("s")))
     (w0, theta0, w, theta)
   }
 
