@@ -68,10 +68,10 @@ object SparkEntry {
     "pctrk"    -> (StatOps.windowPercentRank _),
     "csort"     -> (StatOps.aggCollectSorted _),
     "ccap"     -> (StatOps.aggCollectCapped _),
-    "ntile"        -> (StatOps.ntileQuartiles _),
+    "ntl"        -> (StatOps.ntileQuartiles _),
     "crg"          -> (StatOps.corrByGroup _),
     "quant"     -> (StatOps.quantilesByGroup _),
-    "histo"              -> (StatOps.histogram _),
+    "hst"              -> (StatOps.histogram _),
     "salt"             -> (StatOps.saltedAgg _),
     "jrng"             -> (StatOps.joinRange _),
     "rjb"                 -> (StatOps.rangeBinIncidents _),
@@ -96,6 +96,7 @@ object SparkEntry {
     "bpet"       -> ((s: SparkSession, d: String) => TextOps.bpeTrain(s, d)),
     "bpenc"      -> ((s: SparkSession, d: String) => TextOps.bpeEncode(s, d)),
     "tid"        -> (TextOps.bpeTokenIds _),
+    "tdc"        -> (TextOps.bpeDecode _),
     "wfp"        -> (TextOps.winnowFingerprints _),
     "wsim"       -> (TextOps.winnowOverlapPairs _),
     "winc"       -> (TextOps.winnowOverlapDelta _),
@@ -1206,6 +1207,73 @@ object SparkEntry {
         ORDER BY tt.doc_id"""
   }
 
+  /** TextOps.bpeDecode's oracle — the encode chain (same CTEs as
+    * `tid`), the INVERSE id map, and the reassembly: symbols
+    * concatenate in sequence order, the end-of-word mark becomes the
+    * word boundary, and the per-doc `roundtrip` boolean pins
+    * decode(encode(text)) = normalized text for every document.
+    */
+  private def bpeDecodeSql: String = {
+    val mark = TextOps.BpeEndMark
+    val chain = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"""e$r AS (SELECT doc_id, wpos,
+                    CASE WHEN t.sym_a IS NULL THEN v.w
+                      ELSE replace(v.w, ' ' || t.sym_a || '  ' || t.sym_b || ' ',
+                              ' ' || t.sym_a || t.sym_b || ' ') END AS w
+                  FROM e${r - 1} v LEFT JOIN t$r t ON TRUE)"""
+    }.mkString(",\n")
+    val mergeRows = (1 to TextOps.BpeMergeRounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b FROM t$r"
+    }.mkString(" UNION ALL ")
+    s"""WITH $bpeTrainCtes,
+        dw AS (SELECT doc_id,
+                 unnest(range(0, len(toks))) AS wpos, unnest(toks) AS tok
+               FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
+        e0 AS (SELECT doc_id, wpos,
+                 ' ' || array_to_string(
+                   list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
+                   '  ') || '  $mark ' AS w
+               FROM dw),
+        $chain,
+        syms AS (SELECT doc_id, wpos,
+                   unnest(range(0, len(ss))) AS spos, unnest(ss) AS sym
+                 FROM (SELECT doc_id, wpos, string_split(trim(w), '  ') AS ss
+                       FROM e${TextOps.BpeMergeRounds})),
+        alpha AS (SELECT DISTINCT unnest(list_transform(
+                    range(1, length(tok) + 1), i -> tok[i:i])) AS sym FROM wc
+                  UNION SELECT '$mark'),
+        aid AS (SELECT sym,
+                  CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+                FROM alpha),
+        naa AS (SELECT COUNT(*) AS na FROM aid),
+        mid AS (SELECT r.sym_a || r.sym_b AS sym,
+                  CAST(naa.na + r.merge_rank - 1 AS BIGINT) AS id
+                FROM ($mergeRows) r, naa),
+        idm AS (SELECT sym, MIN(id) AS id
+                FROM (SELECT * FROM aid UNION ALL SELECT * FROM mid)
+                GROUP BY sym),
+        til AS (SELECT s.doc_id, list(i.id ORDER BY s.wpos, s.spos) AS idl
+                FROM syms s JOIN idm i ON i.sym = s.sym
+                GROUP BY s.doc_id),
+        inv AS (SELECT id, MIN(sym) AS sym FROM idm GROUP BY id),
+        dz AS (SELECT doc_id, unnest(range(0, len(idl))) AS pos,
+                      unnest(idl) AS id
+               FROM til),
+        ds AS (SELECT dz.doc_id, dz.pos, inv.sym FROM dz JOIN inv USING (id)),
+        dd AS (SELECT doc_id,
+                 trim(replace(string_agg(sym, '' ORDER BY pos), '$mark', ' '))
+                   AS decoded
+               FROM ds GROUP BY doc_id)
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NOT NULL
+                    THEN COALESCE(dd.decoded, '') END AS decoded_text,
+               CASE WHEN d.text IS NOT NULL
+                    THEN COALESCE(dd.decoded, '')
+                      = array_to_string($toksSql, ' ') END AS roundtrip
+        FROM documents d LEFT JOIN dd USING (doc_id)
+        ORDER BY d.doc_id"""
+  }
+
   private def bpeTokenIdsSql: String = {
     val mark = TextOps.BpeEndMark
     val chain = (1 to TextOps.BpeMergeRounds).map { r =>
@@ -1769,7 +1837,7 @@ object SparkEntry {
             AS types_cat,
           COUNT(*) AS n
           FROM part GROUP BY 1 ORDER BY 1""",
-    "ntile" ->
+    "ntl" ->
       """SELECT p_brand, p_partkey,
          CAST(ntile(4) OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS BIGINT) AS quartile
@@ -1808,7 +1876,7 @@ object SparkEntry {
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.75) AS p75,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.95) AS p95
          FROM part GROUP BY 1 ORDER BY 1""",
-    "histo" ->
+    "hst" ->
       """SELECT CAST(floor(o_totalprice / 1000) AS BIGINT) AS bucket, COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
     "salt" ->
@@ -2052,6 +2120,7 @@ object SparkEntry {
     "bpet" -> bpeTrainSql,
     "bpenc" -> bpeEncodeSql,
     "tid" -> bpeTokenIdsSql,
+    "tdc" -> bpeDecodeSql,
     "tdata" -> trainingDataSql,
     "pksq" -> packedSequencesSql,
     "ftq" -> ftqSql,

@@ -392,6 +392,49 @@ object TextOps {
     * tok→syms vocabulary cache is built from the input frame's own
     * distinct words (the smaller set).
     */
+  /** Tokenizer ROUND-TRIP decode — the half a tokenizer library
+    * cannot ship without: every document's BPE id sequence mapped
+    * back through the INVERSE id map (id → symbol is injective: each
+    * symbol string holds exactly one MIN id, unassigned candidate
+    * ids are simply never emitted) and reassembled — symbols
+    * concatenate in sequence order, each end-of-word mark closes a
+    * word, words rejoin with single spaces. Emits per doc the
+    * decoded text and the machine-checked `roundtrip` boolean:
+    * decode(encode(text)) must equal the tokenizer's normalized form
+    * (whitespace-split tokens rejoined) — the total-correctness
+    * property of the encode/id/decode triple, pinned for EVERY
+    * document by the hash gate (a single corrupted merge, id
+    * collision, or mis-ordered reassembly flips a row).
+    *
+    * Scale shape: the inverse map is vocabulary-sized and broadcast;
+    * decode is one id-explode + one doc-keyed aggregation — the same
+    * budget as the encode it inverts.
+    */
+  def bpeDecode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val ids = bpeTokenIdsOn(spark, dir, docs)
+    val symOf = bpeIdMapFrame(spark, dir)
+      .groupBy("id").agg(min("sym").as("sym"))
+    val seq = ids
+      .filter(col("token_ids").isNotNull && col("token_ids") =!= "")
+      .select(col("doc_id"),
+        posexplode(split(col("token_ids"), ",")).as(Seq("pos", "idstr")))
+      .select(col("doc_id"), col("pos"), col("idstr").cast("long").as("id"))
+      .join(broadcast(symOf), Seq("id"))
+    val dec = seq.groupBy("doc_id")
+      .agg(trim(replace(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        e => e.getField("sym")), ""), lit(BpeEndMark), lit(" ")))
+        .as("__dec"))
+    val hasText = col("text").isNotNull
+    docs.join(dec, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(hasText, coalesce(col("__dec"), lit(""))).as("decoded_text"),
+        when(hasText, coalesce(col("__dec"), lit("")) ===
+          concat_ws(" ", tokens(col("text")))).as("roundtrip"))
+      .orderBy("doc_id")
+  }
+
   /** The (sym, id) vocabulary id map under the tokenizer id law —
     * alphabet symbols take 0..A−1 in binary-lexicographic order,
     * merge rank r takes A+r−1, MIN id per symbol string. Shared by

@@ -1273,6 +1273,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).distinct.length >= 2)
   }
 
+  test("tdc: decode inverts encode on every document, and the check is not vacuous") {
+    val rows = TextOps.bpeDecode(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getBoolean(2), s"doc ${r.getLong(0)} failed the round trip")
+      assert(r.getString(1).nonEmpty)
+    }
+    // decode is only well-defined if the id law is injective — two
+    // symbols sharing an id would make the round trip ambiguous
+    val idMap = TextOps.bpeStandingIdMap(spark, sf)
+    assert(idMap.nonEmpty && idMap.values.toSet.size === idMap.size,
+      "id map is not injective — decode would be ambiguous")
+  }
+
   test("ftq: held-out gates hold at this sf too, and training buys accuracy") {
     // the oracle hash-pins the rows at sf0.01; this pins the
     // DISCRIMINATING claims at a second sf so the floors aren't
