@@ -1467,6 +1467,7 @@ object SparkEntry {
                  - len(ids) AS BIGINT) AS start_off
                FROM pf),
         px AS (SELECT doc_id, lang, bucket,
+                 unnest(range(0, len(ids))) AS wp,
                  start_off + unnest(range(0, len(ids))) AS gpos,
                  unnest(ids) AS tid
                FROM pc)
@@ -1475,7 +1476,12 @@ object SparkEntry {
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
                array_to_string(list(CAST(tid AS VARCHAR) ORDER BY gpos),
-                 ',') AS token_ids
+                 ',') AS token_ids,
+               COALESCE(array_to_string(
+                 list(CAST(gpos - CAST(floor(gpos / ${PipelineOps.PackBudget})
+                   AS BIGINT) * ${PipelineOps.PackBudget} AS VARCHAR)
+                   ORDER BY gpos) FILTER (WHERE wp = 0),
+                 ','), '') AS doc_starts
         FROM px GROUP BY 1, 2, 3
         ORDER BY lang, bucket, seq_id"""
 

@@ -851,7 +851,16 @@ object PipelineOps {
         count(lit(1)).as("n_tokens"),
         array_join(transform(
           array_sort(collect_list(struct(col("gpos"), col("tid")))),
-          e => e.getField("tid").cast("string")), ",").as("token_ids"))
+          e => e.getField("tid").cast("string")), ",").as("token_ids"),
+        // window-local offsets where a NEW document begins (its first
+        // token landed here) — what a trainer needs to reset the
+        // attention mask across packed documents; a window holding
+        // only continuation tokens ships '' (collect_list drops the
+        // non-start NULLs)
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("p") === 0, col("gpos") - col("seq_id") * budget))),
+          v => v.cast("string")), ",").as("doc_starts"))
       .orderBy(asc_nulls_last("lang"), col("bucket"), col("seq_id"))
   }
 

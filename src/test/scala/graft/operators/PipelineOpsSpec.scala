@@ -228,7 +228,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = PipelineOps.trainingData(spark, sf).collect()
       .map(r => (r.getString(2), r.getString(5), r.getLong(0),
         r.getString(4), r.getLong(3), r.getLong(6)))
-    val seqs = PipelineOps.packedSequences(spark, sf).collect()
+    val seqRows = PipelineOps.packedSequences(spark, sf).collect()
+    val seqs = seqRows
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getString(5)))
     val eos = TextOps.bpeEosFrame(spark, sf).collect()(0).getLong(0)
@@ -289,6 +290,32 @@ class PipelineOpsSpec extends AnyFunSuite {
         off += d._5 + 1
       }
     }
+    // doc_starts: the attention-mask reset points — per stratum, the
+    // set of (seq_id·budget + window-local start) across windows must
+    // be EXACTLY the documents' stream start offsets, and each
+    // doc's tdata bin window must list its own start
+    val startsBySeq = seqRows.map(r => ((r.getString(0), r.getString(1),
+      r.getLong(2)), r.getString(6))).toMap
+    docs.groupBy(d => (d._1, d._2)).foreach { case (k, ds) =>
+      var off = 0L
+      val expected = scala.collection.mutable.Set.empty[Long]
+      ds.sortBy(_._3).foreach { d => expected += off; off += d._5 + 1 }
+      val got = startsBySeq.collect {
+        case ((l, b, seqId), starts) if (l, b) == k && starts.nonEmpty =>
+          starts.split(",").map(s =>
+            seqId * PipelineOps.PackBudget + s.toLong).toSeq
+      }.flatten.toSet
+      assert(got === expected.toSet,
+        s"stratum $k doc_starts diverge from the document offsets")
+    }
+    // whenever a stratum actually packs ≥2 documents, a mid-window
+    // reset point must surface (at this tiny sf most strata hold one
+    // survivor; the sf0.01 oracle gate hash-pins the multi-doc
+    // windows' doc_starts values)
+    if (docs.groupBy(d => (d._1, d._2)).exists(_._2.length >= 2))
+      assert(seqRows.exists(r => r.getString(6).split(",").exists(s =>
+        s.nonEmpty && s.toLong > 0)),
+        "multi-doc stratum exists but no mid-window boundary surfaced")
   }
 
   test("trainingDataOn over the standing corpus equals the composite's projection") {
