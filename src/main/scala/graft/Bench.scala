@@ -97,6 +97,8 @@ object Bench {
     "jaccard_md5_cand" -> "md5cand",
     "neardup_cand"     -> "ndcand",
     "bpe_merges"       -> "bpemrg",
+    "tok_ids"          -> "tokids",
+    "ftq_model"        -> "ftqmdl",
     "pq_codes"         -> "pqcodes",
     "pq_cbt"           -> "pqcbt",
     "pq_codes_t"       -> "pqcodet",

@@ -150,7 +150,9 @@ object SparkEntry {
     "ccn"       -> (TextOps.pplBuckets _),
     "corp"         -> (PipelineOps.corpusPipeline _),
     "tdata"    -> ((s: SparkSession, d: String) => PipelineOps.trainingData(s, d)),
+    "ftd"      -> ((s: SparkSession, d: String) => PipelineOps.trainingDataFtq(s, d)),
     "pksq"     -> ((s: SparkSession, d: String) => PipelineOps.packedSequences(s, d)),
+    "pkw"      -> (PipelineOps.packedCorpusRoundTrip _),
     "clus"         -> (DedupOps.dedupClusters _),
     "dkeep"               -> (DedupOps.dedupKeep _),
     "linc"                -> (DedupOps.dedupKeepIncremental _),
@@ -1058,69 +1060,82 @@ object SparkEntry {
     * score fold, power-of-two updates), so the gate pins TRAINING,
     * not just the verdict row.
     */
-  private def ftqSql: String = {
+  /** The ftq TRAINING chain as CTE text with every name prefixed `p` —
+    * shared by the standalone `ftq` oracle (p = "") and the gated
+    * composite's `ftd` oracle (p = "q": the survivor/token CTEs it
+    * composes with use `tt`/`tb`/`w0..wN` themselves), so the two
+    * gates replay ONE training law by construction. Terminal CTEs a
+    * consumer reads: `${p}sc<T>` (per-doc scores under the final
+    * weights), `${p}th<T>` (the final threshold), plus `${p}sc0` /
+    * `${p}th0` for the init twin.
+    */
+  private def ftqChainCtes(p: String): String = {
     val d = graft.operators.QualityOps.FtqBuckets
     val refs = graft.operators.QualityOps.FtqRefLexicon
       .map(w => s"'$w'").mkString(", ")
     val lr = graft.operators.QualityOps.FtqLr
-    val floorV = graft.operators.QualityOps.FtqAccFloor
     val scale = graft.operators.QualityOps.FtqScale
     def thetaCte(t: Int) = s"""
-        dd$t AS (SELECT s, CAST(SUM(y) AS BIGINT) p,
+        ${p}dd$t AS (SELECT s, CAST(SUM(y) AS BIGINT) p,
                    CAST(COUNT(*) - SUM(y) AS BIGINT) ng
-                 FROM sc$t WHERE istrain GROUP BY s),
-        cc$t AS (SELECT s AS th,
+                 FROM ${p}sc$t WHERE istrain GROUP BY s),
+        ${p}cc$t AS (SELECT s AS th,
                    COALESCE(SUM(p) OVER (ORDER BY s
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) pb,
                    COALESCE(SUM(ng) OVER (ORDER BY s
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) nb
-                 FROM dd$t
+                 FROM ${p}dd$t
                  UNION ALL
-                 SELECT max(s) + 1, sum(p), sum(ng) FROM dd$t),
-        tot$t AS (SELECT SUM(p) totp FROM dd$t),
-        th$t AS (SELECT th FROM cc$t, tot$t
+                 SELECT max(s) + 1, sum(p), sum(ng) FROM ${p}dd$t),
+        ${p}tot$t AS (SELECT SUM(p) totp FROM ${p}dd$t),
+        ${p}th$t AS (SELECT th FROM ${p}cc$t, ${p}tot$t
                  ORDER BY (totp - pb + nb) DESC, th ASC LIMIT 1)"""
     def scoreCte(t: Int) = s"""
-        sc$t AS MATERIALIZED (SELECT f.doc_id, f.y, f.istrain, f.fv,
+        ${p}sc$t AS MATERIALIZED (SELECT f.doc_id, f.y, f.istrain, f.fv,
                    CAST(floor(list_sum(list_transform(range(1, ${d + 1}),
                      i -> w.w[i] * f.fv[i]))) AS BIGINT) s
-                 FROM fvv f, w$t w)"""
+                 FROM ${p}fvv f, ${p}w$t w)"""
     val rounds = (1 to graft.operators.QualityOps.FtqRounds).map { t =>
-      s"""g$t AS (SELECT list(gs ORDER BY j) grad FROM (
+      s"""${p}g$t AS (SELECT list(gs ORDER BY j) grad FROM (
                   SELECT j, CAST(sum(r * q) AS DOUBLE) gs FROM (
                     SELECT unnest(range(0, $d)) j, unnest(s.fv) r,
                            CAST(s.y - (CASE WHEN s.s >= th.th THEN 1 ELSE 0 END)
                              AS BIGINT) q
-                    FROM sc${t - 1} s, th${t - 1} th WHERE s.istrain)
+                    FROM ${p}sc${t - 1} s, ${p}th${t - 1} th WHERE s.istrain)
                   GROUP BY j)),
-        w$t AS (SELECT list_transform(range(1, ${d + 1}),
-                  i -> w.w[i] + g.grad[i] * $lr) w FROM w${t - 1} w, g$t g),${scoreCte(t)},${thetaCte(t)}"""
+        ${p}w$t AS (SELECT list_transform(range(1, ${d + 1}),
+                  i -> w.w[i] + g.grad[i] * $lr) w FROM ${p}w${t - 1} w, ${p}g$t g),${scoreCte(t)},${thetaCte(t)}"""
     }.mkString(",\n")
-    val T = graft.operators.QualityOps.FtqRounds
-    s"""WITH tt AS (SELECT doc_id, $toksSql toks FROM documents
+    s"""${p}tt AS (SELECT doc_id, $toksSql toks FROM documents
                     WHERE text IS NOT NULL),
-        tb AS (SELECT doc_id, toks, len(toks) n,
+        ${p}tb AS (SELECT doc_id, toks, len(toks) n,
                  len(list_filter(toks, x -> x IN ($refs))) hits
-               FROM tt WHERE len(toks) > 0),
-        fvv AS MATERIALIZED (SELECT doc_id,
+               FROM ${p}tt WHERE len(toks) > 0),
+        ${p}fvv AS MATERIALIZED (SELECT doc_id,
                   CAST(hits * 4 >= n AS INT) y,
                   (doc_id % 4 <> 0) istrain,
                   list_transform(range(0, $d), j ->
                     CAST((len(list_filter(toks, x ->
                       CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % $d = j))
                       * $scale) // n AS DOUBLE)) fv
-                FROM tb),
-        n01 AS (SELECT CAST(SUM(y) AS BIGINT) n1,
+                FROM ${p}tb),
+        ${p}n01 AS (SELECT CAST(SUM(y) AS BIGINT) n1,
                   CAST(COUNT(*) - SUM(y) AS BIGINT) n0
-                FROM fvv WHERE istrain),
-        c0 AS (SELECT j,
+                FROM ${p}fvv WHERE istrain),
+        ${p}c0 AS (SELECT j,
                  CAST(SUM(CASE WHEN y = 1 THEN r ELSE 0 END) AS DOUBLE) s1,
                  CAST(SUM(CASE WHEN y = 0 THEN r ELSE 0 END) AS DOUBLE) s0
                FROM (SELECT unnest(range(0, $d)) j, unnest(fv) r, y
-                     FROM fvv WHERE istrain)
+                     FROM ${p}fvv WHERE istrain)
                GROUP BY j),
-        w0 AS (SELECT list(s1 / n1 - s0 / n0 ORDER BY j) w FROM c0, n01),${scoreCte(0)},${thetaCte(0)},
-        $rounds,
+        ${p}w0 AS (SELECT list(s1 / n1 - s0 / n0 ORDER BY j) w FROM ${p}c0, ${p}n01),${scoreCte(0)},${thetaCte(0)},
+        $rounds"""
+  }
+
+  private def ftqSql: String = {
+    val floorV = graft.operators.QualityOps.FtqAccFloor
+    val T = graft.operators.QualityOps.FtqRounds
+    s"""WITH ${ftqChainCtes("")},
         fin AS (SELECT sc.y, sc.istrain,
                   (sc.s >= thf.th) = (sc.y = 1) ok,
                   (s0sc.s >= th00.th) = (sc.y = 1) ok0
@@ -1337,8 +1352,15 @@ object SparkEntry {
     * `tdata` (per-doc id sequences + split/shuffle tail) and `pksq`
     * (the packed fixed-window materialization), so the two gates
     * share one survivor-and-tokenizer law.
+    *
+    * `extraAfterTsf` injects additional CTEs between the survivor
+    * chain and the tokenizer frames, and `spine` names the survivor
+    * CTE the token chain restricts to — the `ftd` oracle gates `tsf`
+    * through the trained classifier's keep set and points the
+    * tokenizer at the gated spine; everything else is shared text.
     */
-  private def survivorTokenCtes: String = {
+  private def survivorTokenCtes(extraAfterTsf: String = "",
+      spine: String = "tsf"): String = {
     val mark = TextOps.BpeEndMark
     val chain = (1 to TextOps.BpeMergeRounds).map { r =>
       s"""e$r AS (SELECT doc_id, wpos,
@@ -1381,11 +1403,11 @@ object SparkEntry {
                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
                   FROM ttr) WHERE rk <= ${PipelineOps.SourceQuota}),
         tsf AS (SELECT * FROM tsv
-                WHERE doc_id NOT IN (SELECT vec_id FROM sdrop)),
+                WHERE doc_id NOT IN (SELECT vec_id FROM sdrop)),$extraAfterTsf
         dw AS (SELECT doc_id,
                  unnest(range(0, len(toks))) AS wpos, unnest(toks) AS tok
                FROM (SELECT d.doc_id, $toksSql AS toks
-                     FROM documents d JOIN tsf USING (doc_id))),
+                     FROM documents d JOIN $spine USING (doc_id))),
         e0 AS (SELECT doc_id, wpos,
                  ' ' || array_to_string(
                    list_transform(range(1, length(tok) + 1), i -> tok[i:i]),
@@ -1419,8 +1441,31 @@ object SparkEntry {
     * seeded split, and the epoch-shuffle rank — every stage the
     * standalone oracle's exact logic.
     */
-  private def trainingDataSql: String =
-    s"""WITH RECURSIVE $survivorTokenCtes,
+  private def trainingDataSql: String = trainingCompositeSql()
+
+  /** PipelineOps.trainingDataFtq's oracle — the composite with the
+    * TRAINED classifier gating the survivors: the whole ftq training
+    * chain (q-prefixed — init, every gradient, every threshold)
+    * replayed up front, its final keep verdict semi-joined into the
+    * survivor spine, and the shared tokenizer tail run on the gated
+    * set — so the gate pins the trained filter itself inside the
+    * end-to-end composite.
+    */
+  private def ftdSql: String = {
+    val T = graft.operators.QualityOps.FtqRounds
+    trainingCompositeSql(
+      prelude = s"${ftqChainCtes("q")},\n",
+      extraAfterTsf = s"""
+        qkeep AS (SELECT sc.doc_id FROM qsc$T sc, qth$T th
+                  WHERE sc.s >= th.th),
+        tsg AS (SELECT * FROM tsf
+                WHERE doc_id IN (SELECT doc_id FROM qkeep)),""",
+      spine = "tsg")
+  }
+
+  private def trainingCompositeSql(prelude: String = "",
+      extraAfterTsf: String = "", spine: String = "tsf"): String =
+    s"""WITH RECURSIVE $prelude${survivorTokenCtes(extraAfterTsf, spine)},
         ti AS (SELECT s.doc_id,
                  CAST(COUNT(*) AS BIGINT) AS n_tokens,
                  array_to_string(
@@ -1432,7 +1477,7 @@ object SparkEntry {
                  substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 1) AS bucket,
                  substr(md5('graft:v1:' || CAST(s.doc_id AS VARCHAR)), 1, 2) AS sb,
                  md5('graft:v1:0:' || CAST(s.doc_id AS VARCHAR)) AS ek
-               FROM tsf s JOIN ti t USING (doc_id)),
+               FROM $spine s JOIN ti t USING (doc_id)),
         tc AS (SELECT *, CAST(sum(n_tokens + 1) OVER (PARTITION BY lang, bucket
                  ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -1452,7 +1497,7 @@ object SparkEntry {
     * (lang, bucket), and the PackBudget window aggregation.
     */
   private def packedSequencesSql: String =
-    s"""WITH RECURSIVE $survivorTokenCtes,
+    s"""WITH RECURSIVE ${survivorTokenCtes()},
         til AS (SELECT s.doc_id, list(i.id ORDER BY s.wpos, s.spos) AS idl
                 FROM syms s JOIN idm i ON i.sym = s.sym
                 GROUP BY s.doc_id),
@@ -1481,7 +1526,10 @@ object SparkEntry {
                  list(CAST(gpos - CAST(floor(gpos / ${PipelineOps.PackBudget})
                    AS BIGINT) * ${PipelineOps.PackBudget} AS VARCHAR)
                    ORDER BY gpos) FILTER (WHERE wp = 0),
-                 ','), '') AS doc_starts
+                 ','), '') AS doc_starts,
+               array_to_string(list_transform(
+                 list_sort(list(DISTINCT doc_id)),
+                 x -> CAST(x AS VARCHAR)), ',') AS doc_ids
         FROM px GROUP BY 1, 2, 3
         ORDER BY lang, bucket, seq_id"""
 
@@ -2128,7 +2176,13 @@ object SparkEntry {
     "tid" -> bpeTokenIdsSql,
     "tdc" -> bpeDecodeSql,
     "tdata" -> trainingDataSql,
+    "ftd" -> ftdSql,
     "pksq" -> packedSequencesSql,
+    // the artifact round-trip must carry EXACTLY the in-memory frame,
+    // so its oracle IS packedSequences' — any divergence introduced by
+    // the write/read path (partition-value coercion, column reorder,
+    // lost rows) breaks the shared hash
+    "pkw" -> packedSequencesSql,
     "ftq" -> ftqSql,
     // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
     // hash packed with the position (hash·2²⁰+pos — min = leftmost

@@ -124,15 +124,17 @@ object DedupOps {
     "simhash_sig"      -> Set("smh", "simp", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"),
-    "bpe_merges"       -> Set("bpenc", "tid", "tdata"),
+    "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "ftd"),
+    "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "ftd"),
+    "ftq_model"        -> Set("ftd"),
     "pq_codes"         -> Set("ivfpq"),
     "pq_cbt"           -> Set("pqt"),
     "pq_codes_t"       -> Set("pqt"),
     "cents_t"          -> Set("ivft", "pqf"),
     "pqf_cb"           -> Set("pqf"),
     "pqf_codes"        -> Set("pqf"),
-    "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata"),
-    "sem_labels"       -> Set("sdd", "tdata"),
+    "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata", "pksq", "pkw", "ftd"),
+    "sem_labels"       -> Set("sdd", "tdata", "pksq", "pkw", "ftd"),
     "sem_blabels"      -> Set("sref"),
     "sem_bkeep"        -> Set("sref"),
     "win_sel"          -> Set("wfp", "wci"),
@@ -192,6 +194,15 @@ object DedupOps {
       // the r16 audit's one weak mark — the stage prices the 8-round
       // driver loop once, and every encoder reads the pinned rules
       "bpe_merges" -> (() => TextOps.bpeMergeTable(spark, dir)),
+      // the encoded corpus AFTER bpe_merges (its build reads the merge
+      // table and the id law derived from it), so this entry prices
+      // exactly the one corpus-scale encode every token consumer
+      // (tid/tdc/tdata/pksq) previously re-paid per query
+      "tok_ids" -> (() => TextOps.bpeTokenIdsStage(spark, dir)),
+      // the trained quality model — FtqRounds of driver-loop training
+      // priced once here (the ivft/bpe_merges discipline); the gated
+      // composite collects the KB-sized result
+      "ftq_model" -> (() => QualityOps.ftqModelStage(spark, dir)),
       "pq_codes" -> (() => EmbeddingOps.pqCodes(spark, dir)),
       // pq_cbt BEFORE pq_codes_t: the trained index encodes against
       // the trained codebook, so this order prices training and

@@ -740,25 +740,58 @@ object PipelineOps {
   }
 
   def trainingData(spark: SparkSession, dir: String, epoch: Int = 0,
+      seed: String = "graft:v1"): DataFrame =
+    trainingTail(spark, dir, trainedSurvivors(spark, dir), epoch, seed)
+
+  /** [[trainingData]] with the TRAINED quality classifier gating the
+    * survivors — the GPT-3 pipeline's actual shape: after the
+    * heuristic verdict chain (length gate → exact dedup → decon →
+    * quota → semantic anti-join), only documents the standing
+    * fastText-style model scores as keep-worthy flow into the
+    * tokenizer tail. The model is the pinned `ftq_model` stage
+    * (trained once per session — the same deployment story as the
+    * BPE merge table), applied as one broadcast-literal projection
+    * over the relational feature path ([[QualityOps.ftqBatchScores]])
+    * and one semi-join — no training actions inside this query. The
+    * oracle replays the WHOLE training chain (init, every gradient,
+    * every threshold) before composing the keep set into the survivor
+    * CTEs, so the gate pins the trained filter itself, end to end.
+    */
+  def trainingDataFtq(spark: SparkSession, dir: String, epoch: Int = 0,
       seed: String = "graft:v1"): DataFrame = {
+    val (w, theta) = QualityOps.ftqStandingModelCached(spark, dir)
+    val keep = QualityOps.ftqBatchScores(spark, dir, w, theta)
+      .filter(col("keep")).select("doc_id")
+    trainingTail(spark, dir,
+      trainedSurvivors(spark, dir).join(keep, Seq("doc_id"), "left_semi"),
+      epoch, seed)
+  }
+
+  /** The composite's survivor frame — quality gate → exact dedup →
+    * decontaminate → quota ([[corpusSurvivorsFrom]]) → SEMANTIC dedup
+    * (survivors whose embedding lost its SemDeDup election drop — one
+    * anti-join against the delta-sized drop set; ids are shared
+    * between the documents and embeddings tables, and docs without an
+    * embedding have no verdict and pass through).
+    */
+  private def trainedSurvivors(spark: SparkSession, dir: String): DataFrame =
+    corpusSurvivorsFrom(Tables.documents(spark, dir))
+      .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "lang")
+
+  /** The composite's tokenizer tail over an explicit survivor frame —
+    * shared by [[trainingData]] and [[trainingDataFtq]] so the two
+    * differ ONLY in the survivor gate.
+    */
+  private def trainingTail(spark: SparkSession, dir: String, surv: DataFrame,
+      epoch: Int, seed: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
-    // tracked: the tokenize pass's semi-join AND the final spine both
-    // read the survivor set — untracked, the verdict window chain
-    // executes once per consumer. The SEMANTIC stage sits between the
-    // exact/decon/quota verdicts and the tokenizer: survivors whose
-    // embedding lost its SemDeDup election drop here (one anti-join
-    // against the delta-sized drop set; ids are shared between the
-    // documents and embeddings tables, and docs without an embedding
-    // have no verdict and pass through)
-    val surv = OpCaches.track(
-      corpusSurvivorsFrom(docs)
-        .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
-          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
-        .select("doc_id", "source", "lang"))
-    val sdocs = docs.select(col("doc_id"), col("text"))
-      .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
-    val toks = TextOps.bpeTokenIdsOn(spark, dir, sdocs)
+    // the pinned encoded-corpus stage restricted to survivors by the
+    // inner join below — the tokenizer's ids are doc-local, so the
+    // full-corpus encode restricted to the survivor set equals
+    // encoding the survivors directly (TextOps.bpeTokenIdsStage)
+    val toks = TextOps.bpeTokenIdsStage(spark, dir)
     val wPack = Window.partitionBy("lang", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val (_, split) = splitAssignment(seed)
@@ -815,17 +848,27 @@ object PipelineOps {
     * 16 sub-strata.
     */
   def packedSequences(spark: SparkSession, dir: String,
+      budget: Int = PackBudget): DataFrame =
+    packedFrame(spark, dir, budget)
+      .orderBy(asc_nulls_last("lang"), col("bucket"), col("seq_id"))
+
+  /** [[packedSequences]] WITHOUT the output sort — the frame the shard
+    * writer partitions by (lang, bucket): sorting before a partitioned
+    * write would add a range exchange the `partitionBy` layout
+    * immediately discards.
+    */
+  private def packedFrame(spark: SparkSession, dir: String,
       budget: Int = PackBudget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val surv = OpCaches.track(
-      corpusSurvivorsFrom(docs)
-        .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
-          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
-        .select("doc_id", "lang"))
-    val sdocs = docs.select(col("doc_id"), col("text"))
-      .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
-    val toks = TextOps.bpeTokenIdsOn(spark, dir, sdocs)
+    // single consumer (the join into f below) now that the encode is
+    // the pinned tok_ids stage — no persist needed
+    val surv = corpusSurvivorsFrom(docs)
+      .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang")
+    // pinned encoded corpus, restricted to survivors by the join below
+    val toks = TextOps.bpeTokenIdsStage(spark, dir)
     val wPack = Window.partitionBy("lang", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val f = surv.join(toks, Seq("doc_id"))
@@ -860,7 +903,107 @@ object PipelineOps {
         array_join(transform(
           array_sort(collect_list(
             when(col("p") === 0, col("gpos") - col("seq_id") * budget))),
-          v => v.cast("string")), ",").as("doc_starts"))
+          v => v.cast("string")), ",").as("doc_starts"),
+        // window PROVENANCE: the contributing doc_ids (ascending,
+        // bounded by n_docs ≤ budget — a window holds at most
+        // PackBudget positions), so a trainer can trace any packed
+        // window back to its source documents — the attribution story
+        // the winnowing tier tells for text, applied to the trainer
+        // artifact. Conservation is spec-pinned: the union of window
+        // doc lists equals the survivor set exactly.
+        array_join(transform(array_sort(collect_set(col("doc_id"))),
+          i => i.cast("string")), ",").as("doc_ids"))
+  }
+
+  /** Records-per-shard cap for the packed-corpus writer: at the
+    * default PackBudget a window row is ~3 KB of comma-joined ids, so
+    * 32k rows ≈ a 100 MB shard — the HDFS-block-scale file size a
+    * trainer's data loader wants. The writer rolls files per task
+    * (`maxRecordsPerFile`), so the cap adds NO shuffle.
+    */
+  private[graft] val PackedShardRows = 32768L
+
+  /** The packed corpus' on-disk schema — declared once so the
+    * read-back face parses partition directory values as STRINGS
+    * (without an explicit schema, Spark's partition-value inference
+    * would read a hex bucket directory like `bucket=7` back as an
+    * integer and the round-trip would diverge from the in-memory
+    * frame).
+    */
+  private[graft] val PackedCorpusSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bucket", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seq_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("token_ids", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_starts", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_ids", org.apache.spark.sql.types.StringType)))
+
+  /** WRITE the packed trainer corpus as a laid-out artifact — the
+    * sink-shaped contract the reference's whole pipeline ends in
+    * (save_data_parquet.py:97-121 writes the treated frames as
+    * parquet files), applied to the trainer tail: [[packedSequences]]'
+    * windows land partitioned by (lang, bucket) so a per-stratum
+    * training job reads ONLY its partition's files (the same
+    * listing-time pruning LayoutSpec proves for the IVF cell layout),
+    * hash-repartitioned on the partition columns first so each
+    * stratum is written by one task (a naive write would have every
+    * task emit a file into every stratum it sees — the small-file
+    * problem at birth), and rolled at `maxRecordsPerFile` so a huge
+    * stratum splits into block-scale shards instead of one monster
+    * file. Returns (files written, rows written) for caller
+    * assertions; content identity with the in-memory frame and the
+    * one-stratum pruning claim are LayoutSpec's job.
+    */
+  def writePackedCorpus(spark: SparkSession, dir: String, destDir: String,
+      budget: Int = PackBudget,
+      maxRecordsPerFile: Long = PackedShardRows): (Long, Long) = {
+    packedFrame(spark, dir, budget)
+      .repartition(col("lang"), col("bucket"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("lang", "bucket")
+      .parquet(destDir)
+    val fs = new org.apache.hadoop.fs.Path(destDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(destDir), true)
+    var n = 0L
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+    (n, readPackedCorpus(spark, destDir).count())
+  }
+
+  /** Read a [[writePackedCorpus]] artifact back in the in-memory
+    * frame's column order and types (explicit schema — see
+    * [[PackedCorpusSchema]]).
+    */
+  def readPackedCorpus(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.schema(PackedCorpusSchema).parquet(destDir)
+      .select(PackedCorpusSchema.fieldNames.map(col).toSeq: _*)
+
+  /** Per-JVM memo of written packed-corpus artifacts — like the
+    * bucketed-join tables, the write is the amortized once-per-layout
+    * cost, not part of the repeated read price.
+    */
+  private val packedWritten =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The packed corpus THROUGH the artifact: write once per (session,
+    * dir) to a deterministic local staging dir, read back, and return
+    * the windows in [[packedSequences]]' order — so the oracle gate
+    * pins that the laid-out files carry exactly the in-memory frame
+    * (schema, partition-value round-trip, row content), the way a
+    * trainer would consume them.
+    */
+  def packedCorpusRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val dest = packedWritten.getOrElseUpdate((spark, dir), {
+      val tag = (dir.hashCode.toLong & 0xffffffffL).toString
+      val d = s"${sys.props("java.io.tmpdir")}/graft_pkc_$tag"
+      writePackedCorpus(spark, dir, d)
+      d
+    })
+    readPackedCorpus(spark, dest)
       .orderBy(asc_nulls_last("lang"), col("bucket"), col("seq_id"))
   }
 

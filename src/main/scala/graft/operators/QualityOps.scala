@@ -432,6 +432,31 @@ object QualityOps {
     (w, theta)
   }
 
+  /** The trained model as a pinned MEMO STAGE (one model-sized frame:
+    * FtqBuckets (j, w) rows carrying theta) — the deployment shape:
+    * training runs once per retrain (Bench prices the driver loop
+    * inside `_substrate`, like the BPE merge table and the PQ
+    * codebooks), and every consumer (the ftq-gated composite, ad-hoc
+    * scoring) collects the KB-sized frame instead of re-running the
+    * FtqRounds training actions inside its own timed query.
+    */
+  private[graft] def ftqModelStage(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "ftq_model") {
+      val (_, _, w, theta) = ftqTrain(ftqFeatures(spark, dir))
+      import spark.implicits._
+      w.zipWithIndex.map { case (wi, j) => (j.toLong, wi, theta) }
+        .toDF("j", "w", "theta")
+    }
+
+  /** [[ftqStandingModel]] through the pinned [[ftqModelStage]] —
+    * collects the cached 64-row frame (KBs) instead of retraining.
+    */
+  private[graft] def ftqStandingModelCached(spark: SparkSession,
+      dir: String): (Seq[Double], Long) = {
+    val rows = ftqModelStage(spark, dir).orderBy("j").collect()
+    (rows.map(_.getDouble(1)).toSeq, rows.head.getLong(2))
+  }
+
   /** Batch scoring of the standing corpus under a collected model,
     * through the RELATIONAL feature path (the training-side
     * construction) — the reference frame StreamingSpec pins the
@@ -454,14 +479,24 @@ object QualityOps {
       theta: Long): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val n = size(toks)
+    // bucket each token ONCE (one md5 per token), then count per
+    // bucket over the small long array — the old shape filtered the
+    // token array once per bucket with the md5 inside the lambda,
+    // i.e. O(buckets × n_tokens) hash calls per row, 64× the batch
+    // path's work. The count is cast to BIGINT before scaling so the
+    // row-local expression replays the batch LONG chain exactly
+    // (ftqFeatures: count * FtqScale DIV n — INT arithmetic here
+    // would overflow first for a pathological single-bucket doc).
+    val bk = expr(s"transform(__toks, x -> " +
+      s"CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % $FtqBuckets)")
     val fv = expr(s"transform(sequence(0, ${FtqBuckets - 1}), j -> " +
-      s"CAST((size(filter(__toks, x -> " +
-      s"CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT) % $FtqBuckets = j)) " +
-      s"* $FtqScale) DIV size(__toks) AS DOUBLE))")
+      s"CAST(CAST(size(filter(__bk, b -> b = j)) AS BIGINT) " +
+      s"* $FtqScale DIV size(__bk) AS DOUBLE))")
     docs
       .filter(col("text").isNotNull)
       .withColumn("__toks", toks)
       .filter(n > 0)
+      .withColumn("__bk", bk)
       .withColumn("__fv", fv)
       .select(col("doc_id"),
         floor(graft.functions.VectorExprs.dotProduct(typedLit(w), col("__fv")))

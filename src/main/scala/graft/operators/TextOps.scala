@@ -379,9 +379,26 @@ object TextOps {
     * encode-only.
     */
   def bpeTokenIds(spark: SparkSession, dir: String): DataFrame =
-    bpeTokenIdsOn(spark, dir,
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .orderBy("doc_id")
+    bpeTokenIdsStage(spark, dir).orderBy("doc_id")
+
+  /** The ENCODED CORPUS as a pinned MEMO STAGE: every document's
+    * (n_tokens, token_ids) under the trained tokenizer — the standing
+    * frame a tokenizer deployment materializes once per retrain and
+    * every downstream job reads. Before this stage existed, `tid`,
+    * `tdc`, the composite and the packer each re-paid the full corpus
+    * encode inside their own timed query (~60–70 s of the sf1 sweep
+    * re-deriving one deterministic frame — r18 verdict finding #3);
+    * now Bench prices the encode once inside `_substrate` and the
+    * consumers join or order the cached rows. Subset consumers
+    * (the composite's survivors) restrict it by doc_id inner join —
+    * ids are a property of the TOKENIZER, so the full-corpus encode
+    * restricted to any doc subset equals encoding that subset
+    * directly (same merge rules, same id law, same per-word chain).
+    */
+  private[operators] def bpeTokenIdsStage(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.memoStage(spark, dir, "tok_ids")(
+      bpeTokenIdsOn(spark, dir,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
 
   /** [[bpeTokenIds]] over an explicit (doc_id, text) frame — the
     * composite's surface ([[PipelineOps]]' tdata encodes the
@@ -412,7 +429,9 @@ object TextOps {
     */
   def bpeDecode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val ids = bpeTokenIdsOn(spark, dir, docs)
+    // decode-only timing: the encoded corpus is the pinned tok_ids
+    // stage (shared with tid/tdata/pksq), not a per-query re-encode
+    val ids = bpeTokenIdsStage(spark, dir)
     val symOf = bpeIdMapFrame(spark, dir)
       .groupBy("id").agg(min("sym").as("sym"))
     val seq = ids
@@ -489,7 +508,15 @@ object TextOps {
       split(trim(w), "  ")
     }
     val syms = flatten(transform(tokens(col("text")), t => wordSyms(t)))
-    val ids = transform(syms, s2 => element_at(typedLit(idMap), s2))
+    // drop out-of-vocabulary symbols (characters absent from the
+    // standing alphabet map to NULL under element_at with ANSI off) —
+    // matching the batch encoder, whose inner idMap join drops them
+    // from both the count and the list; without this filter size(ids)
+    // counted the NULL while array_join silently skipped it, so an
+    // OOV arrival emitted n_tokens > the actual id count
+    val ids = filter(
+      transform(syms, s2 => element_at(typedLit(idMap), s2)),
+      i => i.isNotNull)
     val keep = docs.columns.filterNot(_ == "text").map(col).toSeq
     docs.select(keep ++ Seq(
       size(ids).cast("long").as("n_tokens"),

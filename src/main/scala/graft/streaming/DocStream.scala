@@ -452,6 +452,21 @@ object DocStream {
     * docs: streaming frame with (doc_id LONG, source STRING, lang
     * STRING, text STRING, ingest_time TIMESTAMP); evalFps: static
     * benchmark fingerprints (`fp`).
+    *
+    * Batch-equivalence PRECONDITIONS (the ≡ trainingDataOn law holds
+    * only under these; a deployment that violates them gets a valid
+    * stream but a different survivor set than the one-shot batch run):
+    *  - duplicates arrive in doc_id order (or only the first arrival
+    *    matters): dropDuplicatesWithinWatermark keeps the first
+    *    ARRIVAL per fingerprint, while the batch twin's
+    *    corpusSurvivorsFrom keeps the MIN doc_id — equal exactly when
+    *    the smallest doc_id of each duplicate group arrives first;
+    *  - the per-source quota never binds mid-stream: admitSmallestBy
+    *    admits the smallest doc_ids seen SO FAR per batch, while the
+    *    batch quota ranks the whole corpus by md5(doc_id) — the two
+    *    agree when every survivor is admitted (quota not binding), as
+    *    at the engine's defaults, but a binding quota selects
+    *    different rows.
     */
   def ingestTrainingData(spark: SparkSession, docs: DataFrame,
       evalFps: DataFrame, dir: String,
