@@ -82,6 +82,21 @@ object Bench {
   /** Collector tail window minus the trailing sbt summary line. */
   private[graft] val LineBudget = 2000 - 80
 
+  /** Contamination self-refusal: when the finished sweep's `noisy`
+    * count (run-min ≥3× committed floor-min) exceeds a tenth of the
+    * registry, the signature is a concurrent process on the host
+    * (three consecutive driver rounds shipped 2–6×-uniform artifacts
+    * that needed hand re-derivation to dismiss), not a plausible
+    * multi-query regression — so the line TAGS ITSELF
+    * `"contaminated":true` and a collector can no longer archive it
+    * as performance evidence silently. The floor of 3 keeps a tiny
+    * registry from tripping on one or two genuinely slow keys; -1
+    * noisy (no floor file) is unknown, not contaminated.
+    */
+  private[graft] def contaminationTag(noisy: Int, registrySize: Int): String =
+    if (noisy >= math.max(3, registrySize / 10)) ""","contaminated":true"""
+    else ""
+
   /** Compact-line labels for the substrate stages (the full names
     * ship on the detail line's `substrate_stages`): ≤7 chars each so
     * the top-3 `sub` attribution fits the tail-window budget.
@@ -151,7 +166,7 @@ object Bench {
   private[graft] def detailLine(iters: Int, failures: Int, total: Double,
       med: Seq[(String, Double)], mins: Seq[(String, Double)],
       substrateStages: Seq[(String, Double)], ratios: Seq[(String, Double)],
-      remeasured: Seq[String], sfDir: String): String = {
+      remeasured: Seq[String], sfDir: String, extra: String = ""): String = {
     def objFull(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => s"\"" + k + "\":" + ms(v) }.mkString("{", ",", "}")
     val ratioField =
@@ -169,7 +184,7 @@ object Bench {
     val stagesField =
       if (substrateStages.isEmpty) ""
       else s""","substrate_stages":${objFull(substrateStages)}"""
-    s"""{"detail":"full","iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)}$stagesField$ratioField$remeasuredField,"sf":"$sfDir"}"""
+    s"""{"detail":"full"$extra,"iters":$iters,"failures":$failures,"total":${ms(total)},"queries_med":${objFull(med)},"queries_min":${objFull(mins)}$stagesField$ratioField$remeasuredField,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -328,8 +343,16 @@ object Bench {
     // far outside median-of-n run-to-run spread at any magnitude and
     // matches the threshold the round reviews actually applied.
     val noisy = if (floors0.isEmpty) -1 else ratios.count(_._2 >= 3.0)
+    // self-refusal tag (see contaminationTag): rides the FIXED part of
+    // both lines — it is the single most load-bearing field on a bad
+    // host, so it must survive every width-degradation tier
+    val contam = contaminationTag(noisy, med.size)
+    if (contam.nonEmpty)
+      System.err.println(s"[bench] WARNING: $noisy of ${med.size} queries " +
+        "landed >=3x their committed floor — concurrent-process signature; " +
+        "this artifact is tagged contaminated and is not performance evidence")
     println(detailLine(iters, failures, total, med, mins, substrateStages,
-      ratios, remeasured, sfDir))
+      ratios, remeasured, sfDir, contam))
     // The COMPACT line must carry the re-measurement semantics too: a
     // re-measured query's `queries` value is best-of-(sweep ∪ re-run),
     // not a strict median, and a consumer reading only this line must
@@ -366,7 +389,7 @@ object Bench {
         .map { case (n, v) => "\"" + SubLabel.getOrElse(n, n) + "\":" + qs(v) }
         .mkString(""","sub":{""", ",", "}")
     def compact(f: Double => String, rm: String) =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"noisy":$noisy$rm,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","failures":$failures,"noisy":$noisy$contam$rm,"queries":${obj(med, f)},"sf":"${sfDir.split('/').last}"}"""
     // degradation order: full rm names → progressively TRUNCATED rm
     // names (rm_n still carries the true count, the detail line the
     // full list) → count-only, all with `sub`; 2-char value widths are

@@ -48,7 +48,7 @@ object SparkEntry {
     "wlag"             -> (RelationalOps.windowLag _),
     // Time-series / events (batch twins of graft.streaming)
     "tumb"            -> (EventOps.tumblingWindow _),
-    "slide"         -> (EventOps.slidingWindow _),
+    "sld"         -> (EventOps.slidingWindow _),
     "sess"      -> (EventOps.sessionize _),
     "evj"            -> (EventOps.jsonExtract _),
     "jsonf"             -> (EventOps.jsonFuncs _),
@@ -57,20 +57,20 @@ object SparkEntry {
     "strs"           -> (RelationalOps.stringFuncs _),
     "cagg"               -> (RelationalOps.condAgg _),
     "unpv"           -> (RelationalOps.unpivotLong _),
-    "modeg"          -> (RelationalOps.modeByGroup _),
+    "mdg"          -> (RelationalOps.modeByGroup _),
     // Statistical & join-shape extensions
     "amoms"            -> (StatOps.aggMoments _),
     "pvt"             -> (StatOps.pivotWide _),
     "cube"               -> (StatOps.aggCube _),
-    "gsets"      -> (StatOps.aggGroupingSets _),
+    "gst"      -> (StatOps.aggGroupingSets _),
     "cdist"     -> (StatOps.aggCountDistinct _),
-    "rankd"      -> (StatOps.windowRankDense _),
-    "pctrk"    -> (StatOps.windowPercentRank _),
+    "rkd"      -> (StatOps.windowRankDense _),
+    "pct"    -> (StatOps.windowPercentRank _),
     "csort"     -> (StatOps.aggCollectSorted _),
     "ccap"     -> (StatOps.aggCollectCapped _),
     "ntl"        -> (StatOps.ntileQuartiles _),
     "crg"          -> (StatOps.corrByGroup _),
-    "quant"     -> (StatOps.quantilesByGroup _),
+    "qnt"     -> (StatOps.quantilesByGroup _),
     "hst"              -> (StatOps.histogram _),
     "salt"             -> (StatOps.saltedAgg _),
     "jrng"             -> (StatOps.joinRange _),
@@ -137,7 +137,7 @@ object SparkEntry {
     "mmdec"     -> (MultimodalOps.mmDecodeFeatures _),
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "pii"        -> (PipelineOps.piiRedact _),
-    "strat"      -> (PipelineOps.sampleStratified _),
+    "srt"      -> (PipelineOps.sampleStratified _),
     "tfidf"        -> (PipelineOps.tfidfTopK _),
     "fnl"          -> (PipelineOps.eventsFunnel _),
     "ups"           -> (PipelineOps.mergeUpsert _),
@@ -157,7 +157,7 @@ object SparkEntry {
     "dkeep"               -> (DedupOps.dedupKeep _),
     "linc"                -> (DedupOps.dedupKeepIncremental _),
     "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
-    "eshuf"    -> ((s: SparkSession, d: String) => PipelineOps.epochShuffle(s, d)),
+    "esh"    -> ((s: SparkSession, d: String) => PipelineOps.epochShuffle(s, d)),
     "tmix"     -> ((s: SparkSession, d: String) => PipelineOps.sampleTemperature(s, d)),
     "quota"    -> (PipelineOps.sampleSourceQuota _),
     "imps"      -> (PipelineOps.sampleImportance _),
@@ -167,7 +167,7 @@ object SparkEntry {
     "gapf"             -> (TimeSeriesOps.tsGapfill _),
     "scd2"             -> (TimeSeriesOps.scd2Build _),
     // Entity resolution & regression
-    "fuzzy"        -> (RelationalOps.joinFuzzyEdit _),
+    "fzy"        -> (RelationalOps.joinFuzzyEdit _),
     "regr"          -> (StatOps.regrByGroup _),
     // Sketch accuracy gates (the 100 TB cardinality/quantile tools)
     "skd"   -> (StatOps.sketchDistinctGate _),
@@ -1741,7 +1741,7 @@ object SparkEntry {
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
-    "slide" ->
+    "sld" ->
       """WITH b AS (SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b0, value
                     FROM events)
          SELECT window_start, COUNT(*) AS n,
@@ -1835,7 +1835,7 @@ object SparkEntry {
            UNION ALL
            SELECT p_partkey, 'retailprice', p_retailprice FROM part) t
          ORDER BY p_partkey, metric""",
-    "modeg" ->
+    "mdg" ->
       """SELECT p_brand, mode_type, n FROM (
            SELECT p_brand, p_type AS mode_type, COUNT(*) AS n,
                   row_number() OVER (PARTITION BY p_brand
@@ -1853,7 +1853,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "gsets" ->
+    "gst" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          FROM lineitem
@@ -1865,12 +1865,12 @@ object SparkEntry {
          COUNT(DISTINCT l_suppkey) AS n_supps,
          COUNT(*) AS n_rows
          FROM lineitem GROUP BY 1 ORDER BY 1""",
-    "rankd" ->
+    "rkd" ->
       """SELECT p_brand, p_partkey, p_retailprice,
          CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS rnk,
          CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS BIGINT) AS drnk
          FROM part ORDER BY p_brand, p_partkey""",
-    "pctrk" ->
+    "pct" ->
       """SELECT p_brand, p_partkey,
          percent_rank() OVER (PARTITION BY p_brand
            ORDER BY p_retailprice, p_partkey) AS pct_rank,
@@ -1923,7 +1923,7 @@ object SparkEntry {
                 round((sx2 - sx * sx / n) / (n - 1), 0) AS variance,
                 round(sqrt((sx2 - sx * sx / n) / (n - 1)), 4) AS stddev
          FROM s ORDER BY l_returnflag""",
-    "quant" ->
+    "qnt" ->
       """SELECT p_brand,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.25) AS p25,
          quantile_cont(CAST(p_retailprice AS DOUBLE), 0.5) AS p50,
@@ -2570,7 +2570,7 @@ object SparkEntry {
     // PipelineOps.sampleStratified: the sampling decision is a pure
     // function of (doc_id, lang) via md5 — both engines agree on md5
     // hex, so the sampled set is identical by construction.
-    "strat" ->
+    "srt" ->
       """SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
          FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
@@ -2592,7 +2592,7 @@ object SparkEntry {
     // md5(seed:epoch:doc_id) with a doc_id tie-break — a total order
     // both engines compute identically; the oracle's one window IS
     // the naive form of the operator's offset+local-index plan.
-    "eshuf" ->
+    "esh" ->
       """WITH k AS (SELECT doc_id, lang,
            md5('graft:v1:0:' || CAST(doc_id AS VARCHAR)) AS ek FROM documents)
          SELECT doc_id, lang, ek,
@@ -2898,7 +2898,7 @@ object SparkEntry {
     // (first ∨ last token) blocking with the lossless length-band
     // prune, levenshtein <= 3 verify, canonical a < b pairs (DISTINCT:
     // a pair may collide on both block keys).
-    "fuzzy" ->
+    "fzy" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
           k AS (SELECT p_name, unnest(list_distinct(
                   [(string_split(p_name, ' '))[1], (string_split(p_name, ' '))[-1]]))

@@ -24,7 +24,12 @@ class BenchLineSpec extends AnyFunSuite {
     val subWorst = graft.Bench.SubLabel.values.toSeq.sortBy(-_.length).take(3)
       .map(l => s""""$l":9.9""").mkString(""","sub":{""", ",", "}")
     val queries = names.map(n => s""""$n":99""").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999$subWorst,"queries":$queries,"sf":"sf0.1"}"""
+    // worst case includes the contamination self-tag: it rides the
+    // FIXED part of the line (never degraded away), so the budget must
+    // hold with it present
+    val contam = graft.Bench.contaminationTag(999, names.length)
+    assert(contam === ""","contaminated":true""")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999$contam,"rm_n":999$subWorst,"queries":$queries,"sf":"sf0.1"}"""
     assert(line.length <= graft.Bench.LineBudget,
       s"compact bench line is ${line.length} chars (> ${graft.Bench.LineBudget}) " +
         "even at 2-char fallback widths: shorten query names or move fields " +
@@ -33,6 +38,10 @@ class BenchLineSpec extends AnyFunSuite {
     // fallback is defense-in-depth, not an acceptable steady state —
     // if this trips, reclaim width (shorter names) NOW, because every
     // bench run after this point silently loses sub-second precision.
+    // the 3-char tier models the HEALTHY steady state (clean host, no
+    // contamination tag): a tagged run that cannot fit 3-char values
+    // legitimately degrades to the 2-char tier — which is modeled WITH
+    // the tag above, so the complete-line guarantee holds either way
     val precise = names.map(n => s""""$n":9.9""").mkString("{", ",", "}")
     val line3 = s"""{"metric":"total","value":99999.999,"unit":"sec","failures":99,"noisy":999,"rm_n":999$subWorst,"queries":$precise,"sf":"sf0.1"}"""
     assert(line3.length <= graft.Bench.LineBudget,
@@ -62,6 +71,32 @@ class BenchLineSpec extends AnyFunSuite {
     graft.Bench.SubLabel.values.foreach(l =>
       assert(l.length <= 7, s"SubLabel '$l' exceeds 7 chars — the " +
         "worst-case budget above models ≤7-char labels"))
+  }
+
+  test("contamination tag fires at the documented threshold and only there") {
+    import graft.Bench.contaminationTag
+    val n = SparkEntry.queries.size + 1 // registry + _substrate
+    val thr = math.max(3, n / 10)
+    // a host-contaminated sweep (noisy at/above a tenth of the
+    // registry) must self-tag so the collector cannot archive it as
+    // evidence silently (three consecutive driver rounds shipped 2-6x
+    // uniform artifacts that needed hand re-derivation to dismiss)
+    assert(contaminationTag(thr, n) === ""","contaminated":true""")
+    assert(contaminationTag(n, n).nonEmpty)
+    // below threshold: clean runs with a stray slow key stay untagged
+    assert(contaminationTag(thr - 1, n) === "")
+    assert(contaminationTag(0, n) === "")
+    // no floor file → noisy = -1 → unknown, NOT contaminated
+    assert(contaminationTag(-1, n) === "")
+    // tiny registries keep the floor of 3 (one slow key of ten must
+    // not refuse the whole artifact)
+    assert(contaminationTag(1, 10) === "")
+    assert(contaminationTag(3, 10).nonEmpty)
+    // and the tag lands on both emitted lines' fixed region
+    val kv = Seq("q" -> 1.0)
+    val d = graft.Bench.detailLine(3, 0, 1.0, kv, kv, Nil, Nil, Nil,
+      "/x/sf0.1", contaminationTag(thr, n))
+    assert(d.startsWith("""{"detail":"full","contaminated":true,"""))
   }
 
   test("detail line always carries the COMPLETE remeasured list") {

@@ -1308,6 +1308,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(t.getDouble(3) === t.getLong(2).toDouble / t.getLong(1))
   }
 
+  test("row-local token-id encode handles OOV symbols exactly like the batch inner join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 'ø' is absent from the standing corpus' alphabet, so the batch
+    // encoder's inner idMap join drops that symbol from BOTH the count
+    // and the list; the row-local twin maps it to NULL via element_at
+    // and must filter it — before the fix, size(ids) counted the NULL
+    // while array_join skipped it, so n_tokens > |token_ids| on any
+    // OOV arrival (ADVICE r18)
+    val docs = Seq(
+      (900001L, "the fast key møøp order sort table scan"),
+      (900002L, "merge query group vector hash"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeLearnedMerges(spark, sf)
+    val idMap = TextOps.bpeStandingIdMap(spark, sf)
+    assert(!idMap.contains("ø"), "fixture char unexpectedly in the alphabet")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val local = keyed(TextOps.bpeTokenIdsRowLocal(
+      docs.select(col("doc_id"), col("text")), merges, idMap).collect())
+    val batch = keyed(TextOps.bpeTokenIdsOn(spark, sf, docs).collect())
+    DedupOps.releaseTransients(spark)
+    assert(local === batch, s"row-local $local != batch $batch on OOV input")
+    // the count matches the list it ships with — the exact regression
+    local.values.foreach { case (n, ids) =>
+      assert(ids.split(",").filter(_.nonEmpty).length.toLong === n)
+    }
+    // and the OOV doc still emitted its in-vocabulary tokens
+    assert(local(900001L)._1 > 0)
+  }
+
   test("pinned-stage consumer declarations stay in sync with the registry") {
     // the warm-up attribution logic (TimeQuery, Bench _substrate)
     // derives from DedupOps.StageConsumers; a registry-key rename

@@ -318,6 +318,57 @@ class PipelineOpsSpec extends AnyFunSuite {
         "multi-doc stratum exists but no mid-window boundary surfaced")
   }
 
+  test("packedSequences: doc_ids provenance — conservation against the survivor set") {
+    val seqRows = PipelineOps.packedSequences(spark, sf).collect()
+    val surv = PipelineOps.trainingData(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    DedupOps.releaseTransients(spark)
+    assert(seqRows.nonEmpty && surv.nonEmpty)
+    // per window: the list is distinct, ascending, and exactly n_docs long
+    seqRows.foreach { r =>
+      val ids = r.getString(7).split(",").map(_.toLong).toSeq
+      assert(ids === ids.distinct.sorted, "window doc_ids not distinct-ascending")
+      assert(ids.length.toLong === r.getLong(3),
+        s"window n_docs ${r.getLong(3)} != |doc_ids| ${ids.length}")
+    }
+    // conservation: the union of window doc lists IS the survivor set —
+    // every survivor is traceable to ≥1 window, no phantom documents
+    assert(seqRows.flatMap(_.getString(7).split(",").map(_.toLong)).toSet === surv,
+      "union of window doc lists != composite survivor set")
+    // packing order: per stratum, seq_id-ordered doc lists concatenate
+    // non-decreasingly (a doc straddling a window boundary repeats
+    // adjacently; anything else would break the doc_id-order law)
+    seqRows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (k, ws) =>
+      val cat = ws.sortBy(_.getLong(2))
+        .flatMap(_.getString(7).split(",").map(_.toLong)).toSeq
+      assert(cat === cat.sorted, s"stratum $k windows out of doc_id order")
+    }
+  }
+
+  test("trainingDataFtq: the trained keep verdict gates the composite, nothing else changes") {
+    val (w, theta) = QualityOps.ftqStandingModelCached(spark, sf)
+    val keep = QualityOps.ftqBatchScores(spark, sf, w, theta)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    def byId(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(7))).toMap
+    val base = byId(PipelineOps.trainingData(spark, sf).collect())
+    val gated = byId(PipelineOps.trainingDataFtq(spark, sf).collect())
+    DedupOps.releaseTransients(spark)
+    // the gate is EXACTLY a semi-join on the trained keep set
+    assert(gated.keySet === base.keySet.intersect(keep),
+      "ftd survivor set != tdata survivors ∩ trained keep verdicts")
+    // per-doc payload (source, lang, n_tokens, token_ids, split) is
+    // untouched — only the survivor set (and hence bin/pos) moves
+    gated.foreach { case (id, v) =>
+      assert(base(id) === v, s"doc $id payload drifted through the gate")
+    }
+    // and the trained model actually binds on this corpus (a vacuous
+    // gate would pass the two asserts above with keep ⊇ survivors)
+    assert(gated.size < base.size,
+      "ftq gate did not bind — spec is vacuous at this sf")
+  }
+
   test("trainingDataOn over the standing corpus equals the composite's projection") {
     // the streaming face's batch twin must be the SAME law as the
     // oracle-gated composite — pin frame equality on the shared

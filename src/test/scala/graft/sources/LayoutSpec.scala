@@ -424,6 +424,54 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("packed-corpus artifact: stratum layout, shard rolling, content identity, listing-time pruning") {
+    import graft.operators.{DedupOps, PipelineOps}
+    val dir01 = "/root/testdata/sf0.01"
+    val base = java.nio.file.Files.createTempDirectory("graft_pkc_spec").toString
+    val dest = s"$base/packed"
+    // cap of 1 record/file: proves the writer ROLLS shards inside a
+    // stratum (a monster-file writer would emit one file per stratum
+    // regardless of the cap)
+    val (files, rows) = PipelineOps.writePackedCorpus(spark, dir01, dest,
+      maxRecordsPerFile = 1L)
+    val mem = PipelineOps.packedSequences(spark, dir01).collect()
+    DedupOps.releaseTransients(spark)
+    assert(mem.nonEmpty && rows === mem.length.toLong,
+      s"artifact carries $rows rows, in-memory frame ${mem.length}")
+    assert(files === rows,
+      s"maxRecordsPerFile=1 must roll one shard per window: $files files, $rows rows")
+    // Hive-style stratum directories exist at both levels
+    val langDirs = new java.io.File(dest).listFiles()
+      .filter(_.isDirectory).filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty, "no lang= partition directories")
+    assert(langDirs.exists(_.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("bucket="))),
+      "no bucket= partition directories under lang=")
+    // content identity: the read-back face returns EXACTLY the
+    // in-memory frame (schema order, partition-value types, rows)
+    val back = PipelineOps.readPackedCorpus(spark, dest).collect()
+    assert(back.map(_.toString).sorted.toSeq ===
+      mem.map(_.toString).sorted.toSeq,
+      "artifact round-trip diverged from the in-memory frame")
+    // one-stratum read prunes at LISTING time: the partition predicate
+    // must sit inside PartitionFilters, and the files actually opened
+    // must be ≤ that stratum's own shard count (never the corpus)
+    val r0 = mem.find(r => !r.isNullAt(0)).get
+    val (l, b) = (r0.getString(0), r0.getString(1))
+    val stratumFiles = mem.count(r => !r.isNullAt(0) &&
+      r.getString(0) == l && r.getString(1) == b)
+    val pruned = spark.read.schema(PipelineOps.PackedCorpusSchema).parquet(dest)
+      .filter(col("lang") === l && col("bucket") === b)
+    val s = pruned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters:\\s*\\[[^\\]]*bucket".r.findFirstIn(s).isDefined,
+      s"stratum predicate not pruned at listing time:\n$s")
+    val touched = pruned.select(input_file_name()).distinct().count()
+    assert(touched <= stratumFiles && touched < files,
+      s"one-stratum read touched $touched of $files files " +
+        s"(stratum holds $stratumFiles)")
+  }
+
   test("compaction across distinct filesystems lists each side with its own FS") {
     import graft.operators.LayoutOps
     // a genuinely distinct second FileSystem without a second store:
