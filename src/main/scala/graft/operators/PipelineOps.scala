@@ -722,12 +722,37 @@ object PipelineOps {
     * DocStream.ingestTrainingData micro-batches on fixtures.
     */
   private[graft] def trainingDataOn(spark: SparkSession, dir: String,
-      docs: DataFrame, seed: String = "graft:v1"): DataFrame = {
-    val surv = OpCaches.track(
-      corpusSurvivorsFrom(docs)
-        .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
-          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
-        .select("doc_id", "source", "lang"))
+      docs: DataFrame, seed: String = "graft:v1"): DataFrame =
+    trainingDataOnGated(spark, dir, docs, seed, gated = false)
+
+  /** [[trainingDataOn]] with the TRAINED quality classifier gating the
+    * survivors — [[trainingDataFtq]]'s explicit-frame twin: the
+    * standing model (pinned `ftq_model` stage, trained on the corpus
+    * at `dir`) scores the INPUT docs through the relational feature
+    * path and only keep-worthy survivors flow into the tokenizer
+    * tail. StreamingSpec pins DocStream.ingestTrainingDataFtq
+    * micro-batches ≡ this frame doc-for-doc.
+    */
+  private[graft] def trainingDataFtqOn(spark: SparkSession, dir: String,
+      docs: DataFrame, seed: String = "graft:v1"): DataFrame =
+    trainingDataOnGated(spark, dir, docs, seed, gated = true)
+
+  private def trainingDataOnGated(spark: SparkSession, dir: String,
+      docs: DataFrame, seed: String, gated: Boolean): DataFrame = {
+    val surv0 = corpusSurvivorsFrom(docs)
+      .join(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
+        .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "lang")
+    val surv1 =
+      if (!gated) surv0
+      else {
+        val (w, theta) = QualityOps.ftqStandingModelCached(spark, dir)
+        surv0.join(
+          QualityOps.ftqBatchScoresOn(docs.select(col("doc_id"), col("text")),
+            w, theta).filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      }
+    val surv = OpCaches.track(surv1)
     val sdocs = docs.select(col("doc_id"), col("text"))
       .join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
     val toks = TextOps.bpeTokenIdsOn(spark, dir, sdocs)

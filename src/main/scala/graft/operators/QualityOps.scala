@@ -252,9 +252,18 @@ object QualityOps {
     * codegen'd shape; eagerly checkpointed because training reads it
     * FtqRounds + 2 times.
     */
-  private def ftqFeatures(spark: SparkSession, dir: String): DataFrame = {
+  private def ftqFeatures(spark: SparkSession, dir: String): DataFrame =
+    ftqFeaturesOf(Tables.documents(spark, dir))
+
+  /** [[ftqFeatures]] over an explicit (doc_id, …, text) frame — the
+    * scoring surface the gated composites share: the feature law is a
+    * property of the MODEL, so the same document must get the same
+    * features whether scored inside the corpus or inside any subset
+    * (the bpeTokenIdsOn discipline applied to the classifier).
+    */
+  private def ftqFeaturesOf(docs: DataFrame): DataFrame = {
     val refs = FtqRefLexicon
-    val toks = Tables.documents(spark, dir)
+    val toks = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"),
         posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -465,15 +474,28 @@ object QualityOps {
     */
   private[graft] def ftqBatchScores(spark: SparkSession, dir: String,
       w: Seq[Double], theta: Long): DataFrame =
-    ftqFeatures(spark, dir)
+    ftqBatchScoresOn(Tables.documents(spark, dir), w, theta)
+
+  /** [[ftqBatchScores]] over an explicit (doc_id, …, text) frame —
+    * consumed by the gated composite's explicit-frame twin
+    * (PipelineOps.trainingDataFtqOn), so the streaming face has a
+    * batch law to be pinned against on arbitrary fixtures.
+    */
+  private[graft] def ftqBatchScoresOn(docs: DataFrame,
+      w: Seq[Double], theta: Long): DataFrame =
+    ftqFeaturesOf(docs)
       .select(col("doc_id"), ftqScore(w).as("score"),
         (ftqScore(w) >= theta).as("keep"))
 
-  /** ROW-LOCAL scoring of an explicit (doc_id, text) frame under a
+  /** ROW-LOCAL scoring of an explicit (doc_id, …, text) frame under a
     * collected model — the streaming twin: the same bucket law,
     * integer-ratio features, literal-weight fold, and threshold,
     * with no shuffle and no state, so arriving docs score per-row
-    * (StreamingSpec pins stream == batch).
+    * (StreamingSpec pins stream == batch). Emits the input's columns
+    * plus (score, keep), so a streaming composite can gate rows and
+    * keep flowing their payload (the bpeTokenIdsRowLocal shape);
+    * docs whose text is NULL or token-less drop (the batch feature
+    * path's inner-join semantics).
     */
   private[graft] def ftqScoreRowLocal(docs: DataFrame, w: Seq[Double],
       theta: Long): DataFrame = {
@@ -492,16 +514,17 @@ object QualityOps {
     val fv = expr(s"transform(sequence(0, ${FtqBuckets - 1}), j -> " +
       s"CAST(CAST(size(filter(__bk, b -> b = j)) AS BIGINT) " +
       s"* $FtqScale DIV size(__bk) AS DOUBLE))")
+    val keep = docs.columns.map(col).toSeq
     docs
       .filter(col("text").isNotNull)
       .withColumn("__toks", toks)
       .filter(n > 0)
       .withColumn("__bk", bk)
       .withColumn("__fv", fv)
-      .select(col("doc_id"),
+      .select(keep ++ Seq(
         floor(graft.functions.VectorExprs.dotProduct(typedLit(w), col("__fv")))
           .cast("long").as("score"),
         (floor(graft.functions.VectorExprs.dotProduct(typedLit(w), col("__fv")))
-          .cast("long") >= theta).as("keep"))
+          .cast("long") >= theta).as("keep")): _*)
   }
 }

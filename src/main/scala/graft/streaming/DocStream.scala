@@ -190,8 +190,12 @@ object DocStream {
     * path doc-for-doc). docs: streaming (doc_id LONG, text STRING).
     */
   def scoreDocs(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
-    val (w, theta) = graft.operators.QualityOps.ftqStandingModel(spark, dir)
-    graft.operators.QualityOps.ftqScoreRowLocal(docs, w, theta)
+    // the pinned ftq_model stage: training runs once per session (the
+    // deployment retrain), not once per stream wiring
+    val (w, theta) = graft.operators.QualityOps.ftqStandingModelCached(spark, dir)
+    graft.operators.QualityOps.ftqScoreRowLocal(
+      docs.select(col("doc_id"), col("text")), w, theta)
+      .select(col("doc_id"), col("score"), col("keep"))
   }
 
   /** Streaming twin of TextOps.winnowFingerprints: winnowing is
@@ -471,7 +475,32 @@ object DocStream {
   def ingestTrainingData(spark: SparkSession, docs: DataFrame,
       evalFps: DataFrame, dir: String,
       quota: Int = graft.operators.PipelineOps.SourceQuota,
-      seed: String = "graft:v1"): DataFrame = {
+      seed: String = "graft:v1"): DataFrame =
+    ingestTrainingDataGated(spark, docs, evalFps, dir, quota, seed,
+      gated = false)
+
+  /** [[ingestTrainingData]] with the TRAINED quality classifier gating
+    * the survivors — the streaming face of
+    * PipelineOps.trainingDataFtq, reusing [[scoreDocs]]' row-local
+    * scorer: after the semantic anti-join, each arrival scores
+    * per-row under the collected standing model (pinned `ftq_model`
+    * stage — FtqBuckets doubles + one threshold, broadcast-once
+    * state) and only keep verdicts flow into the tokenizer. No
+    * shuffle, no state added, so micro-batch slicing cannot change
+    * any verdict; StreamingSpec pins N micro-batches ≡ the batch twin
+    * PipelineOps.trainingDataFtqOn doc-for-doc (same preconditions as
+    * [[ingestTrainingData]]).
+    */
+  def ingestTrainingDataFtq(spark: SparkSession, docs: DataFrame,
+      evalFps: DataFrame, dir: String,
+      quota: Int = graft.operators.PipelineOps.SourceQuota,
+      seed: String = "graft:v1"): DataFrame =
+    ingestTrainingDataGated(spark, docs, evalFps, dir, quota, seed,
+      gated = true)
+
+  private def ingestTrainingDataGated(spark: SparkSession, docs: DataFrame,
+      evalFps: DataFrame, dir: String, quota: Int, seed: String,
+      gated: Boolean): DataFrame = {
     import spark.implicits._
     val surv = docs
       .withColumn("n_words",
@@ -497,8 +526,21 @@ object DocStream {
     val semantic = admitted.toDF()
       .join(broadcast(graft.operators.EmbeddingOps.semanticDropIds(spark, dir)
         .select(col("vec_id").as("doc_id"))), Seq("doc_id"), "left_anti")
+    // the trained-filter gate (ftq composite only): row-local scoring
+    // under the collected standing model, keep verdicts flow on with
+    // their payload — scoreDocs' scorer inlined into the cascade
+    val filtered =
+      if (!gated) semantic
+      else {
+        val (w, theta) =
+          graft.operators.QualityOps.ftqStandingModelCached(spark, dir)
+        graft.operators.QualityOps.ftqScoreRowLocal(
+          semantic.select(col("doc_id"), col("source"), col("lang"),
+            col("text")), w, theta)
+          .filter(col("keep")).drop("score", "keep")
+      }
     val encoded = graft.operators.TextOps.bpeTokenIdsRowLocal(
-      semantic.select(col("doc_id"), col("source"), col("lang"), col("text")),
+      filtered.select(col("doc_id"), col("source"), col("lang"), col("text")),
       graft.operators.TextOps.bpeLearnedMerges(spark, dir),
       graft.operators.TextOps.bpeStandingIdMap(spark, dir))
     val (_, split) = graft.operators.PipelineOps.splitAssignment(seed)

@@ -282,6 +282,65 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming ftq-GATED composite ≡ the batch twin, and the trained gate binds") {
+    import spark.implicits._
+    // the trained-filter cascade: the standing model (pinned ftq_model
+    // stage, trained on the sf0.001 corpus) gates survivors row-locally
+    // between the semantic anti-join and the tokenizer. Fixture: two
+    // lexicon-heavy docs the model keeps, one corpus-common-words doc
+    // it drops — so the gate must BIND, not just pass everything.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ftdstream").toString
+    val t0 = 1700000000L
+    val textA = "scan column window order sort part agg value line key join"
+    val textB = "merge query group vector hash slow stream filter fast the spark"
+    val textD = "the slow big data row line column value table group order"
+    val rows = Seq(
+      (100001L, "s1", "en", textA, t0),
+      (100003L, "s1", "de", textB, t0 + 7200),
+      (100007L, "s2", "en", textD, t0))
+    def batchDf = rows.toDF("doc_id", "source", "lang", "text", "es")
+    def write(sel: Seq[Long]): Unit = batchDf
+      .filter(col("doc_id").isin(sel: _*))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        timestamp_seconds(col("es")).as("ingest_time"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    write(Seq(100001L, 100007L))
+    write(Seq(100003L))
+    val evalFps = batchDf.filter(col("doc_id") % 50 === 0)
+      .select(md5(lower(trim(col("text")))).as("fp")).distinct()
+    val stream = spark.readStream
+      .schema("doc_id LONG, source STRING, lang STRING, text STRING, ingest_time TIMESTAMP")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in")
+    val q = DocStream.ingestTrainingDataFtq(spark, stream, evalFps, sf)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ftd_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toMap
+    val streamed = keyed(spark.table("ftd_stream").collect())
+    val batch = keyed(graft.operators.PipelineOps.trainingDataFtqOn(
+      spark, sf, batchDf.select("doc_id", "source", "lang", "text")).collect())
+    val plain = graft.operators.PipelineOps.trainingDataOn(
+      spark, sf, batchDf.select("doc_id", "source", "lang", "text"))
+      .collect().map(_.getLong(0)).toSet
+    val (w, theta) = graft.operators.QualityOps.ftqStandingModelCached(spark, sf)
+    val keepIds = graft.operators.QualityOps.ftqBatchScoresOn(
+      batchDf.select(col("doc_id"), col("text")), w, theta)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    graft.operators.DedupOps.releaseTransients(spark)
+    // stream ≡ batch twin, doc for doc
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    // the gate is exactly the trained verdict applied to the plain
+    // composite's survivors — and it BINDS on this fixture
+    assert(streamed.keySet === plain.intersect(keepIds),
+      s"gated ${streamed.keySet} != plain $plain ∩ keep $keepIds")
+    assert(streamed.keySet.nonEmpty && streamed.keySet != plain,
+      s"fixture is vacuous: gate dropped nothing (plain=$plain, keep=$keepIds)")
+  }
+
   test("streaming ftq scoring ≡ the batch relational feature path, doc for doc") {
     val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
     val stream = spark.readStream
