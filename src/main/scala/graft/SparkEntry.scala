@@ -117,14 +117,14 @@ object SparkEntry {
     "cwork"        -> (DedupOps.candidateGates _),
     // Training-data pipeline: similarity search
     "brt"         -> (EmbeddingOps.annBruteTopK _),
-    "annat"  -> (EmbeddingOps.annBruteTopKNative _),
+    "ant"  -> (EmbeddingOps.annBruteTopKNative _),
     "alsh"         -> (EmbeddingOps.annLshBucket _),
     "aivf"                -> (EmbeddingOps.annIvf _),
-    "ivfp2"         -> (EmbeddingOps.annIvfProbe2 _),
-    "anrcl"             -> (EmbeddingOps.annRecall _),
+    "iv2"         -> (EmbeddingOps.annIvfProbe2 _),
+    "anr"             -> (EmbeddingOps.annRecall _),
     "arcl"   -> (EmbeddingOps.annRecallClustered _),
     "ivft"       -> (EmbeddingOps.annRecallTrained _),
-    "ivfpq"     -> (EmbeddingOps.annRecallPq _),
+    "ivq"     -> (EmbeddingOps.annRecallPq _),
     "pqt"       -> (EmbeddingOps.annRecallPqTrained _),
     "pqf"       -> (EmbeddingOps.annRecallPqFull _),
     "pinc"      -> (EmbeddingOps.pqCodesIncremental _),
@@ -153,8 +153,9 @@ object SparkEntry {
     "ftd"      -> ((s: SparkSession, d: String) => PipelineOps.trainingDataFtq(s, d)),
     "pksq"     -> ((s: SparkSession, d: String) => PipelineOps.packedSequences(s, d)),
     "pkw"      -> (PipelineOps.packedCorpusRoundTrip _),
+    "pki"      -> ((s: SparkSession, d: String) => PipelineOps.packedSequencesDelta(s, d)),
     "clus"         -> (DedupOps.dedupClusters _),
-    "dkeep"               -> (DedupOps.dedupKeep _),
+    "dkp"               -> (DedupOps.dedupKeep _),
     "linc"                -> (DedupOps.dedupKeepIncremental _),
     "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
     "esh"    -> ((s: SparkSession, d: String) => PipelineOps.epochShuffle(s, d)),
@@ -1496,9 +1497,12 @@ object SparkEntry {
     * TextOps.bpeEosFrame), doc-granularity stream offsets per
     * (lang, bucket), and the PackBudget window aggregation.
     */
-  private def packedSequencesSql: String =
-    s"""WITH RECURSIVE ${survivorTokenCtes()},
-        til AS (SELECT s.doc_id, list(i.id ORDER BY s.wpos, s.spos) AS idl
+  /** The shared packing-stream CTEs (per-survivor EOS-appended id
+    * lists, stratum, doc-granularity offsets) — one law for the full
+    * packer's and the incremental re-packer's oracles.
+    */
+  private def packedStreamCtes: String =
+    s"""til AS (SELECT s.doc_id, list(i.id ORDER BY s.wpos, s.spos) AS idl
                 FROM syms s JOIN idm i ON i.sym = s.sym
                 GROUP BY s.doc_id),
         pf AS (SELECT s.doc_id, s.lang,
@@ -1510,13 +1514,14 @@ object SparkEntry {
                  ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  - len(ids) AS BIGINT) AS start_off
-               FROM pf),
-        px AS (SELECT doc_id, lang, bucket,
-                 unnest(range(0, len(ids))) AS wp,
-                 start_off + unnest(range(0, len(ids))) AS gpos,
-                 unnest(ids) AS tid
-               FROM pc)
-        SELECT lang, bucket,
+               FROM pf)"""
+
+  /** The shared window aggregation over an exploded-position CTE
+    * (columns doc_id, lang, bucket, wp, gpos, tid) — seq_id grouping,
+    * doc_starts, doc_ids: one law for both packing oracles.
+    */
+  private def packedWindowSelect(from: String): String =
+    s"""SELECT lang, bucket,
                CAST(floor(gpos / ${PipelineOps.PackBudget}) AS BIGINT) AS seq_id,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -1530,8 +1535,51 @@ object SparkEntry {
                array_to_string(list_transform(
                  list_sort(list(DISTINCT doc_id)),
                  x -> CAST(x AS VARCHAR)), ',') AS doc_ids
-        FROM px GROUP BY 1, 2, 3
+        FROM $from GROUP BY 1, 2, 3
         ORDER BY lang, bucket, seq_id"""
+
+  private def packedSequencesSql: String =
+    s"""WITH RECURSIVE ${survivorTokenCtes()},
+        $packedStreamCtes,
+        px AS (SELECT doc_id, lang, bucket,
+                 unnest(range(0, len(ids))) AS wp,
+                 start_off + unnest(range(0, len(ids))) AS gpos,
+                 unnest(ids) AS tid
+               FROM pc)
+        ${packedWindowSelect("px")}"""
+
+  /** PipelineOps.packedSequencesDelta's oracle — the FULL packing
+    * restricted to (stratum with an arrival, seq_id ≥ the standing
+    * stream's tail index), so the hash gate pins the incremental
+    * re-pack against the from-scratch law window for window. The cut
+    * (max doc_id · 9 ⁄ 10, integer division) and the tail index
+    * (standing token count ⁄ budget, integer division) replay the
+    * engine's exact arithmetic.
+    */
+  private def pkiSql: String = {
+    val b = PipelineOps.PackBudget
+    s"""WITH RECURSIVE ${survivorTokenCtes()},
+        $packedStreamCtes,
+        mx AS (SELECT CAST(max(doc_id) * 9 // 10 AS BIGINT) AS cut
+               FROM documents),
+        ps AS (SELECT pc.*,
+                 CAST(SUM(CASE WHEN pc.doc_id <= mx.cut THEN len(pc.ids)
+                   ELSE 0 END) OVER (PARTITION BY lang, bucket) AS BIGINT)
+                   AS baselen,
+                 MAX(CASE WHEN pc.doc_id > mx.cut THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY lang, bucket) AS hasdelta
+               FROM pc, mx),
+        pt AS (SELECT *, baselen // $b AS taili FROM ps
+               WHERE hasdelta = 1),
+        px AS (SELECT doc_id, lang, bucket, taili,
+                 unnest(range(0, len(ids))) AS wp,
+                 start_off + unnest(range(0, len(ids))) AS gpos,
+                 unnest(ids) AS tid
+               FROM pt
+               WHERE start_off + len(ids) > taili * $b),
+        pw AS (SELECT * FROM px WHERE floor(gpos / $b) >= taili)
+        ${packedWindowSelect("pw")}"""
+  }
 
   private def langIdSql: String = {
     val hitCols = TextOps.langLexicon.map { case (l, ws) =>
@@ -2183,6 +2231,7 @@ object SparkEntry {
     // the write/read path (partition-value coercion, column reorder,
     // lost rows) breaks the shared hash
     "pkw" -> packedSequencesSql,
+    "pki" -> pkiSql,
     "ftq" -> ftqSql,
     // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
     // hash packed with the position (hash·2²⁰+pos — min = leftmost
@@ -2364,7 +2413,7 @@ object SparkEntry {
     // DedupOps.dedupKeep: clusters + quality composed into the
     // per-document retention verdict — keep the highest-quality member
     // of each near-dup cluster (ties → min doc_id), singletons keep.
-    "dkeep" -> {
+    "dkp" -> {
       val stops = TextOps.langLexicon.head._2.map(w => s"'$w'").mkString(", ")
       s"""${minhashPairsSql.replaceFirst("WITH ", "WITH RECURSIVE ")},
           e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2459,13 +2508,13 @@ object SparkEntry {
           ORDER BY doc_a, doc_b"""
     },
     "brt" -> bruteAnnSql(),
-    "annat" -> bruteAnnSql(),
+    "ant" -> bruteAnnSql(),
     "alsh" -> lshAnnSql(),
     "aivf" -> ivfSql(nprobe = 1),
-    "ivfp2" -> ivfSql(nprobe = 2),
+    "iv2" -> ivfSql(nprobe = 2),
     // EmbeddingOps.annRecall: engine-parity recall gate on the RAW
     // (uniform-random, so near-chance-recall) corpus.
-    "anrcl" -> annRecallSql(rawCorpusCtes),
+    "anr" -> annRecallSql(rawCorpusCtes),
     // EmbeddingOps.annRecallClustered: the DISCRIMINATING quality
     // gate on the planted-cluster corpus view — the oracle recomputes
     // recall identically and expects every floor gate TRUE, so a
@@ -2482,7 +2531,7 @@ object SparkEntry {
     "ivft" -> annRecallTrainedSql(clusteredCorpusCtes),
     // EmbeddingOps.annRecallPq: the memory tier — recall floor plus
     // the bytes/vector compression claim, both in hash-checked rows.
-    "ivfpq" -> ivfPqSql(clusteredCorpusCtes),
+    "ivq" -> ivfPqSql(clusteredCorpusCtes),
     "pqt" -> ivfPqtSql(clusteredCorpusCtes),
     "pqf" -> ivfPqfSql(clusteredCorpusCtes),
     "pinc" -> pqIncSql(clusteredCorpusCtes),

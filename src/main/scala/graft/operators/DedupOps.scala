@@ -117,24 +117,24 @@ object DedupOps {
     * the renamed query's timing.
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
-    "minhash_cand"     -> Set("mhl", "clus", "dkeep", "cwork", "linc"),
-    "cluster_labels"   -> Set("clus", "dkeep"),
+    "minhash_cand"     -> Set("mhl", "clus", "dkp", "cwork", "linc"),
+    "cluster_labels"   -> Set("clus", "dkp"),
     "base_labels"      -> Set("linc"),
     "base_keep"        -> Set("linc"),
     "simhash_sig"      -> Set("smh", "simp", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"),
-    "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "ftd"),
-    "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "ftd"),
+    "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd"),
+    "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd"),
     "ftq_model"        -> Set("ftd"),
-    "pq_codes"         -> Set("ivfpq"),
+    "pq_codes"         -> Set("ivq"),
     "pq_cbt"           -> Set("pqt"),
     "pq_codes_t"       -> Set("pqt"),
     "cents_t"          -> Set("ivft", "pqf"),
     "pqf_cb"           -> Set("pqf"),
     "pqf_codes"        -> Set("pqf"),
-    "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata", "pksq", "pkw", "ftd"),
-    "sem_labels"       -> Set("sdd", "tdata", "pksq", "pkw", "ftd"),
+    "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata", "pksq", "pkw", "pki", "ftd"),
+    "sem_labels"       -> Set("sdd", "tdata", "pksq", "pkw", "pki", "ftd"),
     "sem_blabels"      -> Set("sref"),
     "sem_bkeep"        -> Set("sref"),
     "win_sel"          -> Set("wfp", "wci"),

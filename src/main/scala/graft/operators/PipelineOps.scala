@@ -884,6 +884,21 @@ object PipelineOps {
     */
   private def packedFrame(spark: SparkSession, dir: String,
       budget: Int = PackBudget): DataFrame = {
+    val f = packedOffsets(spark, dir)
+    val positions = f
+      .select(col("lang"), col("bucket"), col("doc_id"), col("start_off"),
+        posexplode(col("ids")).as(Seq("p", "tid")))
+      .withColumn("gpos", col("start_off") + col("p"))
+      .withColumn("seq_id", floor(col("gpos") / budget))
+    packedWindows(positions, budget)
+  }
+
+  /** The packing substrate shared by the full packer and the
+    * incremental tail re-packer: per semantic-dedup survivor its
+    * EOS-appended id list, (lang, bucket) stratum, and doc-granularity
+    * stream offset — everything before any token-level explode.
+    */
+  private def packedOffsets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     // single consumer (the join into f below) now that the encode is
@@ -896,7 +911,7 @@ object PipelineOps {
     val toks = TextOps.bpeTokenIdsStage(spark, dir)
     val wPack = Window.partitionBy("lang", "bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val f = surv.join(toks, Seq("doc_id"))
+    surv.join(toks, Seq("doc_id"))
       .crossJoin(broadcast(TextOps.bpeEosFrame(spark, dir)))
       .withColumn("bucket",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1))
@@ -909,11 +924,12 @@ object PipelineOps {
         array(col("__eos"))))
       .withColumn("start_off",
         sum(col("n_tokens") + 1).over(wPack) - (col("n_tokens") + 1))
-    val positions = f
-      .select(col("lang"), col("bucket"), col("doc_id"), col("start_off"),
-        posexplode(col("ids")).as(Seq("p", "tid")))
-      .withColumn("gpos", col("start_off") + col("p"))
-      .withColumn("seq_id", floor(col("gpos") / budget))
+  }
+
+  /** The window aggregation shared by the full and incremental
+    * packers — one law for seq_id grouping, doc_starts, and doc_ids.
+    */
+  private def packedWindows(positions: DataFrame, budget: Int): DataFrame =
     positions.groupBy("lang", "bucket", "seq_id")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"),
@@ -938,6 +954,59 @@ object PipelineOps {
         // doc lists equals the survivor set exactly.
         array_join(transform(array_sort(collect_set(col("doc_id"))),
           i => i.cast("string")), ",").as("doc_ids"))
+
+  /** INCREMENTAL tail re-pack — the append-only maintenance face of
+    * [[packedSequences]] (the dinc/wci/pinc contract applied to the
+    * trainer artifact): the newest decile of the id space
+    * (doc_id > ⌊max·9⁄10⌋ — both engines compute the cut with exact
+    * integer arithmetic) models the arriving shard, everything below
+    * it the standing packed corpus. Because packing is doc_id-ordered
+    * per stratum and arrivals carry larger ids than the standing
+    * corpus, appending can NEVER move a full window: per (lang,
+    * bucket) stratum only the windows from the standing stream's tail
+    * index (⌊standing-token-count ⁄ budget⌋ — the one partially-filled
+    * window) onward change, and strata receiving no arrivals change
+    * nothing. This emits exactly those windows: a shard maintainer
+    * overwrites each touched stratum's tail files with them and
+    * leaves every other shard byte-identical (the
+    * partitionOverwriteMode=dynamic shape LayoutSpec pins).
+    *
+    * Work shape: the standing-length/has-arrival computation rides the
+    * SAME (lang, bucket) window partitioning the offsets cumsum
+    * already paid (zero extra exchanges, doc-granularity rows);
+    * token-granularity explode touches ONLY arrival docs plus the one
+    * standing doc straddling each touched stratum's tail boundary —
+    * ∝ |delta| + one partial window per touched stratum, never the
+    * corpus. The oracle computes the FULL packing and restricts it to
+    * (touched stratum, seq_id ≥ tail index), so the hash gate pins
+    * re-pack ≡ full-pack on every emitted window — the decomposition
+    * law (full = untouched-prefix ⊎ this output) is spec-pinned.
+    */
+  def packedSequencesDelta(spark: SparkSession, dir: String,
+      budget: Int = PackBudget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cutF = Tables.documents(spark, dir)
+      .agg(expr("CAST((max(doc_id) * 9) div 10 AS BIGINT)").as("__cut"))
+    val wStr = Window.partitionBy("lang", "bucket")
+    val touched = packedOffsets(spark, dir)
+      .crossJoin(broadcast(cutF))
+      .withColumn("__baselen",
+        sum(when(col("doc_id") <= col("__cut"), size(col("ids")))
+          .otherwise(lit(0))).over(wStr))
+      .withColumn("__hasdelta",
+        max(when(col("doc_id") > col("__cut"), 1).otherwise(0)).over(wStr))
+      .filter(col("__hasdelta") === 1)
+      .withColumn("__taili", floor(col("__baselen") / budget).cast("long"))
+      // only docs whose span reaches the tail window explode below
+      .filter(col("start_off") + size(col("ids")) > col("__taili") * budget)
+    val positions = touched
+      .select(col("lang"), col("bucket"), col("doc_id"), col("start_off"),
+        col("__taili"), posexplode(col("ids")).as(Seq("p", "tid")))
+      .withColumn("gpos", col("start_off") + col("p"))
+      .withColumn("seq_id", floor(col("gpos") / budget))
+      .filter(col("seq_id") >= col("__taili"))
+    packedWindows(positions, budget)
+      .orderBy(asc_nulls_last("lang"), col("bucket"), col("seq_id"))
   }
 
   /** Records-per-shard cap for the packed-corpus writer: at the

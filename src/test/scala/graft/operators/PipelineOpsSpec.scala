@@ -345,6 +345,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("packedSequencesDelta: exactly the touched strata's tail windows, identical to the full packing") {
+    val full = PipelineOps.packedSequences(spark, sf).collect()
+    val delta = PipelineOps.packedSequencesDelta(spark, sf).collect()
+    val td = PipelineOps.trainingData(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    val cut = graft.sources.Tables.documents(spark, sf)
+      .agg(max("doc_id")).head().getLong(0) * 9 / 10
+    // per stratum: survivors' (doc_id, EOS-inclusive length)
+    val byStratum = td.groupBy(r => (r.getString(2), r.getString(5)))
+      .map { case (k, rs) => k -> rs.map(r => (r.getLong(0), r.getLong(3) + 1)) }
+    // the decomposition law: full = untouched-prefix ⊎ delta output —
+    // delta must be EXACTLY the full packing's windows in strata with
+    // an arrival (doc_id > cut) from the standing tail index onward
+    val expected = full.filter { r =>
+      val ss = byStratum((r.getString(0), r.getString(1)))
+      val baselen = ss.filter(_._1 <= cut).map(_._2).sum
+      ss.exists(_._1 > cut) &&
+        r.getLong(2) >= baselen / PipelineOps.PackBudget
+    }
+    assert(delta.map(_.toString).sorted.toSeq ===
+      expected.map(_.toString).sorted.toSeq,
+      "incremental tail re-pack diverged from the full packing's restriction")
+    // and the claim BINDS both ways on this corpus: something re-packs,
+    // and most of the standing corpus does not
+    assert(delta.nonEmpty, "no stratum received an arrival — fixture vacuous")
+    assert(delta.length < full.length,
+      "every window re-packed — the incremental claim is vacuous")
+  }
+
   test("trainingDataFtq: the trained keep verdict gates the composite, nothing else changes") {
     val (w, theta) = QualityOps.ftqStandingModelCached(spark, sf)
     val keep = QualityOps.ftqBatchScores(spark, sf, w, theta)
