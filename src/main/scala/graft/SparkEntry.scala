@@ -34,10 +34,10 @@ object SparkEntry {
     "scal"           -> (RelationalOps.scalarFuncs _),
     "dts"             -> (RelationalOps.dateFuncs _),
     "enr"       -> (RelationalOps.joinLeftEnrich _),
-    "jsemi"              -> (RelationalOps.joinSemi _),
-    "janti"              -> (RelationalOps.joinAnti _),
+    "jse"              -> (RelationalOps.joinSemi _),
+    "jan"              -> (RelationalOps.joinAnti _),
     "blm"                  -> (RelationalOps.bloomPruneJoin _),
-    "jfull"        -> (RelationalOps.joinFullOuter _),
+    "jfu"        -> (RelationalOps.joinFullOuter _),
     "tko"            -> (RelationalOps.topKOrders _),
     "push"        -> (RelationalOps.filterPushdown _),
     "isect"          -> (RelationalOps.setIntersect _),
@@ -51,7 +51,7 @@ object SparkEntry {
     "sld"         -> (EventOps.slidingWindow _),
     "sess"      -> (EventOps.sessionize _),
     "evj"            -> (EventOps.jsonExtract _),
-    "jsonf"             -> (EventOps.jsonFuncs _),
+    "jsf"             -> (EventOps.jsonFuncs _),
     "vart"          -> (EventOps.variantFuncs _),
     "attr"     -> (EventOps.clickAttribution _),
     "strs"           -> (RelationalOps.stringFuncs _),
@@ -78,7 +78,7 @@ object SparkEntry {
     "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
     "rjs"                 -> (StatOps.rangeBinIncidentsSql _),
     "rjk"                 -> (StatOps.rangeBinIncidentsKeyed _),
-    "rjout"               -> (StatOps.rangeBinPurchasesOuter _),
+    "rjo"               -> (StatOps.rangeBinPurchasesOuter _),
     "rjx"                 -> (StatOps.rangeBinBoxes _),
     "rj2d"                   -> (StatOps.rangeBinBoxesSql _),
     "rja"                -> (StatOps.rangeBinTiersAuto _),
@@ -138,7 +138,7 @@ object SparkEntry {
     // Training-data pipeline: ingest-side transforms (PipelineOps)
     "pii"        -> (PipelineOps.piiRedact _),
     "srt"      -> (PipelineOps.sampleStratified _),
-    "tfidf"        -> (PipelineOps.tfidfTopK _),
+    "tfi"        -> (PipelineOps.tfidfTopK _),
     "fnl"          -> (PipelineOps.eventsFunnel _),
     "ups"           -> (PipelineOps.mergeUpsert _),
     "pack"         -> (PipelineOps.packSequences _),
@@ -160,7 +160,7 @@ object SparkEntry {
     "split"    -> ((s: SparkSession, d: String) => PipelineOps.splitCorpus(s, d)),
     "esh"    -> ((s: SparkSession, d: String) => PipelineOps.epochShuffle(s, d)),
     "tmix"     -> ((s: SparkSession, d: String) => PipelineOps.sampleTemperature(s, d)),
-    "quota"    -> (PipelineOps.sampleSourceQuota _),
+    "qta"    -> (PipelineOps.sampleSourceQuota _),
     "imps"      -> (PipelineOps.sampleImportance _),
     // Time-series shaping & SCD2 history
     "coh"       -> (EventOps.cohortRetention _),
@@ -181,6 +181,7 @@ object SparkEntry {
     "papx" -> (QualityOps.profileApprox _),
     "cks"    -> (QualityOps.tableChecksum _),
     "ftq"    -> (QualityOps.ftqClassifier _),
+    "dsir"   -> (QualityOps.dsirSelect _),
     "dq"         -> (QualityOps.dqChecks _),
     "prank"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
@@ -1723,11 +1724,11 @@ object SparkEntry {
          l.l_partkey, p.p_type, p.p_brand
          FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
          ORDER BY l.l_orderkey, l_linenumber""",
-    "jsemi" ->
+    "jse" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY c_custkey""",
-    "janti" ->
+    "jan" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          ORDER BY c_custkey""",
@@ -1742,7 +1743,7 @@ object SparkEntry {
          FROM lineitem
          WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                               WHERE o_orderpriority = '1-URGENT')""",
-    "jfull" ->
+    "jfu" ->
       """SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
          FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
          ORDER BY n.n_nationkey, s.s_suppkey""",
@@ -1817,7 +1818,7 @@ object SparkEntry {
          FROM events ORDER BY 1""",
     // EventOps.jsonFuncs: both engines print compact JSON with
     // explicit nulls, so the round-trip strings compare byte-for-byte.
-    "jsonf" ->
+    "jsf" ->
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_str,
          CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
@@ -2060,7 +2061,7 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
     // LEFT OUTER: every purchase row survives; n_win=0 rows pin the
     // null-emission side of the contract
-    "rjout" ->
+    "rjo" ->
       """WITH inc AS (SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
                       FROM events WHERE event_type = 'error' AND value >= 150),
               p AS (SELECT event_id, ts FROM events
@@ -2233,6 +2234,47 @@ object SparkEntry {
     "pkw" -> packedSequencesSql,
     "pki" -> pkiSql,
     "ftq" -> ftqSql,
+    // QualityOps.dsirSelect: hashed unigram+bigram target/source
+    // importance weights (smoothed ratio per md5 cell, floored to a
+    // 1e6-scaled BIGINT — the lms quantization; the one ratio is a
+    // fixed-order double expression both engines replay bitwise),
+    // integer-mean per doc, global top-quarter by (weight DESC,
+    // doc_id)
+    "dsir" -> {
+      val b = graft.operators.QualityOps.DsirBuckets
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+          g AS (SELECT doc_id, (lang = 'en') AS tgt,
+                  unnest(toks || list_transform(range(0, len(toks) - 1),
+                    i -> toks[i+1] || ' ' || toks[i+2])) AS g
+                FROM t),
+          o AS (SELECT doc_id, tgt,
+                  CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % $b AS b
+                FROM g),
+          m AS (SELECT b, CAST(COUNT(*) AS BIGINT) cs,
+                  CAST(COUNT(CASE WHEN tgt THEN 1 END) AS BIGINT) ct
+                FROM o GROUP BY b),
+          tt AS (SELECT CAST(SUM(cs) AS BIGINT) ns,
+                   CAST(SUM(ct) AS BIGINT) nt FROM m),
+          p AS (SELECT b, CAST(floor(
+                  CAST(ct + 1 AS DOUBLE) * CAST(ns + $b AS DOUBLE) /
+                  (CAST(cs + 1 AS DOUBLE) * CAST(nt + $b AS DOUBLE)) * 1e6)
+                  AS BIGINT) ps
+                FROM m, tt),
+          pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_grams,
+                   SUM(ps) s
+                 FROM o JOIN p USING (b) GROUP BY doc_id),
+          sc AS (SELECT d.doc_id, d.lang,
+                   COALESCE(pd.n_grams, 0) AS n_grams,
+                   COALESCE(CAST(pd.s AS BIGINT) // pd.n_grams, 0) AS w_scaled
+                 FROM documents d LEFT JOIN pd USING (doc_id)),
+          r AS (SELECT *, CAST(row_number() OVER
+                   (ORDER BY w_scaled DESC, doc_id) AS BIGINT) rk,
+                 COUNT(*) OVER () n_docs
+                FROM sc)
+          SELECT doc_id, lang, n_grams, w_scaled, rk,
+                 rk <= (n_docs + 3) // 4 AS selected
+          FROM r ORDER BY doc_id"""
+    },
     // TextOps.winnowFingerprints: same k-gram rows, 40-bit md5-prefix
     // hash packed with the position (hash·2²⁰+pos — min = leftmost
     // minimal hash, the tie-break law), full windows only, distinct
@@ -2674,7 +2716,7 @@ object SparkEntry {
     // PipelineOps.tfidfTopK: score = tf * (N / df) uses only
     // correctly-rounded IEEE ops (÷ then ×), so the doubles — and the
     // rank order they induce — are bitwise identical on both engines.
-    "tfidf" ->
+    "tfi" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
           toks AS (SELECT doc_id, unnest(toks) AS term FROM t),
           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
@@ -2867,7 +2909,7 @@ object SparkEntry {
           ORDER BY d.doc_id""",
     // PipelineOps.sampleSourceQuota: deterministic per-source cap —
     // md5-of-id rank inside each source, keep rank <= quota.
-    "quota" ->
+    "qta" ->
       s"""WITH r AS (SELECT doc_id, source,
                  CAST(row_number() OVER (PARTITION BY source
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk

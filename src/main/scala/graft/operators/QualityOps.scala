@@ -527,4 +527,116 @@ object QualityOps {
         (floor(graft.functions.VectorExprs.dotProduct(typedLit(w), col("__fv")))
           .cast("long") >= theta).as("keep")): _*)
   }
+
+  /** Hash width of the DSIR importance model (unigram+bigram md5
+    * buckets) — coarse on purpose: DSIR's result is that hashed
+    * n-gram proxies preserve the target/source likelihood-ratio
+    * ranking; 256 cells keep both bucket-count tables broadcast-sized
+    * at any corpus scale.
+    */
+  private[graft] val DsirBuckets = 256
+
+  /** Per-gram importance-ratio quantization scale (the LmScale
+    * discipline at 1e6: ratios are O(1/target-fraction), so scaled
+    * per-gram scores stay far inside Long and a million-gram doc's
+    * decimal sum far inside 38 digits).
+    */
+  private[graft] val DsirScale = 1e6
+
+  /** DSIR-style importance-weighted data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how target-like its hashed n-gram
+    * profile is under two bag-of-n-grams models — a TARGET model fit
+    * on the trusted slice (here the `lang='en'` docs, the intrinsic
+    * stand-in for the paper's Wikipedia/books target) and a SOURCE
+    * model fit on the whole raw pool — then keep the top quarter by
+    * weight. Features are unigrams + adjacent bigrams hashed into
+    * [[DsirBuckets]] md5 cells; each cell's smoothed target/source
+    * probability ratio ((ct+1)/(Nt+B)) / ((cs+1)/(Ns+B)) is floored
+    * to a [[DsirScale]]-scaled long, and a document's weight is the
+    * integer mean of its gram-position scores (decimal(38,0) sum +
+    * integral division — the lmScore discipline). Engine-exactness:
+    * counts are exact longs; the one ratio is fixed-order IEEE double
+    * multiply/divide (bitwise-identical on both engines — no libm ln
+    * anywhere, which is why the weight is the arithmetic mean of
+    * quantized per-gram ratios rather than the paper's log-sum: same
+    * monotone "more target-like grams → higher weight" ranking,
+    * with every intermediate reproducible); selection rank breaks
+    * ties by doc_id. Emits every doc with its weight, rank, and the
+    * `selected` verdict (rank ≤ ceil(n/4), integer law).
+    *
+    * Plan shape: the gram stream is exploded ONCE and immediately
+    * folded to per-(doc, cell) counts (map-side combinable off the
+    * explode), and THAT ≤B-rows-per-doc frame is the checkpointed
+    * standing state both consumers read; the two models are ONE
+    * grouped pass over it (B-bounded rows — a conditional sum folds
+    * target into the same aggregate); the per-gram score table
+    * broadcast-joins back (B rows), so scoring is one doc_id-keyed
+    * aggregation — the corpus shuffles once, at cell not gram
+    * granularity.
+    * The final rank is a global window over the skinny (doc_id,
+    * weight) frame; at 100 TB the production dial is the same
+    * precomputed weight-quantile split points CCNet uses for its
+    * perplexity terciles (a broadcast threshold instead of a total
+    * order) — the tercile note on pplBuckets applies verbatim.
+    */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = DsirBuckets
+    val docs = Tables.documents(spark, dir)
+    val toks = TextOps.tokens(col("text"))
+    // unigrams ++ adjacent bigrams, built array-side so the corpus is
+    // tokenized exactly once; sequence() is guarded (Spark generates
+    // DESCENDING sequences when stop < start, so a 1-token doc would
+    // otherwise get a phantom [1,0] index pair)
+    val bigrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // the standing frame is per-(doc, cell) COUNTS, not gram rows:
+    // the count aggregation is map-side combinable straight off the
+    // explode, and everything downstream (model fit, scoring join,
+    // per-doc rollup) reads ≤ B rows per document instead of one row
+    // per gram position — at sf0.1 this is the difference between
+    // checkpointing ~1.5M rows and ~300K
+    val occ = OpCaches.localCheckpointTracked(
+      docs
+        .withColumn("__toks", toks)
+        .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+          explode(concat(col("__toks"), bigrams)).as("g"))
+        .groupBy(col("doc_id"), col("tgt"),
+          (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % B)
+            .as("b"))
+        .agg(count(lit(1)).as("cnt")))
+    // both models in ONE B-bounded grouped pass: source count = all
+    // gram positions in the cell, target count = the tgt positions
+    val mdl = occ.groupBy("b").agg(
+      sum(col("cnt")).as("cs"),
+      sum(when(col("tgt"), col("cnt")).otherwise(lit(0L))).as("ct"))
+    val tot = mdl.agg(sum("cs").as("ns"), sum("ct").as("nt"))
+    val ps = mdl.crossJoin(tot)
+      .select(col("b"),
+        floor(
+          (col("ct") + 1).cast("double") * (col("ns") + B).cast("double") /
+            ((col("cs") + 1).cast("double") * (col("nt") + B).cast("double")) *
+            DsirScale)
+          .cast("long").as("ps"))
+    val perDoc = occ.join(broadcast(ps), Seq("b"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt").cast("decimal(38,0)") * col("ps")).as("s"))
+    val scored = docs.select("doc_id", "lang")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(expr("s div n_grams"), lit(0L)).as("w_scaled"))
+    val byW = Window.orderBy(desc("w_scaled"), asc("doc_id"))
+    scored
+      .withColumn("rk", row_number().over(byW).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+      .select(col("doc_id"), col("lang"), col("n_grams"), col("w_scaled"),
+        col("rk"), expr("rk <= ((__n + 3) div 4)").as("selected"))
+      .orderBy("doc_id")
+  }
 }

@@ -17,7 +17,7 @@ class OperatorSpec extends AnyFunSuite {
   test("every registered query runs and yields rows on sf0.001") {
     val empty = SparkEntry.queries.flatMap { case (name, fn) =>
       val n = fn(spark, sf).count()
-      if (n == 0 && !Set("janti", "sexc", "jac",
+      if (n == 0 && !Set("jan", "sexc", "jac",
         "mhl", "simp", "clus",
         "endup").contains(name))
         Some(name -> n)
@@ -1306,6 +1306,30 @@ class OperatorSpec extends AnyFunSuite {
     // the booleans must be derived, not constants: recompute from counts
     val t = bySplit("test")
     assert(t.getDouble(3) === t.getLong(2).toDouble / t.getLong(1))
+  }
+
+  test("dsir: selection law exact, ranks a permutation, target slice enriched") {
+    // the oracle hash-pins the rows at sf0.01; this pins the
+    // operator's PURPOSE — importance selection must over-represent
+    // the target (en) slice — at a second sf, plus the integer
+    // selection law the composite consumers rely on
+    val rows = QualityOps.dsirSelect(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    val n = rows.length.toLong
+    assert(n > 0)
+    assert(rows.map(_.getLong(4)).sorted.toSeq === (1L to n),
+      "ranks are not a permutation of 1..n")
+    val nSel = rows.count(_.getBoolean(5)).toLong
+    assert(nSel === (n + 3) / 4, s"selected $nSel of $n != ceil(n/4)")
+    rows.foreach { r =>
+      assert(r.getBoolean(5) === (r.getLong(4) <= (n + 3) / 4),
+        s"doc ${r.getLong(0)}: selected flag inconsistent with rank")
+    }
+    val enAll = rows.count(_.getString(1) == "en").toDouble / n
+    val sel = rows.filter(_.getBoolean(5))
+    val enSel = sel.count(_.getString(1) == "en").toDouble / sel.length
+    assert(enSel > enAll,
+      s"selection not target-enriched: en $enSel among selected vs $enAll overall")
   }
 
   test("row-local token-id encode handles OOV symbols exactly like the batch inner join") {
