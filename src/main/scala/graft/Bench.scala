@@ -137,10 +137,10 @@ object Bench {
     * floor file's controlled shape (scripts/floor.py output) — the
     * bench stays dependency-free.
     */
-  private def floorMins(sfDir: String): Map[String, Double] = {
-    val p = java.nio.file.Paths.get(s"BENCH_LOCAL_${sfDir.split('/').last}.json")
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else {
+  private def floorMins(sfDir: String): Map[String, Double] =
+    floorFile(sfDir) match {
+      case None => Map.empty
+      case Some(p) =>
       val s = java.nio.file.Files.readString(p)
       val tag = "\"queries_min\":{"
       val i = s.indexOf(tag)
@@ -150,6 +150,21 @@ object Bench {
         .findAllMatchIn(s.substring(i + tag.length, end))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     }
+
+  /** Resolve the committed floor file for `sfDir`:
+    * `BENCH_LOCAL_<sfBase>.json` first (the per-round sf0.1 floor),
+    * then `BENCH_<sfBase>.json` (the scale-regression floor —
+    * BENCH_sf1.json). Without the fallback every /tmp/sf1 sweep ran
+    * floorless: `noisy` printed −1, the ≥3×-floor adaptive re-measure
+    * never triggered, and the contamination self-tag could not fire —
+    * exactly the unguarded capture path the r18 review flagged on the
+    * host-contaminated sf1 artifacts.
+    */
+  private[graft] def floorFile(sfDir: String): Option[java.nio.file.Path] = {
+    val base = sfDir.split('/').last
+    Seq(s"BENCH_LOCAL_$base.json", s"BENCH_$base.json")
+      .map(java.nio.file.Paths.get(_))
+      .find(java.nio.file.Files.exists(_))
   }
 
   /** The full-precision DETAIL line (printed BEFORE the compact line

@@ -140,6 +140,19 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("floor file resolution covers both committed floors") {
+    // the sf0.1 floor is BENCH_LOCAL_sf0.1.json but the
+    // scale-regression floor is BENCH_sf1.json — without the fallback
+    // every /tmp/sf1 sweep ran floorless (noisy:-1, no adaptive
+    // re-measure, contamination tag dead), the unguarded capture path
+    // behind the r18 host-contaminated sf1 artifacts
+    assert(graft.Bench.floorFile("/root/testdata/sf0.1")
+      .exists(_.toString == "BENCH_LOCAL_sf0.1.json"))
+    assert(graft.Bench.floorFile("/tmp/sf1")
+      .exists(_.toString == "BENCH_sf1.json"))
+    assert(graft.Bench.floorFile("/tmp/no_such_sf").isEmpty)
+  }
+
   test("legacy key names resolve through the rename ledger, garbage does not") {
     // chained: agg_collect_sorted -> collect_sort -> csort (r7, r11)
     assert(SparkEntry.resolveName("agg_collect_sorted") === Some("csort"))
