@@ -639,4 +639,93 @@ object QualityOps {
         col("rk"), expr("rk <= ((__n + 3) div 4)").as("selected"))
       .orderBy("doc_id")
   }
+
+  /** The trained DSIR model as collected standing state for the
+    * streaming face: the dense per-cell score array (every bucket
+    * 0..B−1 — cells the standing corpus never hit carry the smoothing
+    * law's default floor((Ns+B)/(Nt+B)·scale), so an arrival gram
+    * hashing to a fresh cell scores under the SAME law, not NULL)
+    * plus the frozen selection threshold — the weight of the last
+    * batch-selected document, i.e. the CCNet precomputed-split-point
+    * dial made concrete: arrivals keep when w ≥ θ. B longs + one
+    * long — broadcast-once state at any corpus size.
+    */
+  private[graft] def dsirStandingModel(spark: SparkSession,
+      dir: String): (IndexedSeq[Long], Long) = {
+    val B = DsirBuckets
+    val sel = dsirSelect(spark, dir)
+    val theta = sel.filter(col("selected"))
+      .agg(min("w_scaled")).collect()(0).getLong(0)
+    // rebuild the B-row score table exactly as the batch query does —
+    // one tiny aggregate chain, collected
+    val docs = Tables.documents(spark, dir)
+    val toks = TextOps.tokens(col("text"))
+    val bigrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val mdl = docs
+      .withColumn("__toks", toks)
+      .select((col("lang") === "en").as("tgt"),
+        explode(concat(col("__toks"), bigrams)).as("g"))
+      .groupBy((conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % B)
+        .as("b"))
+      .agg(count(lit(1)).as("cs"),
+        count(when(col("tgt"), lit(1))).as("ct"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ns = mdl.values.map(_._1).sum
+    val nt = mdl.values.map(_._2).sum
+    val ps = (0 until B).map { b =>
+      val (cs, ct) = mdl.getOrElse(b.toLong, (0L, 0L))
+      math.floor(
+        (ct + 1).toDouble * (ns + B).toDouble /
+          ((cs + 1).toDouble * (nt + B).toDouble) * DsirScale).toLong
+    }
+    (ps, theta)
+  }
+
+  /** ROW-LOCAL DSIR scoring of an explicit (doc_id, …, text) frame
+    * under a collected model — the streaming twin: the same gram
+    * construction, md5 cell law, per-cell score lookup, and
+    * decimal-sum integer-mean, with no shuffle and no state, so
+    * arriving documents score per-row and keep when w ≥ θ
+    * (StreamingSpec pins stream ≡ the batch weights doc-for-doc).
+    * Emits the input's columns plus (n_grams, w_scaled, keep);
+    * NULL-text / gram-less docs emit n_grams=0, w=0 — the batch
+    * query's left-join convention, so the pin covers every doc.
+    */
+  private[graft] def dsirScoreRowLocal(docs: DataFrame,
+      ps: IndexedSeq[Long], theta: Long): DataFrame = {
+    val B = DsirBuckets
+    val toks = TextOps.tokens(col("text"))
+    val bigrams = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(1), size(col("__toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("__toks"), i), element_at(col("__toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // bucket each gram ONCE (one md5 per gram — the ftqScoreRowLocal
+    // lesson), then fold the per-cell scores through a DECIMAL
+    // accumulator so the sum replays the batch decimal(38,0) chain
+    val bk = transform(col("__grams"),
+      g => (conv(substring(md5(g), 1, 8), 16, 10).cast("long") % B)
+        .cast("int"))
+    val psLit = typedLit(ps)
+    val sSum = aggregate(col("__bk"),
+      lit(0).cast("decimal(38,0)"),
+      (acc, b) => acc + element_at(psLit, b + 1))
+    val keep = docs.columns.map(col).toSeq
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__grams", concat(col("__toks"), bigrams))
+      .withColumn("__bk", bk)
+      .withColumn("__n", coalesce(size(col("__bk")), lit(0)).cast("long"))
+      .withColumn("__s", sSum)
+      .withColumn("__w",
+        when(col("__n") > 0, expr("__s div __n")).otherwise(lit(0L)))
+      .select(keep ++ Seq(
+        col("__n").as("n_grams"),
+        col("__w").as("w_scaled"),
+        (col("__w") >= theta).as("keep")): _*)
+  }
 }

@@ -198,6 +198,24 @@ object DocStream {
       .select(col("doc_id"), col("score"), col("keep"))
   }
 
+  /** Streaming twin of the DSIR importance selector — the deployment
+    * shape of importance-weighted data admission: the target/source
+    * model fits ONCE on the standing corpus
+    * (QualityOps.dsirStandingModel — DsirBuckets per-cell scores +
+    * the frozen selection threshold, broadcast-once state) and
+    * arriving documents score ROW-LOCALLY (same gram construction,
+    * md5 cell law, decimal-sum integer-mean) with keep = w ≥ θ — no
+    * shuffle, no state, so micro-batch slicing cannot change any
+    * verdict (StreamingSpec pins stream ≡ the batch weights
+    * doc-for-doc). docs: streaming (doc_id LONG, text STRING).
+    */
+  def scoreDocsDsir(spark: SparkSession, docs: DataFrame, dir: String): DataFrame = {
+    val (ps, theta) = graft.operators.QualityOps.dsirStandingModel(spark, dir)
+    graft.operators.QualityOps.dsirScoreRowLocal(
+      docs.select(col("doc_id"), col("text")), ps, theta)
+      .select(col("doc_id"), col("w_scaled"), col("keep"))
+  }
+
   /** Streaming twin of TextOps.winnowFingerprints: winnowing is
     * per-document by construction, so arriving docs fingerprint
     * ROW-LOCALLY through TextOps.winnowRowLocal — no shuffle, no

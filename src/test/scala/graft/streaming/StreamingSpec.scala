@@ -361,6 +361,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
   }
 
+  test("streaming dsir scoring ≡ the batch importance weights, doc for doc") {
+    val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(docsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    runToCompletion(DocStream.scoreDocsDsir(spark, stream, sf),
+      "dsir_stream", "append")
+    val streamed = spark.table("dsir_stream").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val (_, theta) = graft.operators.QualityOps.dsirStandingModel(spark, sf)
+    val batch = graft.operators.QualityOps.dsirSelect(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(3) >= theta)).toMap
+    graft.operators.DedupOps.releaseTransients(spark)
+    // the row-local fold replays the batch relational chain exactly —
+    // same weights, and keep is the frozen-threshold law over them
+    assert(streamed.nonEmpty && streamed === batch,
+      "streamed dsir weights diverged from the batch chain")
+    // the threshold actually splits arrivals (not all-keep/all-drop)
+    assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
+    // the frozen-θ verdict agrees with the batch rank selection up to
+    // boundary ties: every batch-selected doc keeps
+    val selected = graft.operators.QualityOps.dsirSelect(spark, sf)
+      .filter(col("selected")).collect().map(_.getLong(0)).toSet
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(selected.forall(id => streamed(id)._2),
+      "a batch-selected doc failed the frozen-threshold keep")
+  }
+
   test("streaming winnowing fingerprints ≡ batch wfp, fingerprint for fingerprint") {
     val docsSchema = spark.read.parquet(s"$sf/documents.parquet").schema
     val stream = spark.readStream
