@@ -63,7 +63,7 @@ object SparkEntry {
     "pvt"             -> (StatOps.pivotWide _),
     "cube"               -> (StatOps.aggCube _),
     "gst"      -> (StatOps.aggGroupingSets _),
-    "cdist"     -> (StatOps.aggCountDistinct _),
+    "cds"     -> (StatOps.aggCountDistinct _),
     "rkd"      -> (StatOps.windowRankDense _),
     "pct"    -> (StatOps.windowPercentRank _),
     "csort"     -> (StatOps.aggCollectSorted _),
@@ -75,21 +75,21 @@ object SparkEntry {
     "salt"             -> (StatOps.saltedAgg _),
     "jrng"             -> (StatOps.joinRange _),
     "rjb"                 -> (StatOps.rangeBinIncidents _),
-    "rj_ov"                  -> (StatOps.rangeOverlapBursts _),
+    "rjv"                  -> (StatOps.rangeOverlapBursts _),
     "rjs"                 -> (StatOps.rangeBinIncidentsSql _),
     "rjk"                 -> (StatOps.rangeBinIncidentsKeyed _),
     "rjo"               -> (StatOps.rangeBinPurchasesOuter _),
     "rjx"                 -> (StatOps.rangeBinBoxes _),
     "rj2d"                   -> (StatOps.rangeBinBoxesSql _),
     "rja"                -> (StatOps.rangeBinTiersAuto _),
-    "asofj"              -> (StatOps.asofJoin _),
+    "asj"              -> (StatOps.asofJoin _),
     "asnt"               -> (StatOps.asofJoinNative _),
-    "asof2"                  -> (StatOps.asofJoinPayload _),
-    "asoft"               -> (StatOps.asofJoinTolerance _),
-    "asofs"               -> (StatOps.asofJoinSql _),
+    "as2"                  -> (StatOps.asofJoinPayload _),
+    "ast"               -> (StatOps.asofJoinTolerance _),
+    "ass"               -> (StatOps.asofJoinSql _),
     "asbc"                -> (StatOps.asofJoinBroadcast _),
-    "asofa"              -> (StatOps.asofJoinAuto _),
-    "asofn"              -> (StatOps.asofJoinNearest _),
+    "asa"              -> (StatOps.asofJoinAuto _),
+    "asn"              -> (StatOps.asofJoinNearest _),
     // Training-data pipeline: text analysis (SURVEY.md §7.4)
     "toks"            -> (TextOps.textTokens _),
     "bpe"        -> (TextOps.textTokensBpe _),
@@ -182,8 +182,10 @@ object SparkEntry {
     "cks"    -> (QualityOps.tableChecksum _),
     "ftq"    -> (QualityOps.ftqClassifier _),
     "dsir"   -> (QualityOps.dsirSelect _),
+    "tkf"    -> (TextOps.tokenizerFertility _),
+    "pke"    -> ((s: SparkSession, d: String) => PipelineOps.packingEfficiency(s, d)),
     "dq"         -> (QualityOps.dqChecks _),
-    "prank"          -> (GraphOps.pageRank _),
+    "prk"          -> (GraphOps.pageRank _),
     // SQL-surface completeness: value windows, incremental aggregation
     "winv"         -> (RelationalOps.windowValueFuncs _),
     "iagg"          -> (RelationalOps.incrAgg _),
@@ -1291,7 +1293,12 @@ object SparkEntry {
         ORDER BY d.doc_id"""
   }
 
-  private def bpeTokenIdsSql: String = {
+  /** The WHOLE-CORPUS token-id CTE chain (training → per-word merge
+    * replay → symbol explode → id law → per-doc `ti(doc_id, n_t,
+    * ids)`) — one law shared by the `tid` oracle and the fertility
+    * report's (`tkf`).
+    */
+  private def bpeCorpusTokenIdCtes: String = {
     val mark = TextOps.BpeEndMark
     val chain = (1 to TextOps.BpeMergeRounds).map { r =>
       s"""e$r AS (SELECT doc_id, wpos,
@@ -1303,7 +1310,7 @@ object SparkEntry {
     val mergeRows = (1 to TextOps.BpeMergeRounds).map { r =>
       s"SELECT CAST($r AS BIGINT) AS merge_rank, sym_a, sym_b FROM t$r"
     }.mkString(" UNION ALL ")
-    s"""WITH $bpeTrainCtes,
+    s"""$bpeTrainCtes,
         dw AS (SELECT doc_id,
                  unnest(range(0, len(toks))) AS wpos, unnest(toks) AS tok
                FROM (SELECT doc_id, $toksSql AS toks FROM documents)),
@@ -1336,7 +1343,11 @@ object SparkEntry {
                    list(CAST(i.id AS VARCHAR) ORDER BY s.wpos, s.spos),
                    ',') AS ids
                FROM syms s JOIN idm i ON i.sym = s.sym
-               GROUP BY s.doc_id)
+               GROUP BY s.doc_id)"""
+  }
+
+  private def bpeTokenIdsSql: String =
+    s"""WITH $bpeCorpusTokenIdCtes
         SELECT d.doc_id,
                CASE WHEN d.text IS NOT NULL
                     THEN COALESCE(t.n_t, 0) END AS n_tokens,
@@ -1344,6 +1355,40 @@ object SparkEntry {
                     THEN COALESCE(t.ids, '') END AS token_ids
         FROM documents d LEFT JOIN ti t ON t.doc_id = d.doc_id
         ORDER BY d.doc_id"""
+
+  /** TextOps.tokenizerFertility's oracle: the corpus token-id chain's
+    * per-doc counts joined to the documents' char counts, rolled up
+    * per language with integer-scaled chars-per-token (fertility's
+    * inverse) and tokens-per-doc — every division an integral DIV of
+    * exact sums.
+    */
+  private def tkfSql: String =
+    s"""WITH $bpeCorpusTokenIdCtes
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(t.n_t) AS BIGINT) AS sum_tokens,
+               CAST(SUM(d.n_chars) AS BIGINT) * 1000
+                 // CAST(SUM(t.n_t) AS BIGINT) AS cpt_scaled,
+               CAST(SUM(t.n_t) AS BIGINT) * 1000
+                 // COUNT(*) AS tpd_scaled
+        FROM documents d JOIN ti t ON t.doc_id = d.doc_id
+        WHERE d.text IS NOT NULL AND t.n_t > 0
+        GROUP BY d.lang ORDER BY d.lang"""
+
+  /** PipelineOps.packingEfficiency's oracle: the full packing law
+    * (pksq's own CTEs) rolled up per stratum — window count, token
+    * count, exactly-full windows, and the integer-scaled fill rate.
+    */
+  private def pkeSql: String = {
+    val b = PipelineOps.PackBudget
+    s"""SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_windows,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(COUNT(CASE WHEN n_tokens = $b THEN 1 END) AS BIGINT)
+                 AS n_full,
+               CAST(SUM(n_tokens) AS BIGINT) * 10000
+                 // (COUNT(*) * $b) AS fill_scaled
+        FROM ($packedSequencesSql)
+        GROUP BY lang, bucket ORDER BY lang, bucket"""
   }
 
   /** Shared oracle CTE chain for the training-data composites —
@@ -1908,7 +1953,7 @@ object SparkEntry {
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
-    "cdist" ->
+    "cds" ->
       """SELECT l_returnflag,
          COUNT(DISTINCT l_partkey) AS n_parts,
          COUNT(DISTINCT l_suppkey) AS n_supps,
@@ -2083,7 +2128,7 @@ object SparkEntry {
            t(tier, lo, hi)
            ON p.value >= t.lo AND p.value < t.hi
          GROUP BY 1 ORDER BY 1""",
-    "rj_ov" ->
+    "rjv" ->
       """WITH a AS (SELECT ts AS elo, ts + INTERVAL 5 MINUTE AS ehi
                     FROM events WHERE event_type = 'error'),
               b AS (SELECT ts AS clo, ts + INTERVAL 3 MINUTE AS chi
@@ -2095,7 +2140,7 @@ object SparkEntry {
                 TRUE AS rj_binned
          FROM a JOIN b ON a.elo < b.chi AND b.clo < a.ehi
          GROUP BY 1 ORDER BY 1""",
-    "asofj" ->
+    "asj" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -2119,7 +2164,7 @@ object SparkEntry {
     // StatOps.asofJoinPayload: full-row payload — latest signup's
     // (es, event_id) per purchase, ties broken highest-event-id,
     // exactly the engine's composite-time merge order
-    "asof2" ->
+    "as2" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id, t.es AS signup_es,
@@ -2134,7 +2179,7 @@ object SparkEntry {
     // StatOps.asofJoinSql: the same contract reached through the
     // asof_join table-valued function — the SQL surface itself under
     // the hash gate (oracle shared with asof_join/asof_nat)
-    "asofs" ->
+    "ass" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -2160,7 +2205,7 @@ object SparkEntry {
     // choice itself under the hash gate: auto_broadcast must be TRUE
     // (the planner noticed the small right side and chose the
     // zero-shuffle broadcast probe on its own, like JoinSelection)
-    "asofa" ->
+    "asa" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
          SELECT p.event_id, p.user_id,
@@ -2176,7 +2221,7 @@ object SparkEntry {
     // (ORDER BY abs(Δ), s.es ASC pins the same rule in the oracle);
     // the payload is the matched time itself, so equal-time right
     // rows cannot make the hash flap
-    "asofn" -> {
+    "asn" -> {
       val tol = graft.operators.StatOps.AsofToleranceSec
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
@@ -2192,7 +2237,7 @@ object SparkEntry {
     // StatOps.asofJoinTolerance: the gap-bounded variant — for a
     // MAX-es payload, "latest within [es-tol, es]" is the same row as
     // "latest at-or-before, nulled when older than tol"
-    "asoft" -> {
+    "ast" -> {
       val tol = graft.operators.StatOps.AsofToleranceSec
       s"""WITH e AS (SELECT user_id, event_id, event_type,
                     CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events)
@@ -2233,6 +2278,8 @@ object SparkEntry {
     // lost rows) breaks the shared hash
     "pkw" -> packedSequencesSql,
     "pki" -> pkiSql,
+    "tkf" -> tkfSql,
+    "pke" -> pkeSql,
     "ftq" -> ftqSql,
     // QualityOps.dsirSelect: hashed unigram+bigram target/source
     // importance weights (smoothed ratio per md5 cell, floored to a
@@ -3171,7 +3218,7 @@ object SparkEntry {
     // DECIMAL, which would silently switch the arithmetic), and
     // per-step contributions floored to 1e15-scaled longs so the only
     // order-sensitive reduction is an exact integer sum.
-    "prank" -> {
+    "prk" -> {
       val step = (i: Int, j: Int) =>
         s"""c$j AS (SELECT e.b AS node, CAST(floor(r.rank/d.deg*1e15) AS BIGINT) AS c
                FROM r$i r JOIN d ON r.node=d.a JOIN e ON r.node=e.a),

@@ -124,8 +124,8 @@ object DedupOps {
     "simhash_sig"      -> Set("smh", "simp", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"),
-    "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd"),
-    "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd"),
+    "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "pke"),
+    "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "pke"),
     "ftq_model"        -> Set("ftd"),
     "pq_codes"         -> Set("ivq"),
     "pq_cbt"           -> Set("pqt"),
@@ -133,8 +133,8 @@ object DedupOps {
     "cents_t"          -> Set("ivft", "pqf"),
     "pqf_cb"           -> Set("pqf"),
     "pqf_codes"        -> Set("pqf"),
-    "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata", "pksq", "pkw", "pki", "ftd"),
-    "sem_labels"       -> Set("sdd", "tdata", "pksq", "pkw", "pki", "ftd"),
+    "sem_asg"          -> Set("sdd", "sinc", "sref", "tdata", "pksq", "pkw", "pki", "ftd", "pke"),
+    "sem_labels"       -> Set("sdd", "tdata", "pksq", "pkw", "pki", "ftd", "pke"),
     "sem_blabels"      -> Set("sref"),
     "sem_bkeep"        -> Set("sref"),
     "win_sel"          -> Set("wfp", "wci"),

@@ -877,6 +877,31 @@ object PipelineOps {
     packedFrame(spark, dir, budget)
       .orderBy(asc_nulls_last("lang"), col("bucket"), col("seq_id"))
 
+  /** PACKING-EFFICIENCY report over the trainer windows — the
+    * operational metric a training job watches about its packed
+    * corpus: per (lang, bucket) stratum the window count, total
+    * tokens, exactly-full windows, and the integer-scaled fill rate
+    * sum_tokens·10⁴ div (n_windows·budget) (waste = 10⁴ − fill; by
+    * the packing law only each stratum's LAST window can be
+    * partial, so n_full ≥ n_windows − 1 — low fill means fragmented
+    * strata, the signal to re-bucket). Exact sums + one integral
+    * division, engine-exact; the rollup reads the same windows the
+    * shard writer ships, one stratum-keyed aggregation over
+    * window-count rows.
+    */
+  def packingEfficiency(spark: SparkSession, dir: String,
+      budget: Int = PackBudget): DataFrame =
+    packedFrame(spark, dir, budget)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        count(when(col("n_tokens") === budget, lit(1))).as("n_full"))
+      .select(col("lang"), col("bucket"), col("n_windows"),
+        col("sum_tokens"), col("n_full"),
+        expr(s"(sum_tokens * 10000) div (n_windows * $budget)")
+          .as("fill_scaled"))
+      .orderBy(asc_nulls_last("lang"), col("bucket"))
+
   /** [[packedSequences]] WITHOUT the output sort — the frame the shard
     * writer partitions by (lang, bucket): sorting before a partitioned
     * write would add a range exchange the `partitionBy` layout

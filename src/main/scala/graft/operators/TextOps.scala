@@ -400,6 +400,40 @@ object TextOps {
       bpeTokenIdsOn(spark, dir,
         Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
 
+  /** Tokenizer FERTILITY report — the standard tokenizer-quality
+    * metric (how many characters one token buys, per language): per
+    * lang the doc/char/token counts plus integer-scaled
+    * chars-per-token (compression; low = the tokenizer fragments
+    * that language) and tokens-per-doc, both as exact integral
+    * divisions of exact sums (scaled ×1000 — no float ratios, so the
+    * report is engine-exact). A multilingual tokenizer deployment
+    * watches exactly this table: a language whose cpt collapses is
+    * paying the byte-fallback tax. Reads the pinned `tok_ids` stage
+    * (consumer, not builder — the encode is priced in `_substrate`)
+    * joined to the documents' char counts: one broadcast-sized
+    * output, one lang-keyed aggregation over doc-count rows; at
+    * 100 TB the per-doc token counts ride the standing encode, so
+    * this is a skinny-frame rollup, never a corpus text pass.
+    * Token-less and NULL-text docs drop (n_tokens > 0 — fertility
+    * over an empty token stream is undefined).
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(bpeTokenIdsStage(spark, dir).select(col("doc_id"), col("n_tokens")),
+        Seq("doc_id"))
+      .filter(col("n_tokens") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("sc"),
+        sum(col("n_tokens").cast("decimal(38,0)")).as("st"))
+      .select(col("lang"),
+        col("n_docs"),
+        col("sc").cast("long").as("sum_chars"),
+        col("st").cast("long").as("sum_tokens"),
+        expr("(sc * 1000) div st").as("cpt_scaled"),
+        expr("(st * 1000) div n_docs").as("tpd_scaled"))
+      .orderBy("lang")
+
   /** [[bpeTokenIds]] over an explicit (doc_id, text) frame — the
     * composite's surface ([[PipelineOps]]' tdata encodes the
     * SURVIVORS, not the corpus). The id map, alphabet, and merge

@@ -318,6 +318,59 @@ class PipelineOpsSpec extends AnyFunSuite {
         "multi-doc stratum exists but no mid-window boundary surfaced")
   }
 
+  test("packingEfficiency: rollup ≡ the windows it reports on; only last windows partial") {
+    val win = PipelineOps.packedSequences(spark, sf).collect()
+      .map(r => ((Option(r.getString(0)).orNull, r.getString(1)),
+        (r.getLong(2), r.getLong(4))))  // (lang,bucket) -> (seq_id, n_tokens)
+    val rep = PipelineOps.packingEfficiency(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    assert(rep.nonEmpty)
+    val byStratum = win.groupBy(_._1)
+    val budget = PipelineOps.PackBudget.toLong
+    rep.foreach { r =>
+      val k = (Option(r.getString(0)).orNull, r.getString(1))
+      val ws = byStratum(k).map(_._2)
+      assert(r.getLong(2) === ws.length.toLong, s"$k: n_windows")
+      assert(r.getLong(3) === ws.map(_._2).sum, s"$k: sum_tokens")
+      assert(r.getLong(4) === ws.count(_._2 == budget).toLong, s"$k: n_full")
+      assert(r.getLong(5) === ws.map(_._2).sum * 10000L / (ws.length * budget),
+        s"$k: fill_scaled")
+      // the packing law: only a stratum's LAST window may be partial
+      val lastSeq = ws.map(_._1).max
+      ws.filter(_._1 != lastSeq).foreach { case (sid, n) =>
+        assert(n === budget, s"$k: non-last window $sid partial ($n tokens)")
+      }
+      assert(r.getLong(4) >= r.getLong(2) - 1, s"$k: n_full < n_windows - 1")
+    }
+    assert(rep.map(r => (Option(r.getString(0)).orNull, r.getString(1))).toSet
+      === byStratum.keySet, "report strata != window strata")
+  }
+
+  test("tokenizerFertility: rollup ≡ the per-doc encode, per language") {
+    val ids = graft.operators.TextOps.bpeTokenIds(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).orNull, r.getLong(2)))
+    val rep = graft.operators.TextOps.tokenizerFertility(spark, sf).collect()
+    DedupOps.releaseTransients(spark)
+    assert(rep.nonEmpty)
+    val exp = docs.filter(d => ids.getOrElse(d._1, 0L) > 0)
+      .groupBy(_._2).map { case (lang, ds) =>
+        val sc = ds.map(_._3).sum
+        val st = ds.map(d => ids(d._1)).sum
+        lang -> (ds.length.toLong, sc, st, sc * 1000 / st,
+          st * 1000 / ds.length)
+      }
+    assert(rep.length === exp.size)
+    rep.foreach { r =>
+      val (n, sc, st, cpt, tpd) = exp(Option(r.getString(0)).orNull)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) === ((n, sc, st, cpt, tpd)),
+        s"lang ${r.getString(0)} report row diverged")
+    }
+  }
+
   test("packedSequences: doc_ids provenance — conservation against the survivor set") {
     val seqRows = PipelineOps.packedSequences(spark, sf).collect()
     val surv = PipelineOps.trainingData(spark, sf).collect()
