@@ -183,6 +183,7 @@ object SparkEntry {
     "ftq"    -> (QualityOps.ftqClassifier _),
     "dsir"   -> (QualityOps.dsirSelect _),
     "tkf"    -> (TextOps.tokenizerFertility _),
+    "tvu"    -> (TextOps.tokenVocabUsage _),
     "pke"    -> ((s: SparkSession, d: String) => PipelineOps.packingEfficiency(s, d)),
     "dq"         -> (QualityOps.dqChecks _),
     "prk"          -> (GraphOps.pageRank _),
@@ -1375,6 +1376,27 @@ object SparkEntry {
         WHERE d.text IS NOT NULL AND t.n_t > 0
         GROUP BY d.lang ORDER BY d.lang"""
 
+  /** TextOps.tokenVocabUsage's oracle: the corpus token-id stream
+    * (tid's own CTE chain) exploded and counted per id, LEFT-joined
+    * from the full id map so never-used vocabulary entries surface
+    * with 0, ranked by (count DESC, id) with the ppm share as an
+    * integral division.
+    */
+  private def tvuSql: String =
+    s"""WITH $bpeCorpusTokenIdCtes,
+        u AS (SELECT CAST(unnest(string_split(ids, ',')) AS BIGINT) AS id
+              FROM ti WHERE ids <> ''),
+        c AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_uses
+              FROM u GROUP BY id),
+        v AS (SELECT i.id, i.sym, COALESCE(c.n_uses, 0) AS n_uses
+              FROM idm i LEFT JOIN c ON c.id = i.id),
+        tot AS (SELECT CAST(SUM(n_uses) AS BIGINT) AS t FROM v)
+        SELECT v.id, v.sym, v.n_uses,
+               CAST(row_number() OVER (ORDER BY v.n_uses DESC, v.id)
+                 AS BIGINT) AS rnk,
+               v.n_uses * 1000000 // tot.t AS share_ppm
+        FROM v, tot ORDER BY rnk"""
+
   /** PipelineOps.packingEfficiency's oracle: the full packing law
     * (pksq's own CTEs) rolled up per stratum — window count, token
     * count, exactly-full windows, and the integer-scaled fill rate.
@@ -2279,6 +2301,7 @@ object SparkEntry {
     "pkw" -> packedSequencesSql,
     "pki" -> pkiSql,
     "tkf" -> tkfSql,
+    "tvu" -> tvuSql,
     "pke" -> pkeSql,
     "ftq" -> ftqSql,
     // QualityOps.dsirSelect: hashed unigram+bigram target/source

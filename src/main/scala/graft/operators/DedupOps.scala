@@ -124,8 +124,8 @@ object DedupOps {
     "simhash_sig"      -> Set("smh", "simp", "cwork"),
     "jaccard_md5_cand" -> Set("cwork"),
     "neardup_cand"     -> Set("endup", "cwork"),
-    "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "pke"),
-    "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "pke"),
+    "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "tvu", "pke"),
+    "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "tvu", "pke"),
     "ftq_model"        -> Set("ftd"),
     "pq_codes"         -> Set("ivq"),
     "pq_cbt"           -> Set("pqt"),
@@ -139,7 +139,8 @@ object DedupOps {
     "sem_bkeep"        -> Set("sref"),
     "win_sel"          -> Set("wfp", "wci"),
     "win_kept"         -> Set("wsim", "winc", "wci"),
-    "win_ext"          -> Set("wext", "wct", "wci"))
+    "win_ext"          -> Set("wext", "wct", "wci"),
+    "packed"           -> Set("pksq", "pkw", "pke"))
 
   /** Registered queries that consume at least one pinned STAGE frame —
     * TimeQuery uses it to decide whether the stage warm-up is owed
@@ -232,7 +233,11 @@ object DedupOps {
       // (r17 finding #2) — so each entry prices its own construction
       "win_sel" -> (() => TextOps.winnowSelectionStage(spark, dir)),
       "win_kept" -> (() => TextOps.winnowKept(spark, dir)),
-      "win_ext" -> (() => TextOps.winnowExtentsStage(spark, dir)))
+      "win_ext" -> (() => TextOps.winnowExtentsStage(spark, dir)),
+      // last: the packed trainer windows read tok_ids AND the semantic
+      // verdict stages (survivor chain), so every dependency above has
+      // already been priced — this entry is the packing alone
+      "packed" -> (() => PipelineOps.packedStage(spark, dir)))
     // every pinned stage must have a consumer declaration and vice
     // versa — [[StageConsumers]] is what TimeQuery's warm-up logic
     // derives from, so a drifted entry would silently mis-attribute

@@ -906,9 +906,30 @@ object PipelineOps {
     * writer partitions by (lang, bucket): sorting before a partitioned
     * write would add a range exchange the `partitionBy` layout
     * immediately discards.
+    *
+    * At the default budget this is the pinned `packed` MEMO STAGE —
+    * the packed corpus is the standing artifact a training run reads
+    * for a whole epoch, so its consumers (`pksq` order, `pke` rollup,
+    * `pkw` write) should each price their own face, not re-pay the
+    * token-level explode+aggregate per query; Bench prices the one
+    * packing inside `_substrate` (the tok_ids/win_ext discipline). A
+    * non-default budget (spec probes of the cut law) builds fresh —
+    * the memo key is (session, dir) only.
     */
   private def packedFrame(spark: SparkSession, dir: String,
-      budget: Int = PackBudget): DataFrame = {
+      budget: Int = PackBudget): DataFrame =
+    if (budget == PackBudget) DedupOps.memoStage(spark, dir, "packed")(
+      packedFrameBuild(spark, dir, budget))
+    else packedFrameBuild(spark, dir, budget)
+
+  /** The `packed` stage builder for [[DedupOps.materializePinnedStages]]
+    * — warms the default-budget windows frame.
+    */
+  private[operators] def packedStage(spark: SparkSession, dir: String): DataFrame =
+    packedFrame(spark, dir)
+
+  private def packedFrameBuild(spark: SparkSession, dir: String,
+      budget: Int): DataFrame = {
     val f = packedOffsets(spark, dir)
     val positions = f
       .select(col("lang"), col("bucket"), col("doc_id"), col("start_off"),

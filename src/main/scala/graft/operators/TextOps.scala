@@ -434,6 +434,48 @@ object TextOps {
         expr("(st * 1000) div n_docs").as("tpd_scaled"))
       .orderBy("lang")
 
+  /** Vocabulary-USAGE report — the other half of the tokenizer
+    * dashboard beside fertility ([[tokenizerFertility]]): per
+    * vocabulary entry (id + symbol under the tokenizer id law) its
+    * corpus occurrence count, usage rank (count DESC, id ASC — the
+    * Zipf view), and integer-scaled corpus share in parts-per-million
+    * (exact integral division through a decimal product, so no long
+    * overflow at corpus scale and no float ratios). UNUSED vocabulary
+    * entries surface with n_uses = 0 — the undertrained-token signal
+    * a tokenizer team prunes or re-trains on (a merge that never
+    * fires in the corpus it was trained on is wasted vocab budget).
+    *
+    * Scale shape: one explode of the pinned `tok_ids` stage feeding a
+    * map-side-combinable id count (the only corpus-scale work — the
+    * same budget every token consumer pays), then everything is
+    * vocabulary-sized: the id map joins broadcast, the total and the
+    * rank window run over vocab-count rows, never the corpus.
+    */
+  def tokenVocabUsage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = bpeTokenIdsStage(spark, dir)
+      .filter(col("token_ids").isNotNull && col("token_ids") =!= "")
+      .select(explode(split(col("token_ids"), ",")).as("idstr"))
+      .groupBy(col("idstr").cast("long").as("id"))
+      .agg(count(lit(1)).as("__c"))
+    // (sym, id) is one-to-one under the id law (disjoint candidate
+    // ranges, min per sym), so the left join keeps exactly one row
+    // per vocabulary entry; counts aggregated to vocab size first,
+    // so the broadcast ships a vocabulary, not a corpus
+    val v = bpeIdMapFrame(spark, dir)
+      .join(broadcast(counts), Seq("id"), "left")
+      .select(col("id"), col("sym"),
+        coalesce(col("__c"), lit(0L)).as("n_uses"))
+    val tot = v.agg(sum(col("n_uses").cast("decimal(38,0)")).as("__t"))
+    v.crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("n_uses").desc, col("id"))).cast("long"))
+      .select(col("id"), col("sym"), col("n_uses"), col("rnk"),
+        expr("(CAST(n_uses AS DECIMAL(38,0)) * 1000000) div __t")
+          .as("share_ppm"))
+      .orderBy("rnk")
+  }
+
   /** [[bpeTokenIds]] over an explicit (doc_id, text) frame — the
     * composite's surface ([[PipelineOps]]' tdata encodes the
     * SURVIVORS, not the corpus). The id map, alphabet, and merge

@@ -204,6 +204,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(maxId < 4096, s"implausible max id $maxId for a character alphabet")
   }
 
+  test("tokenVocabUsage: counts conserve the encoded corpus, rank a permutation") {
+    val stage = TextOps.bpeTokenIds(spark, sf).collect()
+    val totTok = stage.filter(!_.isNullAt(1)).map(_.getLong(1)).sum
+    val usedCounts = stage
+      .filter(r => !r.isNullAt(2) && r.getString(2).nonEmpty)
+      .flatMap(_.getString(2).split(",").filter(_.nonEmpty).map(_.toLong))
+      .groupBy(identity).map { case (id, xs) => id -> xs.length.toLong }
+    val rows = TextOps.tokenVocabUsage(spark, sf).collect()
+    graft.operators.DedupOps.releaseTransients(spark)
+    assert(rows.nonEmpty)
+    // one row per vocabulary entry — (id, sym) one-to-one
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.map(_.getString(1)).distinct.length === rows.length)
+    // counts ≡ the encoded corpus (zero rows included), conserved
+    rows.foreach(r => assert(
+      r.getLong(2) === usedCounts.getOrElse(r.getLong(0), 0L),
+      s"id ${r.getLong(0)}: n_uses diverged from the encoded corpus"))
+    assert(usedCounts.keySet.subsetOf(rows.map(_.getLong(0)).toSet),
+      "a used id is missing from the vocabulary report")
+    assert(rows.map(_.getLong(2)).sum === totTok, "n_uses conservation")
+    // rank: a permutation of 1..V realizing (n_uses DESC, id ASC)
+    assert(rows.map(_.getLong(3)).sorted.toSeq ===
+      (1L to rows.length.toLong).toSeq)
+    rows.sortBy(_.getLong(3)).sliding(2).filter(_.length == 2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a.getLong(2) > b.getLong(2) ||
+        (a.getLong(2) == b.getLong(2) && a.getLong(0) < b.getLong(0)),
+        "rank order violates (n_uses DESC, id)")
+    }
+    // ppm shares: the exact integral law, and they can never sum past 1e6
+    rows.foreach(r =>
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / totTok))
+    assert(rows.map(_.getLong(4)).sum <= 1000000L)
+  }
+
   test("bpeEncodeRowLocal ≡ bpeEncode — the streaming twin's column form") {
     // the row-local HOF form must agree with the codegen'd
     // explode+aggregate form on every doc, NULL/zero contract included
