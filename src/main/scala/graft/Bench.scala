@@ -126,7 +126,8 @@ object Bench {
     "sem_bkeep"        -> "sembkp",
     "win_sel"          -> "winsel",
     "win_kept"         -> "winkpt",
-    "win_ext"          -> "winext")
+    "win_ext"          -> "winext",
+    "packed"           -> "packed")
 
   /** Committed-floor per-query minima for this SF
     * (`BENCH_LOCAL_<sfBase>.json` in the working directory), if any.
@@ -398,9 +399,13 @@ object Bench {
     // the tail-window budget (full names + full stage list stay on
     // the detail line). It rides on every candidate tier: the
     // attribution is the point, so it degrades only after `rm`.
+    // TOP-2 (was top-3): the 167-key registry left the precise 3-char
+    // line 8 chars over the tail-window budget; one sub entry (≤14
+    // chars) is the cheapest reclaim that renames nothing — the FULL
+    // stage decomposition still ships on the detail line.
     val subField =
       if (substrateStages.isEmpty) ""
-      else substrateStages.sortBy(-_._2).take(3)
+      else substrateStages.sortBy(-_._2).take(2)
         .map { case (n, v) => "\"" + SubLabel.getOrElse(n, n) + "\":" + qs(v) }
         .mkString(""","sub":{""", ",", "}")
     def compact(f: Double => String, rm: String) =

@@ -635,13 +635,19 @@ object TextOps {
     * encoder and the EOS-id frame so the two cannot drift.
     */
   private def bpeAlphabet(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok")).distinct()
+    // the end-of-word marker row derives FROM the corpus (any one
+    // token) instead of a standalone literal: on a non-empty corpus
+    // this is the identical single </w> row, while an EMPTY corpus
+    // yields an empty alphabet — so vocabulary-shaped reports (tvu)
+    // honor the empty-input contract instead of emitting a phantom
+    // 1-row vocabulary for a tokenizer that was never trained
+    toks
       .select(explode(transform(
         sequence(lit(1), length(col("tok"))),
         i => col("tok").substr(i, lit(1)))).as("sym"))
-      .union(Seq(BpeEndMark).toDF("sym"))
+      .union(toks.limit(1).select(lit(BpeEndMark).as("sym")))
       .distinct()
   }
 
