@@ -104,6 +104,7 @@ object Bench {
   private[graft] val SubLabel = Map(
     "shingle_memo"     -> "shingle",
     "gram_memo"        -> "gram",
+    "banded_rows"      -> "banded",
     "minhash_cand"     -> "mhcand",
     "cluster_labels"   -> "labels",
     "base_labels"      -> "blabels",
@@ -113,7 +114,11 @@ object Bench {
     "neardup_cand"     -> "ndcand",
     "bpe_merges"       -> "bpemrg",
     "tok_ids"          -> "tokids",
+    "ftq_fv"           -> "ftqfv",
     "ftq_model"        -> "ftqmdl",
+    "ivf_rank2"        -> "ivfrk2",
+    "ivf_rank2_t"      -> "ivfrkt",
+    "ann_brute"        -> "annbrt",
     "pq_codes"         -> "pqcodes",
     "pq_cbt"           -> "pqcbt",
     "pq_codes_t"       -> "pqcodet",

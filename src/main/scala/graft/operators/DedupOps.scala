@@ -117,6 +117,7 @@ object DedupOps {
     * the renamed query's timing.
     */
   private[graft] val StageConsumers: Map[String, Set[String]] = Map(
+    "banded_rows"      -> Set("dinc", "linc"),
     "minhash_cand"     -> Set("mhl", "clus", "dkp", "cwork", "linc"),
     "cluster_labels"   -> Set("clus", "dkp"),
     "base_labels"      -> Set("linc"),
@@ -126,7 +127,11 @@ object DedupOps {
     "neardup_cand"     -> Set("endup", "cwork"),
     "bpe_merges"       -> Set("bpenc", "tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "tvu", "pke"),
     "tok_ids"          -> Set("tid", "tdc", "tdata", "pksq", "pkw", "pki", "ftd", "tkf", "tvu", "pke"),
-    "ftq_model"        -> Set("ftd"),
+    "ftq_fv"           -> Set("ftq", "ftd"),
+    "ftq_model"        -> Set("ftq", "ftd"),
+    "ivf_rank2"        -> Set("arcl", "ivq", "pqt"),
+    "ivf_rank2_t"      -> Set("ivft", "pqf"),
+    "ann_brute"        -> Set("arcl", "ivft", "ivq", "pqt", "pqf"),
     "pq_codes"         -> Set("ivq"),
     "pq_cbt"           -> Set("pqt"),
     "pq_codes_t"       -> Set("pqt"),
@@ -181,6 +186,9 @@ object DedupOps {
     // keeps each stage's timing its own (the labels entry prices
     // propagation, not candidate gen).
     val stages = Seq[(String, () => DataFrame)](
+      // the standing LSH band index FIRST: the candidate self-join
+      // below and the delta probes all read it
+      "banded_rows" -> (() => bandedRows(spark, dir)),
       "minhash_cand" -> (() => minhashCandidates(spark, dir)),
       "cluster_labels" -> (() => clusterLabels(spark, dir)),
       // base_* after minhash_cand (both read the verified-pair path
@@ -200,10 +208,21 @@ object DedupOps {
       // exactly the one corpus-scale encode every token consumer
       // (tid/tdc/tdata/pksq) previously re-paid per query
       "tok_ids" -> (() => TextOps.bpeTokenIdsStage(spark, dir)),
+      // the corpus feature frame BEFORE the model (the trainer reads
+      // it), so ftq_model prices training alone and the classifier
+      // gate / gated composite score cached features
+      "ftq_fv" -> (() => QualityOps.ftqFeatureStage(spark, dir)),
       // the trained quality model — FtqRounds of driver-loop training
       // priced once here (the ivft/bpe_merges discipline); the gated
       // composite collects the KB-sized result
       "ftq_model" -> (() => QualityOps.ftqModelStage(spark, dir)),
+      // the clustered corpus' seed nprobe-2 assignment FIRST (its
+      // arank=1 rows are the clustered corpus every later ANN stage
+      // derives from), then the exact brute reference the five recall
+      // gates share — so pq/cents builds below price only their own
+      // tier
+      "ivf_rank2" -> (() => EmbeddingOps.rankedSeedStage(spark, dir)),
+      "ann_brute" -> (() => EmbeddingOps.bruteClusteredStage(spark, dir)),
       "pq_codes" -> (() => EmbeddingOps.pqCodes(spark, dir)),
       // pq_cbt BEFORE pq_codes_t: the trained index encodes against
       // the trained codebook, so this order prices training and
@@ -214,6 +233,9 @@ object DedupOps {
       // then codebooks on the trained residuals, then the code index —
       // so each entry prices exactly its own tier
       "cents_t" -> (() => EmbeddingOps.centroidsTrainedStage(spark, dir)),
+      // the trained assignment AFTER cents_t (it assigns against the
+      // trained centroids) and before its pqf consumers
+      "ivf_rank2_t" -> (() => EmbeddingOps.rankedTrainedStage(spark, dir)),
       "pqf_cb" -> (() => EmbeddingOps.pqfCodebook(spark, dir)),
       "pqf_codes" -> (() => EmbeddingOps.pqfCodes(spark, dir)),
       // after cents_t: the cell membership assigns against the trained
@@ -481,17 +503,23 @@ object DedupOps {
     * frame IS the thing a production pipeline keeps as a bucketed
     * table keyed on (band, bh).
     */
-  private[graft] def bandedRows(spark: SparkSession, dir: String): DataFrame = {
-    val rows = shingleRowsCached(spark, dir)
-    val sig = minhashSignatures(rows)
-    val rowsPerBand = MinhashSeeds / MinhashBands
-    val bandCols = (0 until MinhashBands).map { bd =>
-      val parts = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
-      struct(lit(bd).as("band"), md5(concat(parts: _*)).as("bh"))
+  private[graft] def bandedRows(spark: SparkSession, dir: String): DataFrame =
+    // pinned MEMO STAGE since r19: this frame is the standing LSH
+    // index the scaladoc above describes, and it was rebuilt — 12
+    // md5's per shingle row for the signatures — by the full-corpus
+    // candidate build AND each delta probe (`dinc`, `linc`) per call;
+    // now the index is built once and probes read cached rows.
+    memoStage(spark, dir, "banded_rows") {
+      val rows = shingleRowsCached(spark, dir)
+      val sig = minhashSignatures(rows)
+      val rowsPerBand = MinhashSeeds / MinhashBands
+      val bandCols = (0 until MinhashBands).map { bd =>
+        val parts = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
+        struct(lit(bd).as("band"), md5(concat(parts: _*)).as("bh"))
+      }
+      sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-  }
 
   /** Per-document (shingle-hash set, n) arrays over the full corpus —
     * the verification side of the LSH index. verifyJaccard builds a

@@ -31,8 +31,8 @@ private[operators] object OpCaches {
   private final case class FrameEntry(df: DataFrame, pinned: Boolean) extends Entry {
     def release(): Unit = df.unpersist(blocking = false)
   }
-  private final case class RddEntry(rdd: org.apache.spark.rdd.RDD[_]) extends Entry {
-    def pinned = false
+  private final case class RddEntry(rdd: org.apache.spark.rdd.RDD[_],
+      var pinned: Boolean = false) extends Entry {
     def release(): Unit = rdd.unpersist(blocking = false)
   }
 
@@ -105,7 +105,35 @@ private[operators] object OpCaches {
         cache.putIfAbsent(key, fresh) match {
           case Some(winner) => winner
           case None =>
-            try trackPinned(fresh)
+            try {
+              val pinned = trackPinned(fresh)
+              // PROMOTE the transient checkpoint RDDs in the pinned
+              // frame's lineage: iterative stage builds (Lloyd, label
+              // propagation, BPE training) bottom out in TRANSIENT
+              // localCheckpoint blocks, and a stage that is constructed
+              // (its driver loop runs at construction) but not yet
+              // cache-materialized when clearTransients frees those
+              // blocks fails later with
+              // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — the construction/
+              // materialization gap consumers-of-stages widened in
+              // r19. Only the FINAL round's checkpoint survives in the
+              // lineage (each round truncates the previous), so the
+              // promoted blocks are the small converged frames, freed
+              // with the stage by clear().
+              import org.apache.spark.sql.execution.LogicalRDD
+              val deps = pinned.queryExecution.analyzed
+                .collect { case l: LogicalRDD => l.rdd.id }.toSet
+              if (deps.nonEmpty) {
+                val buf = bufferFor(pinned.sparkSession)
+                buf.synchronized {
+                  buf.foreach {
+                    case r: RddEntry if deps.contains(r.rdd.id) => r.pinned = true
+                    case _ => ()
+                  }
+                }
+              }
+              pinned
+            }
             catch {
               case e: Throwable => cache.remove(key, fresh); throw e
             }

@@ -611,15 +611,30 @@ object TextOps {
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("wpos", "tok"))))
     val vocab = bpeVocabEncoded(words, merges)
     val idMap = bpeIdMapFrame(spark, dir)
-    val ids = words
-      .join(vocab, Seq("tok"))
-      .select(col("doc_id"), col("wpos"), posexplode(col("syms")).as(Seq("spos", "sym")))
+    // the symbol→id mapping runs at VOCABULARY granularity: each
+    // distinct word's symbol array becomes its id array once (explode
+    // + broadcast idMap join + re-assemble in symbol order — unmapped
+    // symbols drop exactly like the corpus-scale inner join did), so
+    // the corpus-scale join below ships ONE row per word instance
+    // carrying its id array instead of one row per SYMBOL — the
+    // doc-keyed shuffle and the per-doc sort shrink by the symbols/
+    // word factor (guide §2.3: aggregate before you shuffle). A word
+    // whose symbols are all unmapped vanishes from vocabIds and so
+    // from the join — identical to the old per-symbol inner join.
+    val vocabIds = vocab
+      .select(col("tok"), posexplode(col("syms")).as(Seq("spos", "sym")))
       .join(broadcast(idMap), Seq("sym"))
+      .groupBy("tok")
+      .agg(transform(array_sort(collect_list(struct(col("spos"), col("id")))),
+        e => e.getField("id")).as("wids"))
+    val ids = words
+      .join(vocabIds, Seq("tok"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("_n"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("wpos"), col("spos"), col("id")))),
-          e => e.getField("id").cast("string")), ",").as("_ids"))
+      .agg(sum(size(col("wids"))).cast("long").as("_n"),
+        array_join(transform(flatten(transform(
+          array_sort(collect_list(struct(col("wpos"), col("wids")))),
+          e => e.getField("wids"))),
+          i => i.cast("string")), ",").as("_ids"))
     val hasText = col("text").isNotNull
     docs.select(col("doc_id"), col("text"))
       .join(ids, Seq("doc_id"), "left")
@@ -635,19 +650,20 @@ object TextOps {
     * encoder and the EOS-id frame so the two cannot drift.
     */
   private def bpeAlphabet(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    // each token contributes its characters PLUS the end-of-word
+    // marker inside ONE explode (one pass, no union branch): on a
+    // non-empty corpus the distinct collapses the markers to the
+    // identical single </w> row the trainer's round 0 appends, while
+    // an EMPTY corpus yields an empty alphabet — so vocabulary-shaped
+    // reports (tvu) honor the empty-input contract instead of
+    // emitting a phantom 1-row vocabulary for a tokenizer that was
+    // never trained
+    Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok")).distinct()
-    // the end-of-word marker row derives FROM the corpus (any one
-    // token) instead of a standalone literal: on a non-empty corpus
-    // this is the identical single </w> row, while an EMPTY corpus
-    // yields an empty alphabet — so vocabulary-shaped reports (tvu)
-    // honor the empty-input contract instead of emitting a phantom
-    // 1-row vocabulary for a tokenizer that was never trained
-    toks
-      .select(explode(transform(
-        sequence(lit(1), length(col("tok"))),
-        i => col("tok").substr(i, lit(1)))).as("sym"))
-      .union(toks.limit(1).select(lit(BpeEndMark).as("sym")))
+      .select(explode(concat(
+        transform(sequence(lit(1), length(col("tok"))),
+          i => col("tok").substr(i, lit(1))),
+        array(lit(BpeEndMark)))).as("sym"))
       .distinct()
   }
 

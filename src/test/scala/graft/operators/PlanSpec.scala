@@ -15,14 +15,26 @@ class PlanSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.GraftSession.build("plan-spec", "4")
   val sf = "/root/testdata/sf0.001"
 
-  private def planString(df: DataFrame): String = {
+  // Plans are rendered from a PRISTINE memo-cache state: a pinned
+  // stage that an earlier suite (same forked JVM, shared session)
+  // already MATERIALIZED renders its InMemoryRelation subtree as an
+  // executed AdaptiveSparkPlan with BOTH "== Final Plan ==" and
+  // "== Initial Plan ==" sections — every exchange/scan inside it
+  // counts twice and the shape pins below flap with suite order.
+  // Clearing the caches before construction makes every render the
+  // deterministic un-executed initial plan (stages rebuild lazily at
+  // sf0.001 — cheap).
+  private def planString(df: => DataFrame): String = {
+    graft.operators.DedupOps.clearCaches(spark)
     df.queryExecution.executedPlan.toString()
   }
 
-  private def formatted(df: DataFrame): String =
+  private def formatted(df: => DataFrame): String = {
+    graft.operators.DedupOps.clearCaches(spark)
     org.apache.spark.sql.execution.ExplainMode.fromString("formatted") match {
       case m => df.queryExecution.explainString(m)
     }
+  }
 
   test("filter_pushdown pushes predicates into the parquet scan") {
     val s = formatted(RelationalOps.filterPushdown(spark, sf))
