@@ -32,6 +32,13 @@ object GraphOps {
 
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     // undirected bipartite edges: s<suppkey> ↔ p<partkey>, deduped.
+    // Node ids are LONGS through the whole iteration hot path —
+    // suppliers on even keys (2k), parts on odd (2k+1), an injective
+    // map, so distinct/join/groupBy semantics are those of the
+    // original string ids while every shuffle carries 8-byte keys
+    // instead of strings and the hash/compare work is integer. The
+    // "s"/"p" string form is reconstructed only in the final output
+    // projection, so the emitted rows (and their sort) are identical.
     // edges/degrees feed every iteration and the loop joins them
     // against frames derived from themselves — the self-join shape
     // where Spark's cache substitution does not reliably engage
@@ -42,8 +49,8 @@ object GraphOps {
     // reliable storage — the standard pre-iteration edge build
     // (GraphX's Pregel does exactly this).
     val li = Tables.lineitem(spark, dir)
-      .select(concat(lit("s"), col("l_suppkey")).as("a"),
-        concat(lit("p"), col("l_partkey")).as("b"))
+      .select((col("l_suppkey").cast("long") * 2).as("a"),
+        (col("l_partkey").cast("long") * 2 + 1).as("b"))
       .distinct()
     val edges = OpCaches.localCheckpointTracked(
       li.unionAll(li.select(col("b").as("a"), col("a").as("b"))))
@@ -68,7 +75,13 @@ object GraphOps {
         .select(col("node"),
           (lit((1 - Damping) / n) + lit(Damping) * (col("cs") / 1e15)).as("rank"))
     }
-    ranks.select(col("node"), round(col("rank") * 1e9).cast("long").as("rank_e9"))
+    ranks
+      .select(
+        when(pmod(col("node"), lit(2)) === 0,
+          concat(lit("s"), shiftright(col("node"), 1)))
+          .otherwise(concat(lit("p"), shiftright(col("node"), 1)))
+          .as("node"),
+        round(col("rank") * 1e9).cast("long").as("rank_e9"))
       .orderBy("node")
   }
 }

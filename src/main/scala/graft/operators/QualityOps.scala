@@ -314,44 +314,6 @@ object QualityOps {
     floor(graft.functions.VectorExprs.dotProduct(
       typedLit(w), col("fv"))).cast("long")
 
-  /** The accuracy-optimal decision threshold over the TRAIN scores —
-    * 1-D exact search: candidates are every distinct score plus a
-    * max+1 sentinel (predict-none); correct(th) =
-    * (pos with s >= th) + (neg with s < th) via one cumulative
-    * window; argmax, ties to the LOWEST threshold. One skinny
-    * distributed pass, one row collected.
-    */
-  private def ftqBestTheta(scored: DataFrame): Long =
-    ftqThetaFrame(scored).collect()(0).getLong(0)
-
-  /** [[ftqBestTheta]] as an UNCOLLECTED 1-row frame (`th`) — each
-    * training round broadcast-joins it into the gradient job instead
-    * of paying a separate driver action per round (the threshold is
-    * a pure function of the round's weights, so it composes into the
-    * same plan; only the init and final thresholds are ever
-    * collected, for the output row).
-    */
-  private def ftqThetaFrame(scored: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = scored.filter(col("istrain"))
-      .groupBy("s").agg(
-        sum(col("y")).as("p"),
-        (count(lit(1)) - sum(col("y"))).as("ng"))
-    val wBelow = Window.orderBy("s")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cands = d
-      .select(col("s").as("th"),
-        coalesce(sum(col("p")).over(wBelow), lit(0L)).as("pb"),
-        coalesce(sum(col("ng")).over(wBelow), lit(0L)).as("nb"))
-      .unionByName(d.agg((max(col("s")) + 1).as("th"),
-        sum(col("p")).as("pb"), sum(col("ng")).as("nb")))
-    val tot = d.agg(sum(col("p")).as("totp"))
-    cands.crossJoin(tot)
-      .select(col("th"), (col("totp") - col("pb") + col("nb")).as("correct"))
-      .orderBy(desc("correct"), asc("th"))
-      .limit(1).select("th")
-  }
-
   /** Train the classifier; returns (w0, theta0, w, theta) — the
     * centroid init and the refined model. Exactness argument: the
     * features are integral doubles, so class sums and gradient sums
@@ -364,11 +326,27 @@ object QualityOps {
     */
   private def ftqTrain(fv: DataFrame): (Seq[Double], Long, Seq[Double], Long) = {
     val tr = fv.filter(col("istrain"))
-    val n01 = tr.agg(
-      sum(col("y")).as("n1"),
-      (count(lit(1)) - sum(col("y"))).as("n0")).collect()(0)
-    val n1 = if (n01.isNullAt(0)) 0L else n01.getLong(0)
-    val n0 = if (n01.isNullAt(1)) 0L else n01.getLong(1)
+    val IterLog = sys.env.contains("GRAFT_ITER_LOG")
+    var tMark = System.nanoTime()
+    def mark(tag: String): Unit = if (IterLog) {
+      val t = System.nanoTime()
+      System.err.println(f"[ftq] $tag: ${(t - tMark) / 1e9}%.2f s")
+      tMark = t
+    }
+    // ONE corpus pass for init: the per-bucket class sums AND the
+    // class counts ride in the same 64-row aggregate (n1/nd are
+    // constant across j — every doc contributes exactly one row per
+    // bucket — so the j=0 row carries the doc counts; previously the
+    // counts were a separate corpus-scan action).
+    val init = tr.select(col("y"), posexplode(col("fv")).as(Seq("j", "r")))
+      .groupBy("j").agg(
+        sum(when(col("y") === 1, col("r")).otherwise(lit(0.0))).as("s1"),
+        sum(when(col("y") === 0, col("r")).otherwise(lit(0.0))).as("s0"),
+        sum(col("y")).as("n1"),
+        count(lit(1)).as("nd"))
+      .collect().sortBy(_.getAs[Int]("j"))
+    val n1 = if (init.isEmpty) 0L else init.head.getAs[Long]("n1")
+    val n0 = if (init.isEmpty) 0L else init.head.getAs[Long]("nd") - n1
     if (n1 == 0L || n0 == 0L) {
       // degenerate corpus (empty input, or a train split with one
       // class): nothing to train — a zero scorer with an unreachable
@@ -377,33 +355,95 @@ object QualityOps {
       val w = Seq.fill(FtqBuckets)(0.0)
       return (w, 1L, w, 1L)
     }
-    val sums = tr.select(posexplode(col("fv")).as(Seq("j", "r")), col("y"))
-      .groupBy("j").agg(
-        sum(when(col("y") === 1, col("r")).otherwise(lit(0.0))).as("s1"),
-        sum(when(col("y") === 0, col("r")).otherwise(lit(0.0))).as("s0"))
-      .orderBy("j").collect()
-    require(sums.length == FtqBuckets, s"expected $FtqBuckets gradient rows")
-    val w0 = sums.map(r => r.getDouble(1) / n1 - r.getDouble(2) / n0).toSeq
-    def thetaFrameOf(w: Seq[Double]) = ftqThetaFrame(
-      fv.select(col("y"), col("istrain"), ftqScore(w).as("s")))
+    require(init.length == FtqBuckets, s"expected $FtqBuckets init rows")
+    val w0 = init.map(r =>
+      r.getAs[Double]("s1") / n1 - r.getAs[Double]("s0") / n0).toSeq
+    mark("init")
     var w = w0
+    import org.apache.spark.sql.expressions.Window
+    val wj = Window.partitionBy("j").orderBy("s")
+    val wjBelow = wj.rowsBetween(Window.unboundedPreceding, -1)
+    val wjAll = wj.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     for (_ <- 1 to FtqRounds) {
-      // ONE driver action per round: the threshold rides into the
-      // gradient job as an uncollected broadcast 1-row frame
-      val grad = fv.filter(col("istrain"))
-        .crossJoin(broadcast(thetaFrameOf(w)))
-        .select(posexplode(col("fv")).as(Seq("j", "r")),
-          (col("y") - when(ftqScore(w) >= col("th"), 1L).otherwise(0L)).as("q"))
-        .groupBy("j").agg(sum(col("r") * col("q")).as("g"))
-        .orderBy("j").collect()
+      // ONE corpus pass and ONE driver action per round, in a plan of
+      // THREE shuffle stages (score+explode → (s, j) grid; re-key by
+      // j; windowed fold + 64-row aggregate): the per-score label
+      // counts ride the grid (pj/cj are identical across j — every
+      // doc has one row per bucket), so the threshold search and the
+      // gradient's suffix sum both evaluate inside one window pass
+      // per bucket — candidate correct(th) = totp − pb + nb per row,
+      // the max+1 sentinel's correct is totn, argmax with
+      // ties-to-lowest-th is a max over (correct, −s) structs, and
+      // the winning struct CARRIES its gradient (g is a trailing
+      // struct field, never consulted by the comparison since (c,
+      // nth) is unique per row). The previous form built a broadcast
+      // threshold frame + crossJoin + TakeOrdered per round (~7
+      // sequential stages of pure latency at any scale).
+      // The regrouping is exact: features are integral doubles, so
+      // every partial sum is an integer below 2^53 in any order, and
+      // g = Σ r·y − (Σ r − Σ_{s<th} r) is the same integer as the
+      // doc-level Σ r·(y − [s≥th]) the previous form computed.
+      val grid = tr
+        .select(col("y"), ftqScore(w).as("s"),
+          posexplode(col("fv")).as(Seq("j", "r")))
+        .groupBy("s", "j").agg(
+          sum(col("r")).as("rs"),
+          sum(when(col("y") === 1, col("r")).otherwise(lit(0.0))).as("rys"),
+          sum(col("y")).as("p"),
+          (count(lit(1)) - sum(col("y"))).as("ng"))
+      val folded = grid.select(col("j"), col("s"),
+        coalesce(sum(col("p")).over(wjBelow), lit(0L)).as("pb"),
+        coalesce(sum(col("ng")).over(wjBelow), lit(0L)).as("nb"),
+        coalesce(sum(col("rs")).over(wjBelow), lit(0.0)).as("rsb"),
+        sum(col("p")).over(wjAll).as("totp"),
+        sum(col("ng")).over(wjAll).as("totn"),
+        sum(col("rs")).over(wjAll).as("totrs"),
+        sum(col("rys")).over(wjAll).as("totrys"),
+        max(col("s")).over(wjAll).as("smax"))
+      val grad = folded.select(col("j"),
+          struct((col("totp") - col("pb") + col("nb")).as("c"),
+            (-col("s")).as("nth"),
+            (col("totrys") - (col("totrs") - col("rsb"))).as("g")).as("cand"),
+          struct(col("totn").as("c"), (-(col("smax") + 1)).as("nth"),
+            col("totrys").as("g")).as("sent"))
+        .groupBy("j").agg(greatest(max(col("cand")), max(col("sent"))).as("best"))
+        .select(col("j"), col("best.g").as("g"))
+        .collect().sortBy(_.getAs[Int]("j"))
       require(grad.length == FtqBuckets, s"expected $FtqBuckets gradient rows")
-      w = w.zip(grad.map(_.getDouble(1))).map { case (wi, g) => wi + g * FtqLr }
+      w = w.zip(grad.map(_.getAs[Double]("g"))).map { case (wi, g) => wi + g * FtqLr }
+      mark("round")
     }
-    val theta0 = ftqBestTheta(fv.select(col("y"), col("istrain"),
-      ftqScore(w0).as("s")))
-    val theta = ftqBestTheta(fv.select(col("y"), col("istrain"),
-      ftqScore(w).as("s")))
-    (w0, theta0, w, theta)
+    // Both decision thresholds from ONE corpus pass and ONE action:
+    // each doc contributes its (model-index k, score) pair for BOTH
+    // models, the (k, s) grid carries each model's per-score label
+    // counts (its marginal, exact long sums), and the same windowed
+    // argmax fold as the training rounds picks each model's
+    // threshold — a 2-row collect.
+    val scored = tr.select(col("y"),
+        explode(array(
+          struct(lit(0).as("k"), ftqScore(w0).as("s")),
+          struct(lit(1).as("k"), ftqScore(w).as("s")))).as("e"))
+      .select(col("y"), col("e.k").as("k"), col("e.s").as("s"))
+    val wk = Window.partitionBy("k").orderBy("s")
+    val wkBelow = wk.rowsBetween(Window.unboundedPreceding, -1)
+    val wkAll = wk.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ths = scored.groupBy("k", "s").agg(
+        sum(col("y")).as("p"),
+        (count(lit(1)) - sum(col("y"))).as("ng"))
+      .select(col("k"),
+        struct(
+          (sum(col("p")).over(wkAll)
+            - coalesce(sum(col("p")).over(wkBelow), lit(0L))
+            + coalesce(sum(col("ng")).over(wkBelow), lit(0L))).as("c"),
+          (-col("s")).as("nth")).as("cand"),
+        struct(sum(col("ng")).over(wkAll).as("c"),
+          (-(max(col("s")).over(wkAll) + 1)).as("nth")).as("sent"))
+      .groupBy("k").agg(greatest(max(col("cand")), max(col("sent"))).as("best"))
+      .select(col("k"), (-col("best.nth")).as("th"))
+      .collect().sortBy(_.getAs[Int]("k"))
+    require(ths.length == 2, "expected one threshold row per model")
+    mark("final-thetas")
+    (w0, ths(0).getAs[Long]("th"), w, ths(1).getAs[Long]("th"))
   }
 
   /** fastText-style quality classifier, end to end — the GPT-3/CCNet
