@@ -32,5 +32,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default heap sized for the 128 GiB dev/bench sandbox: the engine
+  // pins ~30 stage frames plus per-query transients in the block
+  // store, and at 8g the MEMORY_AND_DISK evictions + GC pauses showed
+  // up as multi-second outliers on 1-2 s queries (guide §5). Cluster
+  // deployments size executor/driver memory per node through the same
+  // env override.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -519,6 +519,14 @@ object DedupOps {
       }
       sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+        // stored PARTITIONED on the probe key, like the bucketed
+        // (band, bh) table a deployment would keep: the cached frame's
+        // HashPartitioning satisfies both sides of every consumer's
+        // equi-join on (band, bh) — the full self-join candidate build
+        // and each delta probe — so those joins run exchange-free on
+        // the cached blocks (guide §2.4's bucketing trick, in-session;
+        // the one repartition here is priced in _substrate).
+        .repartition(col("band"), col("bh"))
     }
 
   /** Per-document (shingle-hash set, n) arrays over the full corpus —
@@ -988,32 +996,39 @@ object DedupOps {
     var round = 0
     while (changed > 0) {
       val t0 = System.nanoTime()
-      val prop = OpCaches.localCheckpointTracked(
-        edges.join(labels, edges("src") === labels("id"))
-          .select(edges("dst").as("id"), labels("lbl"))
-          .unionAll(labels)
-          .groupBy("id").agg(min("lbl").as("lbl")))
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), labels("lbl"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
       // Shortcut (lbl := lbl's lbl) from round 3 on ONLY: real
       // near-dup clusters are shallow (diameter ≤ 2 — converged by
-      // round 3), where the shortcut's second materialization per
-      // round is pure overhead; an adversarial chain is still caught,
-      // since from round 3 the reach recurrence d←2d+1 closes any
-      // n-chain in O(log n) total rounds. Every label IS a node id
-      // (init lbl=id; min over such values stays in the id set), so
-      // the inner self-join matches every row; the joined label is ≤
-      // the current one by the decrease invariant.
-      val next =
+      // round 3), where the shortcut's extra work per round is pure
+      // overhead; an adversarial chain is still caught, since from
+      // round 3 the reach recurrence d←2d+1 closes any n-chain in
+      // O(log n) total rounds. Every label IS a node id (init lbl=id;
+      // min over such values stays in the id set), so the inner
+      // self-join matches every row; the joined label is ≤ the
+      // current one by the decrease invariant. The shortcut's two
+      // references to `prop` share ONE physical aggregation
+      // (ReuseExchange collapses the identical subtrees inside this
+      // round's single checkpoint job) — materializing prop
+      // separately cost a whole extra checkpoint action per round.
+      val stepped =
         if (round < 2) prop
         else {
           val byId = prop.select(col("id").as("pid"), col("lbl").as("plbl"))
-          OpCaches.localCheckpointTracked(
-            prop.join(byId, prop("lbl") === byId("pid"))
-              .select(prop("id"), col("plbl").as("lbl")))
+          prop.join(byId, prop("lbl") === byId("pid"))
+            .select(prop("id"), col("plbl").as("lbl"))
         }
-      // labels only ever decrease, so "changed" is a strict-decrease count
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") < col("old")).count()
-      labels = next
+      // labels only ever decrease, so "changed" is a strict-decrease
+      // count. The old label rides INTO the round's one checkpoint as
+      // a comparison bit, so the count below is a scan of the already-
+      // materialized blocks — previously a separate join job per round.
+      val next = OpCaches.localCheckpointTracked(
+        stepped.join(labels.select(col("id"), col("lbl").as("__old")), Seq("id"))
+          .select(col("id"), col("lbl"), (col("lbl") < col("__old")).as("__chg")))
+      changed = next.filter(col("__chg")).count()
+      labels = next.select("id", "lbl")
       round += 1
       if (IterLog) System.err.println(
         f"[cc] round $round: $changed relabeled, " +

@@ -198,13 +198,31 @@ object EmbeddingOps {
     val cents = cents0
       .select(col("cent_id"), col("cv"),
         sqrt(dotProduct(col("cv"), col("cv"))).as("cnrm"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
-    base.join(broadcast(cents), lit(true))
+    val scoredAll = base.join(broadcast(cents), lit(true))
       .withColumn("ccos", dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
-      .withColumn("arank", row_number().over(wAssign))
-      .filter(col("arank") <= math.max(maxProbe, 1))
-      .select(col("vec_id"), col("v"), col("cent_id"), col("arank"))
+    if (maxProbe <= 1) {
+      // nprobe-1 (the Lloyd assignment step and the incremental
+      // encoders): the winner per vector is a map-side-combinable
+      // max over (ccos, −cent_id) structs — same order as the window
+      // form's (desc ccos, asc cent_id), with the vector riding as a
+      // never-compared trailing payload (ccos ties cannot happen at
+      // equal rank keys: cent_id is distinct per candidate row) — so
+      // the N×C candidate grid partial-aggregates before the shuffle
+      // instead of being shuffled whole and sorted per vector.
+      scoredAll
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), negate(col("cent_id")).as("nc"),
+          col("v"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"),
+          negate(col("m.nc")).as("cent_id"), lit(1).as("arank"))
+    } else {
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+      scoredAll
+        .withColumn("arank", row_number().over(wAssign))
+        .filter(col("arank") <= maxProbe)
+        .select(col("vec_id"), col("v"), col("cent_id"), col("arank"))
+    }
   }
 
   /** The CLUSTERED corpus' seed nprobe-2 ranked assignment as a pinned
@@ -618,17 +636,20 @@ object EmbeddingOps {
     * codebook index, and the incremental append path, so the encoding
     * law cannot drift between them.
     */
-  private def pqEncodeWith(rsub: DataFrame, cb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wCode = Window.partitionBy("vec_id", "j").orderBy(col("l2"), col("code"))
+  private def pqEncodeWith(rsub: DataFrame, cb: DataFrame): DataFrame =
+    // nearest entry per (vector, sub-space) as a map-side-combinable
+    // min over (l2, code) structs — identical winner to the previous
+    // row_number window (same (l2 asc, code asc) comparison; l2 ties
+    // break to the lowest code), but the N·m·K candidate grid
+    // partial-aggregates to N·m rows BEFORE the shuffle instead of
+    // shuffling and per-key sorting the whole grid.
     rsub.join(broadcast(cb), Seq("j"))
       .withColumn("l2", aggregate(
         zip_with(col("rv"), col("sv"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("rnk", row_number().over(wCode))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("cell"), col("j"), col("code"))
-  }
+      .groupBy("vec_id", "cell", "j")
+      .agg(min(struct(col("l2"), col("code"))).as("m"))
+      .select(col("vec_id"), col("cell"), col("j"), col("m.code").as("code"))
 
   /** The PQ CODE INDEX — each vector's m nearest-codebook-entry ids
     * (L2, min-id tie-break), (vec_id, cell, j, code) rows: the
@@ -668,15 +689,17 @@ object EmbeddingOps {
     * corpus-sized sum stays far inside BIGINT.
     */
   private def pqLloydStep(rsub: DataFrame, cb: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wCode = Window.partitionBy("vec_id", "j").orderBy(col("l2"), col("code"))
+    // same min-struct assignment as pqEncodeWith (the encoding law
+    // lives in the comparison order, which is identical); rv rides as
+    // a never-compared payload — it is constant within the (vec_id, j)
+    // group, and (l2, code) is unique per candidate row
     val asg = rsub.join(broadcast(cb), Seq("j"))
       .withColumn("l2", aggregate(
         zip_with(col("rv"), col("sv"), (a, b) => (a - b) * (a - b)),
         lit(0.0), (acc, x) => acc + x))
-      .withColumn("rnk", row_number().over(wCode))
-      .filter(col("rnk") === 1)
-      .select(col("j"), col("code"), col("rv"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("l2"), col("code"), col("rv"))).as("m"))
+      .select(col("j"), col("m.code").as("code"), col("m.rv").as("rv"))
     asg
       .select(col("j"), col("code"), posexplode(col("rv")).as(Seq("i", "x")))
       .groupBy("j", "code", "i")
@@ -1217,15 +1240,19 @@ object EmbeddingOps {
       val cents = centroidsTrainedStage(spark, dir)
         .select(col("cent_id"), col("cv"),
           sqrt(dotProduct(col("cv"), col("cv"))).as("cnrm"))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))
+      // nearest trained centroid per vector as a map-side-combinable
+      // max over (ccos, −cent_id) structs — same winner as the old
+      // arank=1 window (desc ccos, asc cent_id; the payload fields
+      // trail and are never compared since cent_id is unique per
+      // candidate row), without shuffling the N×C scored grid
       base.join(broadcast(cents), lit(true))
         .withColumn("ccos",
           dotProduct(col("cv"), col("v")) / (col("cnrm") * col("nrm")))
-        .withColumn("arank", row_number().over(wAssign))
-        .filter(col("arank") === 1)
-        .select(col("vec_id"), col("v"), col("nrm"),
-          col("cent_id").as("cell"), col("ccos"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), negate(col("cent_id")).as("nc"),
+          col("v"), col("nrm"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+          negate(col("m.nc")).as("cell"), col("m.ccos").as("ccos"))
     }
 
   /** Verified semantic-duplicate pairs between an (a, b) pair of

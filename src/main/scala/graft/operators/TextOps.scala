@@ -814,7 +814,15 @@ object TextOps {
       .select(col("doc_id"),
         col("wm").bitwiseAND(lit(1048575L)).as("fpos"),
         shiftright(col("wm"), 20).as("fp"))
-      .orderBy("doc_id", "fpos")
+      // PARTITION-LOCAL sort only (no global orderBy): every consumer
+      // is mid-plan (`wfp` adds its own presentation sort on top), so
+      // the old global sort's range exchange bought nothing — but the
+      // row LOCALITY it created is load-bearing for the pinned cache
+      // (columnar cache compression feeds on doc_id runs; caching the
+      // raw distinct output measurably grew the block store and slowed
+      // every cache reader after it). sortWithinPartitions keeps the
+      // compression without the exchange.
+      .sortWithinPartitions("doc_id", "fpos")
   }
 
   /** Attribution pairs: max docs a fingerprint may appear in before it
